@@ -1,0 +1,392 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families over the `documents` table, each designed so the 100 TB
+plan is the same shape as the sf0.01 plan:
+
+- **exact** (dd01): hash-groupBy on a content digest. One shuffle on
+  the digest; survivors picked by min doc_id. At 100 TB this is the
+  classic "group by md5" — no driver-side state, fully distributed.
+- **n-gram Jaccard** (dd02): word-3-gram shingles → inverted-index
+  self-join on shingle → exact Jaccard from intersection/union counts.
+  The shingle join is the scale risk: a stop-shingle shared by k docs
+  creates k² pair rows. Mitigation at scale: drop shingles with
+  document frequency above a cap (implemented — `max_df`), which is
+  both a perf guard and standard practice (stop-shingles carry no
+  dedup signal).
+- **MinHash + LSH** (dd03 signatures, dd04 candidate pairs): 16
+  md5-derived min-hashes per doc (portable across engines, see
+  _portable.py), banded 4×4; candidates = band-bucket collisions;
+  verification = exact Jaccard on candidates only. At 100 TB the
+  pair space never materializes — only bucket collisions do.
+- **SimHash** (dd05): 32-bit signature from token-hash bit votes;
+  Hamming-adjacent signatures cluster near-dups. Emitted as
+  signatures (join/bucket step shares dd04's shape).
+
+Reference parity note: the reference has no dedup surface (it delegates
+everything to Flink SQL); these are the mandated pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_platform_web_spark.operators._portable import (
+    oracle_portable_hash,
+    portable_hash,
+)
+from flink_streaming_platform_web_spark.tables import load
+
+N_PERMS = 16
+N_BANDS = 4  # 4 rows per band
+JACCARD_THRESHOLD = 0.5
+# Scale guard for the shingle inverted index: shingles present in more
+# than this many documents are stop-shingles — they explode the pair
+# space quadratically and carry no signal. The synthetic corpus's
+# planted near-dups share rare shingles, so this never affects
+# correctness there (verified: max shingle doc-frequency of a
+# signal-bearing shingle << 64); at 100 TB it is what keeps the join
+# bounded.
+MAX_DF = 64
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → exploded DISTINCT word n-gram shingles (declarative:
+    split/sequence/transform stay in codegen, no Python row path)."""
+    words = df.select("doc_id", F.split(F.col("text"), r"\s+").alias("w"))
+    return (
+        words.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size("w") - n, F.lit(-1))
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", *[F.col("w")[i + j] for j in range(n)]
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+_ORACLE_SHINGLES = r"""
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS i)
+"""
+
+
+# --------------------------------------------------------------------------
+# dd01 — exact dedup by content digest.
+# --------------------------------------------------------------------------
+
+
+def dd01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+ORACLE_DD01 = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS survivor_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# dd02 — exact n-gram Jaccard near-dup pairs via inverted-index join.
+# --------------------------------------------------------------------------
+
+
+def dd02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    # stop-shingle guard (see module docstring)
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_DF)
+        .select("shingle")
+    )
+    sh = sh.join(df_ok, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+ORACLE_DD02 = f"""
+WITH sh_all AS ({_ORACLE_SHINGLES}),
+df_ok AS (
+  SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) <= {MAX_DF}
+),
+sh AS (SELECT sh_all.* FROM sh_all JOIN df_ok USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# dd03 — MinHash signatures (md5-derived hash family, engine-portable).
+# --------------------------------------------------------------------------
+
+
+def _minhash_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, perm, minhash) long-format signatures."""
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    perms = spark.range(N_PERMS).select(F.col("id").cast("int").alias("perm"))
+    hashed = sh.crossJoin(F.broadcast(perms)).select(
+        "doc_id",
+        "perm",
+        portable_hash(
+            F.concat_ws(":", F.col("perm").cast("string"), F.col("shingle"))
+        ).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+
+
+_ORACLE_MINHASH_LONG = f"""
+  SELECT doc_id, perm,
+         MIN({oracle_portable_hash("perm::VARCHAR || ':' || shingle")})
+           AS minhash
+  FROM ({_ORACLE_SHINGLES}) sh
+  CROSS JOIN (SELECT unnest(range({N_PERMS}))::INT AS perm) p
+  GROUP BY doc_id, perm
+"""
+
+
+def dd03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_long(spark, sf_dir)
+
+
+ORACLE_DD03 = f"SELECT doc_id, perm, minhash FROM ({_ORACLE_MINHASH_LONG})"
+
+
+# --------------------------------------------------------------------------
+# dd04 — LSH banding: band-bucket collisions → candidates → exact
+# Jaccard verification on candidates only (the 100 TB path: the full
+# pair space is never formed).
+# --------------------------------------------------------------------------
+
+
+def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = _minhash_long(spark, sf_dir)
+    rows_per_band = N_PERMS // N_BANDS
+    buckets = (
+        mh.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("perm", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("bucket")
+        )
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (reuse dd02's machinery but
+    # restricted to the candidate set — semi-join keeps it bounded)
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+ORACLE_DD04 = f"""
+WITH mh AS ({_ORACLE_MINHASH_LONG}),
+buckets AS (
+  SELECT doc_id, perm // {N_PERMS // N_BANDS} AS band,
+         md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS bucket
+  FROM mh GROUP BY 1, 2
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sh AS ({_ORACLE_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM candidates c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# dd05 — SimHash signatures (32-bit, token-frequency-weighted bit votes).
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def dd05_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    hashed = tokens.select("doc_id", portable_hash(F.col("tok")).alias("h"))
+    bits = spark.range(SIMHASH_BITS).select(
+        F.col("id").cast("int").alias("bit")
+    )
+    votes = (
+        hashed.crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "bit",
+            # shiftright's Python wrapper only takes a literal shift
+            # width, so the column-shift goes through expr
+            F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("vote"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("tally"))
+    )
+    return (
+        votes.select(
+            "doc_id",
+            F.when(
+                F.col("tally") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("bitval"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+ORACLE_DD05 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, {oracle_portable_hash('tok')} AS h
+  FROM toks WHERE length(tok) > 0
+),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+  FROM hashed CROSS JOIN (SELECT unnest(range({SIMHASH_BITS}))::INT AS bit) b
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       SUM(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+FROM votes GROUP BY 1
+"""
+
+
+QUERIES = {
+    "dd01_dedup_exact": dd01_dedup_exact,
+    "dd02_ngram_jaccard_pairs": dd02_ngram_jaccard_pairs,
+    "dd03_minhash_signatures": dd03_minhash_signatures,
+    "dd04_minhash_lsh_pairs": dd04_minhash_lsh_pairs,
+    "dd05_simhash_signatures": dd05_simhash_signatures,
+}
+
+ORACLES = {
+    "dd01_dedup_exact": ORACLE_DD01,
+    "dd02_ngram_jaccard_pairs": ORACLE_DD02,
+    "dd03_minhash_signatures": ORACLE_DD03,
+    "dd04_minhash_lsh_pairs": ORACLE_DD04,
+    "dd05_simhash_signatures": ORACLE_DD05,
+}

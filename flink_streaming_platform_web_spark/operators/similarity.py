@@ -1,0 +1,241 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+- **ann01**: brute-force cosine top-k for a query subset — the exactness
+  baseline. The neighbor side streams through a broadcast of the (small)
+  query set: no shuffle of the big side, so the plan scales to any
+  corpus size as long as the query batch stays broadcastable.
+- **ann02**: all-pairs near-dup (cosine ≥ τ). Quadratic by definition;
+  acceptable for candidate verification, never for discovery at scale.
+- **ann03**: the scale path — random-hyperplane LSH bucketing (signs of
+  8 md5-seeded projections ⇒ 256 buckets), then brute force only within
+  buckets. At 100 TB, the bucket join replaces the quadratic pair space
+  with per-bucket blocks; more planes/multi-probe tighten recall.
+
+All vector math runs on array<double> with sequential fold order, so
+cosines are IEEE-bit-stable against the DuckDB oracle (verified by the
+parity harness). Cosines are rounded to 6 dp at the output boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_platform_web_spark.tables import load
+
+TOP_K = 5
+QUERY_MOD = 20  # vec_id % 20 == 0 → the query subset
+NEARDUP_COS = 0.4
+N_PLANES = 8
+DIM = 64
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (matches DuckDB's loop order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# DuckDB side: explicit same-shape arithmetic (list_dot_product order ==
+# sequential loop; division/sqrt composition mirrored exactly).
+_ORACLE_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def ann01_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = vecs.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rk", "cos_sim")
+    )
+
+
+_cos_ab = _ORACLE_COS.format(a="q.v", b="n.v")
+
+ORACLE_ANN01 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round({_cos_ab}, 6) AS cos_sim
+  FROM e q JOIN e n ON n.vec_id != q.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+)
+SELECT query_id, neighbor_id, rk, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM pairs
+) WHERE rk <= {TOP_K}
+"""
+
+
+def ann02_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEARDUP_COS)
+    )
+
+
+ORACLE_ANN02 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_ORACLE_COS.format(a='a.v', b='b.v')}, 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_ORACLE_COS.format(a='a.v', b='b.v')}, 6) >= {NEARDUP_COS}
+"""
+
+
+# --------------------------------------------------------------------------
+# ann03 — random-hyperplane LSH buckets + within-bucket verification.
+# Hyperplane weights are md5-derived (engine-portable, deterministic):
+# w(plane, dim) = (portable_hash('plane:dim') % 2001 - 1000) / 1000.
+# Only the SIGN of the projection feeds the bucket, so fp summation
+# order cannot flip results except at measure-zero boundaries.
+# --------------------------------------------------------------------------
+
+
+def ann03_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
+    dims = spark.range(1, DIM + 1).select(F.col("id").cast("int").alias("d"))
+    weights = planes.crossJoin(dims).select(
+        "p",
+        "d",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("p").cast("string"),
+                                F.col("d").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2001
+                - 1000
+            )
+            / 1000.0
+        ).alias("w"),
+    )
+    elems = vecs.select(
+        "vec_id", F.posexplode("v").alias("d0", "x")
+    ).withColumn("d", F.col("d0") + 1)
+    proj = (
+        elems.join(F.broadcast(weights), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+    )
+    buckets = proj.select(
+        "vec_id",
+        F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("bit"),
+    ).groupBy("vec_id").agg(F.sum("bit").alias("bucket"))
+    bv = vecs.join(buckets, "vec_id")
+    a = bv.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = bv.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "bucket",
+            "id_a",
+            "id_b",
+            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEARDUP_COS)
+    )
+
+
+ORACLE_ANN03 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+weights AS (
+  SELECT p, d,
+         ((CAST('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 15)
+                AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+  FROM (SELECT unnest(range({N_PLANES}))::INT AS p),
+       (SELECT unnest(generate_series(1, {DIM}))::INT AS d)
+),
+elems AS (
+  SELECT vec_id, d::INT AS d, v[d] AS x
+  FROM e, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS d)
+),
+proj AS (
+  SELECT vec_id, p, SUM(x * w) AS s
+  FROM elems JOIN weights USING (d) GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         SUM(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+  FROM proj GROUP BY 1
+),
+bv AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id))
+SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_ORACLE_COS.format(a='a.v', b='b.v')}, 6) AS cos_sim
+FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_ORACLE_COS.format(a='a.v', b='b.v')}, 6) >= {NEARDUP_COS}
+"""
+
+
+QUERIES = {
+    "ann01_brute_topk": ann01_brute_topk,
+    "ann02_embed_neardup_pairs": ann02_embed_neardup_pairs,
+    "ann03_lsh_bucketed_neardup": ann03_lsh_bucketed_neardup,
+}
+
+ORACLES = {
+    "ann01_brute_topk": ORACLE_ANN01,
+    "ann02_embed_neardup_pairs": ORACLE_ANN02,
+    "ann03_lsh_bucketed_neardup": ORACLE_ANN03,
+}

@@ -1,0 +1,207 @@
+"""Text-analysis operators over the `documents` table.
+
+Language-ID (marker-token heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting. All four are
+pure columnar expressions — no Python executes per row, so at 100 TB
+they are scan-bound single-pass jobs with zero shuffles (fingerprint/
+quality) or one small agg shuffle.
+
+The corpus is synthetic (TESTDATA.md); the lang-ID heuristic is honest
+about that: it scores deterministic marker-token counts per language
+and argmaxes with a stable tie-break, which is the real n-gram-profile
+algorithm shape with a toy profile table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_platform_web_spark.tables import load
+
+# toy marker profiles; real deployments would load per-language n-gram
+# frequency tables the same columnar way (a broadcast map)
+LANG_MARKERS = {
+    "en": r"\bthe\b",
+    "es": r"\bscan\b",
+    "fr": r"\bmerge\b",
+    "de": r"\bgroup\b",
+    "zh": r"\bspark\b",
+}
+
+STOPWORD_PAT = r"\b(the|a|of|and|to|in)\b"
+BPE_ISH_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def tx01_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.regexp_count("text", F.lit(pat)).alias(f"score_{lang}")
+            for lang, pat in LANG_MARKERS.items()
+        ],
+    )
+    # argmax with deterministic tie-break: highest score, then lang asc
+    best = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"score_{lang}")).alias("neg"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang in sorted(LANG_MARKERS)
+            ]
+        )
+    )[0]["lang"]
+    return scored.select(
+        "doc_id",
+        "lang",
+        best.alias("pred_lang"),
+        *[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+    )
+
+
+def _oracle_langid() -> str:
+    score_cols = ",\n       ".join(
+        f"CAST(length(regexp_extract_all(text, '{pat}')) AS INT)"
+        f" AS score_{lang}"
+        for lang, pat in LANG_MARKERS.items()
+    )
+    langs = sorted(LANG_MARKERS)
+    # same argmax: sort (neg score, lang) structs ascending, take first
+    struct_list = ", ".join(
+        f"{{'neg': -score_{lang}, 'lang': '{lang}'}}" for lang in langs
+    )
+    out_scores = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {score_cols}
+  FROM documents
+)
+SELECT doc_id, lang,
+       list_sort([{struct_list}])[1].lang AS pred_lang,
+       {out_scores}
+FROM scored
+"""
+
+
+ORACLE_TX01 = _oracle_langid()
+
+
+def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
+    )
+    scored = docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        toks.alias("n_tokens"),
+        F.regexp_count("text", F.lit(r"[.,!?;:]")).alias("n_punct"),
+        F.regexp_count("text", F.lit(r"[0-9]")).alias("n_digits"),
+        F.regexp_count("text", F.lit(STOPWORD_PAT)).alias("n_stopwords"),
+    )
+    return scored.select(
+        "doc_id",
+        "len_chars",
+        "n_tokens",
+        "n_punct",
+        "n_digits",
+        "n_stopwords",
+        F.round(
+            F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.5
+            + (F.col("n_stopwords").cast("double") / F.col("n_tokens")) * 2.0
+            - (F.col("n_digits").cast("double") / F.col("len_chars")) * 1.0,
+            6,
+        ).alias("quality"),
+    )
+
+
+ORACLE_TX02 = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS len_chars,
+         CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 t -> length(t) > 0)) AS INT) AS n_tokens,
+         CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
+         CAST(length(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
+         CAST(length(regexp_extract_all(text, '{STOPWORD_PAT}')) AS INT)
+           AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, len_chars, n_tokens, n_punct, n_digits, n_stopwords,
+       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+             + (CAST(n_stopwords AS DOUBLE) / n_tokens) * 2.0
+             - (CAST(n_digits AS DOUBLE) / len_chars) * 1.0, 6) AS quality
+FROM scored
+"""
+
+
+def tx03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_ISH_PAT)).alias("bpe_ish_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+ORACLE_TX03 = f"""
+SELECT doc_id,
+       CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
+                               t -> length(t) > 0)) AS INT) AS ws_tokens,
+       CAST(length(regexp_extract_all(text, '{BPE_ISH_PAT}')) AS INT)
+         AS bpe_ish_tokens,
+       CAST(length(text) AS INT) AS n_chars_actual
+FROM documents
+"""
+
+
+def tx04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision fingerprint: sorted distinct tokens → md5. Two
+    documents with the same bag of words share a fingerprint regardless
+    of word order — the standard OpenRefine-style clustering key."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(words), " ")).alias("fingerprint"),
+        F.size(words).alias("n_unique_tokens"),
+    )
+
+
+ORACLE_TX04 = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> length(t) > 0))), ' ')) AS fingerprint,
+       CAST(length(list_distinct(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> length(t) > 0))) AS INT) AS n_unique_tokens
+FROM documents
+"""
+
+
+QUERIES = {
+    "tx01_langid": tx01_langid,
+    "tx02_quality_score": tx02_quality_score,
+    "tx03_token_count": tx03_token_count,
+    "tx04_fingerprint": tx04_fingerprint,
+}
+
+ORACLES = {
+    "tx01_langid": ORACLE_TX01,
+    "tx02_quality_score": ORACLE_TX02,
+    "tx03_token_count": ORACLE_TX03,
+    "tx04_fingerprint": ORACLE_TX04,
+}

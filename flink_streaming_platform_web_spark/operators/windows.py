@@ -1,0 +1,204 @@
+"""Event-time windowed operators (SURVEY §2.3 O8-O11, O14/O25).
+
+The reference exercises TUMBLE (docs/sql_demo/demo_4.md: `GROUP BY
+TUMBLE(ts, INTERVAL '60' SECOND), username` with `TUMBLE_START/END`) and
+HOP (demo_5.md: `HOP(ts, INTERVAL '30' SECOND, INTERVAL '1' MINUTE)`)
+over watermarked kafka streams. Spark's `F.window` / `F.session_window`
+implement identical grouping semantics in batch AND streaming from one
+expression — the batch forms below are byte-identical to what
+`streaming/jobs.py` runs under `readStream` + `withWatermark`.
+
+Window-boundary timestamps are emitted as formatted strings so the
+oracle comparison is representation-stable (see _portable.py).
+
+Scale notes: window grouping is a single hash shuffle on
+(window, key) — same as any groupBy; session windows additionally
+sort within user partitions, which AQE splits if a user key is hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_platform_web_spark.operators._portable import (
+    dsum,
+    oracle_dsum,
+)
+from flink_streaming_platform_web_spark.tables import load
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_OFMT = "%Y-%m-%d %H:%M:%S"
+
+
+# --------------------------------------------------------------------------
+# O8/O10 — tumbling window (demo_4.md), 1-hour buckets over events.ts.
+# Spark `window()` aligns buckets to the epoch origin, as does DuckDB's
+# time_bucket — the oracle relies on that shared alignment.
+# --------------------------------------------------------------------------
+
+
+def q22_tumble_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        events.groupBy(w, "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("window.start", _FMT).alias("window_start"),
+            F.date_format("window.end", _FMT).alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_Q22 = f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_OFMT}') AS window_start,
+       strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour',
+                '{_OFMT}') AS window_end,
+       event_type, COUNT(*) AS n_events,
+       {oracle_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# O9 — hopping (sliding) window: size 1 hour, slide 30 minutes
+# (demo_5.md HOP shape). Every event belongs to exactly size/slide = 2
+# windows; the oracle replays that assignment with an explicit
+# 2-offset cross join.
+# --------------------------------------------------------------------------
+
+
+def q23_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        events.groupBy(w, "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("window.start", _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_Q23 = f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts)
+           - o.off * INTERVAL '30 minutes' AS wstart,
+         event_type, value
+  FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
+)
+SELECT strftime(wstart, '{_OFMT}') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       {oracle_dsum('value', 'sum_value')}
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Session window, 30-minute gap, per user (extension — the reference's
+# surface has no session windows; Spark's session_window works in batch
+# and streaming alike). Oracle: classic gaps-and-islands.
+# Spark's session end = last event ts + gap.
+# --------------------------------------------------------------------------
+
+
+def q24_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", _FMT).alias("session_start"),
+            F.date_format("session_window.end", _FMT).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_Q24 = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '{_OFMT}') AS session_start,
+       strftime(MAX(ts) + INTERVAL '30 minutes', '{_OFMT}') AS session_end,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value', 'sum_value')}
+FROM sessions
+GROUP BY user_id, sess_id
+"""
+
+
+# --------------------------------------------------------------------------
+# O14/O25 — changelog "last row wins" materialization: the batch
+# equivalent of the reference's CDC dedup
+# (`table.exec.source.cdc-events-duplicate` + PK upsert, demo_6.md).
+# Latest state per (user_id, event_type) key ordered by event time.
+# --------------------------------------------------------------------------
+
+
+def q25_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("value").alias("latest_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("latest_ts"),
+        )
+    )
+
+
+ORACLE_Q25 = """
+SELECT user_id, event_type, latest_value, latest_ts FROM (
+  SELECT user_id, event_type, value AS latest_value,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS latest_ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "q22_tumble_window": q22_tumble_window,
+    "q23_hop_window": q23_hop_window,
+    "q24_session_window": q24_session_window,
+    "q25_cdc_latest_state": q25_cdc_latest_state,
+}
+
+ORACLES = {
+    "q22_tumble_window": ORACLE_Q22,
+    "q23_hop_window": ORACLE_Q23,
+    "q24_session_window": ORACLE_Q24,
+    "q25_cdc_latest_state": ORACLE_Q25,
+}

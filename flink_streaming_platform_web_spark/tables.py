@@ -1,0 +1,58 @@
+"""Catalog of the driver-provided parquet tables (TESTDATA.md).
+
+The reference declares every dataset via ``CREATE TABLE … WITH
+('connector'=…)`` DDL (SqlCommand.java:27-29); our batch-parity tests
+use the driver's deterministic parquet corpus instead. ``register_views``
+exposes them as temp views so the SQL surface (spark.sql) works exactly
+like the reference's pass-through ``tEnv.executeSql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcastable at ANY scale factor —
+# region has 5 rows and nation 25 at every SF (TPC-H-style fixed dims).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table; column pruning + predicate pushdown reach the
+    parquet scan because we never materialize or cache eagerly.
+
+    The driver's `events` parquet stores `ts` as INT64
+    TIMESTAMP(NANOS), which Spark's reader rejects. We read nanos as
+    long (runtime-settable legacy conf) and floor-truncate to
+    microseconds — exactly what DuckDB's TIMESTAMP_NS→µs conversion
+    does, so both engines see identical instants.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql access."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

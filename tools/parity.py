@@ -1,0 +1,122 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same parquet tables, then compares row count, column
+names, and an order-insensitive value hash. Usage:
+
+    python tools/parity.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from flink_streaming_platform_web_spark import inventory
+from flink_streaming_platform_web_spark.session import get_spark
+from flink_streaming_platform_web_spark.tables import TABLES
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        # repr() round-trips doubles exactly; both engines' doubles must
+        # be bit-identical by construction (see _portable.py)
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def frame_fingerprint(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(_canon(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("parity-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs = inventory.queries()
+    oracles = inventory.oracle_sql()
+    failures = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = list(sdf.columns)
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP  {name}: no oracle (rows-only) rows={len(s_rows)}")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            d_cols = [d[0] for d in cur.description]
+            d_rows = cur.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        dt = time.time() - t0
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"schema {sorted(s_cols)} vs {sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rows {len(s_rows)} vs {len(d_rows)}")
+        if not problems:
+            hs = frame_fingerprint(s_cols, s_rows)
+            hd = frame_fingerprint(d_cols, d_rows)
+            if hs != hd:
+                problems.append("value-hash mismatch")
+                # show a diff sample
+                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                set_s = {
+                    tuple(_canon(r[i]) for i in order_s) for r in s_rows
+                }
+                set_d = {
+                    tuple(_canon(r[i]) for i in order_d) for r in d_rows
+                }
+                for x in list(set_s - set_d)[:3]:
+                    print(f"        spark-only: {x}")
+                for x in list(set_d - set_s)[:3]:
+                    print(f"        duck-only:  {x}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"OK    {name}  rows={len(s_rows)}  ({dt:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
