@@ -51,30 +51,41 @@ MAX_DF = 64
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → exploded DISTINCT word n-gram shingles (declarative:
-    split/sequence/transform stay in codegen, no Python row path)."""
+    """doc_id → exploded DISTINCT word n-gram shingles, carried as
+    64-bit portable hashes: the dedup self-joins then shuffle 8-byte
+    keys instead of multi-word strings (the dominant cost at scale).
+    Hash collisions are deterministic and mirrored by the oracle, so
+    parity is unaffected. Declarative throughout — split/sequence/
+    transform stay in codegen, no Python row path."""
     words = df.select("doc_id", F.split(F.col("text"), r"\s+").alias("w"))
+    raw = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(-1))),
+                lambda i: F.concat_ws(
+                    " ", *[F.col("w")[i + j] for j in range(n)]
+                ),
+            )
+        ).alias("shingle_text"),
+    ).where(F.length("shingle_text") > 0)
+    # the shingle index feeds 3-4 subtrees of each dedup DAG (df-cap,
+    # sizes, both join sides); persist it once instead of re-deriving —
+    # at scale this is the materialized shingle table every dedup
+    # pipeline builds first
     return (
-        words.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.greatest(F.size("w") - n, F.lit(-1))
-                    ),
-                    lambda i: F.concat_ws(
-                        " ", *[F.col("w")[i + j] for j in range(n)]
-                    ),
-                )
-            ).alias("shingle"),
+        raw.select(
+            "doc_id", portable_hash(F.col("shingle_text")).alias("shingle")
         )
-        .where(F.length("shingle") > 0)
         .distinct()
+        .persist()
     )
 
 
-_ORACLE_SHINGLES = r"""
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+_ORACLE_SHINGLES = rf"""
+  SELECT DISTINCT doc_id,
+         {oracle_portable_hash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
+           AS shingle
   FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
        LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS i)
 """
@@ -188,15 +199,23 @@ def _minhash_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "perm",
         portable_hash(
-            F.concat_ws(":", F.col("perm").cast("string"), F.col("shingle"))
+            F.concat_ws(
+                ":",
+                F.col("perm").cast("string"),
+                F.col("shingle").cast("string"),
+            )
         ).alias("h"),
     )
-    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+    return (
+        hashed.groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+        .persist()
+    )
 
 
 _ORACLE_MINHASH_LONG = f"""
   SELECT doc_id, perm,
-         MIN({oracle_portable_hash("perm::VARCHAR || ':' || shingle")})
+         MIN({oracle_portable_hash("perm::VARCHAR || ':' || shingle::VARCHAR")})
            AS minhash
   FROM ({_ORACLE_SHINGLES}) sh
   CROSS JOIN (SELECT unnest(range({N_PERMS}))::INT AS perm) p

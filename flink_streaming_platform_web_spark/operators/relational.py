@@ -290,7 +290,7 @@ WHERE o_orderstatus = 'F'
 
 
 def q08_cte_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders", "customer"))
     return spark.sql(
         """
         WITH cust_spend AS (
@@ -460,7 +460,7 @@ SELECT nationkey, 'cust_only' AS src FROM (
 
 
 def q13_window_over(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders",))
     return spark.sql(
         """
         SELECT o_custkey, o_orderkey,
@@ -555,7 +555,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 
 def q16_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("region",))
     return spark.sql(
         """
         SELECT v.rk AS regionkey, v.tag, r.r_name
@@ -672,7 +672,9 @@ GROUP BY 1
 
 def q20_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # from_json parses once per row; three get_json_object calls would
+    # parse the document three times
+    k = F.from_json("props", "k INT")["k"]
     return (
         events.withColumn("k", k)
         .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))

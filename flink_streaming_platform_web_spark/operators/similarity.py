@@ -11,15 +11,25 @@
   buckets. At 100 TB, the bucket join replaces the quadratic pair space
   with per-bucket blocks; more planes/multi-probe tighten recall.
 
-All vector math runs on array<double> with sequential fold order, so
-cosines are IEEE-bit-stable against the DuckDB oracle (verified by the
-parity harness). Cosines are rounded to 6 dp at the output boundary.
+All vector math runs on array<double> with sequential fold order over
+dimensions, so cosines are IEEE-bit-stable against the DuckDB oracle
+(verified by the parity harness). The kernel is an Arrow-batched Pandas
+UDF that loops over the 64 dimensions with numpy elementwise ops —
+vectorized across the pair batch, but per pair the accumulation order
+is exactly d=0..63, i.e. the same scalar IEEE sequence as DuckDB's
+list_dot_product loop (a numpy matmul would NOT be: BLAS reorders the
+reduction). Cosines are rounded to 6 dp at the output boundary.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from flink_streaming_platform_web_spark.tables import load
 
@@ -38,17 +48,27 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Sequential-order dot product (matches DuckDB's loop order)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+@pandas_udf(DoubleType())
+def _cos_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Bit-stable cosine: per-pair accumulation runs in dimension order
+    (see module docstring), vectorized across the Arrow batch."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    n = A.shape[0]
+    dot = np.zeros(n)
+    na = np.zeros(n)
+    nb = np.zeros(n)
+    for d in range(A.shape[1]):
+        dot += A[:, d] * B[:, d]
+        na += A[:, d] * A[:, d]
+        nb += B[:, d] * B[:, d]
+    return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
 
 def _cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    return _cos_kernel(a, b)
 
 
 # DuckDB side: explicit same-shape arithmetic (list_dot_product order ==
@@ -59,17 +79,60 @@ _ORACLE_COS = (
 )
 
 
+def _broadcast_matrix(spark: SparkSession, df: DataFrame):
+    """Broadcast (ids, matrix) of a vector DataFrame to the executors.
+
+    This is the vector-side analog of a broadcast join: legitimate
+    whenever one side fits in executor memory (queries in ann01; the
+    full corpus in ann02's brute-force verification role). The
+    discovery-at-scale path is ann03, which never broadcasts the
+    corpus.
+    """
+    pdf = df.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["v"].to_numpy())
+    return spark.sparkContext.broadcast((ids, mat))
+
+
+def _block_cosine(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """All-pairs cosine with per-pair sequential dimension order (the
+    bit-stability contract — see module docstring)."""
+    m, dim = A.shape
+    n = B.shape[0]
+    dot = np.zeros((m, n))
+    na = np.zeros(m)
+    nb = np.zeros(n)
+    for d in range(dim):
+        dot += A[:, d][:, None] * B[:, d][None, :]
+        na += A[:, d] * A[:, d]
+        nb += B[:, d] * B[:, d]
+    return dot / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+
+
 def ann01_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir)
-    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    pairs = vecs.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    qb = _broadcast_matrix(spark, queries)
+
+    def score(batches):
+        q_ids, Q = qb.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_ids = pdf["vec_id"].to_numpy()
+            N = np.stack(pdf["v"].to_numpy())
+            cos = np.round(_block_cosine(Q, N), 6)
+            qi, ni = np.nonzero(q_ids[:, None] != n_ids[None, :])
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "neighbor_id": n_ids[ni],
+                    "cos_sim": cos[qi, ni],
+                }
+            )
+
+    pairs = vecs.mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
     )
     from pyspark.sql.window import Window
 
@@ -102,18 +165,33 @@ SELECT query_id, neighbor_id, rk, cos_sim FROM (
 
 
 def ann02_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs near-dup: each partition scores its vectors against a
+    broadcast of the corpus matrix; only pairs above threshold leave
+    the executor. The quadratic pair space exists only inside the numpy
+    block, never as shuffled rows."""
     vecs = _vecs(spark, sf_dir)
-    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= NEARDUP_COS)
-    )
+    cb = _broadcast_matrix(spark, vecs)
+
+    def score(batches):
+        b_ids, B = cb.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["vec_id"].to_numpy()
+            A = np.stack(pdf["v"].to_numpy())
+            cos = np.round(_block_cosine(A, B), 6)
+            ai, bi = np.nonzero(
+                (a_ids[:, None] < b_ids[None, :]) & (cos >= NEARDUP_COS)
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": b_ids[bi],
+                    "cos_sim": cos[ai, bi],
+                }
+            )
+
+    return vecs.mapInPandas(score, "id_a long, id_b long, cos_sim double")
 
 
 ORACLE_ANN02 = f"""

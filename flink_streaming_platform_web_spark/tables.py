@@ -52,7 +52,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for spark.sql access."""
-    for name in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> None:
+    """Register tables as temp views for spark.sql access. Pass `only`
+    to skip reading footers of tables a query never touches."""
+    for name in only or TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
