@@ -1,0 +1,85 @@
+"""Flink-SQL expression → Spark-SQL expression translation.
+
+The reference passes user expressions verbatim to Flink
+(ExecuteSql.java:53-56); its demo corpus uses a small scalar surface
+(SURVEY §2.3 O17): PROCTIME(), LOCALTIMESTAMP, DATE_FORMAT,
+TO_TIMESTAMP, FROM_UNIXTIME, plus arithmetic. Spark SQL implements the
+same names with (mostly) the same semantics; the translation table
+below covers the divergent ones, applied textually to computed-column
+and query expressions before `F.expr` / `spark.sql`.
+
+UDF registration (O23/O24): ``register_function`` maps the
+``CREATE FUNCTION name AS 'impl'`` statement — Python callables
+register directly (`spark.udf.register`); JVM classnames go through
+`registerJavaFunction` when the jar is on the classpath
+(reference's ext-jar mechanism, CommandUtil.java:42-47).
+"""
+
+from __future__ import annotations
+
+import importlib
+import re
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+
+# Flink name → Spark replacement (textual, case-insensitive, only
+# where semantics or names diverge; identical built-ins pass through)
+_FN_REWRITES: list[tuple[re.Pattern[str], str]] = [
+    # processing-time marker: Spark has no PROCTIME; ingest-time stamp
+    (re.compile(r"\bPROCTIME\(\)", re.IGNORECASE), "current_timestamp()"),
+    (re.compile(r"\bLOCALTIMESTAMP\b(?!\()", re.IGNORECASE), "localtimestamp()"),
+    (re.compile(r"\bNOW\(\)", re.IGNORECASE), "current_timestamp()"),
+    # Flink CURRENT_TIMESTAMP is ltz; Spark's matches under UTC session tz
+]
+
+
+def translate_expr(expr: str) -> str:
+    """Rewrite a Flink SQL expression into Spark SQL."""
+    out = expr
+    for pat, repl in _FN_REWRITES:
+        out = pat.sub(repl, out)
+    return out
+
+
+_CREATE_FN_RE = re.compile(
+    r"create\s+(?:temporary\s+)?(?:system\s+)?function\s+"
+    r"(?:if\s+not\s+exists\s+)?(?P<name>[\w.`]+)\s+as\s+'(?P<impl>[^']+)'"
+    r"(?:\s+language\s+(?P<lang>\w+))?",
+    re.IGNORECASE,
+)
+
+
+def register_function(spark: SparkSession, statement: str) -> str:
+    """Execute a ``CREATE FUNCTION`` statement.
+
+    - ``language python`` (our extension) or a dotted path resolvable
+      as ``module:callable`` / ``module.callable`` → Python UDF via
+      ``spark.udf.register``.
+    - otherwise treated as a JVM classname (the reference's UDF jar
+      path, docs/manual-sql.md §1.e) → ``registerJavaFunction``.
+    Returns the registered function name.
+    """
+    m = _CREATE_FN_RE.match(statement.strip())
+    if not m:
+        raise ValueError(f"cannot parse CREATE FUNCTION: {statement[:80]!r}")
+    name = m.group("name").strip("`").split(".")[-1]
+    impl = m.group("impl")
+    lang = (m.group("lang") or "").lower()
+    fn = _resolve_python(impl) if (lang == "python" or ":" in impl) else None
+    if fn is not None:
+        spark.udf.register(name, fn)
+    else:
+        spark.udf.registerJavaFunction(name, impl)
+    return name
+
+
+def _resolve_python(impl: str) -> Callable | None:
+    """Resolve 'pkg.mod:fn' (or dotted fallback) to a callable."""
+    mod_name, _, attr = impl.partition(":")
+    if not attr:
+        mod_name, _, attr = impl.rpartition(".")
+    try:
+        return getattr(importlib.import_module(mod_name), attr)
+    except (ImportError, AttributeError):
+        return None

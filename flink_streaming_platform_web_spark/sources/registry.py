@@ -1,0 +1,282 @@
+"""Connector registry: ``TableDef`` → Spark readers/writers.
+
+Implements the reference's connector surface (SURVEY §2.2):
+
+| reference connector | here |
+|---|---|
+| datagen (demo_datagen.md)        | rate source / bounded range |
+| print (README hello-world)       | console sink |
+| blackhole                        | noop sink |
+| filesystem (+parquet/csv/json)   | spark.read / readStream on path |
+| kafka (demo_1.md)                | spark kafka source/sink + JSON codec |
+| upsert-kafka                     | kafka + PK upsert semantics |
+| jdbc (demo_1.md sink, demo_3.md lookup) | spark.read.jdbc / foreachBatch upsert |
+| mysql-cdc (demo_6.md)            | debezium-JSON over kafka/file → streaming.cdc |
+| memory (ours, tests)             | memory sink / temp view |
+
+Kafka and JDBC need external infra + driver jars that this container
+lacks; their option-mapping is pure and unit-tested, and `.load()`
+raises ``ConnectorUnavailable`` with a clear message when the
+underlying package is absent.
+
+Computed columns and watermarks from the DDL are applied uniformly in
+``apply_schema_decorations`` — matching Flink's behavior where both
+are properties of the source table, not of queries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_platform_web_spark.functions.flink_compat import (
+    translate_expr,
+)
+from flink_streaming_platform_web_spark.sources.ddl import TableDef
+
+
+class ConnectorUnavailable(RuntimeError):
+    pass
+
+
+def apply_schema_decorations(df: DataFrame, table: TableDef) -> DataFrame:
+    """Computed columns (`name AS expr`) + event-time watermark —
+    applied at source-registration time, as in Flink DDL."""
+    for col in table.columns:
+        if col.computed_expr is not None:
+            df = df.withColumn(col.name, F.expr(translate_expr(col.computed_expr)))
+    if table.watermark is not None and df.isStreaming:
+        if not table.watermark.delay:
+            raise ValueError(
+                f"unsupported watermark expr: {table.watermark.expr!r}"
+            )
+        df = df.withWatermark(table.watermark.column, table.watermark.delay)
+    return df
+
+
+# --------------------------------------------------------------------------
+# datagen — demo_datagen.md §2.1: per-field kind=sequence|random with
+# bounds, rows-per-second, number-of-rows.
+# --------------------------------------------------------------------------
+
+
+def _datagen_field(table: TableDef, name: str, spark_type: str) -> F.Column:
+    o = table.options
+    kind = o.get(f"fields.{name}.kind", "random")
+    if kind == "sequence":
+        start = int(o.get(f"fields.{name}.start", 1))
+        end = int(o.get(f"fields.{name}.end", 1 << 30))
+        span = max(end - start + 1, 1)
+        return (F.lit(start) + F.col("__seq") % span).cast(spark_type)
+    if spark_type.upper() == "STRING":
+        length = int(o.get(f"fields.{name}.length", 10))
+        return F.substring(
+            F.md5(F.concat_ws("-", F.lit(name), F.col("__seq"))), 1, length
+        )
+    fmin = float(o.get(f"fields.{name}.min", 0))
+    fmax = float(o.get(f"fields.{name}.max", 1000))
+    # deterministic pseudo-random from the sequence (seeded, replayable)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.lit(name), F.col("__seq"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(0xFFFFFFFF)
+    )
+    return (F.lit(fmin) + u * (fmax - fmin)).cast(spark_type)
+
+
+def datagen_stream(spark: SparkSession, table: TableDef) -> DataFrame:
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", table.options.get("rows-per-second", "5"))
+        .load()
+        .withColumnRenamed("value", "__seq")
+    )
+    cols = [
+        _datagen_field(table, c.name, c.spark_type).alias(c.name)
+        for c in table.columns
+        if c.spark_type is not None and c.computed_expr is None
+    ]
+    return apply_schema_decorations(rate.select(*cols), table)
+
+
+def datagen_batch(spark: SparkSession, table: TableDef) -> DataFrame:
+    n = int(table.options.get("number-of-rows", 1000))
+    base = spark.range(n).withColumnRenamed("id", "__seq")
+    cols = [
+        _datagen_field(table, c.name, c.spark_type).alias(c.name)
+        for c in table.columns
+        if c.spark_type is not None and c.computed_expr is None
+    ]
+    return apply_schema_decorations(base.select(*cols), table)
+
+
+# --------------------------------------------------------------------------
+# filesystem — path + format; batch and streaming both directions.
+# --------------------------------------------------------------------------
+
+
+def filesystem_batch(spark: SparkSession, table: TableDef) -> DataFrame:
+    fmt = table.options.get("format", "parquet")
+    reader = spark.read.format(fmt)
+    if fmt in ("csv", "json"):
+        reader = reader.schema(table.schema_ddl())
+        if table.options.get("csv.include-header", "false") == "true":
+            reader = reader.option("header", "true")
+    df = reader.load(table.options["path"])
+    return apply_schema_decorations(df, table)
+
+
+def filesystem_stream(spark: SparkSession, table: TableDef) -> DataFrame:
+    fmt = table.options.get("format", "parquet")
+    df = (
+        spark.readStream.format(fmt)
+        .schema(table.schema_ddl())
+        .option(
+            "maxFilesPerTrigger",
+            table.options.get("source.max-files-per-trigger", "10"),
+        )
+        .load(table.options["path"])
+    )
+    return apply_schema_decorations(df, table)
+
+
+# --------------------------------------------------------------------------
+# kafka — option mapping is pure (unit-testable without a broker).
+# --------------------------------------------------------------------------
+
+
+def kafka_reader_options(table: TableDef) -> dict[str, str]:
+    o = table.options
+    opts = {
+        "kafka.bootstrap.servers": o.get("properties.bootstrap.servers", ""),
+        "subscribe": o.get("topic", ""),
+    }
+    startup = o.get("scan.startup.mode", "group-offsets")
+    opts["startingOffsets"] = {
+        "earliest-offset": "earliest",
+        "latest-offset": "latest",
+        "group-offsets": "latest",
+        "timestamp": "latest",
+    }.get(startup, "latest")
+    if o.get("properties.group.id"):
+        opts["kafka.group.id"] = o["properties.group.id"]
+    return opts
+
+
+def kafka_stream(spark: SparkSession, table: TableDef) -> DataFrame:
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(table).items():
+        reader = reader.option(k, v)
+    try:
+        raw = reader.load()
+    except Exception as e:  # kafka package not on classpath here
+        raise ConnectorUnavailable(
+            "kafka connector requires spark-sql-kafka on the classpath "
+            "(spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
+        ) from e
+    fmt = table.options.get("format", "json")
+    if fmt == "json":
+        # lenient JSON decode — the reference sets
+        # 'json.ignore-parse-errors'='true' in every demo DDL
+        # (demo_1.md): PERMISSIVE from_json yields nulls on bad rows
+        df = raw.select(
+            F.from_json(
+                F.col("value").cast("string"), table.schema_ddl()
+            ).alias("v")
+        ).select("v.*")
+    elif fmt == "debezium-json":
+        from flink_streaming_platform_web_spark.streaming.cdc import (
+            decode_debezium,
+        )
+
+        df = decode_debezium(
+            raw.select(F.col("value").cast("string").alias("value")),
+            table.schema_ddl(),
+        )
+    else:
+        raise ValueError(f"unsupported kafka format: {fmt!r}")
+    return apply_schema_decorations(df, table)
+
+
+def kafka_writer(df: DataFrame, table: TableDef):
+    payload = df.select(
+        F.to_json(F.struct(*df.columns)).alias("value")
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option(
+            "kafka.bootstrap.servers",
+            table.options.get("properties.bootstrap.servers", ""),
+        )
+        .option("topic", table.options.get("topic", ""))
+    )
+
+
+# --------------------------------------------------------------------------
+# jdbc — reader config + upsert-SQL generation are pure; execution
+# needs a driver jar (absent here).
+# --------------------------------------------------------------------------
+
+
+def jdbc_reader_options(table: TableDef) -> dict[str, str]:
+    o = table.options
+    opts = {
+        "url": o.get("url", ""),
+        "dbtable": o.get("table-name", table.name),
+    }
+    for src, dst in (("username", "user"), ("password", "password"),
+                     ("driver", "driver")):
+        if o.get(src):
+            opts[dst] = o[src]
+    return opts
+
+
+def jdbc_batch(spark: SparkSession, table: TableDef) -> DataFrame:
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_reader_options(table).items():
+        reader = reader.option(k, v)
+    try:
+        df = reader.load()
+    except Exception as e:
+        raise ConnectorUnavailable(
+            "jdbc connector requires the database driver jar on the "
+            "classpath (spark.jars)"
+        ) from e
+    return apply_schema_decorations(df, table)
+
+
+def build_upsert_sql(
+    table_name: str, columns: list[str], primary_key: list[str],
+    dialect: str = "mysql",
+) -> str:
+    """Keyed-upsert statement for the reference's PRIMARY-KEY jdbc sink
+    (demo_1.md `PRIMARY KEY (day_time) NOT ENFORCED`)."""
+    cols = ", ".join(columns)
+    ph = ", ".join(["?"] * len(columns))
+    if dialect == "mysql":
+        updates = ", ".join(
+            f"{c}=VALUES({c})" for c in columns if c not in primary_key
+        )
+        return (
+            f"INSERT INTO {table_name} ({cols}) VALUES ({ph}) "
+            f"ON DUPLICATE KEY UPDATE {updates}"
+        )
+    # ANSI MERGE (postgres 15+/oracle/sqlserver-ish)
+    on = " AND ".join(f"t.{c} = s.{c}" for c in primary_key)
+    sets = ", ".join(
+        f"{c} = s.{c}" for c in columns if c not in primary_key
+    )
+    src_cols = ", ".join(f"? AS {c}" for c in columns)
+    return (
+        f"MERGE INTO {table_name} t USING (SELECT {src_cols}) s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) "
+        f"VALUES ({', '.join('s.' + c for c in columns)})"
+    )

@@ -1,0 +1,120 @@
+"""CDC / changelog ingestion: debezium-JSON decode + keyed apply.
+
+The reference consumes mysql-cdc / debezium-json streams and joins or
+materializes them with update/delete propagation (demo_6.md §2.1-§2.2).
+Spark-first mapping (SURVEY §2.2 mysql-cdc row): ingest the debezium
+envelope, decode ``before``/``after``/``op``, and apply the changelog
+in ``foreachBatch`` — inserts/updates upsert the ``after`` image,
+deletes remove the ``before`` key. The reference's
+``table.exec.source.cdc-events-duplicate`` dedup option maps to the
+last-row-wins ordering inside each micro-batch (row_number over
+``ts_ms`` per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_platform_web_spark.streaming.upsert import KeyedStore
+
+# debezium ops: c=create, u=update, r=snapshot read, d=delete
+UPSERT_OPS = ("c", "u", "r")
+
+
+def debezium_envelope_schema(row_schema_ddl: str) -> str:
+    return (
+        f"before STRUCT<{_ddl_to_struct(row_schema_ddl)}>, "
+        f"after STRUCT<{_ddl_to_struct(row_schema_ddl)}>, "
+        "op STRING, ts_ms BIGINT"
+    )
+
+
+def _ddl_to_struct(ddl: str) -> str:
+    return ", ".join(
+        f"{p.strip().split(None, 1)[0]}: {p.strip().split(None, 1)[1]}"
+        for p in ddl.split(",")
+    )
+
+
+def decode_debezium(raw: DataFrame, row_schema_ddl: str) -> DataFrame:
+    """value-string DF → (op, ts_ms, before.*, after.*) changelog rows."""
+    env = raw.select(
+        F.from_json("value", debezium_envelope_schema(row_schema_ddl)).alias(
+            "e"
+        )
+    )
+    return env.select(
+        F.col("e.op").alias("__op"),
+        F.col("e.ts_ms").alias("__ts_ms"),
+        F.col("e.before").alias("__before"),
+        F.col("e.after").alias("__after"),
+    )
+
+
+def changelog_dedup(changelog: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Last-row-wins within a batch — the
+    `table.exec.source.cdc-events-duplicate` analog (demo_6.md §2.2.1).
+    Requires a monotonic __seq column (kafka offset / file order)."""
+    from pyspark.sql.window import Window
+
+    key_exprs = [
+        F.coalesce(F.col(f"__after.{k}"), F.col(f"__before.{k}")).alias(
+            f"__k_{k}"
+        )
+        for k in key_cols
+    ]
+    w = Window.partitionBy(*[f"__k_{k}" for k in key_cols]).orderBy(
+        F.col("__ts_ms").desc(), F.col("__seq").desc()
+    )
+    return (
+        changelog.select("*", *key_exprs)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", *[f"__k_{k}" for k in key_cols])
+    )
+
+
+def foreach_batch_apply_changelog(store: KeyedStore):
+    """foreachBatch callback: apply a decoded debezium micro-batch to a
+    keyed store in (ts_ms, seq) order."""
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        cols = ["__op", "__before", "__after"]
+        order = ["__ts_ms"] + (["__seq"] if "__seq" in batch.columns else [])
+        for row in (
+            batch.select(*cols, *order).orderBy(*order).toLocalIterator()
+        ):
+            if row["__op"] in UPSERT_OPS and row["__after"] is not None:
+                store.upsert(row["__after"].asDict())
+            elif row["__op"] == "d" and row["__before"] is not None:
+                store.delete(row["__before"].asDict())
+
+    return apply
+
+
+def materialize_latest(
+    changelog: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Batch/bounded materialization of a changelog into its final
+    state (the golden oracle for convergence tests): last op per key,
+    dropped if that op is a delete."""
+    from pyspark.sql.window import Window
+
+    keyed = changelog.select(
+        "*",
+        *[
+            F.coalesce(F.col(f"__after.{k}"), F.col(f"__before.{k}")).alias(
+                f"__k_{k}"
+            )
+            for k in key_cols
+        ],
+    )
+    order = [F.col("__ts_ms").desc()] + (
+        [F.col("__seq").desc()] if "__seq" in changelog.columns else []
+    )
+    w = Window.partitionBy(*[f"__k_{k}" for k in key_cols]).orderBy(*order)
+    latest = keyed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return latest.filter(F.col("__op") != "d").select("__after.*")

@@ -1,0 +1,340 @@
+"""SQL-script job runner — the ``JobApplication`` analog.
+
+Reference flow (flink-streaming-core/src/main/java/com/flink/streaming/core/JobApplication.java:40-115):
+read SQL file → split/classify (SqlFileParser) → pick batch/streaming
+env (:55-76) → dispatch statements into a StatementSet
+(ExecuteSql.exeSql, ExecuteSql.java:26-59) → ``statementSet.execute()``
+launches ONE job for all INSERTs (:78-82).
+
+Spark rebuild:
+
+- CREATE TABLE  → DDL-interpret into the connector registry; source
+  tables materialize lazily as temp views on first reference (a kafka
+  sink table must not force a broker connection at DDL time).
+- CREATE VIEW/FUNCTION, USE/SHOW/DROP/ALTER → spark.sql / registry.
+- SET → the exec-option mapping layer (Configurations.java:25-33 →
+  trigger intervals, shuffle partitions, passthrough spark.* confs).
+- INSERT INTO/OVERWRITE → collected like a StatementSet; ``execute()``
+  starts them as a group: batch inserts run immediately, streaming
+  inserts become concurrently-running StreamingQuery handles
+  (divergence from Flink's shared-source single job is documented in
+  SURVEY §7.3 — sources are re-read per query).
+- bare SELECT → rejected in streaming scripts, exactly like the
+  reference (LogPrint.java:54-55, ValidationConstants.java:13);
+  allowed and returned in batch sessions (SURVEY §2.3 O26).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_streaming_platform_web_spark.functions.flink_compat import (
+    register_function,
+    translate_expr,
+)
+from flink_streaming_platform_web_spark.sources import registry
+from flink_streaming_platform_web_spark.sources.ddl import (
+    TableDef,
+    parse_create_table,
+)
+from flink_streaming_platform_web_spark.sql.script import (
+    SqlCommand,
+    parse_script,
+    parse_set,
+)
+from flink_streaming_platform_web_spark.streaming.checkpoints import (
+    CheckPointParam,
+    trigger_kwargs,
+)
+from flink_streaming_platform_web_spark.streaming.upsert import (
+    KeyedStore,
+    foreach_batch_upsert,
+)
+
+_SOURCE_CONNECTORS = {"datagen", "filesystem", "kafka", "jdbc", "memory"}
+_INSERT_RE = re.compile(
+    r"insert\s+(?P<mode>into|overwrite)\s+(?:table\s+)?"
+    r"(?P<target>[\w.`\"]+)\s+(?P<query>.*)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# SET-option mapping (SURVEY §2.3 O25): Flink exec options → engine
+# behavior. Unknown spark.* keys pass straight to spark.conf.
+_MINI_BATCH_LATENCY = "table.exec.mini-batch.allow-latency"
+
+
+@dataclass
+class InsertJob:
+    target: str
+    query_sql: str
+    overwrite: bool = False
+
+
+@dataclass
+class ExecutionResult:
+    """What a script run produced — the structured-stdout handshake
+    replacing the reference's job-id scraping
+    (CommandRpcClinetAdapterImpl.java:150-161)."""
+
+    streaming_queries: list = field(default_factory=list)
+    batch_results: dict[str, int] = field(default_factory=dict)
+    select_results: list[DataFrame] = field(default_factory=list)
+    show_results: list[list[str]] = field(default_factory=list)
+
+    @property
+    def query_ids(self) -> list[str]:
+        return [str(q.id) for q in self.streaming_queries]
+
+
+class JobRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        mode: str = "streaming",  # JobTypeEnum: SQL_STREAMING | SQL_BATCH
+        checkpoint: CheckPointParam | None = None,
+    ) -> None:
+        if mode not in ("streaming", "batch"):
+            raise ValueError(f"mode must be streaming|batch, got {mode!r}")
+        self.spark = spark
+        self.mode = mode
+        self.checkpoint = checkpoint or CheckPointParam()
+        self.tables: dict[str, TableDef] = {}
+        self._materialized: set[str] = set()
+        self.upsert_stores: dict[str, KeyedStore] = {}
+        self._trigger: dict[str, str] | None = None
+
+    # -- source materialization (lazy) ------------------------------------
+
+    def _materialize_source(self, name: str) -> None:
+        if name in self._materialized or name not in self.tables:
+            return
+        t = self.tables[name]
+        c = t.connector
+        if c == "datagen":
+            df = (
+                registry.datagen_stream(self.spark, t)
+                if self.mode == "streaming"
+                else registry.datagen_batch(self.spark, t)
+            )
+        elif c == "filesystem":
+            df = (
+                registry.filesystem_stream(self.spark, t)
+                if self.mode == "streaming"
+                else registry.filesystem_batch(self.spark, t)
+            )
+        elif c == "kafka":
+            df = registry.kafka_stream(self.spark, t)
+        elif c == "jdbc":
+            # lookup/dim tables are batch reads even in streaming jobs
+            # (demo_3.md FOR SYSTEM_TIME AS OF → per-micro-batch snapshot)
+            df = registry.jdbc_batch(self.spark, t)
+        elif c == "memory":
+            df = self.spark.table(t.options.get("view", name))
+        else:
+            raise ValueError(f"table {name!r} ({c!r}) is not a source")
+        df.createOrReplaceTempView(name)
+        self._materialized.add(name)
+
+    def _referenced_tables(self, sql: str) -> list[str]:
+        words = set(re.findall(r"[\w.]+", sql.lower()))
+        return [n for n in self.tables if n.lower() in words]
+
+    # -- statement dispatch -------------------------------------------------
+
+    def execute_script(self, script: str) -> ExecutionResult:
+        calls = parse_script(script)
+        inserts: list[InsertJob] = []
+        result = ExecutionResult()
+        for call in calls:
+            cmd, stmt = call.command, call.statement
+            if cmd == SqlCommand.CREATE_TABLE:
+                t = parse_create_table(stmt)
+                if t.connector:
+                    if t.if_not_exists and t.name in self.tables:
+                        continue
+                    self.tables[t.name] = t
+                else:  # plain (catalog) table — pass through
+                    self.spark.sql(stmt)
+            elif cmd == SqlCommand.CREATE_VIEW:
+                for ref in self._referenced_tables(stmt):
+                    self._materialize_source(ref)
+                self.spark.sql(
+                    translate_expr(
+                        re.sub(
+                            r"^create\s+(temporary\s+)?view",
+                            "CREATE OR REPLACE TEMPORARY VIEW",
+                            stmt,
+                            flags=re.IGNORECASE,
+                        )
+                    )
+                )
+            elif cmd == SqlCommand.CREATE_FUNCTION:
+                register_function(self.spark, stmt)
+            elif cmd == SqlCommand.SET:
+                self._apply_set(stmt)
+            elif cmd in (
+                SqlCommand.BEGIN_STATEMENT_SET,
+                SqlCommand.END_STATEMENT_SET,
+            ):
+                continue  # no-op markers (ExecuteSql.java:49-52)
+            elif cmd in (SqlCommand.INSERT_INTO, SqlCommand.INSERT_OVERWRITE):
+                m = _INSERT_RE.match(stmt)
+                if not m:
+                    raise ValueError(f"cannot parse INSERT: {stmt[:80]!r}")
+                inserts.append(
+                    InsertJob(
+                        target=m.group("target").strip("`\""),
+                        query_sql=m.group("query"),
+                        overwrite=m.group("mode").lower() == "overwrite",
+                    )
+                )
+            elif cmd == SqlCommand.SELECT:
+                if self.mode == "streaming":
+                    # parity: "目前不支持select" (LogPrint.java:54-55)
+                    raise ValueError(
+                        "bare SELECT is not supported in streaming scripts"
+                    )
+                for ref in self._referenced_tables(stmt):
+                    self._materialize_source(ref)
+                result.select_results.append(
+                    self.spark.sql(translate_expr(stmt))
+                )
+            elif cmd.name.startswith("SHOW"):
+                rows = self.spark.sql(stmt).collect()
+                result.show_results.append([r[0] for r in rows])
+            else:  # USE/DROP/ALTER/CREATE_DATABASE/CATALOG passthrough
+                self.spark.sql(stmt)
+
+        # statement-set group start (JobApplication.java:78-82)
+        for i, job in enumerate(inserts):
+            self._run_insert(job, i, result)
+        return result
+
+    # -- SET mapping ----------------------------------------------------------
+
+    def _apply_set(self, stmt: str) -> None:
+        key, val = parse_set(stmt)
+        if key == _MINI_BATCH_LATENCY:
+            m = re.match(r"([\d.]+)\s*(ms|s|sec|min)?", val)
+            unit = {"ms": "milliseconds", "min": "minutes"}.get(
+                m.group(2) or "s", "seconds"
+            )
+            self._trigger = {"processingTime": f"{m.group(1)} {unit}"}
+        elif key in ("parallelism.default", "table.exec.resource.default-parallelism"):
+            self.spark.conf.set("spark.sql.shuffle.partitions", val)
+        elif key.startswith("spark."):
+            self.spark.conf.set(key, val)
+        # other table.exec.* options are accepted & recorded as no-ops
+        # (documented divergence; e.g. cdc-events-duplicate is handled
+        # structurally by cdc.changelog_dedup)
+
+    # -- INSERT execution -----------------------------------------------------
+
+    def _run_insert(
+        self, job: InsertJob, idx: int, result: ExecutionResult
+    ) -> None:
+        for ref in self._referenced_tables(job.query_sql):
+            self._materialize_source(ref)
+        df = self.spark.sql(translate_expr(job.query_sql))
+        sink = self.tables.get(job.target)
+        if sink is None:
+            # catalog table (hive-style) — spark.sql insert path
+            mode = "OVERWRITE" if job.overwrite else "INTO"
+            self.spark.sql(
+                f"INSERT {mode} {job.target} {translate_expr(job.query_sql)}"
+            )
+            result.batch_results[job.target] = -1
+            return
+        if self.mode == "batch" or not df.isStreaming:
+            self._write_batch(df, sink, job, result)
+        else:
+            self._write_stream(df, sink, idx, result)
+
+    def _write_batch(
+        self,
+        df: DataFrame,
+        sink: TableDef,
+        job: InsertJob,
+        result: ExecutionResult,
+    ) -> None:
+        c = sink.connector
+        if c == "print":
+            df.show(truncate=False)
+            result.batch_results[sink.name] = df.count()
+        elif c == "blackhole":
+            df.write.format("noop").mode("overwrite").save()
+            result.batch_results[sink.name] = -1
+        elif c == "filesystem":
+            (
+                df.write.format(sink.options.get("format", "parquet"))
+                .mode("overwrite" if job.overwrite else "append")
+                .save(sink.options["path"])
+            )
+            result.batch_results[sink.name] = -1
+        elif c == "memory":
+            df.createOrReplaceTempView(sink.name)
+            result.batch_results[sink.name] = df.count()
+        elif c == "jdbc":
+            raise registry.ConnectorUnavailable(
+                "jdbc batch sink needs a driver jar; use "
+                "sources.registry.build_upsert_sql with foreachBatch"
+            )
+        else:
+            raise ValueError(f"unsupported batch sink connector: {c!r}")
+
+    def _write_stream(
+        self,
+        df: DataFrame,
+        sink: TableDef,
+        idx: int,
+        result: ExecutionResult,
+    ) -> None:
+        c = sink.connector
+        upsert = bool(sink.primary_key)
+        if upsert:
+            # PRIMARY KEY sink → update-mode agg + keyed MERGE
+            # (demo_1.md upsert path; SURVEY §7.3)
+            store = self.upsert_stores.setdefault(
+                sink.name, KeyedStore(sink.primary_key)
+            )
+            writer = df.writeStream.outputMode("update").foreachBatch(
+                foreach_batch_upsert(store)
+            )
+        elif c == "print":
+            writer = df.writeStream.format("console").outputMode("append")
+        elif c == "blackhole":
+            writer = df.writeStream.format("noop").outputMode("append")
+        elif c == "memory":
+            writer = (
+                df.writeStream.format("memory")
+                .queryName(sink.name)
+                .outputMode("complete" if _is_aggregated(df) else "append")
+            )
+        elif c == "filesystem":
+            writer = (
+                df.writeStream.format(sink.options.get("format", "parquet"))
+                .option("path", sink.options["path"])
+                .outputMode("append")
+            )
+        elif c in ("kafka", "upsert-kafka"):
+            writer = registry.kafka_writer(df, sink)
+        else:
+            raise ValueError(f"unsupported stream sink connector: {c!r}")
+        if self.checkpoint.checkpoint_dir:
+            writer = writer.option(
+                "checkpointLocation",
+                f"{self.checkpoint.checkpoint_dir}/q{idx}_{sink.name}",
+            )
+        if self._trigger:
+            writer = writer.trigger(**self._trigger)
+        elif self.checkpoint.checkpoint_interval_ms != 60_000:
+            writer = writer.trigger(**trigger_kwargs(self.checkpoint))
+        result.streaming_queries.append(writer.start())
+
+
+def _is_aggregated(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan

@@ -1,0 +1,69 @@
+"""Keyed upsert sink — the retraction/changelog gap closer.
+
+Flink streams retractions to PRIMARY-KEY sinks natively; Spark has no
+retract streams, so every updating result routes through
+``foreachBatch`` + keyed MERGE (SURVEY §7.3 calls this the single
+biggest semantic gap — isolated here).
+
+Per micro-batch, an updating aggregate emits only the keys it touched,
+so the MERGE workload is bounded by update rate, not table size. The
+in-process store below serves tests and console-style sinks; at scale
+the same ``foreach_batch_upsert`` callback body becomes a Delta
+``MERGE INTO`` or a JDBC batched upsert (see
+sources/registry.build_upsert_sql) — the streaming-side contract is
+identical.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class KeyedStore:
+    """Thread-safe keyed row store: the convergence target for
+    update-mode aggregates and CDC materializations."""
+
+    def __init__(self, key_cols: list[str]) -> None:
+        self.key_cols = key_cols
+        self.rows: dict[tuple, dict] = {}
+        self.schema = None
+        self._lock = threading.Lock()
+
+    def _key(self, row: dict) -> tuple:
+        return tuple(row[k] for k in self.key_cols)
+
+    def upsert(self, row: dict) -> None:
+        with self._lock:
+            self.rows[self._key(row)] = row
+
+    def delete(self, row: dict) -> None:
+        with self._lock:
+            self.rows.pop(self._key(row), None)
+
+    def merge_batch(self, batch: DataFrame) -> None:
+        self.schema = batch.schema
+        for row in batch.toLocalIterator():
+            self.upsert(row.asDict())
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        with self._lock:
+            rows = list(self.rows.values())
+        if self.schema is None:
+            raise ValueError("store is empty — no schema observed yet")
+        return spark.createDataFrame(rows, self.schema)
+
+
+def foreach_batch_upsert(store: KeyedStore):
+    """foreachBatch callback: MERGE the micro-batch into the store.
+    Epoch id makes redelivery idempotent by construction here (upsert
+    of the same keys is a no-op on replay) — the Spark-side half of
+    the reference's EXACTLY_ONCE checkpoint mode
+    (FsCheckPoint.java:41-48); see SURVEY §7.3 on sink idempotency.
+    """
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        store.merge_batch(batch)
+
+    return apply

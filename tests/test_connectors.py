@@ -1,0 +1,115 @@
+"""Connector registry tests: option mapping (pure), filesystem
+round-trips, upsert-SQL generation, decorations."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_streaming_platform_web_spark.sources.ddl import parse_create_table
+from flink_streaming_platform_web_spark.sources.registry import (
+    apply_schema_decorations,
+    build_upsert_sql,
+    filesystem_batch,
+    filesystem_stream,
+    jdbc_reader_options,
+    kafka_reader_options,
+)
+
+
+def test_kafka_option_mapping():
+    t = parse_create_table(
+        """CREATE TABLE k (a INT) WITH ('connector'='kafka',
+           'topic'='t1', 'properties.bootstrap.servers'='b:9092',
+           'properties.group.id'='g1',
+           'scan.startup.mode'='earliest-offset')"""
+    )
+    opts = kafka_reader_options(t)
+    assert opts["subscribe"] == "t1"
+    assert opts["kafka.bootstrap.servers"] == "b:9092"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["kafka.group.id"] == "g1"
+
+
+def test_jdbc_option_mapping():
+    t = parse_create_table(
+        """CREATE TABLE j (a INT) WITH ('connector'='jdbc',
+           'url'='jdbc:mysql://h:3306/db', 'table-name'='tt',
+           'username'='u', 'password'='p')"""
+    )
+    opts = jdbc_reader_options(t)
+    assert opts == {
+        "url": "jdbc:mysql://h:3306/db",
+        "dbtable": "tt",
+        "user": "u",
+        "password": "p",
+    }
+
+
+def test_upsert_sql_mysql():
+    sql = build_upsert_sql("sync_test_1", ["day_time", "total_gmv"],
+                           ["day_time"])
+    assert sql == (
+        "INSERT INTO sync_test_1 (day_time, total_gmv) VALUES (?, ?) "
+        "ON DUPLICATE KEY UPDATE total_gmv=VALUES(total_gmv)"
+    )
+
+
+def test_upsert_sql_ansi_merge():
+    sql = build_upsert_sql("t", ["k", "v"], ["k"], dialect="ansi")
+    assert sql.startswith("MERGE INTO t t USING")
+    assert "WHEN MATCHED THEN UPDATE SET v = s.v" in sql
+
+
+def test_filesystem_roundtrip_batch(spark, tmp_path):
+    path = f"{tmp_path}/fs"
+    spark.range(10).selectExpr("id AS a").write.parquet(path)
+    t = parse_create_table(
+        f"""CREATE TABLE fs (a BIGINT, doubled AS a * 2) WITH
+            ('connector'='filesystem', 'path'='{path}',
+             'format'='parquet')"""
+    )
+    df = filesystem_batch(spark, t)
+    rows = {r["a"]: r["doubled"] for r in df.collect()}
+    assert rows[7] == 14
+
+
+def test_filesystem_stream_with_watermark(spark, tmp_path):
+    path = f"{tmp_path}/fs_stream"
+    spark.sql(
+        "SELECT timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)"
+        " AS ts, id AS v FROM range(5)"
+    ).write.parquet(path)
+    t = parse_create_table(
+        f"""CREATE TABLE s (ts TIMESTAMP, v BIGINT,
+             WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
+            WITH ('connector'='filesystem', 'path'='{path}',
+                  'format'='parquet')"""
+    )
+    df = filesystem_stream(spark, t)
+    assert df.isStreaming
+    # watermark node present in the logical plan
+    assert "EventTimeWatermark" in df._jdf.queryExecution().logical().toString()
+
+
+def test_csv_filesystem(spark, tmp_path):
+    path = f"{tmp_path}/csv"
+    with open(f"{path}.d", "w") as f:  # noqa: F841 - create parent via spark below
+        pass
+    spark.createDataFrame([(1, "x"), (2, "y")], "a INT, b STRING").write.csv(
+        path, header=False
+    )
+    t = parse_create_table(
+        f"""CREATE TABLE c (a INT, b STRING) WITH
+            ('connector'='filesystem', 'path'='{path}', 'format'='csv')"""
+    )
+    assert {r["b"] for r in filesystem_batch(spark, t).collect()} == {"x", "y"}
+
+
+def test_computed_column_translation(spark):
+    t = parse_create_table(
+        "CREATE TABLE t (a INT, p AS PROCTIME()) WITH ('connector'='print')"
+    )
+    df = apply_schema_decorations(
+        spark.createDataFrame([(1,)], "a INT"), t
+    )
+    assert dict(df.dtypes)["p"] == "timestamp"

@@ -1,0 +1,116 @@
+"""DDL interpreter tests — the demo corpus's CREATE TABLE surface
+(demo_1.md, demo_4.md, demo_6.md, demo_datagen.md shapes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_streaming_platform_web_spark.sources.ddl import (
+    DDLParseError,
+    parse_create_table,
+)
+
+
+def test_demo1_source_table():
+    t = parse_create_table(
+        """CREATE TABLE source_table (
+             id BIGINT,
+             day_time VARCHAR,
+             amnount BIGINT,
+             proctime AS PROCTIME()
+           ) WITH (
+             'connector' = 'kafka',
+             'topic' = 'flink_test_1',
+             'properties.bootstrap.servers' = 'k1:9092',
+             'format' = 'json',
+             'json.fail-on-missing-field' = 'false'
+           )"""
+    )
+    assert t.name == "source_table"
+    assert t.connector == "kafka"
+    assert [c.name for c in t.columns] == [
+        "id", "day_time", "amnount", "proctime",
+    ]
+    assert t.columns[0].spark_type == "BIGINT"
+    assert t.columns[1].spark_type == "STRING"
+    assert t.columns[3].computed_expr == "PROCTIME()"
+    assert t.schema_ddl() == "id BIGINT, day_time STRING, amnount BIGINT"
+    assert t.options["json.fail-on-missing-field"] == "false"
+
+
+def test_demo1_upsert_sink():
+    t = parse_create_table(
+        """CREATE TABLE sink_table (
+             day_time string,
+             total_gmv bigint,
+             PRIMARY KEY (day_time) NOT ENFORCED
+           ) WITH ('connector' = 'jdbc', 'url' = 'jdbc:mysql://h/db',
+                   'table-name' = 'sync_test_1')"""
+    )
+    assert t.primary_key == ["day_time"]
+    assert t.options["table-name"] == "sync_test_1"
+
+
+def test_demo4_watermark():
+    t = parse_create_table(
+        """CREATE TABLE user_clicks (
+             username VARCHAR,
+             click_url VARCHAR,
+             ts TIMESTAMP(3),
+             WATERMARK FOR ts AS ts - INTERVAL '20' SECOND
+           ) WITH ('connector' = 'kafka')"""
+    )
+    assert t.watermark is not None
+    assert t.watermark.column == "ts"
+    assert t.watermark.delay == "20 seconds"
+    assert t.columns[2].spark_type == "TIMESTAMP"
+
+
+def test_demo6_types():
+    t = parse_create_table(
+        """CREATE TABLE orders (
+             order_id INT,
+             order_date TIMESTAMP(0),
+             customer_name STRING,
+             price DECIMAL(10, 5),
+             product_id INT,
+             order_status BOOLEAN,
+             PRIMARY KEY (order_id) NOT ENFORCED
+           ) WITH ('connector' = 'mysql-cdc')"""
+    )
+    types = {c.name: c.spark_type for c in t.columns}
+    assert types["price"] == "DECIMAL(10,5)"
+    assert types["order_status"] == "BOOLEAN"
+    assert t.connector == "mysql-cdc"
+
+
+def test_complex_types_extension():
+    t = parse_create_table(
+        "CREATE TABLE t (a ARRAY<INT>, m MAP<STRING, DOUBLE>, "
+        "r ROW<x INT, y STRING>) WITH ('connector'='print')"
+    )
+    types = {c.name: c.spark_type for c in t.columns}
+    assert types["a"] == "ARRAY<INT>"
+    assert types["m"] == "MAP<STRING, DOUBLE>"
+    assert types["r"] == "STRUCT<x: INT, y: STRING>"
+
+
+def test_not_null_and_comment():
+    t = parse_create_table(
+        "CREATE TABLE t (a INT NOT NULL, b STRING COMMENT 'desc') "
+        "WITH ('connector'='print')"
+    )
+    assert not t.columns[0].nullable
+    assert t.columns[1].spark_type == "STRING"
+
+
+def test_if_not_exists():
+    t = parse_create_table(
+        "CREATE TABLE IF NOT EXISTS t (a INT) WITH ('connector'='print')"
+    )
+    assert t.if_not_exists
+
+
+def test_bad_ddl_raises():
+    with pytest.raises(DDLParseError):
+        parse_create_table("CREATE TABLE broken")

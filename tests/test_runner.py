@@ -1,0 +1,192 @@
+"""End-to-end script-runner tests: the reference's demo flows
+re-created on file/memory channels (SURVEY §5 adopted plan).
+
+- hello-world (README.md:100-123): datagen → print, batch mode
+- demo_1.md: stream → unwindowed GROUP BY agg → PRIMARY KEY upsert
+  sink; final state must equal the batch SQL over the same rows
+- demo_4.md: watermark + tumble window over an event-time stream
+- multi-INSERT statement set (demo_6.md §2.2.1 shape)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_streaming_platform_web_spark.streaming.runner import JobRunner
+from flink_streaming_platform_web_spark.tables import load
+
+
+def _wait_all(result, timeout=60):
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(timeout)
+
+
+def test_hello_world_batch(spark, capsys):
+    """README hello-world: bounded datagen → print sink."""
+    r = JobRunner(spark, mode="batch").execute_script(
+        """
+        CREATE TABLE source_table (f0 INT, f1 INT, f2 STRING) WITH
+          ('connector' = 'datagen', 'number-of-rows' = '20',
+           'fields.f0.kind' = 'sequence', 'fields.f0.start' = '1',
+           'fields.f0.end' = '20');
+        CREATE TABLE print_table (f0 INT, f1 INT, f2 STRING)
+          WITH ('connector' = 'print');
+        INSERT INTO print_table SELECT f0, f1, f2 FROM source_table;
+        """
+    )
+    assert r.batch_results["print_table"] == 20
+    assert "f0" in capsys.readouterr().out
+
+
+def test_datagen_is_deterministic(spark):
+    runner = JobRunner(spark, mode="batch")
+    script = """
+        CREATE TABLE g (a INT, b DOUBLE) WITH
+          ('connector'='datagen', 'number-of-rows'='50',
+           'fields.b.min'='10', 'fields.b.max'='20');
+        CREATE TABLE m (a INT, b DOUBLE) WITH ('connector'='memory');
+        INSERT INTO m SELECT a, b FROM g;
+    """
+    runner.execute_script(script)
+    first = [tuple(r) for r in spark.table("m").collect()]
+    JobRunner(spark, mode="batch").execute_script(script)
+    second = [tuple(r) for r in spark.table("m").collect()]
+    assert first == second
+    assert all(10 <= b <= 20 for _, b in first)
+
+
+def test_demo1_upsert_convergence(spark, sf_dir, tmp_path):
+    """demo_1: unwindowed agg + PK upsert sink == batch GROUP BY."""
+    src = f"{tmp_path}/orders_src"
+    load(spark, sf_dir, "orders").limit(300).write.parquet(src)
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        CREATE TABLE source_table (
+          o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_orderdate TIMESTAMP,
+          o_orderpriority STRING
+        ) WITH ('connector' = 'filesystem', 'path' = '{src}',
+                'format' = 'parquet',
+                'source.max-files-per-trigger' = '1');
+        CREATE TABLE sink_table (
+          day_time STRING, total_gmv DOUBLE,
+          PRIMARY KEY (day_time) NOT ENFORCED
+        ) WITH ('connector' = 'jdbc');
+        INSERT INTO sink_table
+        SELECT date_format(o_orderdate, 'yyyyMMdd') AS day_time,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_gmv
+        FROM source_table GROUP BY date_format(o_orderdate, 'yyyyMMdd');
+        """
+    )
+    _wait_all(result)
+    got = {
+        r["day_time"]: r["total_gmv"]
+        for r in runner.upsert_stores["sink_table"].to_df(spark).collect()
+    }
+    expected = {
+        r["day_time"]: r["total_gmv"]
+        for r in spark.sql(
+            "SELECT date_format(o_orderdate,'yyyyMMdd') AS day_time, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+            "AS total_gmv FROM parquet.`{}` GROUP BY 1".format(src)
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_demo4_tumble_window_stream(spark, sf_dir, tmp_path):
+    """demo_4: watermarked tumble window; stream result == batch."""
+    src = f"{tmp_path}/events_src"
+    load(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).write.parquet(src)
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        CREATE TABLE clicks (
+          event_type STRING, ts TIMESTAMP, value DOUBLE,
+          WATERMARK FOR ts AS ts - INTERVAL '20' SECOND
+        ) WITH ('connector' = 'filesystem', 'path' = '{src}',
+                'format' = 'parquet');
+        CREATE TABLE out (window_start TIMESTAMP, event_type STRING,
+                          n BIGINT) WITH ('connector' = 'memory');
+        INSERT INTO out
+        SELECT window(ts, '1 hour').start AS window_start,
+               event_type, COUNT(*) AS n
+        FROM clicks GROUP BY window(ts, '1 hour'), event_type;
+        """
+    )
+    _wait_all(result)
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.table("out").collect()
+    }
+    expected = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.sql(
+            "SELECT window(ts, '1 hour').start AS ws, event_type, "
+            "COUNT(*) AS n FROM parquet.`{}` GROUP BY 1, 2".format(src)
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_statement_set_multi_insert(spark, tmp_path):
+    """demo_6 §2.2.1: several INSERTs in one script start as a group."""
+    runner = JobRunner(spark, mode="batch")
+    r = runner.execute_script(
+        """
+        CREATE TABLE g (a INT) WITH ('connector'='datagen',
+          'number-of-rows'='10', 'fields.a.kind'='sequence',
+          'fields.a.start'='1', 'fields.a.end'='10');
+        CREATE TABLE m1 (a INT) WITH ('connector'='memory');
+        CREATE TABLE m2 (s BIGINT) WITH ('connector'='memory');
+        BEGIN STATEMENT SET;
+        INSERT INTO m1 SELECT a FROM g;
+        INSERT INTO m2 SELECT CAST(SUM(a) AS BIGINT) AS s FROM g;
+        END;
+        """
+    )
+    assert r.batch_results["m1"] == 10
+    assert spark.table("m2").collect()[0]["s"] == 55
+
+
+def test_bare_select_rejected_in_streaming_mode(spark):
+    with pytest.raises(ValueError, match="bare SELECT"):
+        JobRunner(spark, mode="streaming").execute_script(
+            "SELECT 1;"
+        )
+
+
+def test_batch_select_returned(spark):
+    r = JobRunner(spark, mode="batch").execute_script("SELECT 42 AS v;")
+    assert r.select_results[0].collect()[0]["v"] == 42
+
+
+def test_set_statement_maps_trigger(spark):
+    runner = JobRunner(spark, mode="streaming")
+    runner.execute_script(
+        "SET table.exec.mini-batch.allow-latency = '60 s';"
+        "CREATE TABLE t (a INT) WITH ('connector'='print');"
+        "INSERT INTO t SELECT 1 AS a WHERE 1 = 0;"
+    )
+    assert runner._trigger == {"processingTime": "60 seconds"}
+
+
+def test_create_view_and_function(spark):
+    runner = JobRunner(spark, mode="batch")
+    r = runner.execute_script(
+        """
+        CREATE TABLE g (a INT) WITH ('connector'='datagen',
+          'number-of-rows'='5', 'fields.a.kind'='sequence',
+          'fields.a.start'='1', 'fields.a.end'='5');
+        CREATE VIEW doubled AS SELECT a * 2 AS d FROM g;
+        CREATE TABLE m (total BIGINT) WITH ('connector'='memory');
+        INSERT INTO m SELECT CAST(SUM(d) AS BIGINT) AS total FROM doubled;
+        """
+    )
+    assert spark.table("m").collect()[0]["total"] == 30
