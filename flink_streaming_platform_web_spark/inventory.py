@@ -12,6 +12,7 @@ from flink_streaming_platform_web_spark.operators import (
     dedup,
     multimodal,
     relational,
+    relational_ext,
     similarity,
     text,
     windows,
@@ -20,6 +21,7 @@ from flink_streaming_platform_web_spark.streaming import stream_queries
 
 _MODULES = (
     relational,
+    relational_ext,
     windows,
     dedup,
     similarity,

@@ -122,12 +122,27 @@ def ann01_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_ids = pdf["vec_id"].to_numpy()
             N = np.stack(pdf["v"].to_numpy())
             cos = np.round(_block_cosine(Q, N), 6)
-            qi, ni = np.nonzero(q_ids[:, None] != n_ids[None, :])
+            # partition-local top-k: the global rank only needs each
+            # partition's k best candidates per query, so the shuffle
+            # carries queries×k×partitions rows, not queries×corpus
+            cos_masked = np.where(
+                q_ids[:, None] == n_ids[None, :], -np.inf, cos
+            )
+            k = min(TOP_K, cos_masked.shape[1])
+            # ties on cos must keep the LOWEST neighbor_id → secondary
+            # sort key; argsort on (-cos, id) lexicographically
+            order = np.lexsort(
+                (np.broadcast_to(n_ids, cos_masked.shape), -cos_masked),
+                axis=1,
+            )[:, :k]
+            qi = np.repeat(np.arange(len(q_ids)), k)
+            ni = order.ravel()
+            keep = cos_masked[qi, ni] != -np.inf
             yield pd.DataFrame(
                 {
-                    "query_id": q_ids[qi],
-                    "neighbor_id": n_ids[ni],
-                    "cos_sim": cos[qi, ni],
+                    "query_id": q_ids[qi[keep]],
+                    "neighbor_id": n_ids[ni[keep]],
+                    "cos_sim": cos[qi[keep], ni[keep]],
                 }
             )
 
