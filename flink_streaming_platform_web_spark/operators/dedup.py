@@ -51,43 +51,70 @@ MAX_DF = 64
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → exploded DISTINCT word n-gram shingles, carried as
-    64-bit portable hashes: the dedup self-joins then shuffle 8-byte
-    keys instead of multi-word strings (the dominant cost at scale).
-    Hash collisions are deterministic and mirrored by the oracle, so
-    parity is unaffected. Declarative throughout — split/sequence/
-    transform stay in codegen, no Python row path."""
-    words = df.select("doc_id", F.split(F.col("text"), r"\s+").alias("w"))
-    raw = words.select(
+    """doc_id → exploded DISTINCT word n-gram shingles with the doc's
+    TRUE shingle-set size attached, all computed array-side per row —
+    no shuffle. Shingles are carried as 64-bit portable hashes so the
+    downstream joins shuffle 8-byte keys, not multi-word strings (the
+    dominant cost at scale). Hash collisions are deterministic and
+    mirrored by the oracle, so parity is unaffected. Declarative
+    throughout — split/sequence/transform stay in codegen, no Python
+    row path.
+
+    Two plan traps are deliberately dodged here (both observed as ~10×
+    slowdowns at sf0.1):
+
+    - the repartition after split() spreads the one-file input across
+      all cores AND acts as a materialization barrier, so the shingle
+      lambda doesn't get `split(text)` re-inlined per element access;
+    - `explode_outer` instead of `explode`: InferFiltersFromGenerate
+      adds `size(arr) > 0` for plain explode, and pushdown substitutes
+      the ENTIRE shingle expression into that filter below the
+      exchange — recomputing it single-threaded at the scan.
+      explode_outer infers nothing; the post-explode null filter is
+      equivalent (shingle hashes are never null)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    words = df.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("w")
+    ).repartition(par)
+    arrs = words.select(
         "doc_id",
-        F.explode(
+        F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(-1))),
-                lambda i: F.concat_ws(
-                    " ", *[F.col("w")[i + j] for j in range(n)]
+                F.filter(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), F.greatest(F.size("w") - n, F.lit(-1))
+                        ),
+                        lambda i: F.concat_ws(
+                            " ", *[F.col("w")[i + j] for j in range(n)]
+                        ),
+                    ),
+                    lambda s: F.length(s) > 0,
                 ),
+                lambda s: portable_hash(s),
             )
-        ).alias("shingle_text"),
-    ).where(F.length("shingle_text") > 0)
-    # the shingle index feeds 3-4 subtrees of each dedup DAG (df-cap,
-    # sizes, both join sides); persist it once instead of re-deriving —
-    # at scale this is the materialized shingle table every dedup
-    # pipeline builds first
-    return (
-        raw.select(
-            "doc_id", portable_hash(F.col("shingle_text")).alias("shingle")
-        )
-        .distinct()
-        .persist()
+        ).alias("arr"),
     )
+    return arrs.select(
+        "doc_id",
+        F.size("arr").alias("n_sh"),
+        F.explode_outer("arr").alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
 
 
 _ORACLE_SHINGLES = rf"""
-  SELECT DISTINCT doc_id,
-         {oracle_portable_hash("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
-           AS shingle
-  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
-       LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS i)
+  SELECT doc_id, len(arr) AS n_sh, unnest(arr) AS shingle FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             list_filter(
+               list_transform(
+                 generate_series(1, greatest(len(w)-2, 0)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+               s -> length(s) > 0),
+             s -> {oracle_portable_hash('s')})) AS arr
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+          FROM documents)
+  )
 """
 
 
@@ -122,39 +149,32 @@ GROUP BY 1
 
 
 def dd02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles total: (1) group shingles into per-shingle member
+    lists (stop-shingle cap bounds each list), pairs exploded
+    array-side; (2) count intersections per pair. Jaccard denominators
+    use the TRUE per-doc set sizes computed before the cap — capped
+    index for discovery, exact sets for verification."""
     sh = _shingles(load(spark, sf_dir, "documents"))
-    # stop-shingle guard (see module docstring)
-    df_ok = (
+    members = (
         sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= MAX_DF)
-        .select("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("m"))
+        .filter((F.size("m") > 1) & (F.size("m") <= MAX_DF))
     )
-    sh = sh.join(df_ok, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    pairs = members.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(m, (a, i) ->"
+                " transform(slice(m, i + 2, size(m)), b ->"
+                " struct(a.doc_id AS doc_a, a.n_sh AS n_a,"
+                "        b.doc_id AS doc_b, b.n_sh AS n_b))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("doc_a", "n_a", "doc_b", "n_b").agg(
+        F.count("*").alias("n_inter")
     )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
@@ -165,24 +185,22 @@ def dd02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DD02 = f"""
-WITH sh_all AS ({_ORACLE_SHINGLES}),
+WITH sh AS ({_ORACLE_SHINGLES}),
 df_ok AS (
-  SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) <= {MAX_DF}
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_DF}
 ),
-sh AS (SELECT sh_all.* FROM sh_all JOIN df_ok USING (shingle)),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+capped AS (SELECT sh.* FROM sh JOIN df_ok USING (shingle)),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+  SELECT a.doc_id AS doc_a, a.n_sh AS n_a, b.doc_id AS doc_b,
+         b.n_sh AS n_b, COUNT(*) AS n_inter
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
 )
 SELECT doc_a, doc_b,
-       n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+       n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
 FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
-      >= {JACCARD_THRESHOLD}
+WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -206,11 +224,7 @@ def _minhash_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    return (
-        hashed.groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
-        .persist()
-    )
+    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
 
 
 _ORACLE_MINHASH_LONG = f"""
@@ -271,24 +285,24 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # verify candidates with exact Jaccard (reuse dd02's machinery but
-    # restricted to the candidate set — semi-join keeps it bounded)
+    # verify candidates with exact Jaccard over the FULL shingle sets,
+    # restricted to the candidate set — the set sizes ride along on
+    # the shingle rows (computed array-side, no extra shuffle)
     sh = _shingles(load(spark, sf_dir, "documents"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
     inter = (
         candidates.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "n_a", "doc_b", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
@@ -338,7 +352,8 @@ SIMHASH_BITS = 32
 
 def dd05_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    tokens = docs.select(
+    par = spark.sparkContext.defaultParallelism
+    tokens = docs.repartition(par).select(
         "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
     ).where(F.length("tok") > 0)
     hashed = tokens.select("doc_id", portable_hash(F.col("tok")).alias("h"))
