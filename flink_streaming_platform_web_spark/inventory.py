@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_streaming_platform_web_spark.operators import (
     dedup,
+    functions_demo,
     multimodal,
     relational,
     relational_ext,
@@ -22,6 +23,7 @@ from flink_streaming_platform_web_spark.streaming import stream_queries
 _MODULES = (
     relational,
     relational_ext,
+    functions_demo,
     windows,
     dedup,
     similarity,

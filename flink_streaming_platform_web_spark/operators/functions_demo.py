@@ -1,0 +1,77 @@
+"""Function-surface inventory entries: Flink-expression translation
+(O17) and user-defined functions (O23/O24), each with a DuckDB oracle.
+
+q33 feeds a LITERAL Flink expression (demo_4.md's commented computed
+column ``TO_TIMESTAMP(FROM_UNIXTIME(ts_seconds))``) through
+``functions.flink_compat.translate_expr`` — the same path the script
+runner uses for computed columns — and gates the result.
+
+q34 runs the reference's canonical UDF example (jsonHasKey,
+docs/manual-sql.md §1.e) as an Arrow-vectorized pandas UDF; the oracle
+replays the JSON logic with DuckDB's json functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_platform_web_spark.functions.flink_compat import (
+    translate_expr,
+)
+from flink_streaming_platform_web_spark.functions.udfs import props_k_bucket
+from flink_streaming_platform_web_spark.tables import load
+
+
+def q33_flink_datetime_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    # demo_4.md computed-column shape, passed through the translator
+    flink_expr = "TO_TIMESTAMP(FROM_UNIXTIME(ts_seconds))"
+    return (
+        events.withColumn("ts_seconds", F.unix_timestamp("ts"))
+        .withColumn("ts2", F.expr(translate_expr(flink_expr)))
+        .select(
+            "event_id",
+            "ts_seconds",
+            F.date_format("ts2", "yyyy-MM-dd HH:mm:ss").alias("ts2_str"),
+        )
+    )
+
+
+ORACLE_Q33 = """
+SELECT event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_seconds,
+       strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S') AS ts2_str
+FROM events
+"""
+
+
+def q34_udf_json_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.withColumn("k_bucket", props_k_bucket(F.col("props")))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_Q34 = """
+SELECT COALESCE(CAST(json_extract_string(props, '$.k') AS INT) % 10, -1)
+         AS k_bucket,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "q33_flink_datetime_compat": q33_flink_datetime_compat,
+    "q34_udf_json_bucket": q34_udf_json_bucket,
+}
+
+ORACLES = {
+    "q33_flink_datetime_compat": ORACLE_Q33,
+    "q34_udf_json_bucket": ORACLE_Q34,
+}

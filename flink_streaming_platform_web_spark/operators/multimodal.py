@@ -144,12 +144,83 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# mm03 — frame sampling: the video-shaped pipeline (payload → every
+# k-th chunk as a "frame" row). Real codecs would decode via the same
+# mapInPandas seam (set_decoder); the deterministic chunker keeps the
+# Arrow plumbing oracle-checkable. One input row fans out to n_frames
+# rows — the explode-shaped UDF output pattern.
+# --------------------------------------------------------------------------
+
+FRAME_STRIDE = 64
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", IntegerType()),
+        StructField("frame_digest", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, payload_col: str = "payload", stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Every stride-byte chunk of the payload becomes one frame row."""
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_bytes": [],
+                "frame_digest": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload)
+                for idx in range(0, len(data), stride):
+                    chunk = data[idx : idx + stride]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx // stride)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_digest"].append(
+                        hashlib.md5(chunk).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(docs))
+
+
+ORACLE_MM03 = f"""
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(least({FRAME_STRIDE},
+                  octet_length(encode(text)) - i * {FRAME_STRIDE}) AS INT)
+         AS frame_bytes,
+       md5(substring(text, i * {FRAME_STRIDE} + 1, {FRAME_STRIDE}))
+         AS frame_digest
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(
+        0, CAST(ceil(octet_length(encode(text)) / {FRAME_STRIDE}.0)
+                AS BIGINT) - 1)) AS i)
+"""
+
+
 QUERIES = {
     "mm01_binary_meta": mm01_binary_meta,
     "mm02_decode_pipeline": mm02_decode_pipeline,
+    "mm03_frame_sample": mm03_frame_sample,
 }
 
 ORACLES = {
     "mm01_binary_meta": ORACLE_MM01,
     "mm02_decode_pipeline": ORACLE_MM02,
+    "mm03_frame_sample": ORACLE_MM03,
 }
