@@ -80,6 +80,8 @@ def foreach_batch_apply_changelog(store: KeyedStore):
     keyed store in (ts_ms, seq) order."""
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
+        if store.schema is None:
+            store.schema = batch.select("__after.*").schema
         cols = ["__op", "__before", "__after"]
         order = ["__ts_ms"] + (["__seq"] if "__seq" in batch.columns else [])
         for row in (

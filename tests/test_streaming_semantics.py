@@ -1,0 +1,107 @@
+"""Streaming semantics that the batch-equivalence entries can't show:
+watermark late-data dropping (O10) and checkpoint restore (the
+savepoint analog, SURVEY §7.3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_streaming_platform_web_spark.streaming.checkpoints import (
+    CheckPointParam,
+)
+from flink_streaming_platform_web_spark.streaming.runner import JobRunner
+
+
+def _write_batch(spark, path, rows):
+    from datetime import datetime
+
+    rows = [(datetime.fromisoformat(ts), k) for ts, k in rows]
+    spark.createDataFrame(rows, "ts TIMESTAMP, k STRING").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark: an event
+    arriving after the watermark passed its window end is dropped —
+    the same bounded-lateness drop Flink applies (demo_4.md)."""
+    from pyspark.sql import functions as F
+
+    src = f"{tmp_path}/late_src"
+    # batch 1: events up to 12:00 → watermark advances to 11:50
+    _write_batch(spark, src, [
+        ("2024-01-01 10:00:30", "a"),
+        ("2024-01-01 10:00:40", "a"),
+        ("2024-01-01 12:00:00", "b"),
+    ])
+    sdf = (
+        spark.readStream.schema("ts TIMESTAMP, k STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"), "k")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "k", "n")
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/late_ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: a LATE event for the already-closed 10:00 window
+    _write_batch(spark, src, [("2024-01-01 10:00:50", "a"),
+                              ("2024-01-01 12:30:00", "b")])
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (str(r["ws"]), r["k"]): r["n"]
+        for r in spark.table("late_out").collect()
+    }
+    # the 10:00 window emitted with 2 rows; the late third row was
+    # dropped, not re-emitted
+    assert got[("2024-01-01 10:00:00", "a")] == 2
+
+
+def test_checkpoint_restore_resumes(spark, tmp_path):
+    """Stop a streaming job, append new input, restart with the SAME
+    checkpoint dir + script: only new files are processed and the
+    upsert store converges to the full aggregate — the reference's
+    savepoint-redeploy flow (CommandUtil.java:34-36)."""
+    src = f"{tmp_path}/resume_src"
+    ckpt = f"{tmp_path}/resume_ckpt"
+    script = f"""
+        CREATE TABLE rsrc (ts TIMESTAMP, k STRING) WITH
+          ('connector'='filesystem','path'='{src}','format'='parquet');
+        CREATE TABLE rsink (k STRING, n BIGINT,
+          PRIMARY KEY (k) NOT ENFORCED) WITH ('connector'='jdbc');
+        INSERT INTO rsink SELECT k, COUNT(*) AS n FROM rsrc GROUP BY k;
+    """
+    _write_batch(spark, src, [("2024-01-01 00:00:00", "x"),
+                              ("2024-01-01 00:00:01", "y")])
+    r1 = JobRunner(
+        spark, "streaming", CheckPointParam(checkpoint_dir=ckpt)
+    )
+    res1 = r1.execute_script(script)
+    for q in res1.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+    assert {
+        r["k"]: r["n"] for r in r1.upsert_stores["rsink"].to_df(spark).collect()
+    } == {"x": 1, "y": 1}
+
+    _write_batch(spark, src, [("2024-01-01 00:00:02", "x")])
+    r2 = JobRunner(
+        spark, "streaming", CheckPointParam(checkpoint_dir=ckpt)
+    )
+    res2 = r2.execute_script(script)
+    for q in res2.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+    # restored state: x counted ACROSS the restart (2), not just the
+    # new file — proving state survived in the checkpoint
+    store = r2.upsert_stores["rsink"]
+    got = {r["k"]: r["n"] for r in store.to_df(spark).collect()}
+    assert got["x"] == 2
