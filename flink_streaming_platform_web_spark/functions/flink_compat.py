@@ -34,9 +34,20 @@ _FN_REWRITES: list[tuple[re.Pattern[str], str]] = [
 ]
 
 
+# demo_3.md lookup join: `JOIN dim FOR SYSTEM_TIME AS OF a.proctime AS b`.
+# Spark's streaming model joins each micro-batch against the dim
+# snapshot, which IS the processing-time temporal join contract
+# (staleness ≤ trigger interval — SURVEY §7.3); syntactically the
+# clause just drops.
+_TEMPORAL_JOIN_RE = re.compile(
+    r"\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+[\w.]+(?=\s+AS\s+|\s+ON\s+)",
+    re.IGNORECASE,
+)
+
+
 def translate_expr(expr: str) -> str:
     """Rewrite a Flink SQL expression into Spark SQL."""
-    out = expr
+    out = _TEMPORAL_JOIN_RE.sub("", expr)
     for pat, repl in _FN_REWRITES:
         out = pat.sub(repl, out)
     return out

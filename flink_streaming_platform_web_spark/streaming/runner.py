@@ -102,27 +102,32 @@ class JobRunner:
         self.mode = mode
         self.checkpoint = checkpoint or CheckPointParam()
         self.tables: dict[str, TableDef] = {}
-        self._materialized: set[str] = set()
+        self._materialized: dict[str, str] = {}  # name → "stream"|"batch"
         self.upsert_stores: dict[str, KeyedStore] = {}
         self._trigger: dict[str, str] | None = None
 
     # -- source materialization (lazy) ------------------------------------
 
-    def _materialize_source(self, name: str) -> None:
-        if name in self._materialized or name not in self.tables:
+    def _materialize_source(self, name: str, force_batch: bool = False) -> None:
+        if name not in self.tables:
+            return
+        state = self._materialized.get(name)
+        want = "batch" if (force_batch or self.mode == "batch") else "stream"
+        if state == want:
             return
         t = self.tables[name]
         c = t.connector
+        streaming = want == "stream"
         if c == "datagen":
             df = (
                 registry.datagen_stream(self.spark, t)
-                if self.mode == "streaming"
+                if streaming
                 else registry.datagen_batch(self.spark, t)
             )
         elif c == "filesystem":
             df = (
                 registry.filesystem_stream(self.spark, t)
-                if self.mode == "streaming"
+                if streaming
                 else registry.filesystem_batch(self.spark, t)
             )
         elif c == "kafka":
@@ -136,7 +141,7 @@ class JobRunner:
         else:
             raise ValueError(f"table {name!r} ({c!r}) is not a source")
         df.createOrReplaceTempView(name)
-        self._materialized.add(name)
+        self._materialized[name] = want
 
     def _referenced_tables(self, sql: str) -> list[str]:
         words = set(re.findall(r"[\w.]+", sql.lower()))
@@ -236,9 +241,11 @@ class JobRunner:
     def _run_insert(
         self, job: InsertJob, idx: int, result: ExecutionResult
     ) -> None:
-        for ref in self._referenced_tables(job.query_sql):
+        refs = self._referenced_tables(job.query_sql)
+        for ref in refs:
             self._materialize_source(ref)
-        df = self.spark.sql(translate_expr(job.query_sql))
+        sql = translate_expr(job.query_sql)
+        df = self.spark.sql(sql)
         sink = self.tables.get(job.target)
         if sink is None:
             # catalog table (hive-style) — spark.sql insert path
@@ -250,8 +257,33 @@ class JobRunner:
             return
         if self.mode == "batch" or not df.isStreaming:
             self._write_batch(df, sink, job, result)
-        else:
+            return
+        try:
             self._write_stream(df, sink, idx, result)
+        except Exception as e:
+            # Spark rejects stream-stream joins under update/complete
+            # output (UnsupportedOperationChecker at query start).
+            # Parity re-plan (SURVEY §7.3): keep the FIRST stream in
+            # query order streaming, demote the rest to per-micro-batch
+            # snapshots — each trigger then joins against the
+            # co-stream's current contents, which is Flink's
+            # processing-time join contract for demo_2-style scripts.
+            if "streaming" not in str(e).lower():
+                raise
+            lowered = job.query_sql.lower()
+            streams = sorted(
+                (
+                    n
+                    for n in refs
+                    if self._materialized.get(n) == "stream"
+                ),
+                key=lambda n: lowered.find(n.lower()),
+            )
+            if len(streams) < 2:
+                raise
+            for demote in streams[1:]:
+                self._materialize_source(demote, force_batch=True)
+            self._write_stream(self.spark.sql(sql), sink, idx, result)
 
     def _write_batch(
         self,
