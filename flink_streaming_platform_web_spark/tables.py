@@ -43,9 +43,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # the driver may call queries() on its own session — pin the confs
     # correctness depends on (UTC timestamps for oracle comparison,
-    # Arrow for the pandas kernels); both are runtime-settable
+    # Arrow for the pandas kernels) and the perf posture (AQE +
+    # right-sized shuffle parallelism); all are runtime-settable
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -20,29 +20,53 @@ from flink_streaming_platform_web_spark.operators.relational import (
 )
 
 
-def _physical(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _formatted(df) -> str:
-    return df._sc._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from flink_streaming_platform_web_spark.plans import (
+    executed_plan as _physical,
+)
+from flink_streaming_platform_web_spark.plans import (
+    formatted_plan as _formatted,
+)
+from flink_streaming_platform_web_spark.plans import (
+    pushed_filters,
+    read_schema,
+    shuffle_count,
+)
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
-    plan = _formatted(q02_filter_project(spark, sf_dir))
-    assert "PushedFilters:" in plan
-    assert "l_quantity" in plan.split("PushedFilters:")[1].split("\n")[0]
+    filters = pushed_filters(q02_filter_project(spark, sf_dir))
+    assert any("l_quantity" in f for f in filters)
+    assert any("l_returnflag" in f for f in filters)
 
 
 def test_column_pruning(spark, sf_dir):
-    plan = _formatted(q02_filter_project(spark, sf_dir))
-    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    cols = read_schema(q02_filter_project(spark, sf_dir))
     # only the 4 needed columns are read, not all 11 lineitem columns
-    assert "l_extendedprice" not in read_schema
-    assert "l_tax" not in read_schema
-    assert "l_orderkey" in read_schema
+    assert "l_extendedprice" not in cols
+    assert "l_tax" not in cols
+    assert "l_orderkey" in cols
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key co-locates them: the join
+    runs with ZERO exchanges — the strategy that makes repeated big
+    joins affordable at 100 TB (SURVEY §7 / pyspark guide bucketing)."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/wh'")
+    load(spark, sf_dir, "orders").write.bucketBy(4, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("bkt.orders_bkt")
+    load(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    ).write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("bkt.lineitem_bkt")
+    joined = spark.table("bkt.orders_bkt").join(
+        spark.table("bkt.lineitem_bkt").hint("merge"), "o_orderkey"
+    )
+    assert shuffle_count(joined) == 0
+    assert joined.count() > 0
 
 
 def test_q01_partial_aggregation(spark, sf_dir):
