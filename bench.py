@@ -34,6 +34,7 @@ def main() -> None:
     # warmup: JVM codegen + parquet footers
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in sorted(inventory.queries().items()):
         if name.startswith("st"):
@@ -41,10 +42,13 @@ def main() -> None:
             # machinery) are correctness checks, not throughput —
             # excluded from the batch-engine timing contract
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, n = float("inf"), 0
+        for _ in range(max(runs, 1)):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)

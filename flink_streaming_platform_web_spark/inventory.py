@@ -9,6 +9,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_streaming_platform_web_spark.operators import (
+    clusters,
     dedup,
     functions_demo,
     multimodal,
@@ -26,6 +27,7 @@ _MODULES = (
     functions_demo,
     windows,
     dedup,
+    clusters,
     similarity,
     text,
     multimodal,

@@ -321,14 +321,143 @@ WHERE round({_ORACLE_COS.format(a='a.v', b='b.v')}, 6) >= {NEARDUP_COS}
 """
 
 
+# --------------------------------------------------------------------------
+# ann04 — IVF-style search: coarse-quantize the corpus into cells
+# (here: per-label centroids standing in for k-means centroids — the
+# quantizer training is orthogonal to the search path), assign every
+# vector to its nearest centroid, then answer queries by brute-forcing
+# ONLY the query's own cell (nprobe=1). This is the canonical
+# billion-vector layout: the corpus partitions by cell, a query
+# touches |corpus|/n_cells vectors, and recall tunes via nprobe.
+# --------------------------------------------------------------------------
+
+IVF_TOP_K = 3
+
+
+def _centroids(spark: SparkSession, sf_dir: str):
+    """label → centroid matrix, decimal-exact per-dimension means
+    (same arithmetic as q32, so the oracle reproduces them bitwise)."""
+    emb = load(spark, sf_dir, "embeddings")
+    rows = (
+        emb.select("label", F.posexplode("embedding").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(18,9)"))
+                .cast("double")
+                / F.count("*").cast("double")
+            ).alias("m")
+        )
+        .collect()
+    )
+    labels = sorted({r["label"] for r in rows})
+    dim = max(r["d"] for r in rows) + 1
+    C = np.zeros((len(labels), dim))
+    for r in rows:
+        C[labels.index(r["label"]), r["d"]] = r["m"]
+    return np.array(labels), C
+
+
+def ann04_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    labels, C = _centroids(spark, sf_dir)
+    cb = spark.sparkContext.broadcast((labels, C))
+
+    def assign(batches):
+        lab, cent = cb.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            cos = np.round(_block_cosine(V, cent), 6)
+            # nearest centroid; ties → smaller label
+            order = np.lexsort(
+                (np.broadcast_to(lab, cos.shape), -cos), axis=1
+            )[:, 0]
+            out = pdf[["vec_id"]].copy()
+            out["cell"] = lab[order]
+            out["v"] = pdf["v"]
+            yield out
+
+    assigned = vecs.mapInPandas(
+        assign, "vec_id long, cell int, v array<double>"
+    )
+    queries = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell"),
+        F.col("v").alias("qv"),
+    )
+    probed = assigned.join(queries, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = probed.select(
+        "query_id",
+        "cell",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= IVF_TOP_K)
+        .select("query_id", "cell", "neighbor_id", "rk", "cos_sim")
+    )
+
+
+ORACLE_ANN04 = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent_long AS (
+  SELECT label, d,
+         CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM (SELECT label, d::INT - 1 AS d, embedding[d] AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                      AS d))
+  GROUP BY label, d
+),
+cent AS (
+  SELECT label, list(m ORDER BY d) AS cv FROM cent_long GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.label AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({_ORACLE_COS.format(a='e.v', b='c.cv')}, 6)
+                      DESC, c.label ASC) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT q.vec_id AS query_id, a.cell, a.vec_id AS neighbor_id,
+         round({_ORACLE_COS.format(a='q.v', b='a.v')}, 6) AS cos_sim
+  FROM assigned q JOIN assigned a
+    ON q.cell = a.cell AND a.vec_id != q.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+)
+SELECT query_id, cell, neighbor_id, rk, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM probed
+) WHERE rk <= {IVF_TOP_K}
+"""
+
+
 QUERIES = {
     "ann01_brute_topk": ann01_brute_topk,
     "ann02_embed_neardup_pairs": ann02_embed_neardup_pairs,
     "ann03_lsh_bucketed_neardup": ann03_lsh_bucketed_neardup,
+    "ann04_ivf_search": ann04_ivf_search,
 }
 
 ORACLES = {
     "ann01_brute_topk": ORACLE_ANN01,
     "ann02_embed_neardup_pairs": ORACLE_ANN02,
     "ann03_lsh_bucketed_neardup": ORACLE_ANN03,
+    "ann04_ivf_search": ORACLE_ANN04,
 }

@@ -1,0 +1,33 @@
+"""Connected-components (dup-cluster) unit tests."""
+
+from __future__ import annotations
+
+from flink_streaming_platform_web_spark.operators.clusters import (
+    connected_components,
+)
+
+
+def test_connected_components_basic(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id BIGINT")
+    # components: {0,1,2,3} (chain), {4,5}, {6} singleton
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "src BIGINT, dst BIGINT"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_transitive_via_hub(spark):
+    # star + bridge: min label must propagate across the bridge
+    nodes = spark.createDataFrame([(i,) for i in (1, 5, 9, 12, 20)], "id BIGINT")
+    edges = spark.createDataFrame(
+        [(9, 5), (12, 9), (20, 12), (5, 1)], "src BIGINT, dst BIGINT"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert set(got.values()) == {1}
