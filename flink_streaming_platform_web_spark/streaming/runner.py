@@ -64,6 +64,12 @@ _INSERT_RE = re.compile(
 # SET-option mapping (SURVEY §2.3 O25): Flink exec options → engine
 # behavior. Unknown spark.* keys pass straight to spark.conf.
 _MINI_BATCH_LATENCY = "table.exec.mini-batch.allow-latency"
+# O20 divergence control: Flink compiles a multi-INSERT statement set
+# into ONE job reading each source once; Spark runs N independent
+# queries (source read N×). `SET graft.statement-set.read-once=true`
+# restores read-once for STATELESS inserts sharing one stream source:
+# a single readStream fans out per micro-batch via foreachBatch.
+_READ_ONCE_KEY = "graft.statement-set.read-once"
 
 
 @dataclass
@@ -105,6 +111,7 @@ class JobRunner:
         self._materialized: dict[str, str] = {}  # name → "stream"|"batch"
         self.upsert_stores: dict[str, KeyedStore] = {}
         self._trigger: dict[str, str] | None = None
+        self._read_once = False
 
     # -- source materialization (lazy) ------------------------------------
 
@@ -214,15 +221,105 @@ class JobRunner:
                 self.spark.sql(stmt)
 
         # statement-set group start (JobApplication.java:78-82)
+        if (
+            self._read_once
+            and self.mode == "streaming"
+            and len(inserts) > 1
+            and self._try_read_once_fanout(inserts, result)
+        ):
+            return result
         for i, job in enumerate(inserts):
             self._run_insert(job, i, result)
         return result
+
+    # -- read-once statement-set fan-out (O20) ----------------------------
+
+    def _try_read_once_fanout(
+        self, inserts: list[InsertJob], result: ExecutionResult
+    ) -> bool:
+        """One readStream, N sinks per micro-batch. Applies only when
+        every INSERT is stateless (no aggregation — per-batch SQL has
+        no cross-batch state) and all reference the same single
+        streaming source. Returns False to fall back to per-query
+        reads (the documented default divergence)."""
+        sources: set[str] = set()
+        for job in inserts:
+            refs = self._referenced_tables(job.query_sql)
+            for ref in refs:
+                self._materialize_source(ref)
+            stream_refs = [
+                r for r in refs if self._materialized.get(r) == "stream"
+            ]
+            if len(stream_refs) != 1:
+                return False
+            sources.add(stream_refs[0])
+            if job.target not in self.tables:
+                return False
+        if len(sources) != 1:
+            return False
+        src = sources.pop()
+        plans = [
+            self.spark.sql(translate_expr(j.query_sql)) for j in inserts
+        ]
+        if any(_is_aggregated(df) for df in plans):
+            return False
+        sinks = [self.tables[j.target] for j in inserts]
+        for s in sinks:
+            if s.primary_key:
+                self.upsert_stores.setdefault(
+                    s.name, KeyedStore(s.primary_key)
+                )
+        stream_df = self.spark.table(src)
+        queries = [translate_expr(j.query_sql) for j in inserts]
+        overwrites = [j.overwrite for j in inserts]
+        stores = self.upsert_stores
+
+        def fanout(batch, epoch_id: int) -> None:
+            # each micro-batch runs in a cloned session: register the
+            # shadow view and resolve SQL THERE, not on the outer one
+            sess = batch.sparkSession
+            batch.createOrReplaceTempView(src)
+            for sql, sink, overwrite in zip(queries, sinks, overwrites):
+                out = sess.sql(sql)
+                c = sink.connector
+                if sink.primary_key:
+                    stores[sink.name].merge_batch(out)
+                elif c == "print":
+                    out.show(truncate=False)
+                elif c == "blackhole":
+                    out.write.format("noop").mode("overwrite").save()
+                elif c == "filesystem":
+                    out.write.format(
+                        sink.options.get("format", "parquet")
+                    ).mode("overwrite" if overwrite else "append").save(
+                        sink.options["path"]
+                    )
+                else:
+                    raise ValueError(
+                        f"sink {sink.name!r} ({c!r}) unsupported in"
+                        " read-once fan-out"
+                    )
+
+        writer = stream_df.writeStream.foreachBatch(fanout).outputMode(
+            "append"
+        )
+        if self.checkpoint.checkpoint_dir:
+            writer = writer.option(
+                "checkpointLocation",
+                f"{self.checkpoint.checkpoint_dir}/fanout_{src}",
+            )
+        if self._trigger:
+            writer = writer.trigger(**self._trigger)
+        result.streaming_queries.append(writer.start())
+        return True
 
     # -- SET mapping ----------------------------------------------------------
 
     def _apply_set(self, stmt: str) -> None:
         key, val = parse_set(stmt)
-        if key == _MINI_BATCH_LATENCY:
+        if key == _READ_ONCE_KEY:
+            self._read_once = val.strip().lower() == "true"
+        elif key == _MINI_BATCH_LATENCY:
             m = re.match(r"([\d.]+)\s*(ms|s|sec|min)?", val)
             unit = {"ms": "milliseconds", "min": "minutes"}.get(
                 m.group(2) or "s", "seconds"

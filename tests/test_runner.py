@@ -190,3 +190,84 @@ def test_create_view_and_function(spark):
         """
     )
     assert spark.table("m").collect()[0]["total"] == 30
+
+
+def test_read_once_statement_set_fanout(spark, sf_dir, tmp_path):
+    """O20 read-once mode: two stateless INSERTs over one stream run as
+    ONE streaming query fanning out per micro-batch (demo_6 §2.2.1
+    shape: filter+project into two sinks)."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    src = f"{tmp_path}/fo_src"
+    out1 = f"{tmp_path}/fo_out1"
+    out2 = f"{tmp_path}/fo_out2"
+    load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).write.parquet(src)
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        SET graft.statement-set.read-once = 'true';
+        CREATE TABLE fsrc (event_id BIGINT, event_type STRING,
+          value DOUBLE) WITH ('connector'='filesystem', 'path'='{src}',
+          'format'='parquet');
+        CREATE TABLE s1 (event_id BIGINT, value DOUBLE) WITH
+          ('connector'='filesystem', 'path'='{out1}', 'format'='parquet');
+        CREATE TABLE s2 (event_id BIGINT, tag STRING) WITH
+          ('connector'='filesystem', 'path'='{out2}', 'format'='parquet');
+        BEGIN STATEMENT SET;
+        INSERT INTO s1 SELECT event_id, value FROM fsrc
+          WHERE event_type = 'purchase';
+        INSERT INTO s2 SELECT event_id, upper(event_type) AS tag
+          FROM fsrc WHERE value > 50;
+        END;
+        """
+    )
+    # the whole statement set is ONE streaming query
+    assert len(result.streaming_queries) == 1
+    _wait_all(result)
+    src_df = spark.read.parquet(src)
+    assert (
+        spark.read.parquet(out1).count()
+        == src_df.filter("event_type = 'purchase'").count()
+    )
+    assert (
+        spark.read.parquet(out2).count()
+        == src_df.filter("value > 50").count()
+    )
+
+
+def test_read_once_falls_back_for_aggregates(spark, sf_dir, tmp_path):
+    from flink_streaming_platform_web_spark.tables import load
+
+    src = f"{tmp_path}/fb_src"
+    load(spark, sf_dir, "events").select("event_type", "value").write.parquet(src)
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        SET graft.statement-set.read-once = 'true';
+        CREATE TABLE bsrc (event_type STRING, value DOUBLE) WITH
+          ('connector'='filesystem', 'path'='{src}', 'format'='parquet');
+        CREATE TABLE k1 (event_type STRING, n BIGINT,
+          PRIMARY KEY (event_type) NOT ENFORCED) WITH ('connector'='jdbc');
+        CREATE TABLE k2 (event_type STRING) WITH ('connector'='blackhole');
+        INSERT INTO k1 SELECT event_type, COUNT(*) AS n FROM bsrc
+          GROUP BY event_type;
+        INSERT INTO k2 SELECT event_type FROM bsrc;
+        """
+    )
+    # aggregation present -> falls back to one query per INSERT
+    assert len(result.streaming_queries) == 2
+    _wait_all(result)
+    got = {
+        r["event_type"]: r["n"]
+        for r in runner.upsert_stores["k1"].to_df(spark).collect()
+    }
+    expected = {
+        r["event_type"]: r["n"]
+        for r in spark.sql(
+            f"SELECT event_type, COUNT(*) AS n FROM parquet.`{src}`"
+            " GROUP BY 1"
+        ).collect()
+    }
+    assert got == expected
