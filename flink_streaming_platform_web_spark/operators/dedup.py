@@ -409,8 +409,53 @@ FROM votes GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# dd07 — embedding-cosine near-dup for DOCUMENTS: the cross-modal
+# variant (docs joined to their embedding rows on id, pairs above
+# cosine threshold are dedup candidates). Reuses the bit-stable
+# broadcast-matrix kernel from similarity.ann02; at scale the
+# embedding table is the dedup index and the doc join happens only
+# for surviving candidate pairs.
+# --------------------------------------------------------------------------
+
+
+def dd07_embed_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_streaming_platform_web_spark.operators.similarity import (
+        ann02_embed_neardup_pairs,
+    )
+
+    pairs = ann02_embed_neardup_pairs(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    da = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b")
+    )
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select("id_a", "id_b", "cos_sim", "lang_a", "lang_b")
+    )
+
+
+def _oracle_dd07() -> str:
+    from flink_streaming_platform_web_spark.operators.similarity import (
+        ORACLE_ANN02,
+    )
+
+    return f"""
+WITH pairs AS ({ORACLE_ANN02})
+SELECT id_a, id_b, cos_sim, da.lang AS lang_a, db.lang AS lang_b
+FROM pairs
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+"""
+
+
 QUERIES = {
     "dd01_dedup_exact": dd01_dedup_exact,
+    "dd07_embed_neardup_docs": dd07_embed_neardup_docs,
     "dd02_ngram_jaccard_pairs": dd02_ngram_jaccard_pairs,
     "dd03_minhash_signatures": dd03_minhash_signatures,
     "dd04_minhash_lsh_pairs": dd04_minhash_lsh_pairs,
@@ -419,6 +464,7 @@ QUERIES = {
 
 ORACLES = {
     "dd01_dedup_exact": ORACLE_DD01,
+    "dd07_embed_neardup_docs": _oracle_dd07(),
     "dd02_ngram_jaccard_pairs": ORACLE_DD02,
     "dd03_minhash_signatures": ORACLE_DD03,
     "dd04_minhash_lsh_pairs": ORACLE_DD04,

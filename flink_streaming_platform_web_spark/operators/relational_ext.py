@@ -291,6 +291,43 @@ GROUP BY label, d
 """
 
 
+# --------------------------------------------------------------------------
+# q35 — the DataFrame pivot() API (wide metrics matrix: priority ×
+# status totals). Catalyst compiles pivot into the same conditional
+# aggregation the oracle spells out, so the hash gate also pins that
+# equivalence.
+# --------------------------------------------------------------------------
+
+
+def q35_pivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+        )
+        .withColumnsRenamed({"F": "total_f", "O": "total_o", "P": "total_p"})
+    )
+
+
+ORACLE_Q35 = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+            THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS total_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+            THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS total_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+            THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS total_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q26_asof_join": q26_asof_join,
     "q27_grouping_sets": q27_grouping_sets,
@@ -299,6 +336,7 @@ QUERIES = {
     "q30_explode_tokens": q30_explode_tokens,
     "q31_topk_per_group": q31_topk_per_group,
     "q32_embedding_centroids": q32_embedding_centroids,
+    "q35_pivot_api": q35_pivot_api,
 }
 
 ORACLES = {
@@ -309,4 +347,5 @@ ORACLES = {
     "q30_explode_tokens": ORACLE_Q30,
     "q31_topk_per_group": ORACLE_Q31,
     "q32_embedding_centroids": ORACLE_Q32,
+    "q35_pivot_api": ORACLE_Q35,
 }

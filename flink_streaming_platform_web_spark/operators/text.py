@@ -192,11 +192,46 @@ FROM documents
 """
 
 
+def tx05_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus roll-up over the quality metrics — the
+    summary table a filtering pipeline reports after scoring: doc
+    counts, token mass, mean quality, share kept at a threshold."""
+    scored = tx02_quality_score(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        scored.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("mean_quality"),
+            F.sum((F.col("quality") >= 0.8).cast("int")).alias("n_kept"),
+        )
+    )
+
+
+ORACLE_TX05 = f"""
+WITH scored AS ({ORACLE_TX02})
+SELECT d.lang, COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_quality,
+       SUM(CAST(quality >= 0.8 AS INT)) AS n_kept
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
 QUERIES = {
     "tx01_langid": tx01_langid,
     "tx02_quality_score": tx02_quality_score,
     "tx03_token_count": tx03_token_count,
     "tx04_fingerprint": tx04_fingerprint,
+    "tx05_corpus_stats_by_lang": tx05_corpus_stats_by_lang,
 }
 
 ORACLES = {
@@ -204,4 +239,5 @@ ORACLES = {
     "tx02_quality_score": ORACLE_TX02,
     "tx03_token_count": ORACLE_TX03,
     "tx04_fingerprint": ORACLE_TX04,
+    "tx05_corpus_stats_by_lang": ORACLE_TX05,
 }

@@ -100,3 +100,35 @@ def test_q21_whole_stage_codegen(spark, sf_dir):
     # no Python evaluation in the relational inventory's hot path
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_dd02_two_shuffles_no_python(spark, sf_dir):
+    """The dedup pair pipeline's scale contract: exactly the two
+    planned exchanges (member-list grouping + pair counting), plus the
+    explicit input-spreading repartition; no Python in the plan."""
+    from flink_streaming_platform_web_spark.operators.dedup import (
+        dd02_ngram_jaccard_pairs,
+    )
+    from flink_streaming_platform_web_spark.plans import (
+        executed_plan,
+        has_python_eval,
+        shuffle_count,
+    )
+
+    df = dd02_ngram_jaccard_pairs(spark, sf_dir)
+    assert shuffle_count(df) == 2
+    assert executed_plan(df).count("Exchange RoundRobinPartitioning") == 1
+    assert not has_python_eval(df)
+
+
+def test_tx_ops_shuffle_free(spark, sf_dir):
+    """Per-document text analysis must be a single scan pass — zero
+    exchanges of any kind."""
+    from flink_streaming_platform_web_spark.operators.text import (
+        tx02_quality_score,
+        tx04_fingerprint,
+    )
+    from flink_streaming_platform_web_spark.plans import executed_plan
+
+    for fn in (tx02_quality_score, tx04_fingerprint):
+        assert "Exchange" not in executed_plan(fn(spark, sf_dir))
