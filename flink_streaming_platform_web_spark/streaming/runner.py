@@ -423,7 +423,21 @@ class JobRunner:
     ) -> None:
         c = sink.connector
         upsert = bool(sink.primary_key)
-        if upsert:
+        if upsert and c == "filesystem":
+            # durable PK sink: MERGE-emulating parquet upsert
+            from flink_streaming_platform_web_spark.streaming.parquet_upsert import (
+                ParquetUpsertSink,
+            )
+
+            psink = ParquetUpsertSink(
+                sink.options["path"], sink.primary_key
+            )
+            self.parquet_upserts = getattr(self, "parquet_upserts", {})
+            self.parquet_upserts[sink.name] = psink
+            writer = df.writeStream.outputMode("update").foreachBatch(
+                psink.foreach_batch()
+            )
+        elif upsert:
             # PRIMARY KEY sink → update-mode agg + keyed MERGE
             # (demo_1.md upsert path; SURVEY §7.3)
             store = self.upsert_stores.setdefault(
