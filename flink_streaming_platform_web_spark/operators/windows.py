@@ -189,8 +189,65 @@ SELECT user_id, event_type, latest_value, latest_ts FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q36 — CUMULATE window (Flink 1.13 windowing TVF surface: expanding
+# windows from a shared start, step 15 min up to size 1 hour). Spark
+# has no native cumulate; the declarative expansion assigns each event
+# to every not-yet-closed expansion of its hour — an explode over
+# size/step rows, then a plain hash agg. Same shape at any scale: the
+# fan-out factor is the constant size/step, not data-dependent.
+# --------------------------------------------------------------------------
+
+_CUM_STEPS = 4  # 1 hour / 15 minutes
+
+
+def q36_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    hs = F.date_trunc("hour", F.col("ts"))
+    expanded = (
+        events.withColumn("hs", hs)
+        .withColumn(
+            "k", F.explode(F.sequence(F.lit(1), F.lit(_CUM_STEPS)))
+        )
+        .withColumn(
+            "wend", F.expr("timestampadd(MINUTE, 15 * k, hs)")
+        )
+        .filter(F.col("wend") > F.col("ts"))
+    )
+    return (
+        expanded.groupBy("hs", "wend", "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("hs", _FMT).alias("window_start"),
+            F.date_format("wend", _FMT).alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_Q36 = f"""
+WITH expanded AS (
+  SELECT date_trunc('hour', ts) AS hs,
+         date_trunc('hour', ts) + INTERVAL 1 MINUTE * (15 * k) AS wend,
+         event_type, value, ts
+  FROM events
+  CROSS JOIN (SELECT unnest(generate_series(1, {_CUM_STEPS})) AS k)
+)
+SELECT strftime(hs, '{_OFMT}') AS window_start,
+       strftime(wend, '{_OFMT}') AS window_end,
+       event_type, COUNT(*) AS n_events,
+       {oracle_dsum('value', 'sum_value')}
+FROM expanded
+WHERE wend > ts
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q22_tumble_window": q22_tumble_window,
+    "q36_cumulate_window": q36_cumulate_window,
     "q23_hop_window": q23_hop_window,
     "q24_session_window": q24_session_window,
     "q25_cdc_latest_state": q25_cdc_latest_state,
@@ -198,6 +255,7 @@ QUERIES = {
 
 ORACLES = {
     "q22_tumble_window": ORACLE_Q22,
+    "q36_cumulate_window": ORACLE_Q36,
     "q23_hop_window": ORACLE_Q23,
     "q24_session_window": ORACLE_Q24,
     "q25_cdc_latest_state": ORACLE_Q25,
