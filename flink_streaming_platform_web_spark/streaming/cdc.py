@@ -95,6 +95,82 @@ def foreach_batch_apply_changelog(store: KeyedStore):
     return apply
 
 
+def cdc_incremental_agg(
+    changelog: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    store: KeyedStore,
+):
+    """Retraction-aware continuous aggregation over a changelog — the
+    Spark rebuild of Flink's retract-stream aggregation (what makes
+    `SELECT k, SUM(x), COUNT(*) FROM cdc_table GROUP BY k` stay
+    correct under updates and deletes).
+
+    Mechanism: every change explodes into signed contribution rows
+    (+after for c/u/r, -before for u/d), the micro-batch aggregates
+    the SIGNED deltas per group (one shuffle on the group key, partial
+    aggregation applies), and `foreachBatch` folds the deltas into the
+    keyed store. State size = number of groups; per-batch work = rows
+    touched. Groups whose count drops to 0 are removed — Flink's
+    retraction of an emptied group.
+
+    Returns a foreachBatch callback. Determinism: integer counts plus
+    whatever numeric discipline the caller applies to `sum_cols`
+    (decimal-carried doubles recommended, see _portable.py).
+    """
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        plus = batch.filter(
+            F.col("__op").isin(*UPSERT_OPS) & F.col("__after").isNotNull()
+        ).select(
+            *[F.col(f"__after.{g}").alias(g) for g in group_cols],
+            F.lit(1).alias("__cnt"),
+            *[F.col(f"__after.{c}").alias(c) for c in sum_cols],
+        )
+        minus = batch.filter(
+            F.col("__op").isin("u", "d") & F.col("__before").isNotNull()
+        ).select(
+            *[F.col(f"__before.{g}").alias(g) for g in group_cols],
+            F.lit(-1).alias("__cnt"),
+            *[(-F.col(f"__before.{c}")).alias(c) for c in sum_cols],
+        )
+        deltas = (
+            plus.unionByName(minus)
+            .groupBy(*group_cols)
+            .agg(
+                F.sum("__cnt").alias("__d_cnt"),
+                *[
+                    F.sum(F.col(c).cast("decimal(18,2)")).alias(f"__d_{c}")
+                    for c in sum_cols
+                ],
+            )
+        )
+        if store.schema is None:
+            store.schema = deltas.select(
+                *group_cols,
+                F.col("__d_cnt").alias("n"),
+                *[
+                    F.col(f"__d_{c}").cast("double").alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            ).schema
+        for row in deltas.toLocalIterator():
+            key = tuple(row[g] for g in group_cols)
+            cur = store.rows.get(key)
+            n = (cur["n"] if cur else 0) + row["__d_cnt"]
+            if n <= 0:
+                store.rows.pop(key, None)
+                continue
+            merged = {g: row[g] for g in group_cols}
+            merged["n"] = n
+            for c in sum_cols:
+                prev = cur[f"sum_{c}"] if cur else 0.0
+                merged[f"sum_{c}"] = prev + float(row[f"__d_{c}"])
+            store.rows[key] = merged
+
+    return apply
+
+
 def materialize_latest(
     changelog: DataFrame, key_cols: list[str]
 ) -> DataFrame:

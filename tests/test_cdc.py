@@ -82,3 +82,46 @@ def test_materialize_latest_batch_equivalent(spark):
         r["id"]: (r["name"], r["description"]) for r in latest.collect()
     }
     assert got == FINAL
+
+
+def test_cdc_incremental_agg_retracts(spark):
+    """Retraction-aware SUM/COUNT per key over a changelog: updates
+    move contributions between groups, deletes remove them; the
+    continuous aggregate must equal the batch aggregate over the
+    FINAL table state — including a group emptied by a delete."""
+    import json as _json
+
+    from flink_streaming_platform_web_spark.streaming.cdc import (
+        cdc_incremental_agg,
+    )
+
+    ddl = "id INT, grp STRING, amount DOUBLE"
+
+    def env(op, before, after, ts):
+        return _json.dumps(
+            {"op": op, "before": before, "after": after, "ts_ms": ts}
+        )
+
+    ops = [
+        env("c", None, {"id": 1, "grp": "a", "amount": 10.0}, 1),
+        env("c", None, {"id": 2, "grp": "a", "amount": 5.0}, 2),
+        env("c", None, {"id": 3, "grp": "b", "amount": 7.0}, 3),
+        # move id=2 from group a to group b with a new amount
+        env("u", {"id": 2, "grp": "a", "amount": 5.0},
+            {"id": 2, "grp": "b", "amount": 6.0}, 4),
+        # delete the only remaining row of... id=3
+        env("d", {"id": 3, "grp": "b", "amount": 7.0}, None, 5),
+        # and empty group 'c' after creating it
+        env("c", None, {"id": 4, "grp": "c", "amount": 1.0}, 6),
+        env("d", {"id": 4, "grp": "c", "amount": 1.0}, None, 7),
+    ]
+    raw = spark.createDataFrame([(v,) for v in ops], "value STRING")
+    changelog = decode_debezium(raw, ddl)
+    store = KeyedStore(["grp"])
+    cdc_incremental_agg(changelog, ["grp"], ["amount"], store)(changelog, 0)
+    got = {
+        k[0]: (v["n"], v["sum_amount"]) for k, v in store.rows.items()
+    }
+    # final table state: id1(a,10), id2(b,6) -> a:(1,10.0) b:(1,6.0),
+    # group c emptied and retracted entirely
+    assert got == {"a": (1, 10.0), "b": (1, 6.0)}

@@ -144,3 +144,42 @@ def test_parquet_upsert_sink_converges_and_replays(spark, tmp_path):
     assert ptr_after == ptr_before
     got2 = {r["k"]: r["n"] for r in psink.read_state(spark).collect()}
     assert got2 == got
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exactly-once-per-id ingestion: duplicate event ids
+    arriving across micro-batches are dropped while inside the
+    watermark TTL — the `table.exec.source.cdc-events-duplicate`
+    analog (demo_6.md §2.2.1) with bounded state."""
+    src = f"{tmp_path}/dd_src"
+
+    def w(rows):
+        from datetime import datetime
+
+        spark.createDataFrame(
+            [(i, datetime.fromisoformat(t)) for i, t in rows],
+            "event_id LONG, ts TIMESTAMP",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    w([(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:05")])
+    sdf = (
+        spark.readStream.schema("event_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/dd_ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    # redelivery of id=1 (same id, later ts) + a fresh id=3
+    w([(1, "2024-01-01 00:10:00"), (3, "2024-01-01 00:00:30")])
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r["event_id"] for r in spark.table("dedup_out").collect())
+    assert ids == [1, 2, 3]  # the duplicate id=1 appears exactly once
