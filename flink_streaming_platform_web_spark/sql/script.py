@@ -137,6 +137,33 @@ def parse_script(script: str) -> list[SqlCommandCall]:
     return [classify(s) for s in split_statements(script)]
 
 
+_VAR_RE = re.compile(r"\$\{(\w+)\}")
+
+
+def substitute_variables(
+    script: str,
+    mapping: dict[str, str] | None = None,
+    use_env: bool = True,
+) -> str:
+    """``${var}`` placeholder substitution — the reference resolves
+    these from Nacos config before submission
+    (JobBaseServiceAOImpl.java:430-461). Resolution order: explicit
+    mapping, then process environment (our config source); unresolved
+    placeholders raise, matching the reference's fail-fast behavior.
+    """
+    import os
+
+    def repl(m: re.Match[str]) -> str:
+        name = m.group(1)
+        if mapping and name in mapping:
+            return mapping[name]
+        if use_env and name in os.environ:
+            return os.environ[name]
+        raise SqlParseError(f"unresolved script variable: ${{{name}}}")
+
+    return _VAR_RE.sub(repl, script)
+
+
 SET_RE = re.compile(r"set\s+(\S+?)\s*=\s*(.+)", re.IGNORECASE | re.DOTALL)
 
 

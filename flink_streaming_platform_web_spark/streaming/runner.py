@@ -156,7 +156,15 @@ class JobRunner:
 
     # -- statement dispatch -------------------------------------------------
 
-    def execute_script(self, script: str) -> ExecutionResult:
+    def execute_script(
+        self, script: str, variables: dict[str, str] | None = None
+    ) -> ExecutionResult:
+        from flink_streaming_platform_web_spark.sql.script import (
+            substitute_variables,
+        )
+
+        if variables or "${" in script:
+            script = substitute_variables(script, variables)
         calls = parse_script(script)
         inserts: list[InsertJob] = []
         result = ExecutionResult()

@@ -113,3 +113,25 @@ def test_computed_column_translation(spark):
         spark.createDataFrame([(1,)], "a INT"), t
     )
     assert dict(df.dtypes)["p"] == "timestamp"
+
+
+def test_lenient_json_decode(spark):
+    """The reference sets 'json.ignore-parse-errors'='true' in every
+    kafka DDL (demo_1.md): malformed payloads must decode to nulls,
+    not fail the stream. PERMISSIVE from_json is the contract."""
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame(
+        [('{"id": 7, "day_time": "20201009", "amnount": 20}',),
+         ("not json at all",),
+         ('{"id": "wrong-type"}',)],
+        "value STRING",
+    )
+    decoded = raw.select(
+        F.from_json("value", "id BIGINT, day_time STRING, amnount BIGINT")
+        .alias("v")
+    ).select("v.*")
+    rows = decoded.collect()
+    assert (rows[0]["id"], rows[0]["amnount"]) == (7, 20)
+    assert rows[1]["id"] is None  # malformed → null row, stream alive
+    assert rows[2]["id"] is None  # type mismatch → null field

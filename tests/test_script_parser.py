@@ -120,3 +120,36 @@ def test_parse_script_demo():
 )
 def test_parse_set(stmt, expected):
     assert parse_set(stmt) == expected
+
+
+def test_variable_substitution():
+    from flink_streaming_platform_web_spark.sql.script import (
+        substitute_variables,
+    )
+
+    out = substitute_variables(
+        "CREATE TABLE t (a INT) WITH ('path'='${data_dir}/t');"
+        "INSERT INTO ${target} SELECT a FROM t;",
+        {"data_dir": "/data", "target": "sink1"},
+    )
+    assert "'/data/t'" in out and "INTO sink1 " in out
+
+
+def test_variable_substitution_env(monkeypatch):
+    from flink_streaming_platform_web_spark.sql.script import (
+        substitute_variables,
+    )
+
+    monkeypatch.setenv("GRAFT_TEST_VAR", "42")
+    assert substitute_variables("SELECT ${GRAFT_TEST_VAR}") == "SELECT 42"
+
+
+def test_variable_unresolved_raises():
+    import pytest as _pytest
+
+    from flink_streaming_platform_web_spark.sql.script import (
+        substitute_variables,
+    )
+
+    with _pytest.raises(SqlParseError, match="unresolved"):
+        substitute_variables("SELECT ${nope_not_set_anywhere}")
