@@ -84,7 +84,16 @@ def validate_script(
 
 def _spark_parse(spark: SparkSession | None, stmt: str) -> None:
     """Syntax-check via Spark's parser when a session is available
-    (the CalciteParser.parse analog, SqlValidation.java:98-99)."""
+    (the CalciteParser.parse analog, SqlValidation.java:98-99). The
+    same Flink→Spark expression translation the runner applies happens
+    first, so Flink-dialect constructs (FOR SYSTEM_TIME AS OF …)
+    validate exactly as they execute."""
     if spark is None:
         return
-    spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
+    from flink_streaming_platform_web_spark.functions.flink_compat import (
+        translate_expr,
+    )
+
+    spark._jsparkSession.sessionState().sqlParser().parsePlan(
+        translate_expr(stmt)
+    )
