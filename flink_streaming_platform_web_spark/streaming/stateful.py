@@ -69,3 +69,111 @@ def running_counts(
     return df.groupBy(key_col).applyInPandasWithState(
         update, OUTPUT_SCHEMA, STATE_SCHEMA, "update", timeout
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "key bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint"
+)
+SESSION_STATE_SCHEMA = (
+    "starts array<bigint>, ends array<bigint>, counts array<bigint>"
+)
+
+
+def _merge_sessions(
+    items: list[tuple[int, int, int]], gap_us: int
+) -> list[tuple[int, int, int]]:
+    """Gap-merge sweep over (start_us, end_us, count) intervals.
+
+    Merging pre-merged session intervals with raw event points is
+    equivalent to sessionizing the union of raw events: gap-merge is
+    the transitive closure of within-gap proximity, so it is
+    associative over micro-batches — the property that makes the
+    cross-batch operator converge to the batch oracle.
+    """
+    items.sort()
+    out: list[tuple[int, int, int]] = []
+    for s, e, n in items:
+        if out and s - out[-1][1] <= gap_us:
+            ps, pe, pn = out[-1]
+            out[-1] = (ps, max(pe, e), pn + n)
+        else:
+            out.append((s, e, n))
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Cross-micro-batch event-time session windows as a custom
+    stateful operator (``applyInPandasWithState``).
+
+    Spark's built-in ``session_window`` cannot merge sessions across
+    micro-batches in complete mode (BACKLOG: st03 mis-merge) and
+    forbids update mode; the reference's users would reach for a Flink
+    process function here. This operator keeps the per-key session
+    list (start, end, count) in the state store and gap-merges each
+    batch's events into it, emitting the key's full current session
+    set every update — downstream, a replace-by-key sink converges to
+    exactly the batch sessionization.
+
+    Scale posture: state is per-key and sharded across executors by
+    the groupBy; per-key state is bounded by that key's session count
+    (production adds EventTimeTimeout finalization to drop sessions
+    sealed by the watermark — the emit contract is unchanged).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        items: list[tuple[int, int, int]] = []
+        if state.exists:
+            starts, ends, counts = state.get
+            items.extend(zip(starts, ends, counts))
+        for pdf in batches:
+            # normalize to epoch-µs regardless of the Arrow batch's
+            # datetime64 unit (ns locally, µs from parquet readers)
+            ts_us = (
+                pd.to_datetime(pdf[ts_col])
+                .values.astype("datetime64[us]")
+                .astype("int64")
+            )
+            items.extend((int(t), int(t), 1) for t in ts_us)
+        merged = _merge_sessions(items, gap_us)
+        state.update(
+            (
+                [s for s, _, _ in merged],
+                [e for _, e, _ in merged],
+                [n for _, _, n in merged],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(merged),
+                "session_start": [
+                    pd.Timestamp(s, unit="us") for s, _, _ in merged
+                ],
+                "session_end": [
+                    pd.Timestamp(e, unit="us") for _, e, _ in merged
+                ],
+                "n_events": [n for _, _, n in merged],
+            }
+        )
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        .withColumnRenamed("key", key_col)
+    )

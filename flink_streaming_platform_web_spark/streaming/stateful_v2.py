@@ -1,0 +1,79 @@
+"""Custom stateful operators on the Spark 4 ``transformWithState``
+seam (``transformWithStateInPandas``, the successor of
+``applyInPandasWithState`` — BACKLOG round-2 item).
+
+Same operator contract as streaming/stateful.py, different substrate:
+typed state variables (ValueState/ListState/MapState) with optional
+per-state TTL, timers, and initial-state bootstrap. This is where the
+reference's "custom Flink process function in a jar" workload lands
+going forward; applyInPandasWithState remains for the 3.x-compatible
+path.
+
+State is per-key in the state store (RocksDB-capable), sharded by the
+groupBy — the 100 TB posture is unchanged from stateful.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+OUTPUT_SCHEMA = "key string, n bigint, total double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+class RunningCountProcessor(StatefulProcessor):
+    """Per-key running (count, sum) — the canonical stateful shape,
+    now with typed ValueState and optional state TTL (the
+    dedup-with-TTL / rate-tracker building block)."""
+
+    def __init__(self, value_col: str, ttl_ms: int | None = None) -> None:
+        self._value_col = value_col
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._agg = handle.getValueState("agg", STATE_SCHEMA, self._ttl_ms)
+
+    def handleInputRows(
+        self,
+        key: Any,
+        rows: Iterator[pd.DataFrame],
+        timerValues: TimerValues,
+    ) -> Iterator[pd.DataFrame]:
+        prior = self._agg.get()
+        n, total = prior if prior is not None else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf[self._value_col].sum())
+        self._agg.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+    def close(self) -> None:
+        pass
+
+
+def running_counts_v2(
+    df: DataFrame,
+    key_col: str = "k",
+    value_col: str = "v",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """transformWithState twin of stateful.running_counts: per-key
+    running (count, sum) emitted on every update; with ``ttl_ms`` set,
+    a key idle past the TTL restarts from zero (state expiry — the
+    TTL-dedup primitive)."""
+    return df.groupBy(key_col).transformWithStateInPandas(
+        RunningCountProcessor(value_col, ttl_ms),
+        OUTPUT_SCHEMA,
+        "Update",
+        "None",
+    )

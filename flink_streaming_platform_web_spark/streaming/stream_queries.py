@@ -178,14 +178,68 @@ GROUP BY user_id, sess_id
 """
 
 
+def st04_stream_session_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE cross-micro-batch sessionization — the custom stateful
+    operator (streaming/stateful.sessionize, applyInPandasWithState)
+    that the built-in session_window cannot express (st03's
+    single-batch caveat): 4 micro-batches, per-user session state
+    gap-merged across batches, replace-by-key sink; final state ==
+    the gaps-and-islands batch oracle."""
+    from flink_streaming_platform_web_spark.streaming.stateful import (
+        sessionize,
+    )
+    from flink_streaming_platform_web_spark.streaming.upsert import (
+        GroupReplaceStore,
+        foreach_batch_upsert,
+    )
+
+    path = _events_as_stream_source(spark, sf_dir, "st04", files=4)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    sessions = sessionize(stream, "user_id", "ts", gap_minutes=30)
+    store = GroupReplaceStore(["user_id"], ["session_start"])
+    # stateful shuffle partitions == state-store count is fixed at the
+    # first checkpoint; 8 is plenty for the test key space (at scale
+    # this is sized to executor count once, like any Flink max-parallelism)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            sessions.writeStream.outputMode("update")
+            .foreachBatch(foreach_batch_upsert(store))
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
+        query.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        store.to_df(spark)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
 QUERIES = {
     "st01_stream_tumble_window": st01_stream_tumble_window,
     "st02_stream_upsert_agg": st02_stream_upsert_agg,
     "st03_stream_session_window": st03_stream_session_window,
+    "st04_stream_session_custom": st04_stream_session_custom,
 }
 
 ORACLES = {
     "st01_stream_tumble_window": ORACLE_ST01,
     "st02_stream_upsert_agg": ORACLE_ST02,
     "st03_stream_session_window": ORACLE_ST03,
+    "st04_stream_session_custom": ORACLE_ST03,
 }

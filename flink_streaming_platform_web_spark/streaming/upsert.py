@@ -55,6 +55,34 @@ class KeyedStore:
         return spark.createDataFrame(rows, self.schema)
 
 
+class GroupReplaceStore(KeyedStore):
+    """Keyed store whose upsert unit is a GROUP of rows: each batch
+    replaces every group key it touches with that key's full new row
+    set. The convergence target for operators that re-emit a key's
+    complete current result per update (e.g. the sessionize operator,
+    whose session list for a user can shrink as sessions merge —
+    row-level upsert would leave stale session rows behind)."""
+
+    def __init__(self, group_cols: list[str], row_cols: list[str]) -> None:
+        super().__init__(group_cols + row_cols)
+        self.group_cols = group_cols
+
+    def merge_batch(self, batch: DataFrame) -> None:
+        self.schema = batch.schema
+        rows = [r.asDict() for r in batch.toLocalIterator()]
+        touched = {tuple(r[c] for c in self.group_cols) for r in rows}
+        with self._lock:
+            self.rows = {
+                k: v
+                for k, v in self.rows.items()
+                if tuple(
+                    v[c] for c in self.group_cols
+                ) not in touched
+            }
+            for row in rows:
+                self.rows[self._key(row)] = row
+
+
 def foreach_batch_upsert(store: KeyedStore):
     """foreachBatch callback: MERGE the micro-batch into the store.
     Epoch id makes redelivery idempotent by construction here (upsert
