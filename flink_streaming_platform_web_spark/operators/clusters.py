@@ -1,19 +1,24 @@
 """Duplicate-cluster assignment: connected components over the
-near-dup pair graph (dd02's output) by iterative minimum-label
-propagation.
+near-dup pair graph (dd02's output) by alternating large-star /
+small-star contraction (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — the published MapReduce-native
+algorithm; no reference-repo analog, the reference delegates all
+relational work to Flink SQL which has no CC operator).
 
 This is the step real dedup pipelines run after pair generation —
 pairs don't dedupe anything until they're folded into clusters with
-one survivor per cluster. The Spark implementation is the classic
-distributed label propagation: every node starts as its own label;
-each round, every node takes the min of its own and its neighbors'
-labels; fixpoint in O(component diameter) rounds. All data stays
-distributed (joins + groupBy per round, one scalar `count()` action
-for the convergence check); at 100 TB scale the same loop runs with
-the large-star/small-star optimization — the shape is identical.
+one survivor per cluster. Two properties make this the 100 TB shape:
 
-The oracle replays reachability with a recursive CTE (components here
-are tiny near-dup groups, so transitive closure is cheap for DuckDB).
+- **The loop never touches the corpus.** Only edge-endpoint nodes
+  (bounded by 2×|pairs|) enter the iteration; the full document set
+  is joined back exactly once at the end (isolated docs are their own
+  component by construction). At training-data scale the pair graph
+  is orders of magnitude smaller than the corpus.
+- **O(log d) rounds, not O(d).** Each large-star/small-star round
+  halves component height, so long chains converge exponentially
+  faster than min-label propagation; each round is one groupBy
+  (map-side combinable) + explode, all distributed, one `count()`
+  action for the convergence check.
 """
 
 from __future__ import annotations
@@ -32,44 +37,96 @@ from flink_streaming_platform_web_spark.tables import load
 MAX_ITERATIONS = 20
 
 
+def _neighborhood_min_edges(
+    directed: DataFrame, keep_self: bool
+) -> DataFrame:
+    """Shared star step: per node u the min m of N(u) ∪ {u}; emit
+    (v, m) for each neighbor v (plus u itself when ``keep_self``),
+    dropping self-loops."""
+    grouped = (
+        directed.groupBy("src")
+        .agg(F.collect_set("dst").alias("nbrs"))
+        .withColumn("m", F.least(F.col("src"), F.array_min("nbrs")))
+    )
+    members = (
+        F.array_union("nbrs", F.array("src")) if keep_self else F.col("nbrs")
+    )
+    return grouped.select("m", F.explode(members).alias("v"), "src")
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # no explicit distinct: the next star step's collect_set dedups
+    # per-node neighbor lists, so duplicate edges cost nothing extra
+    return (
+        _neighborhood_min_edges(sym, keep_self=False)
+        .where(F.col("v") > F.col("src"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Direct each edge large→small, then connect every neighbor
+    (and u itself) to the neighborhood min."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return (
+        _neighborhood_min_edges(directed, keep_self=True)
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, node_col: str = "id"
 ) -> DataFrame:
     """(nodes[id], edges[src,dst]) → (id, component) with component =
     min node id reachable."""
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    def _sig(df: DataFrame) -> tuple:
+        # order-insensitive edge-set signature: one partial-aggregated
+        # scan, no join/subtract shuffle (collision odds ~2^-64/round)
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    # canonicalize to small-star orientation (larger → smaller) so an
+    # input that is already a star forest converges on the first
+    # signature comparison instead of burning a round on re-orientation
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .persist()
     )
-    labels = nodes.select(
-        F.col(node_col).alias("id"), F.col(node_col).alias("label")
-    ).persist()
+    sig = _sig(e)
     for _ in range(MAX_ITERATIONS):
-        neighbor_min = (
-            sym.join(labels, sym.src == labels.id)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        new_e = _small_star(_large_star(e)).persist()
+        new_sig = _sig(new_e)
+        e.unpersist()
+        e, converged = new_e, new_sig == sig
+        sig = new_sig
+        if converged:
             break
-    return labels.select("id", F.col("label").alias("component"))
+    # at fixpoint every edge points node → component-min root
+    labels = e.select(F.col("src").alias("id"), F.col("dst").alias("label"))
+    all_nodes = nodes.select(F.col(node_col).alias("id"))
+    return (
+        all_nodes.join(labels, "id", "left")
+        .select(
+            "id", F.coalesce("label", "id").alias("component")
+        )
+    )
 
 
 def dd06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,3 +31,19 @@ def test_connected_components_transitive_via_hub(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert set(got.values()) == {1}
+
+
+def test_connected_components_long_chain_and_isolates(spark):
+    """64-node chain: O(log d) star contraction must converge inside
+    MAX_ITERATIONS (plain min-propagation would need 63 rounds);
+    isolated nodes never enter the loop and stay their own component."""
+    nodes = spark.range(0, 70)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src LONG, dst LONG"
+    )
+    res = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert all(res[i] == 0 for i in range(64))
+    assert all(res[i] == i for i in range(64, 70))
