@@ -448,11 +448,129 @@ SELECT query_id, cell, neighbor_id, rk, cos_sim FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# ann05 — IVF multi-probe (nprobe=2): each query brute-forces its TWO
+# nearest cells instead of one (the recall knob of every IVF index —
+# BACKLOG round-2 item). Corpus vectors stay assigned to exactly one
+# cell, so probe candidate sets are disjoint and the probe join's
+# output is bounded by nprobe × |cell|. Scoring inside probed cells is
+# already exact cosine, so the shortlist IS the re-rank.
+# --------------------------------------------------------------------------
+
+N_PROBE = 2
+
+
+def ann05_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    labels, C = _centroids(spark, sf_dir)
+    cb = spark.sparkContext.broadcast((labels, C))
+
+    def assign_topn(n_cells: int):
+        def assign(batches):
+            lab, cent = cb.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["v"].to_numpy())
+                cos = np.round(_block_cosine(V, cent), 6)
+                order = np.lexsort(
+                    (np.broadcast_to(lab, cos.shape), -cos), axis=1
+                )[:, :n_cells]
+                m = order.shape[1]
+                out = pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(
+                            pdf["vec_id"].to_numpy(), m
+                        ),
+                        "cell": lab[order].ravel(),
+                        "v": pdf["v"].iloc[
+                            np.repeat(np.arange(len(pdf)), m)
+                        ].to_numpy(),
+                    }
+                )
+                yield out
+
+        return assign
+
+    schema = "vec_id long, cell int, v array<double>"
+    corpus = vecs.mapInPandas(assign_topn(1), schema)
+    query_probes = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .mapInPandas(assign_topn(N_PROBE), schema)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cell",
+            F.col("v").alias("qv"),
+        )
+    )
+    probed = corpus.join(query_probes, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = probed.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "rk", "cos_sim")
+    )
+
+
+ORACLE_ANN05 = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent_long AS (
+  SELECT label, d,
+         CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM (SELECT label, d::INT - 1 AS d, embedding[d] AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                      AS d))
+  GROUP BY label, d
+),
+cent AS (
+  SELECT label, list(m ORDER BY d) AS cv FROM cent_long GROUP BY label
+),
+ranked AS (
+  SELECT e.vec_id, e.v, c.label AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({_ORACLE_COS.format(a='e.v', b='c.cv')}, 6)
+                    DESC, c.label ASC) AS rn
+  FROM e CROSS JOIN cent c
+),
+corpus AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+query_probes AS (
+  SELECT vec_id AS query_id, v AS qv, cell
+  FROM ranked WHERE rn <= {N_PROBE} AND vec_id % {QUERY_MOD} = 0
+),
+probed AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         round({_ORACLE_COS.format(a='q.qv', b='a.v')}, 6) AS cos_sim
+  FROM query_probes q JOIN corpus a
+    ON q.cell = a.cell AND a.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rk, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM probed
+) WHERE rk <= {IVF_TOP_K}
+"""
+
+
 QUERIES = {
     "ann01_brute_topk": ann01_brute_topk,
     "ann02_embed_neardup_pairs": ann02_embed_neardup_pairs,
     "ann03_lsh_bucketed_neardup": ann03_lsh_bucketed_neardup,
     "ann04_ivf_search": ann04_ivf_search,
+    "ann05_ivf_multiprobe": ann05_ivf_multiprobe,
 }
 
 ORACLES = {
@@ -460,4 +578,5 @@ ORACLES = {
     "ann02_embed_neardup_pairs": ORACLE_ANN02,
     "ann03_lsh_bucketed_neardup": ORACLE_ANN03,
     "ann04_ivf_search": ORACLE_ANN04,
+    "ann05_ivf_multiprobe": ORACLE_ANN05,
 }
