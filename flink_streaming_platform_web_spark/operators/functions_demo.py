@@ -66,12 +66,44 @@ GROUP BY 1
 """
 
 
+def q37_flink_builtin_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink built-in scalars Spark lacks natively — SPLIT_INDEX,
+    TRUNCATE, SHA256, TO_BASE64 — running as Catalyst-inlined SQL UDFs
+    (functions/flink_builtins.py, registered at session build), i.e.
+    exactly the SQL a reference user's script would contain."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "q37_documents"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id,
+               split_index(source, '-', 0)        AS src_head,
+               truncate(n_chars / 7.0, 2)         AS words_est,
+               sha256(lang)                       AS lang_digest,
+               to_base64(substring(text, 1, 8))   AS head_b64
+        FROM q37_documents
+        """
+    )
+
+
+ORACLE_Q37 = """
+SELECT doc_id,
+       split_part(source, '-', 1)                            AS src_head,
+       trunc((n_chars / 7.0) * power(10, 2)) / power(10, 2)  AS words_est,
+       sha256(lang)                                          AS lang_digest,
+       base64(encode(substring(text, 1, 8)))                 AS head_b64
+FROM documents
+"""
+
+
 QUERIES = {
     "q33_flink_datetime_compat": q33_flink_datetime_compat,
     "q34_udf_json_bucket": q34_udf_json_bucket,
+    "q37_flink_builtin_suite": q37_flink_builtin_suite,
 }
 
 ORACLES = {
     "q33_flink_datetime_compat": ORACLE_Q33,
     "q34_udf_json_bucket": ORACLE_Q34,
+    "q37_flink_builtin_suite": ORACLE_Q37,
 }

@@ -67,4 +67,10 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Flink-compat scalar surface (SQL UDFs, Catalyst-inlined); cheap
+    # and idempotent, so every session — runner, tests, bench — gets it
+    from flink_streaming_platform_web_spark.functions import flink_builtins
+
+    flink_builtins.install(spark)
+    return spark

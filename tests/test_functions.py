@@ -78,3 +78,31 @@ def test_listener_fires_on_external_death(spark, sf_dir, tmp_path):
         assert store.alarms(jid)
     finally:
         spark.streams.removeListener(lst)
+
+
+def test_flink_builtin_sql_udfs(spark):
+    """Divergent Flink built-ins registered as Catalyst SQL UDFs at
+    session build (functions/flink_builtins.py)."""
+    row = spark.sql(
+        "SELECT split_index('a,b,c', ',', 0) AS s0,"
+        "       split_index('a,b,c', ',', 9) AS s_oob,"
+        "       split_index('a.b.c', '.', 1) AS s_dot,"
+        "       truncate(42.349, 2) AS t_pos,"
+        "       truncate(-42.349, 2) AS t_neg,"
+        "       to_base64('hi') AS b64,"
+        "       CAST(from_base64(to_base64('hi')) AS STRING) AS rt,"
+        "       sha256('') AS sha,"
+        "       convert_tz('2024-01-01 00:00:00','UTC','Asia/Shanghai')"
+        "         AS ctz"
+    ).collect()[0]
+    assert row["s0"] == "a" and row["s_oob"] is None
+    assert row["s_dot"] == "b"  # literal separator, not regex
+    assert row["t_pos"] == 42.34 and row["t_neg"] == -42.34
+    assert row["b64"] == "aGk=" and row["rt"] == "hi"
+    assert row["sha"].startswith("e3b0c44298fc1c149afbf4c8996fb924")
+    assert row["ctz"] == "2024-01-01 08:00:00"
+    bounds = spark.sql(
+        "SELECT min(r) AS lo, max(r) AS hi FROM "
+        "(SELECT rand_integer(5) AS r FROM range(200))"
+    ).collect()[0]
+    assert 0 <= bounds["lo"] and bounds["hi"] <= 4
