@@ -83,8 +83,42 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+# Below this many edges the pair graph trivially fits on the driver:
+# a local union-find replaces ~5 distributed jobs with one collect.
+# (The same two-tier strategy GraphFrames/GraphX users hand-roll; the
+# contraction loop stays the >threshold path.)
+SMALL_EDGE_LIMIT = 1_000_000
+
+
+def _union_find_labels(edge_rows: list) -> list[tuple[int, int]]:
+    """Driver-local union-find with path compression; returns
+    (node, min-reachable-node) for every edge endpoint."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edge_rows:
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # union by min so the root IS the component min
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, node_col: str = "id"
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    small_edge_limit: int = SMALL_EDGE_LIMIT,
 ) -> DataFrame:
     """(nodes[id], edges[src,dst]) → (id, component) with component =
     min node id reachable."""
@@ -110,16 +144,27 @@ def connected_components(
         .persist()
     )
     sig = _sig(e)
-    for _ in range(MAX_ITERATIONS):
-        new_e = _small_star(_large_star(e)).persist()
-        new_sig = _sig(new_e)
+    if sig[0] <= small_edge_limit:
+        pairs = _union_find_labels(
+            [(r["src"], r["dst"]) for r in e.collect()]
+        )
         e.unpersist()
-        e, converged = new_e, new_sig == sig
-        sig = new_sig
-        if converged:
-            break
-    # at fixpoint every edge points node → component-min root
-    labels = e.select(F.col("src").alias("id"), F.col("dst").alias("label"))
+        labels = nodes.sparkSession.createDataFrame(
+            pairs, "id long, label long"
+        )
+    else:
+        for _ in range(MAX_ITERATIONS):
+            new_e = _small_star(_large_star(e)).persist()
+            new_sig = _sig(new_e)
+            e.unpersist()
+            e, converged = new_e, new_sig == sig
+            sig = new_sig
+            if converged:
+                break
+        # at fixpoint every edge points node → component-min root
+        labels = e.select(
+            F.col("src").alias("id"), F.col("dst").alias("label")
+        )
     all_nodes = nodes.select(F.col(node_col).alias("id"))
     return (
         all_nodes.join(labels, "id", "left")

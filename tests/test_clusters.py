@@ -41,9 +41,18 @@ def test_connected_components_long_chain_and_isolates(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "src LONG, dst LONG"
     )
+    # small_edge_limit=0 forces the distributed star-contraction path
     res = {
         r["id"]: r["component"]
-        for r in connected_components(nodes, edges).collect()
+        for r in connected_components(
+            nodes, edges, small_edge_limit=0
+        ).collect()
     }
     assert all(res[i] == 0 for i in range(64))
     assert all(res[i] == i for i in range(64, 70))
+    # default path (driver union-find under the threshold) must agree
+    res2 = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert res2 == res
