@@ -209,22 +209,41 @@ WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
 # --------------------------------------------------------------------------
 
 
-def _minhash_long(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, perm, minhash) long-format signatures."""
+def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h15) signatures in ONE aggregation: all 16
+    permutation hashes are computed as column expressions on each
+    shingle row (columnar, codegen) and min-ed together, so the plan
+    shuffles each doc's shingle rows once — no 16× explode/crossJoin
+    fan-out ahead of the shuffle. At 100 TB this is the difference
+    between shuffling the shingle set and shuffling 16 copies of it
+    (partial min aggregation reduces map-side either way, but the
+    map-side hash/sort work scales with input rows)."""
     sh = _shingles(load(spark, sf_dir, "documents"))
-    perms = spark.range(N_PERMS).select(F.col("id").cast("int").alias("perm"))
-    hashed = sh.crossJoin(F.broadcast(perms)).select(
-        "doc_id",
-        "perm",
-        portable_hash(
-            F.concat_ws(
-                ":",
-                F.col("perm").cast("string"),
-                F.col("shingle").cast("string"),
+    aggs = [
+        F.min(
+            portable_hash(
+                F.concat_ws(
+                    ":", F.lit(str(p)), F.col("shingle").cast("string")
+                )
             )
-        ).alias("h"),
-    )
-    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+        ).alias(f"h{p}")
+        for p in range(N_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, perm, minhash) long-format signatures (unpivot of the
+    wide aggregation — the fan-out happens AFTER the reduce, on one
+    row per doc)."""
+    wide = _minhash_wide(spark, sf_dir)
+    stack_args = ", ".join(f"{p}, h{p}" for p in range(N_PERMS))
+    return wide.select(
+        "doc_id",
+        F.expr(
+            f"stack({N_PERMS}, {stack_args}) AS (perm, minhash)"
+        ),
+    ).select("doc_id", F.col("perm").cast("int"), "minhash")
 
 
 _ORACLE_MINHASH_LONG = f"""
@@ -252,25 +271,30 @@ ORACLE_DD03 = f"SELECT doc_id, perm, minhash FROM ({_ORACLE_MINHASH_LONG})"
 
 
 def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mh = _minhash_long(spark, sf_dir)
+    wide = _minhash_wide(spark, sf_dir)
     rows_per_band = N_PERMS // N_BANDS
-    buckets = (
-        mh.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    # band buckets straight from the wide signature row — a projection
+    # plus a 4-row explode per doc (post-reduce), not a second shuffle
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
             F.md5(
                 F.concat_ws(
                     ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("perm", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
+                    *[
+                        F.col(f"h{band * rows_per_band + r}").cast(
+                            "string"
+                        )
+                        for r in range(rows_per_band)
+                    ],
                 )
-            ).alias("bucket")
+            ).alias("bucket"),
         )
-    )
+        for band in range(N_BANDS)
+    ]
+    buckets = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (

@@ -28,6 +28,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive: bool | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-appropriate defaults.
 
@@ -67,6 +68,28 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # hive catalog support (reference: catalog.md demo3 / demo_batch.md)
+    # — embedded Derby metastore, no external infra needed. Session-
+    # static: must be decided before the first session in the process.
+    if hive is None:
+        hive = os.environ.get("SPARK_GRAFT_HIVE", "").lower() in (
+            "1", "true", "yes",
+        )
+    if hive:
+        hive_dir = os.environ.get(
+            "SPARK_GRAFT_HIVE_DIR", "/tmp/spark_graft_hive"
+        )
+        builder = (
+            builder.config(
+                "spark.sql.warehouse.dir", f"{hive_dir}/warehouse"
+            )
+            .config(
+                "javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={hive_dir}/metastore_db;"
+                "create=true",
+            )
+            .enableHiveSupport()
+        )
     spark = builder.getOrCreate()
     # Flink-compat scalar surface (SQL UDFs, Catalyst-inlined); cheap
     # and idempotent, so every session — runner, tests, bench — gets it

@@ -112,6 +112,42 @@ class JobRunner:
         self.upsert_stores: dict[str, KeyedStore] = {}
         self._trigger: dict[str, str] | None = None
         self._read_once = False
+        # Flink catalog name → Spark catalog name (CREATE CATALOG maps
+        # 'hive' catalogs onto the session's hive-enabled spark_catalog;
+        # Spark catalogs are session-static plugins, not DDL-creatable)
+        self._catalogs: dict[str, str] = {}
+
+    def _create_catalog(self, stmt: str) -> None:
+        """`CREATE CATALOG name WITH ('type'='hive', …)` (catalog.md
+        demo3). Spark has no catalog DDL — a hive catalog IS the
+        hive-metastore-backed `spark_catalog` (enableHiveSupport at
+        session build, SURVEY §2.1), so the name becomes an alias for
+        it; non-hive types need a configured catalog plugin of the
+        same name."""
+        m = re.match(
+            r"create\s+catalog\s+(?:if\s+not\s+exists\s+)?(?P<name>[\w`]+)"
+            r"(?:\s+with\s*\((?P<opts>.*)\))?\s*;?\s*$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE CATALOG: {stmt[:80]!r}")
+        name = m.group("name").strip("`")
+        opts = dict(
+            re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group("opts") or "")
+        )
+        if opts.get("type", "hive") == "hive":
+            if self.spark.conf.get(
+                "spark.sql.catalogImplementation", "in-memory"
+            ) != "hive":
+                raise ValueError(
+                    "hive catalog requires a hive-enabled session "
+                    "(SPARK_GRAFT_HIVE=1 / enableHiveSupport)"
+                )
+            self._catalogs[name] = "spark_catalog"
+        else:
+            # a same-named catalog plugin must be configured
+            self._catalogs[name] = name
 
     # -- source materialization (lazy) ------------------------------------
 
@@ -225,7 +261,14 @@ class JobRunner:
             elif cmd.name.startswith("SHOW"):
                 rows = self.spark.sql(stmt).collect()
                 result.show_results.append([r[0] for r in rows])
-            else:  # USE/DROP/ALTER/CREATE_DATABASE/CATALOG passthrough
+            elif cmd == SqlCommand.CREATE_CATALOG:
+                self._create_catalog(stmt)
+            elif cmd == SqlCommand.USE_CATALOG:
+                name = stmt.split()[-1].strip("`;")
+                self.spark.sql(
+                    f"SET CATALOG {self._catalogs.get(name, name)}"
+                )
+            else:  # USE/DROP/ALTER/CREATE_DATABASE passthrough
                 self.spark.sql(stmt)
 
         # statement-set group start (JobApplication.java:78-82)
