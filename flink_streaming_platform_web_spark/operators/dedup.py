@@ -381,35 +381,26 @@ def dd05_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
     ).where(F.length("tok") > 0)
     hashed = tokens.select("doc_id", portable_hash(F.col("tok")).alias("h"))
-    bits = spark.range(SIMHASH_BITS).select(
-        F.col("id").cast("int").alias("bit")
+    # all 32 bit tallies in ONE aggregation (±1 votes as conditional
+    # sums) — no 32× crossJoin fan-out ahead of the shuffle; the final
+    # signature assembly is a pure projection on one row per doc
+    tallies = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"t{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    votes = (
-        hashed.crossJoin(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "bit",
-            # shiftright's Python wrapper only takes a literal shift
-            # width, so the column-shift goes through expr
-            F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias("vote"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("tally"))
-    )
-    return (
-        votes.select(
-            "doc_id",
-            F.when(
-                F.col("tally") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-            )
-            .otherwise(F.lit(0).cast("bigint"))
-            .alias("bitval"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    bit_terms = [
+        F.when(F.col(f"t{b}") > 0, F.lit(1 << b).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        for b in range(SIMHASH_BITS)
+    ]
+    sig = bit_terms[0]
+    for term in bit_terms[1:]:
+        sig = sig + term
+    return tallies.select("doc_id", sig.alias("simhash"))
 
 
 ORACLE_DD05 = f"""
@@ -477,8 +468,88 @@ JOIN documents db ON db.doc_id = id_b
 """
 
 
+# --------------------------------------------------------------------------
+# dd08 — SimHash near-dup PAIRS: byte-band pigeonhole. Split the
+# 32-bit signature into 4 bytes; any pair within Hamming distance ≤ 3
+# must agree on at least one byte (pigeonhole), so candidates come
+# only from per-band byte-value collisions — dd04's LSH shape with
+# Hamming verification (bit_count(xor)) instead of exact Jaccard.
+# At 100 TB the band join is the only shuffle and each band's bucket
+# fan-out is bounded by corpus/256 per byte value.
+# --------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4
+HAMMING_MAX = 3
+
+
+def dd08_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dd05_simhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(simhash >> {8 * b}) & 255").alias(
+                            "byteval"
+                        ),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.byteval")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byteval") == F.col("b.byteval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        candidates.withColumn(
+            "hamming", F.expr("bit_count(sig_a ^ sig_b)")
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+ORACLE_DD08 = f"""
+WITH sigs AS ({ORACLE_DD05}),
+bands AS (
+  SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS byteval
+  FROM sigs CROSS JOIN
+       (SELECT unnest(range({SIMHASH_BANDS}))::INT AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.byteval = b.byteval
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
+"""
+
+
 QUERIES = {
     "dd01_dedup_exact": dd01_dedup_exact,
+    "dd08_simhash_neardup_pairs": dd08_simhash_neardup_pairs,
     "dd07_embed_neardup_docs": dd07_embed_neardup_docs,
     "dd02_ngram_jaccard_pairs": dd02_ngram_jaccard_pairs,
     "dd03_minhash_signatures": dd03_minhash_signatures,
@@ -488,6 +559,7 @@ QUERIES = {
 
 ORACLES = {
     "dd01_dedup_exact": ORACLE_DD01,
+    "dd08_simhash_neardup_pairs": ORACLE_DD08,
     "dd07_embed_neardup_docs": _oracle_dd07(),
     "dd02_ngram_jaccard_pairs": ORACLE_DD02,
     "dd03_minhash_signatures": ORACLE_DD03,

@@ -51,11 +51,21 @@ def _events_as_stream_source(
 
 
 def _run_and_wait(runner: JobRunner, script: str) -> None:
-    result = runner.execute_script(script)
-    for q in result.streaming_queries:
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(120)
+    # stateful-operator state-store count == shuffle partitions at the
+    # first checkpoint; 8 fits the test key space and quarters the
+    # per-micro-batch store-commit overhead (at scale this is sized
+    # once to the executor count, like Flink max-parallelism)
+    spark = runner.spark
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        result = runner.execute_script(script)
+        for q in result.streaming_queries:
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def st01_stream_tumble_window(spark: SparkSession, sf_dir: str) -> DataFrame:
