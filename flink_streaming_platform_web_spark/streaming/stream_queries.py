@@ -188,6 +188,47 @@ GROUP BY user_id, sess_id
 """
 
 
+def st05_stream_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """demo_5 end-to-end: watermarked HOP (sliding) window over a file
+    stream — 1-hour windows sliding every 30 minutes, so each event
+    lands in two windows; final table == batch hop replay."""
+    path = _events_as_stream_source(spark, sf_dir, "st05")
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        _EVENTS_DDL.format(path=path)
+        + """;
+        CREATE TABLE st05_out (window_start STRING, event_type STRING,
+          n_events BIGINT, sum_value DOUBLE) WITH ('connector'='memory');
+        INSERT INTO st05_out
+        SELECT date_format(window(ts, '1 hour', '30 minutes').start,
+                           'yyyy-MM-dd HH:mm:ss') AS window_start,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM stream_events
+        GROUP BY window(ts, '1 hour', '30 minutes'), event_type;
+        """,
+    )
+    return spark.table("st05_out")
+
+
+# hop replay (same shape as ORACLE_Q23): with size = 2×slide every
+# event belongs to exactly the two slide buckets at offsets 0 and -1
+ORACLE_ST05 = f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts)
+           - o.off * INTERVAL '30 minutes' AS wstart,
+         event_type, value
+  FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       {oracle_dsum('value', 'sum_value')}
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
 def st04_stream_session_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE cross-micro-batch sessionization — the custom stateful
     operator (streaming/stateful.sessionize, applyInPandasWithState)
@@ -245,9 +286,11 @@ QUERIES = {
     "st02_stream_upsert_agg": st02_stream_upsert_agg,
     "st03_stream_session_window": st03_stream_session_window,
     "st04_stream_session_custom": st04_stream_session_custom,
+    "st05_stream_hop_window": st05_stream_hop_window,
 }
 
 ORACLES = {
+    "st05_stream_hop_window": ORACLE_ST05,
     "st01_stream_tumble_window": ORACLE_ST01,
     "st02_stream_upsert_agg": ORACLE_ST02,
     "st03_stream_session_window": ORACLE_ST03,
