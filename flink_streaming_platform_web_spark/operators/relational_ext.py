@@ -17,6 +17,8 @@ from pyspark.sql.window import Window
 from flink_streaming_platform_web_spark.operators._portable import (
     dsum,
     oracle_dsum,
+    oracle_portable_hash,
+    portable_hash,
 )
 from flink_streaming_platform_web_spark.tables import load
 
@@ -328,7 +330,134 @@ GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# q38 — approximate distinct count done PORTABLY: a 64-register
+# HyperLogLog (Flajolet et al. 2007) built from the md5-derived
+# portable hash, so Spark and DuckDB compute the IDENTICAL sketch and
+# the approximate estimate itself hash-matches the oracle. (Native
+# approx_count_distinct sketches differ per engine and can only be
+# range-checked; this shows the approximate path can be exactly
+# gated.) Scale: one (group, register) aggregation with map-side
+# combine — the canonical distributed-HLL plan; registers per group
+# are bounded at 64 rows.
+# --------------------------------------------------------------------------
+
+HLL_M = 64  # registers (p = 6 bits); alpha_64 = 0.709 (HLL paper)
+_HLL_W = 54  # value width: 60-bit portable hash minus 6 register bits
+
+
+def q38_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events")
+    hashed = events.select(
+        "event_type",
+        "user_id",
+        portable_hash(F.col("user_id").cast("string")).alias("h"),
+    )
+    regs = hashed.select(
+        "event_type",
+        "user_id",
+        F.expr("h & 63").alias("reg"),
+        F.expr("h >> 6").alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(_HLL_W + 1)).otherwise(
+            F.lit(_HLL_W + 1) - F.length(F.conv(F.col("w"), 10, 2))
+        ),
+    )
+    per_reg = regs.groupBy("event_type", "reg").agg(
+        F.max("rho").alias("m_j"),
+        # exact distinct rides along for the accuracy column
+        F.countDistinct("user_id").alias("nd_part"),
+    )
+    wmax = Window.partitionBy("event_type")
+    est = (
+        per_reg.withColumn("m_max", F.max("m_j").over(wmax))
+        .groupBy("event_type", "m_max")
+        .agg(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), m_max - m_j)")).alias(
+                "t_present"
+            ),
+            F.count("*").alias("n_regs"),
+            F.sum("nd_part").alias("n_exact"),
+        )
+        .withColumn("v_zero", F.lit(HLL_M) - F.col("n_regs"))
+        .withColumn(
+            "t_total",
+            F.col("t_present")
+            + F.col("v_zero") * F.expr("shiftleft(CAST(1 AS BIGINT), m_max)"),
+        )
+        .withColumn(
+            "e_raw",
+            F.lit(0.709 * HLL_M * HLL_M)
+            * F.pow(F.lit(2.0), F.col("m_max"))
+            / F.col("t_total").cast("double"),
+        )
+        .withColumn(
+            "n_approx",
+            F.round(
+                F.when(
+                    (F.col("e_raw") <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
+                    F.lit(float(HLL_M))
+                    * F.log(F.lit(float(HLL_M)) / F.col("v_zero")),
+                ).otherwise(F.col("e_raw")),
+                4,
+            ),
+        )
+    )
+    return est.select("event_type", "n_exact", "n_approx")
+
+
+ORACLE_Q38 = f"""
+WITH hashed AS (
+  SELECT event_type, user_id,
+         {oracle_portable_hash('user_id::VARCHAR')} AS h
+  FROM events
+),
+regs AS (
+  SELECT event_type, user_id, h & 63 AS reg, h >> 6 AS w,
+         CASE WHEN h >> 6 = 0 THEN {_HLL_W + 1}
+              ELSE {_HLL_W + 1} - length(format('{{:b}}', h >> 6))
+         END AS rho
+  FROM hashed
+),
+per_reg AS (
+  SELECT event_type, reg, MAX(rho) AS m_j,
+         COUNT(DISTINCT user_id) AS nd_part
+  FROM regs GROUP BY 1, 2
+),
+winmax AS (
+  SELECT *, MAX(m_j) OVER (PARTITION BY event_type) AS m_max FROM per_reg
+),
+grouped AS (
+  SELECT event_type, m_max,
+         SUM(1::BIGINT << (m_max - m_j)) AS t_present,
+         COUNT(*) AS n_regs, SUM(nd_part) AS n_exact
+  FROM winmax GROUP BY 1, 2
+),
+est AS (
+  SELECT event_type, n_exact,
+         {HLL_M} - n_regs AS v_zero,
+         t_present + ({HLL_M} - n_regs) * (1::BIGINT << m_max) AS t_total,
+         m_max
+  FROM grouped
+)
+SELECT event_type, n_exact,
+       round(
+         CASE WHEN (0.709 * {HLL_M * HLL_M}) * pow(2.0, m_max)
+                   / CAST(t_total AS DOUBLE) <= {2.5 * HLL_M}
+               AND v_zero > 0
+              THEN {float(HLL_M)} * ln({float(HLL_M)} / v_zero)
+              ELSE (0.709 * {HLL_M * HLL_M}) * pow(2.0, m_max)
+                   / CAST(t_total AS DOUBLE)
+         END, 4) AS n_approx
+FROM est
+"""
+
+
 QUERIES = {
+    "q38_approx_distinct_hll": q38_approx_distinct_hll,
     "q26_asof_join": q26_asof_join,
     "q27_grouping_sets": q27_grouping_sets,
     "q28_interval_join": q28_interval_join,
@@ -340,6 +469,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q38_approx_distinct_hll": ORACLE_Q38,
     "q26_asof_join": ORACLE_Q26,
     "q27_grouping_sets": ORACLE_Q27,
     "q28_interval_join": ORACLE_Q28,
