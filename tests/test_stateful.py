@@ -174,3 +174,35 @@ def test_running_counts_v2_transform_with_state(spark, tmp_path):
             best[r["key"]] = (r["n"], r["total"])
     assert best["a"] == (3, 7.0)
     assert best["b"] == (1, 5.0)
+
+
+def test_merge_sessions_batch_split_invariance():
+    """Property: gap-merging points batch-by-batch (any partition, any
+    order) must equal sessionizing all points at once — the invariant
+    that makes the st04 operator's cross-batch state correct."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_streaming_platform_web_spark.streaming.stateful import (
+        _merge_sessions,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        points=st.lists(
+            st.integers(min_value=0, max_value=500), min_size=1, max_size=40
+        ),
+        cut=st.integers(min_value=0, max_value=40),
+        gap=st.integers(min_value=1, max_value=50),
+    )
+    def check(points, cut, gap):
+        items = [(p, p, 1) for p in points]
+        direct = _merge_sessions(list(items), gap)
+        cut_at = min(cut, len(items))
+        first = _merge_sessions(items[:cut_at], gap)
+        incremental = _merge_sessions(
+            first + [(p, p, 1) for p in points[cut_at:]], gap
+        )
+        assert incremental == direct
+
+    check()
