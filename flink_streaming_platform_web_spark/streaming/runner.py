@@ -112,6 +112,8 @@ class JobRunner:
         self.upsert_stores: dict[str, KeyedStore] = {}
         self._trigger: dict[str, str] | None = None
         self._read_once = False
+        # lookup dims with TTL caches (lookup_cache.DimCache by name)
+        self.dim_caches: dict = {}
         # Flink catalog name → Spark catalog name (CREATE CATALOG maps
         # 'hive' catalogs onto the session's hive-enabled spark_catalog;
         # Spark catalogs are session-static plugins, not DDL-creatable)
@@ -189,6 +191,21 @@ class JobRunner:
     def _referenced_tables(self, sql: str) -> list[str]:
         words = set(re.findall(r"[\w.]+", sql.lower()))
         return [n for n in self.tables if n.lower() in words]
+
+    def _maybe_cache_dim(self, name: str) -> None:
+        """Create the TTL cache handle for a lookup dim that declares
+        `lookup.cache.ttl` (no-op otherwise: the dim subtree then
+        re-executes — stays fresh — every micro-batch)."""
+        from flink_streaming_platform_web_spark.streaming.lookup_cache import (
+            DimCache,
+            parse_ttl_seconds,
+        )
+
+        t = self.tables[name]
+        ttl = t.options.get("lookup.cache.ttl")
+        if ttl is None or name in self.dim_caches:
+            return
+        self.dim_caches[name] = DimCache(t, parse_ttl_seconds(ttl))
 
     # -- statement dispatch -------------------------------------------------
 
@@ -364,6 +381,80 @@ class JobRunner:
         result.streaming_queries.append(writer.start())
         return True
 
+    # -- lookup-join per-batch re-plan (O13 + lookup.cache.ttl) -----------
+
+    def _write_stream_lookup_replan(
+        self,
+        job: InsertJob,
+        refs: list[str],
+        ttl_dims: list[str],
+        plan_df: DataFrame,
+        idx: int,
+        result: ExecutionResult,
+    ) -> bool:
+        """Lookup joins against TTL-cached dims re-plan per micro-batch
+        inside foreachBatch: a stream-static join planned inside the
+        streaming query pins the dim's file listing at start and would
+        never observe dim updates. Applies to stateless enrichment
+        queries over exactly one stream (the demo_3 shape); aggregating
+        queries fall back to the in-plan join (cross-batch state needs
+        the streaming planner) with its pinned-snapshot caveat."""
+        stream_refs = [
+            r for r in refs if self._materialized.get(r) == "stream"
+        ]
+        if len(stream_refs) != 1 or _is_aggregated(plan_df):
+            return False
+        sink = self.tables[job.target]
+        if sink.connector not in (
+            "jdbc", "print", "blackhole", "filesystem", "memory",
+        ):
+            return False
+        src = stream_refs[0]
+        sql = translate_expr(job.query_sql)
+        caches = [self.dim_caches[d] for d in ttl_dims]
+        if sink.primary_key:
+            self.upsert_stores.setdefault(
+                sink.name, KeyedStore(sink.primary_key)
+            )
+        stores = self.upsert_stores
+        overwrite = job.overwrite
+
+        def apply(batch: DataFrame, epoch_id: int) -> None:
+            sess = batch.sparkSession
+            batch.createOrReplaceTempView(src)
+            for cache in caches:
+                cache.ensure(sess)
+            out = sess.sql(sql)
+            if sink.primary_key:
+                stores[sink.name].merge_batch(out)
+            elif sink.connector == "print":
+                out.show(truncate=False)
+            elif sink.connector == "blackhole":
+                out.write.format("noop").mode("overwrite").save()
+            elif sink.connector == "filesystem":
+                out.write.format(
+                    sink.options.get("format", "parquet")
+                ).mode("overwrite" if overwrite else "append").save(
+                    sink.options["path"]
+                )
+            elif sink.connector == "memory":
+                out.createOrReplaceTempView(sink.name)
+
+        writer = (
+            self.spark.table(src)
+            .writeStream.foreachBatch(apply)
+            .outputMode("append")
+        )
+        if self.checkpoint.checkpoint_dir:
+            writer = writer.option(
+                "checkpointLocation",
+                f"{self.checkpoint.checkpoint_dir}/q{idx}_{sink.name}",
+            )
+        if self._trigger:
+            writer = writer.trigger(**self._trigger)
+        result.streaming_queries.append(writer.start())
+        return True
+
     # -- SET mapping ----------------------------------------------------------
 
     def _apply_set(self, stmt: str) -> None:
@@ -390,11 +481,40 @@ class JobRunner:
         self, job: InsertJob, idx: int, result: ExecutionResult
     ) -> None:
         refs = self._referenced_tables(job.query_sql)
+        # lookup dims (`JOIN d FOR SYSTEM_TIME AS OF …`, demo_3.md)
+        # are batch snapshots even when their connector could stream;
+        # with lookup.cache.ttl they become persisted TTL caches
+        dims = {
+            d.strip("`").lower()
+            for d in re.findall(
+                r"join\s+([\w.`]+)(?:\s+\w+)?\s+for\s+system_time\s+as\s+of",
+                job.query_sql,
+                re.IGNORECASE,
+            )
+        }
         for ref in refs:
-            self._materialize_source(ref)
+            if ref.lower() in dims:
+                self._materialize_source(ref, force_batch=True)
+                self._maybe_cache_dim(ref)
+            else:
+                self._materialize_source(ref)
+        ttl_dims = [
+            r for r in refs
+            if r.lower() in dims and r in self.dim_caches
+        ]
         sql = translate_expr(job.query_sql)
         df = self.spark.sql(sql)
         sink = self.tables.get(job.target)
+        if (
+            ttl_dims
+            and sink is not None
+            and self.mode == "streaming"
+            and df.isStreaming
+            and self._write_stream_lookup_replan(
+                job, refs, ttl_dims, df, idx, result
+            )
+        ):
+            return
         if sink is None:
             # catalog table (hive-style) — spark.sql insert path
             mode = "OVERWRITE" if job.overwrite else "INTO"

@@ -122,3 +122,84 @@ def test_demo3_temporal_lookup_join_syntax(spark, sf_dir, tmp_path):
         r["user_id"]
         for r in spark.read.parquet(src).select("user_id").distinct().collect()
     }
+
+
+def _run_dim_ttl_scenario(spark, tmp_path, ttl, tag):
+    """Stream 2 micro-batches against a filesystem lookup dim whose
+    contents change between batches; returns the per-user coupon
+    counts after convergence."""
+    src = f"{tmp_path}/ttl_src_{tag}"
+    dim = f"{tmp_path}/ttl_dim_{tag}"
+    spark.createDataFrame(
+        [(1, 100)], "id BIGINT, coupon BIGINT"
+    ).write.mode("overwrite").parquet(dim)
+    spark.createDataFrame(
+        [(10, 1)], "event_id BIGINT, user_id BIGINT"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        CREATE TABLE ev (event_id BIGINT, user_id BIGINT,
+          proctime AS PROCTIME()) WITH ('connector'='filesystem',
+          'path'='{src}', 'format'='parquet',
+          'source.max-files-per-trigger'='1');
+        CREATE TABLE ttl_dim (id BIGINT, coupon BIGINT) WITH
+          ('connector'='filesystem', 'path'='{dim}', 'format'='parquet',
+           'lookup.cache.ttl'='{ttl}');
+        CREATE TABLE sink (event_id BIGINT, coupon BIGINT,
+          PRIMARY KEY (event_id) NOT ENFORCED) WITH ('connector'='jdbc');
+        INSERT INTO sink
+        SELECT ev.event_id, b.coupon
+        FROM ev LEFT JOIN ttl_dim FOR SYSTEM_TIME AS OF ev.proctime AS b
+          ON b.id = ev.user_id;
+        """
+    )
+    try:
+        for q in result.streaming_queries:
+            q.processAllAvailable()
+        # dim changes value between micro-batches — via a filesystem
+        # swap, as an EXTERNAL writer would (a same-session Spark
+        # write would auto-recache through the cache manager and
+        # defeat the staleness scenario)
+        import shutil
+
+        staged = f"{dim}_staged"
+        spark.createDataFrame(
+            [(1, 999)], "id BIGINT, coupon BIGINT"
+        ).write.mode("overwrite").parquet(staged)
+        shutil.rmtree(dim)
+        shutil.move(staged, dim)
+        import time as _t
+
+        _t.sleep(1.2)  # longer than the 1s TTL scenario
+        spark.createDataFrame(
+            [(20, 1)], "event_id BIGINT, user_id BIGINT"
+        ).coalesce(1).write.mode("append").parquet(src)
+        for q in result.streaming_queries:
+            q.processAllAvailable()
+    finally:
+        for q in result.streaming_queries:
+            q.stop()
+            q.awaitTermination(60)
+        for c in runner.dim_caches.values():
+            c.release()
+    return {
+        r["event_id"]: r["coupon"]
+        for r in runner.upsert_stores["sink"].to_df(spark).collect()
+    }
+
+
+def test_lookup_cache_ttl_pins_snapshot(spark, tmp_path):
+    """lookup.cache.ttl='1h': the second micro-batch must still see
+    the ORIGINAL dim snapshot (staleness within TTL is the contract
+    demo_3's lookup.cache options buy)."""
+    rows = _run_dim_ttl_scenario(spark, tmp_path, "1h", "pin")
+    assert rows == {10: 100, 20: 100}, rows
+
+
+def test_lookup_cache_ttl_expiry_refreshes(spark, tmp_path):
+    """lookup.cache.ttl='1s' with >1s between batches: the second
+    micro-batch must see the UPDATED dim."""
+    rows = _run_dim_ttl_scenario(spark, tmp_path, "1s", "exp")
+    assert rows == {10: 100, 20: 999}, rows
