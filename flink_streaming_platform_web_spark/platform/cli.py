@@ -34,7 +34,7 @@ def main(argv: list[str] | None = None) -> int:
     addp.add_argument("--name", required=True)
     addp.add_argument("--sql-file", required=True)
     addp.add_argument("--job-type", default="streaming",
-                      choices=["streaming", "batch"])
+                      choices=["streaming", "batch", "app"])
     addp.add_argument("--checkpoint-dir")
 
     for verb in ("start", "stop", "savepoint", "history", "status"):

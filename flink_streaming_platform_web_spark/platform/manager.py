@@ -18,6 +18,9 @@ reference's 5-minute polling scheduler, SchedulerTask.java:66-78) with
 
 from __future__ import annotations
 
+import shlex
+import subprocess
+import sys
 import traceback
 from dataclasses import dataclass, field
 
@@ -45,10 +48,11 @@ class AlarmConfig:
 
 @dataclass
 class RunningJob:
-    runner: JobRunner
+    runner: JobRunner | None
     result: ExecutionResult
     run_id: int
     restarts: int = 0
+    proc: "subprocess.Popen | None" = None
 
 
 @dataclass
@@ -66,6 +70,8 @@ class JobManager:
             raise RuntimeError(f"job {job_id} is closed")
         if job_id in self.running:
             raise RuntimeError(f"job {job_id} already running")
+        if job.job_type == "app":
+            return self._start_app(job)
         v = validate_script(job.sql_script, self.spark, job.job_type)
         if not v.ok:
             raise ValueError(f"validation failed: {v.errors}")
@@ -97,6 +103,34 @@ class JobManager:
             self.running[job_id] = RunningJob(runner, result, run_id)
         return result
 
+    def _start_app(self, job) -> ExecutionResult:
+        """JAR-mode analog (JobTypeEnum.JAR(1); jar download + launch at
+        JobBaseServiceAOImpl.java:258-269): the job's script column
+        holds a user PySpark application command line (`app.py arg …`),
+        launched as a supervised subprocess — the app owns its own
+        SparkSession, exactly as a user jar owns its Flink job. Status
+        tracking reuses the same state machine via pid liveness."""
+        if not self.store.set_status(job.id, "STARTING", job.version):
+            raise RuntimeError(f"job {job.id} status changed concurrently")
+        run_id = self.store.log_run(job.id, "STARTING", [])
+        try:
+            proc = subprocess.Popen(
+                [sys.executable, *shlex.split(job.sql_script)],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        except OSError as e:
+            self.store.set_status(job.id, "FAIL")
+            self.store.finish_run(run_id, "FAIL", str(e))
+            self._alarm(job.id, f"app job {job.job_name} failed: {e}")
+            raise
+        self.store.set_status(job.id, "RUN")
+        self.store.log_run(job.id, "RUN", [f"pid:{proc.pid}"])
+        self.store.finish_run(run_id, "RUN")
+        result = ExecutionResult()
+        self.running[job.id] = RunningJob(None, result, run_id, proc=proc)
+        return result
+
     def stop(self, job_id: int) -> None:
         rj = self.running.pop(job_id, None)
         if rj is not None:
@@ -104,6 +138,12 @@ class JobManager:
             for q in rj.result.streaming_queries:
                 q.stop()
                 q.awaitTermination(60)
+            if rj.proc is not None and rj.proc.poll() is None:
+                rj.proc.terminate()
+                try:
+                    rj.proc.wait(30)
+                except subprocess.TimeoutExpired:
+                    rj.proc.kill()
         self.store.set_status(job_id, "STOP")
 
     def savepoint(self, job_id: int) -> str | None:
@@ -125,16 +165,25 @@ class JobManager:
         optionally auto-restart. Returns affected job ids."""
         affected = []
         for job_id, rj in list(self.running.items()):
-            dead = [
-                q for q in rj.result.streaming_queries if not q.isActive
-            ]
-            if not dead:
-                continue
-            affected.append(job_id)
             exc = None
-            for q in dead:
-                if q.exception() is not None:
-                    exc = q.exception()
+            if rj.proc is not None:
+                rc = rj.proc.poll()
+                if rc is None:
+                    continue
+                if rc != 0:
+                    exc = RuntimeError(f"app exited with code {rc}")
+            else:
+                dead = [
+                    q
+                    for q in rj.result.streaming_queries
+                    if not q.isActive
+                ]
+                if not dead:
+                    continue
+                for q in dead:
+                    if q.exception() is not None:
+                        exc = q.exception()
+            affected.append(job_id)
             self.running.pop(job_id)
             job = self.store.get_job(job_id)
             self.store.set_status(job_id, "FAIL" if exc else "STOP")

@@ -150,3 +150,52 @@ def test_cli_run_batch(tmp_path, capsys, spark):
                      "--job-type", "batch"]) == 0
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(out)["batch_results"]["m_plat"] == 10
+
+
+def test_app_job_lifecycle(spark, tmp_path):
+    """JAR-mode analog (JobTypeEnum.JAR(1)): a user application runs
+    as a supervised subprocess with the same status machine."""
+    import time
+
+    app = tmp_path / "user_app.py"
+    flag = tmp_path / "alive"
+    app.write_text(
+        "import sys, time, pathlib\n"
+        f"pathlib.Path({str(flag)!r}).write_text('up')\n"
+        "time.sleep(120)\n"
+    )
+    store = JobStore()
+    mgr = JobManager(spark, store)
+    jid = store.add_job("app1", str(app), job_type="app")
+    mgr.start(jid)
+    assert mgr.status(jid) == "RUN"
+    for _ in range(50):
+        if flag.exists():
+            break
+        time.sleep(0.2)
+    assert flag.exists()
+    assert mgr.reconcile() == []  # healthy: pid alive
+    mgr.stop(jid)
+    assert mgr.status(jid) == "STOP"
+    assert jid not in mgr.running
+
+
+def test_app_job_death_reconcile_and_alarm(spark, tmp_path):
+    """A crashing app is swept by reconcile: FAIL status + alarm row
+    (TaskServiceAOImpl.checkJobStatus parity for the jar job type)."""
+    import time
+
+    app = tmp_path / "crasher.py"
+    app.write_text("import sys; sys.exit(3)\n")
+    store = JobStore()
+    mgr = JobManager(spark, store)
+    jid = store.add_job("app2", str(app), job_type="app")
+    mgr.start(jid)
+    rj = mgr.running[jid]
+    rj.proc.wait(30)
+    time.sleep(0.1)
+    assert mgr.reconcile() == [jid]
+    assert mgr.status(jid) == "FAIL"
+    alarm_rows = store.alarms(jid) if hasattr(store, "alarms") else None
+    if alarm_rows is not None:
+        assert alarm_rows
