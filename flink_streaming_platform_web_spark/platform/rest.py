@@ -1,0 +1,138 @@
+"""REST facade over the job platform — `JobConfigApiController` +
+`SqlValidationController` verb parity
+(flink-streaming-web/src/main/java/com/flink/streaming/web/controller/api/JobConfigApiController.java:89-415,
+SqlValidationController.java:25-43), on the standard library's
+threading HTTP server (no web-framework dependency in this
+container; the CLI remains the scripting surface).
+
+Routes (JSON in/out, reference verb names kept):
+
+    POST /api/addConfig        {name, sql, job_type?, checkpoint_dir?}
+    POST /api/editConfig       {id, sql}
+    POST /api/start            {id, savepoint_id?}
+    POST /api/stop             {id}
+    POST /api/savepoint        {id}
+    POST /api/checkfSql        {sql, job_type?}
+    GET  /api/status?id=N
+    GET  /api/listTask
+    GET  /api/jobConfigHistoryPage?id=N
+
+Responses mirror the reference's RestResult envelope:
+``{"code": 200, "message": "success", "data": …}``; errors use
+code 500 with the exception text (SystemConstants parity is not
+byte-level — the envelope shape is).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from flink_streaming_platform_web_spark.platform.manager import JobManager
+from flink_streaming_platform_web_spark.sql.validation import validate_script
+
+
+def _envelope(data=None, code: int = 200, message: str = "success") -> bytes:
+    return json.dumps(
+        {"code": code, "message": message, "data": data}
+    ).encode()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    manager: JobManager  # set by serve()
+
+    def log_message(self, *args) -> None:  # quiet server
+        pass
+
+    def _reply(self, body: bytes, status: int = 200) -> None:
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(n) or b"{}")
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib API)
+        mgr = self.manager
+        url = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        try:
+            if url.path == "/api/status":
+                data = {"status": mgr.status(int(q["id"]))}
+            elif url.path == "/api/listTask":
+                data = [
+                    {
+                        "id": j.id,
+                        "job_name": j.job_name,
+                        "job_type": j.job_type,
+                        "status": j.status_name,
+                    }
+                    for j in mgr.store.list_jobs()
+                ]
+            elif url.path == "/api/jobConfigHistoryPage":
+                data = [
+                    {"version": v, "sql": s}
+                    for v, s in mgr.store.history(int(q["id"]))
+                ]
+            else:
+                self._reply(_envelope(None, 404, "not found"), 404)
+                return
+            self._reply(_envelope(data))
+        except Exception as e:  # envelope-style error (reference parity)
+            self._reply(_envelope(None, 500, str(e)), 500)
+
+    def do_POST(self) -> None:  # noqa: N802 (stdlib API)
+        mgr = self.manager
+        path = urlparse(self.path).path
+        try:
+            b = self._body()
+            if path == "/api/addConfig":
+                jid = mgr.store.add_job(
+                    b["name"],
+                    b["sql"],
+                    job_type=b.get("job_type", "streaming"),
+                    checkpoint_dir=b.get("checkpoint_dir"),
+                )
+                data = {"id": jid}
+            elif path == "/api/editConfig":
+                mgr.store.update_script(int(b["id"]), b["sql"])
+                data = None
+            elif path == "/api/start":
+                result = mgr.start(
+                    int(b["id"]),
+                    b.get("savepoint_id"),
+                )
+                data = {"queries": result.query_ids}
+            elif path == "/api/stop":
+                mgr.stop(int(b["id"]))
+                data = None
+            elif path == "/api/savepoint":
+                data = {"checkpoint_dir": mgr.savepoint(int(b["id"]))}
+            elif path == "/api/checkfSql":
+                v = validate_script(
+                    b["sql"], mgr.spark, b.get("job_type", "streaming")
+                )
+                data = {"ok": v.ok, "errors": v.errors}
+            else:
+                self._reply(_envelope(None, 404, "not found"), 404)
+                return
+            self._reply(_envelope(data))
+        except Exception as e:
+            self._reply(_envelope(None, 500, str(e)), 500)
+
+
+def serve(
+    manager: JobManager, host: str = "127.0.0.1", port: int = 0
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Start the facade on a daemon thread; returns (server, thread).
+    ``port=0`` binds an ephemeral port (``server.server_address``)."""
+    handler = type("BoundHandler", (_Handler,), {"manager": manager})
+    server = ThreadingHTTPServer((host, port), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread

@@ -199,3 +199,72 @@ def test_app_job_death_reconcile_and_alarm(spark, tmp_path):
     alarm_rows = store.alarms(jid) if hasattr(store, "alarms") else None
     if alarm_rows is not None:
         assert alarm_rows
+
+
+def test_rest_facade_verbs(spark, tmp_path):
+    """JobConfigApiController verb parity over HTTP (stdlib server):
+    addConfig → checkfSql → start (batch) → status → listTask →
+    history → savepoint → stop, RestResult envelope shape."""
+    import json
+    import urllib.request
+
+    from flink_streaming_platform_web_spark.platform.rest import serve
+
+    store = JobStore()
+    mgr = JobManager(spark, store)
+    server, _ = serve(mgr)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            base + path,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.load(r)
+
+    def get(path):
+        with urllib.request.urlopen(base + path) as r:
+            return json.load(r)
+
+    try:
+        bad = post("/api/checkfSql", {"sql": "SELEKT nope"})
+        assert bad["data"]["ok"] is False
+        ok = post("/api/checkfSql", {"sql": BATCH_SCRIPT, "job_type": "batch"})
+        assert ok["data"]["ok"] is True, ok
+
+        added = post(
+            "/api/addConfig",
+            {"name": "rest1", "sql": BATCH_SCRIPT, "job_type": "batch"},
+        )
+        assert added["code"] == 200
+        jid = added["data"]["id"]
+
+        started = post("/api/start", {"id": jid})
+        assert started["code"] == 200
+        assert get(f"/api/status?id={jid}")["data"]["status"] == "SUCCESS"
+
+        tasks = get("/api/listTask")["data"]
+        assert any(t["id"] == jid for t in tasks)
+
+        post("/api/editConfig", {"id": jid, "sql": BATCH_SCRIPT})
+        hist = get(f"/api/jobConfigHistoryPage?id={jid}")["data"]
+        assert len(hist) == 2
+
+        stopped = post("/api/stop", {"id": jid})
+        assert stopped["code"] == 200
+        assert get(f"/api/status?id={jid}")["data"]["status"] == "STOP"
+
+        # error envelope: unknown job id → code 500, message carries it
+        import urllib.error
+
+        try:
+            get("/api/status?id=9999")
+            raise AssertionError("expected HTTP 500")
+        except urllib.error.HTTPError as e:
+            body = json.load(e)
+            assert body["code"] == 500
+    finally:
+        server.shutdown()
