@@ -25,23 +25,49 @@ from flink_streaming_platform_web_spark import inventory
 from flink_streaming_platform_web_spark.session import get_spark
 
 
+def _cache_clear() -> None:
+    """Drop memoized upstream DataFrames built against the warmup SF
+    so the timed runs build their own (correct lineage + honest cost
+    attribution at the bench SF)."""
+    from flink_streaming_platform_web_spark.operators import _cache
+
+    _cache.clear()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM codegen + parquet footers
+    # warmup: JVM codegen + parquet footers, then every query SHAPE
+    # once at the smallest SF — whole-stage codegen compiles per plan
+    # shape, and without this the first query to touch a path (decimal
+    # agg, pandas UDF, window) is billed several seconds of one-time
+    # JIT that the timing contract explicitly excludes
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
+    )
+    batch_queries = {
+        name: fn
+        for name, fn in sorted(inventory.queries().items())
+        if not name.startswith("st")
+        # streaming-semantics entries (multi-micro-batch state
+        # machinery) are correctness checks, not throughput —
+        # excluded from the batch-engine timing contract
+    }
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name, fn in batch_queries.items():
+            try:
+                fn(spark, warm_dir).count()
+            except Exception:
+                pass  # warmup is best-effort; timing runs will surface it
+        _cache_clear()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    for name, fn in sorted(inventory.queries().items()):
-        if name.startswith("st"):
-            # streaming-semantics entries (multi-micro-batch state
-            # machinery) are correctness checks, not throughput —
-            # excluded from the batch-engine timing contract
-            continue
+    for name, fn in batch_queries.items():
         best, n = float("inf"), 0
         for _ in range(max(runs, 1)):
             t0 = time.perf_counter()

@@ -34,6 +34,40 @@ _MODULES = (
     stream_queries,
 )
 
+# The driver's correctness gate walks queries() in dict insertion order
+# and checked exactly the first 50 entries in round 1 (CORRECTNESS_r01:
+# the 14 tail entries — st*, tx*, mm*, ann05 — got no row). Front-load
+# the entries that have never received a driver row so every inventory
+# item gets checked across rounds regardless of the driver's budget.
+_CHECK_FIRST = (
+    "tx01_langid",
+    "tx02_quality_score",
+    "tx03_token_count",
+    "tx04_fingerprint",
+    "tx05_corpus_stats_by_lang",
+    "mm01_binary_meta",
+    "mm02_decode_pipeline",
+    "mm03_frame_sample",
+    "ann05_ivf_multiprobe",
+    "st01_stream_tumble_window",
+    "st02_stream_upsert_agg",
+    "st03_stream_session_window",
+    "st04_stream_session_custom",
+    "st05_stream_hop_window",
+)
+
+
+def _check_first_is_exact() -> None:
+    missing = [k for k in _CHECK_FIRST if k not in queries()]
+    if missing:
+        raise ValueError(f"_CHECK_FIRST names not in inventory: {missing}")
+
+
+def _reorder(out: dict) -> dict:
+    head = {k: out[k] for k in _CHECK_FIRST if k in out}
+    head.update((k, v) for k, v in out.items() if k not in head)
+    return head
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -42,7 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(mod.QUERIES)
-    return out
+    return _reorder(out)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,61 @@
+"""Shared-upstream memoization for the operator inventory.
+
+Several inventory entries are stages of one pipeline (dd02 pairs feed
+dd06 clustering; dd05 signatures feed dd08 banding; the IVF centroids
+feed ann04/ann05/dd07). Run standalone, each entry would recompute its
+upstream from the raw corpus — at scale that is re-reading 100 TB per
+derived product. The production shape is compute-once-reuse (a
+persisted DataFrame within a session; a materialized table across
+jobs), which this memo implements for the in-session case: first
+caller builds + persists, later callers reuse the same lineage.
+
+Keyed by (session id, sf_dir, product name); `clear` drops the cache
+(tests use it to measure cold paths).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+_DF_CACHE: dict[tuple, DataFrame] = {}
+_OBJ_CACHE: dict[tuple, Any] = {}
+
+
+def memo_df(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    builder: Callable[[], DataFrame],
+) -> DataFrame:
+    """Build-once persisted DataFrame per (session, sf_dir, name)."""
+    key = (id(spark), sf_dir, name)
+    if key not in _DF_CACHE:
+        _DF_CACHE[key] = builder().persist(StorageLevel.MEMORY_AND_DISK)
+    return _DF_CACHE[key]
+
+
+def memo_obj(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    builder: Callable[[], Any],
+) -> Any:
+    """Build-once driver-side object (e.g. the tiny centroid matrix)."""
+    key = (id(spark), sf_dir, name)
+    if key not in _OBJ_CACHE:
+        _OBJ_CACHE[key] = builder()
+    return _OBJ_CACHE[key]
+
+
+def clear() -> None:
+    for df in _DF_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _DF_CACHE.clear()
+    _OBJ_CACHE.clear()

@@ -433,7 +433,7 @@ winmax AS (
 grouped AS (
   SELECT event_type, m_max,
          SUM(1::BIGINT << (m_max - m_j)) AS t_present,
-         COUNT(*) AS n_regs, SUM(nd_part) AS n_exact
+         COUNT(*) AS n_regs, CAST(SUM(nd_part) AS BIGINT) AS n_exact
   FROM winmax GROUP BY 1, 2
 ),
 est AS (

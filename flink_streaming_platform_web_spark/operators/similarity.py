@@ -41,8 +41,13 @@ DIM = 64
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus as (vec_id, array<double>), spread across all cores: the
+    embeddings parquet is dense-but-small on disk (one row-group →
+    one input partition), which would serialize every numpy block
+    kernel downstream; the repartition is a one-time tiny shuffle that
+    buys full parallelism for the scoring stages."""
     emb = load(spark, sf_dir, "embeddings")
-    return emb.select(
+    return emb.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -221,57 +226,56 @@ WHERE round({_ORACLE_COS.format(a='a.v', b='b.v')}, 6) >= {NEARDUP_COS}
 # --------------------------------------------------------------------------
 # ann03 — random-hyperplane LSH buckets + within-bucket verification.
 # Hyperplane weights are md5-derived (engine-portable, deterministic):
-# w(plane, dim) = (portable_hash('plane:dim') % 2001 - 1000) / 1000.
-# Only the SIGN of the projection feeds the bucket, so fp summation
-# order cannot flip results except at measure-zero boundaries.
+# w(plane, dim) = (int(md5('plane:dim')[:15hex]) % 2001 - 1000) / 1000,
+# computed once on the driver (N_PLANES × DIM doubles — tiny) and
+# embedded as array literals on BOTH engines, so no weight table ever
+# joins the corpus. Each plane's projection is an array-side SEQUENTIAL
+# fold (zip_with → aggregate): deterministic IEEE order per row (the
+# _portable.py "reduce exactly" rule — an unordered SUM could flip the
+# sign of a near-zero projection and with it the bucket bit), and the
+# whole bucket assignment is a pure projection — ZERO shuffle before
+# the bucket self-join, vs the old posexplode→join→groupBy plan that
+# shuffled corpus × DIM element rows.
 # --------------------------------------------------------------------------
 
 
-def ann03_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vecs(spark, sf_dir)
-    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
-    dims = spark.range(1, DIM + 1).select(F.col("id").cast("int").alias("d"))
-    weights = planes.crossJoin(dims).select(
-        "p",
-        "d",
-        (
+def _hyperplanes() -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
             (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                ":",
-                                F.col("p").cast("string"),
-                                F.col("d").cast("string"),
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
+                int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
                 % 2001
                 - 1000
             )
             / 1000.0
-        ).alias("w"),
-    )
-    elems = vecs.select(
-        "vec_id", F.posexplode("v").alias("d0", "x")
-    ).withColumn("d", F.col("d0") + 1)
-    proj = (
-        elems.join(F.broadcast(weights), "d")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
-    )
-    buckets = proj.select(
-        "vec_id",
-        F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
-        .otherwise(F.lit(0).cast("bigint"))
-        .alias("bit"),
-    ).groupBy("vec_id").agg(F.sum("bit").alias("bucket"))
-    bv = vecs.join(buckets, "vec_id")
+            for d in range(1, DIM + 1)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+def _bucket_col() -> Column:
+    """bucket = Σ_p (proj_p > 0) << p as one Catalyst projection."""
+    bucket = F.lit(0).cast("bigint")
+    for p, w in enumerate(_hyperplanes()):
+        w_arr = F.array(*[F.lit(x) for x in w])
+        proj = F.aggregate(
+            F.zip_with(F.col("v"), w_arr, lambda x, wc: x * wc),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        bucket = bucket + (
+            F.when(proj > 0, F.lit(1 << p).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+    return bucket
+
+
+def ann03_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    bv = vecs.withColumn("bucket", _bucket_col())
     a = bv.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
     )
@@ -291,29 +295,24 @@ def ann03_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_bucket_sql() -> str:
+    """Mirror of _bucket_col: literal weights + list_reduce left fold
+    (list_reduce starts from element 1; Spark's aggregate starts from
+    0.0 + element 1 — identical IEEE sequence since 0.0 + x == x)."""
+    terms = []
+    for p, w in enumerate(_hyperplanes()):
+        wl = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+        proj = (
+            f"list_reduce(list_transform(range(1, {DIM + 1}), "
+            f"i -> v[i] * ({wl})[i]), (a, b) -> a + b)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 ORACLE_ANN03 = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-weights AS (
-  SELECT p, d,
-         ((CAST('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 15)
-                AS BIGINT) % 2001 - 1000) / 1000.0) AS w
-  FROM (SELECT unnest(range({N_PLANES}))::INT AS p),
-       (SELECT unnest(generate_series(1, {DIM}))::INT AS d)
-),
-elems AS (
-  SELECT vec_id, d::INT AS d, v[d] AS x
-  FROM e, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS d)
-),
-proj AS (
-  SELECT vec_id, p, SUM(x * w) AS s
-  FROM elems JOIN weights USING (d) GROUP BY 1, 2
-),
-buckets AS (
-  SELECT vec_id,
-         SUM(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
-  FROM proj GROUP BY 1
-),
-bv AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id))
+bv AS (SELECT vec_id, v, {_oracle_bucket_sql()} AS bucket FROM e)
 SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
        round({_ORACLE_COS.format(a='a.v', b='b.v')}, 6) AS cos_sim
 FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -336,7 +335,17 @@ IVF_TOP_K = 3
 
 def _centroids(spark: SparkSession, sf_dir: str):
     """label → centroid matrix, decimal-exact per-dimension means
-    (same arithmetic as q32, so the oracle reproduces them bitwise)."""
+    (same arithmetic as q32, so the oracle reproduces them bitwise).
+    Memoized per session — ann04, ann05 and dd07 all quantize against
+    the same |labels|×dim matrix."""
+    from flink_streaming_platform_web_spark.operators._cache import memo_obj
+
+    return memo_obj(
+        spark, sf_dir, "ivf_centroids", lambda: _centroids_build(spark, sf_dir)
+    )
+
+
+def _centroids_build(spark: SparkSession, sf_dir: str):
     emb = load(spark, sf_dir, "embeddings")
     rows = (
         emb.select("label", F.posexplode("embedding").alias("d", "x"))
@@ -460,43 +469,58 @@ SELECT query_id, cell, neighbor_id, rk, cos_sim FROM (
 N_PROBE = 2
 
 
-def ann05_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vecs(spark, sf_dir)
-    labels, C = _centroids(spark, sf_dir)
+def cell_assign(
+    spark: SparkSession,
+    vecs: DataFrame,
+    sf_dir: str,
+    n_cells: int,
+    centroids: tuple | None = None,
+) -> DataFrame:
+    """Assign each vector to its `n_cells` nearest centroid cells
+    (vec_id, cell, v — one row per probe). The centroid matrix is
+    |labels|×dim (tiny) and broadcast; the corpus never shuffles here —
+    assignment is a mapInPandas projection."""
+    labels, C = centroids if centroids is not None else _centroids(
+        spark, sf_dir
+    )
     cb = spark.sparkContext.broadcast((labels, C))
 
-    def assign_topn(n_cells: int):
-        def assign(batches):
-            lab, cent = cb.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                V = np.stack(pdf["v"].to_numpy())
-                cos = np.round(_block_cosine(V, cent), 6)
-                order = np.lexsort(
-                    (np.broadcast_to(lab, cos.shape), -cos), axis=1
-                )[:, :n_cells]
-                m = order.shape[1]
-                out = pd.DataFrame(
-                    {
-                        "vec_id": np.repeat(
-                            pdf["vec_id"].to_numpy(), m
-                        ),
-                        "cell": lab[order].ravel(),
-                        "v": pdf["v"].iloc[
-                            np.repeat(np.arange(len(pdf)), m)
-                        ].to_numpy(),
-                    }
-                )
-                yield out
+    def assign(batches):
+        lab, cent = cb.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            cos = np.round(_block_cosine(V, cent), 6)
+            order = np.lexsort(
+                (np.broadcast_to(lab, cos.shape), -cos), axis=1
+            )[:, :n_cells]
+            m = order.shape[1]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), m),
+                    "cell": lab[order].ravel(),
+                    "v": pdf["v"].iloc[
+                        np.repeat(np.arange(len(pdf)), m)
+                    ].to_numpy(),
+                }
+            )
 
-        return assign
+    return vecs.mapInPandas(assign, "vec_id long, cell int, v array<double>")
 
-    schema = "vec_id long, cell int, v array<double>"
-    corpus = vecs.mapInPandas(assign_topn(1), schema)
+
+def ann05_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    corpus = cell_assign(spark, vecs, sf_dir, 1, centroids=cents)
     query_probes = (
-        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .mapInPandas(assign_topn(N_PROBE), schema)
+        cell_assign(
+            spark,
+            vecs.filter(F.col("vec_id") % QUERY_MOD == 0),
+            sf_dir,
+            N_PROBE,
+            centroids=cents,
+        )
         .select(
             F.col("vec_id").alias("query_id"),
             "cell",
@@ -523,7 +547,9 @@ def ann05_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ANN05 = f"""
+# Shared CTE text: per-label centroids + per-vector cell ranking —
+# the quantizer both ann05 and dd07 (dedup.py) mirror.
+ORACLE_CELL_RANKED = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 cent_long AS (
   SELECT label, d,
@@ -545,7 +571,9 @@ ranked AS (
            ORDER BY round({_ORACLE_COS.format(a='e.v', b='c.cv')}, 6)
                     DESC, c.label ASC) AS rn
   FROM e CROSS JOIN cent c
-),
+)"""
+
+ORACLE_ANN05 = f"""{ORACLE_CELL_RANKED},
 corpus AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
 query_probes AS (
   SELECT vec_id AS query_id, v AS qv, cell

@@ -217,10 +217,10 @@ def tx05_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TX05 = f"""
 WITH scored AS ({ORACLE_TX02})
 SELECT d.lang, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS mean_quality,
-       SUM(CAST(quality >= 0.8 AS INT)) AS n_kept
+       CAST(SUM(CAST(quality >= 0.8 AS INT)) AS BIGINT) AS n_kept
 FROM scored s JOIN documents d ON s.doc_id = d.doc_id
 GROUP BY d.lang
 """

@@ -64,7 +64,11 @@ def get_spark(
         # executors and removes shuffles from every dim join.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # single-JVM local mode: driver heap IS executor heap for all
+        # 32 threads; 16g keeps GC quiet across a long query inventory
+        # (the box has 128 GiB — at cluster scale this is per-executor
+        # memory sizing instead)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+_BUILTINS_INSTALLED: set[int] = set()
+
 TABLES = (
     "region",
     "nation",
@@ -54,6 +56,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "spark.sql.shuffle.partitions",
             str(spark.sparkContext.defaultParallelism),
         )
+    # the driver (and any vanilla session) must see the Flink-compat
+    # builtins — q37 etc. call split_index/truncate/sha256 in plain SQL
+    if id(spark) not in _BUILTINS_INSTALLED:
+        from flink_streaming_platform_web_spark.functions import flink_builtins
+
+        flink_builtins.install(spark)
+        _BUILTINS_INSTALLED.add(id(spark))
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -121,6 +121,46 @@ def test_dd02_two_shuffles_no_python(spark, sf_dir):
     assert not has_python_eval(df)
 
 
+def test_ann03_bucket_projection_no_exchange(spark, sf_dir):
+    """ann03's bucket assignment must be a pure projection: the only
+    exchanges in the whole query are the bucket self-join's two hash
+    repartitions (plus the explicit corpus-spreading round-robin) —
+    NOT the r01 posexplode→join→groupBy pipeline that shuffled
+    corpus×64 element rows before bucketing."""
+    from flink_streaming_platform_web_spark.operators.similarity import (
+        ann03_lsh_bucketed_neardup,
+        _vecs,
+        _bucket_col,
+    )
+    from flink_streaming_platform_web_spark.plans import (
+        executed_plan,
+        shuffle_count,
+    )
+
+    # bucket computation alone: zero exchanges of any kind
+    buckets = _vecs(spark, sf_dir).select("vec_id", _bucket_col().alias("b"))
+    plan = executed_plan(buckets)
+    assert "Exchange hashpartitioning" not in plan
+    # full query: just the self-join's exchanges
+    assert shuffle_count(ann03_lsh_bucketed_neardup(spark, sf_dir)) <= 2
+
+
+def test_dd07_no_driver_side_corpus(spark, sf_dir):
+    """dd07's discovery is cell-bucketed: one hash exchange (groupBy
+    cell) + the doc-info joins; the corpus never materializes on the
+    driver (r01 shipped it on ann02's full-corpus toPandas broadcast)."""
+    import inspect
+
+    from flink_streaming_platform_web_spark.operators import dedup
+    from flink_streaming_platform_web_spark.plans import executed_plan
+
+    src = inspect.getsource(dedup.dd07_embed_neardup_docs)
+    assert "toPandas" not in src and "ann02" not in src
+    plan = executed_plan(dedup.dd07_embed_neardup_docs(spark, sf_dir))
+    # the per-cell block scorer is the one applyInPandas in the plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_tx_ops_shuffle_free(spark, sf_dir):
     """Per-document text analysis must be a single scan pass — zero
     exchanges of any kind."""

@@ -23,6 +23,59 @@ from flink_streaming_platform_web_spark.session import get_spark
 from flink_streaming_platform_web_spark.tables import TABLES
 
 
+def _type_kind(t) -> str:
+    """Collapse an Arrow type to the kind class the driver's
+    canonicalizer distinguishes. DuckDB HUGEINT arrives as
+    decimal128(38,0) — a different kind from int64, which is exactly
+    the drift that caused the r01 dd05/ann03/q38 hash mismatches, so
+    'decimal' and 'int' must NOT collapse together here."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    return str(t)
+
+
+_SPARK_KIND = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "int",
+    "float": "float",
+    "double": "float",
+    "boolean": "bool",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+}
+
+
+def _spark_kind(dt: str) -> str:
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    if dt.startswith("array"):
+        return "list"
+    return _SPARK_KIND.get(dt, dt)
+
+
 def _canon(v) -> str:
     if v is None:
         return "NULL"
@@ -78,8 +131,14 @@ def main() -> int:
             continue
         try:
             cur = con.execute(oracles[name])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            arrow = cur.fetch_arrow_table()
+            d_cols = arrow.column_names
+            d_kinds = {
+                c: _type_kind(arrow.schema.field(c).type) for c in d_cols
+            }
+            d_rows = [
+                tuple(row[c] for c in d_cols) for row in arrow.to_pylist()
+            ]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -88,6 +147,15 @@ def main() -> int:
         problems = []
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"schema {sorted(s_cols)} vs {sorted(d_cols)}")
+        else:
+            s_kinds = {c: _spark_kind(t) for c, t in sdf.dtypes}
+            drift = {
+                c: (s_kinds[c], d_kinds[c])
+                for c in s_cols
+                if s_kinds[c] != d_kinds[c]
+            }
+            if drift:
+                problems.append(f"type drift {drift}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rows {len(s_rows)} vs {len(d_rows)}")
         if not problems:
