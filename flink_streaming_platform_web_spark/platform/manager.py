@@ -21,6 +21,7 @@ from __future__ import annotations
 import shlex
 import subprocess
 import sys
+import threading
 import traceback
 from dataclasses import dataclass, field
 
@@ -61,10 +62,22 @@ class JobManager:
     store: JobStore = field(default_factory=JobStore)
     alarm_configs: dict[int, AlarmConfig] = field(default_factory=dict)
     running: dict[int, RunningJob] = field(default_factory=dict)
+    # cluster-mode jobs: job_id → application id (YARN/Spark REST)
+    remote_apps: dict[int, str] = field(default_factory=dict)
+    # serializes lifecycle transitions: the REST facade's request
+    # threads and the scheduler daemon share this manager, and
+    # check-then-act on `running` would otherwise race (ADVICE r01)
+    _lock: threading.RLock = field(default_factory=threading.RLock)
 
     # -- lifecycle (JobConfigApiController verb parity) ---------------------
 
     def start(self, job_id: int, restore_savepoint: int | None = None) -> ExecutionResult:
+        with self._lock:
+            return self._start_locked(job_id, restore_savepoint)
+
+    def _start_locked(
+        self, job_id: int, restore_savepoint: int | None = None
+    ) -> ExecutionResult:
         job = self.store.get_job(job_id)
         if not job.is_open:
             raise RuntimeError(f"job {job_id} is closed")
@@ -132,19 +145,51 @@ class JobManager:
         return result
 
     def stop(self, job_id: int) -> None:
-        rj = self.running.pop(job_id, None)
-        if rj is not None:
-            self.savepoint(job_id)  # savepoint-before-stop (reference :94-98)
-            for q in rj.result.streaming_queries:
-                q.stop()
-                q.awaitTermination(60)
-            if rj.proc is not None and rj.proc.poll() is None:
-                rj.proc.terminate()
-                try:
-                    rj.proc.wait(30)
-                except subprocess.TimeoutExpired:
-                    rj.proc.kill()
-        self.store.set_status(job_id, "STOP")
+        with self._lock:
+            rj = self.running.pop(job_id, None)
+            if rj is not None:
+                # savepoint-before-stop (reference :94-98)
+                self.savepoint(job_id)
+                for q in rj.result.streaming_queries:
+                    q.stop()
+                    q.awaitTermination(60)
+                if rj.proc is not None and rj.proc.poll() is None:
+                    rj.proc.terminate()
+                    try:
+                        rj.proc.wait(30)
+                    except subprocess.TimeoutExpired:
+                        rj.proc.kill()
+                self.store.set_status(job_id, "STOP")
+                return
+            # not tracked as running: only stoppable states transition
+            # to STOP — never erase a FAIL record with a late stop()
+            # (reference stops only RUNNING/RESTARTING,
+            # JobStandaloneServerAOImpl.java:108; ADVICE r01)
+            if self.store.get_job(job_id).status_name in (
+                "RUN",
+                "STARTING",
+            ):
+                self.store.set_status(job_id, "STOP")
+
+    # -- config verbs (open/close/delete/copy — JobConfigApiController) ----
+
+    def open_job(self, job_id: int) -> None:
+        self.store.set_open(job_id, True)
+
+    def close_job(self, job_id: int) -> None:
+        with self._lock:
+            if job_id in self.running:
+                raise RuntimeError(f"job {job_id} is running; stop it first")
+            self.store.set_open(job_id, False)
+
+    def delete_job(self, job_id: int) -> None:
+        with self._lock:
+            if job_id in self.running:
+                raise RuntimeError(f"job {job_id} is running; stop it first")
+            self.store.delete_job(job_id)
+
+    def copy_job(self, job_id: int, new_name: str | None = None) -> int:
+        return self.store.copy_job(job_id, new_name)
 
     def savepoint(self, job_id: int) -> str | None:
         """Register the job's checkpoint location — Spark's checkpoint
@@ -162,48 +207,124 @@ class JobManager:
 
     def reconcile(self) -> list[int]:
         """Sweep RUN jobs whose queries died; mark STOP/FAIL, alarm,
-        optionally auto-restart. Returns affected job ids."""
-        affected = []
-        for job_id, rj in list(self.running.items()):
-            exc = None
-            if rj.proc is not None:
-                rc = rj.proc.poll()
-                if rc is None:
-                    continue
-                if rc != 0:
-                    exc = RuntimeError(f"app exited with code {rc}")
-            else:
-                dead = [
-                    q
-                    for q in rj.result.streaming_queries
-                    if not q.isActive
-                ]
-                if not dead:
-                    continue
-                for q in dead:
-                    if q.exception() is not None:
-                        exc = q.exception()
-            affected.append(job_id)
-            self.running.pop(job_id)
-            job = self.store.get_job(job_id)
-            self.store.set_status(job_id, "FAIL" if exc else "STOP")
-            self._alarm(
-                job_id,
-                f"job {job.job_name} is no longer running"
-                + (f": {exc}" if exc else ""),
-            )
-            cfg = self.alarm_configs.get(job_id)
-            if cfg and cfg.auto_restart and rj.restarts < cfg.max_restarts:
-                # reference restarts as user 'task-auto'
-                # (SystemConstants.java:22)
-                result = self.start(job_id)
-                if job_id in self.running:
-                    self.running[job_id].restarts = rj.restarts + 1
-        return affected
+        optionally auto-restart. Returns affected job ids. Per-job
+        failures (including restart errors) never abort the sweep —
+        the reference's scheduler catches per-job exceptions the same
+        way (TaskServiceAOImpl.checkJobStatus)."""
+        with self._lock:
+            affected = []
+            for job_id, rj in list(self.running.items()):
+                exc = None
+                if rj.proc is not None:
+                    rc = rj.proc.poll()
+                    if rc is None:
+                        continue
+                    if rc != 0:
+                        exc = RuntimeError(f"app exited with code {rc}")
+                else:
+                    dead = [
+                        q
+                        for q in rj.result.streaming_queries
+                        if not q.isActive
+                    ]
+                    if not dead:
+                        continue
+                    for q in dead:
+                        if q.exception() is not None:
+                            exc = q.exception()
+                affected.append(job_id)
+                self.running.pop(job_id)
+                job = self.store.get_job(job_id)
+                self.store.set_status(job_id, "FAIL" if exc else "STOP")
+                self._alarm(
+                    job_id,
+                    f"job {job.job_name} is no longer running"
+                    + (f": {exc}" if exc else ""),
+                )
+                cfg = self._channels(job_id)
+                if (
+                    cfg
+                    and cfg.auto_restart
+                    and rj.restarts < cfg.max_restarts
+                ):
+                    # reference restarts as user 'task-auto'
+                    # (SystemConstants.java:22); a failed restart is
+                    # alarmed and the sweep continues (ADVICE r01)
+                    try:
+                        self._start_locked(job_id)
+                    except Exception as e:
+                        self.store.log_alarm(
+                            job_id, "AUTO_RESTART_FAIL", str(e)
+                        )
+                    else:
+                        if job_id in self.running:
+                            self.running[job_id].restarts = rj.restarts + 1
+            return affected
+
+    # -- cluster-mode sweep (YARN/Spark REST; TaskServiceAO.checkYarn) --
+
+    def track_remote(self, job_id: int, app_id: str) -> None:
+        """Record a cluster-submitted job's application id so the
+        remote sweep can poll it (the reference persists the YARN app
+        id on the run log the same way)."""
+        self.remote_apps[job_id] = app_id
+        self.store.log_run(job_id, "RUN", [f"app:{app_id}"])
+        self.store.set_status(job_id, "RUN")
+
+    def reconcile_remote(self, adapter) -> list[int]:
+        """Sweep cluster-mode jobs via a status RPC adapter
+        (platform/rpc.py — YarnRestAdapter / SparkRestAdapter): any
+        tracked app no longer RUNNING is marked with the adapter's
+        mapped status, alarmed, and optionally auto-restarted —
+        checkYarn/checkStandalone parity (TaskServiceAOImpl:208-245).
+        """
+        with self._lock:
+            affected = []
+            for job_id, app_id in list(self.remote_apps.items()):
+                try:
+                    status = adapter.app_status(app_id)
+                except Exception:
+                    status = "UNKNOWN"
+                if status in ("RUN", "STARTING", "UNKNOWN"):
+                    continue  # healthy or indeterminate: leave alone
+                affected.append(job_id)
+                self.remote_apps.pop(job_id)
+                job = self.store.get_job(job_id)
+                self.store.set_status(job_id, status)
+                self._alarm(
+                    job_id,
+                    f"cluster job {job.job_name} ({app_id}) is {status}",
+                )
+            return affected
+
+    def _channels(self, job_id: int) -> AlarmConfig | None:
+        """Per-job alarm channel selection: the in-memory override
+        wins; otherwise the persisted job_alarm_config rows pick the
+        channels (AlarmTypeEnum routing) with URLs from system_config
+        (SysConfigEnum keys)."""
+        cfg = self.alarm_configs.get(job_id)
+        if cfg is not None:
+            return cfg
+        types = self.store.alarm_types(job_id)
+        if not types:
+            return None
+        return AlarmConfig(
+            webhook_url=(
+                self.store.get_config("alarm.dingding.url")
+                if "DINGDING" in types
+                else None
+            ),
+            callback_url=(
+                self.store.get_config("alarm.callback.url")
+                if "CALLBACK_URL" in types
+                else None
+            ),
+            auto_restart="AUTO_START_JOB" in types,
+        )
 
     def _alarm(self, job_id: int, message: str) -> None:
         self.store.log_alarm(job_id, "JOB_DOWN", message)
-        cfg = self.alarm_configs.get(job_id)
+        cfg = self._channels(job_id)
         if cfg is None:
             return
         job = self.store.get_job(job_id)

@@ -11,16 +11,30 @@ Routes (JSON in/out, reference verb names kept):
     POST /api/editConfig       {id, sql}
     POST /api/start            {id, savepoint_id?}
     POST /api/stop             {id}
+    POST /api/open             {id}
+    POST /api/close            {id}
+    POST /api/delete           {id}
+    POST /api/copyConfig       {id, name?}
+    POST /api/deployFlinkTask  {name, sql, job_type?} (add + start)
     POST /api/savepoint        {id}
     POST /api/checkfSql        {sql, job_type?}
+    POST /api/setAlarmConfig   {id, types: ["DINGDING", ...]}
+    POST /api/login            {username, password} → {token}
+    POST /api/logout           {}
     GET  /api/status?id=N
     GET  /api/listTask
     GET  /api/jobConfigHistoryPage?id=N
+    GET  /api/jobConfigHistoryDetail?id=N&version=V
 
 Responses mirror the reference's RestResult envelope:
 ``{"code": 200, "message": "success", "data": …}``; errors use
 code 500 with the exception text (SystemConstants parity is not
 byte-level — the envelope shape is).
+
+Auth (user table parity, flink_web.sql:171-187): once any user exists
+in the store, every route except /api/login requires a valid
+``token`` header obtained from login; with no users registered the
+facade stays open (embedded/test mode).
 """
 
 from __future__ import annotations
@@ -57,13 +71,29 @@ class _Handler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length", 0))
         return json.loads(self.rfile.read(n) or b"{}")
 
+    def _authorized(self, path: str) -> bool:
+        store = self.manager.store
+        if path == "/api/login" or not store.has_users():
+            return True
+        return store.check_token(self.headers.get("token")) is not None
+
     def do_GET(self) -> None:  # noqa: N802 (stdlib API)
         mgr = self.manager
         url = urlparse(self.path)
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        if not self._authorized(url.path):
+            self._reply(_envelope(None, 401, "login required"), 401)
+            return
         try:
             if url.path == "/api/status":
                 data = {"status": mgr.status(int(q["id"]))}
+            elif url.path == "/api/jobConfigHistoryDetail":
+                data = {
+                    "version": int(q["version"]),
+                    "sql": mgr.store.history_detail(
+                        int(q["id"]), int(q["version"])
+                    ),
+                }
             elif url.path == "/api/listTask":
                 data = [
                     {
@@ -89,9 +119,42 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:  # noqa: N802 (stdlib API)
         mgr = self.manager
         path = urlparse(self.path).path
+        if not self._authorized(path):
+            self._reply(_envelope(None, 401, "login required"), 401)
+            return
         try:
             b = self._body()
-            if path == "/api/addConfig":
+            if path == "/api/login":
+                data = {
+                    "token": mgr.store.login(b["username"], b["password"])
+                }
+            elif path == "/api/logout":
+                mgr.store.logout(self.headers.get("token") or "")
+                data = None
+            elif path == "/api/open":
+                mgr.open_job(int(b["id"]))
+                data = None
+            elif path == "/api/close":
+                mgr.close_job(int(b["id"]))
+                data = None
+            elif path == "/api/delete":
+                mgr.delete_job(int(b["id"]))
+                data = None
+            elif path == "/api/copyConfig":
+                data = {"id": mgr.copy_job(int(b["id"]), b.get("name"))}
+            elif path == "/api/deployFlinkTask":
+                jid = mgr.store.add_job(
+                    b["name"],
+                    b["sql"],
+                    job_type=b.get("job_type", "streaming"),
+                    checkpoint_dir=b.get("checkpoint_dir"),
+                )
+                result = mgr.start(jid)
+                data = {"id": jid, "queries": result.query_ids}
+            elif path == "/api/setAlarmConfig":
+                mgr.store.set_alarm_types(int(b["id"]), b.get("types", []))
+                data = None
+            elif path == "/api/addConfig":
                 jid = mgr.store.add_job(
                     b["name"],
                     b["sql"],
@@ -122,6 +185,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._reply(_envelope(None, 404, "not found"), 404)
                 return
             self._reply(_envelope(data))
+        except PermissionError as e:
+            self._reply(_envelope(None, 401, str(e)), 401)
         except Exception as e:
             self._reply(_envelope(None, 500, str(e)), 500)
 
