@@ -205,12 +205,52 @@ def kafka_stream(spark: SparkSession, table: TableDef) -> DataFrame:
     return apply_schema_decorations(df, table)
 
 
+def kafka_batch(spark: SparkSession, table: TableDef) -> DataFrame:
+    """Bounded kafka read for batch jobs (spark.read.format('kafka'),
+    earliest→latest) — a kafka table in a `-type 2` script is a
+    bounded scan, NOT a stream quietly recorded as one (ADVICE r01:
+    the silent stream-as-batch path broke the batch write downstream)."""
+    reader = spark.read.format("kafka")
+    opts = kafka_reader_options(table)
+    opts["startingOffsets"] = "earliest"
+    opts["endingOffsets"] = "latest"
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    try:
+        raw = reader.load()
+    except Exception as e:
+        raise ConnectorUnavailable(
+            "kafka connector requires spark-sql-kafka on the classpath "
+            "(spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
+        ) from e
+    df = raw.select(
+        F.from_json(
+            F.col("value").cast("string"), table.schema_ddl()
+        ).alias("v")
+    ).select("v.*")
+    return apply_schema_decorations(df, table)
+
+
+def kafka_payload(df: DataFrame, table: TableDef) -> DataFrame:
+    """Record layout for the kafka sink (pure — unit-testable on a
+    batch frame). For upsert-kafka (always PK-declared in Flink) the
+    PRIMARY KEY columns serialize into the record key — Kafka log
+    compaction on that key is what gives the connector its upsert
+    semantics, so dropping the key (or diverting to an in-process
+    store — ADVICE r01) would break the contract."""
+    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
+    if table.primary_key:
+        cols.insert(
+            0,
+            F.to_json(F.struct(*table.primary_key)).alias("key"),
+        )
+    return df.select(*cols)
+
+
 def kafka_writer(df: DataFrame, table: TableDef):
-    payload = df.select(
-        F.to_json(F.struct(*df.columns)).alias("value")
-    )
+    """Kafka / upsert-kafka stream sink (see kafka_payload)."""
     return (
-        payload.writeStream.format("kafka")
+        kafka_payload(df, table).writeStream.format("kafka")
         .option(
             "kafka.bootstrap.servers",
             table.options.get("properties.bootstrap.servers", ""),
@@ -250,6 +290,77 @@ def jdbc_batch(spark: SparkSession, table: TableDef) -> DataFrame:
             "classpath (spark.jars)"
         ) from e
     return apply_schema_decorations(df, table)
+
+
+# --------------------------------------------------------------------------
+# elasticsearch-7 — upsert sink (demo_6.md enriched_orders DDL:
+# 'connector'='elasticsearch-7', 'hosts', 'index'). Option mapping and
+# the bulk-API payload builder are pure (unit-tested without a
+# cluster); the stream writer POSTs _bulk per micro-batch.
+# --------------------------------------------------------------------------
+
+
+def es_sink_options(table: TableDef) -> dict[str, str]:
+    o = table.options
+    opts = {
+        "hosts": o.get("hosts", ""),
+        "index": o.get("index", table.name),
+    }
+    for k in ("username", "password"):
+        if o.get(k):
+            opts[k] = o[k]
+    return opts
+
+
+def es_bulk_payload(
+    rows: list[dict], index: str, primary_key: list[str] | None
+) -> str:
+    """Bulk-API NDJSON: `index` actions keyed by the PK (upsert — the
+    document id is the PK, so re-sending a key overwrites: exactly the
+    reference connector's PRIMARY KEY NOT ENFORCED behavior)."""
+    import json
+
+    lines = []
+    for row in rows:
+        action: dict = {"index": {"_index": index}}
+        if primary_key:
+            action["index"]["_id"] = "_".join(
+                str(row[k]) for k in primary_key
+            )
+        lines.append(json.dumps(action, default=str))
+        lines.append(json.dumps(row, default=str))
+    return "\n".join(lines) + "\n" if lines else ""
+
+
+def es_writer(df: DataFrame, table: TableDef):
+    """foreachBatch writer: micro-batch → bulk POST. Fails loudly if
+    no hosts are configured (never silently diverts — ADVICE r01)."""
+    opts = es_sink_options(table)
+    if not opts["hosts"]:
+        raise ConnectorUnavailable(
+            f"elasticsearch-7 sink {table.name!r} has no 'hosts' option"
+        )
+    url = opts["hosts"].rstrip("/") + "/_bulk"
+    index = opts["index"]
+    pk = table.primary_key
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        import urllib.request
+
+        rows = [r.asDict() for r in batch.toLocalIterator()]
+        payload = es_bulk_payload(rows, index, pk)
+        if not payload:
+            return
+        req = urllib.request.Request(
+            url,
+            data=payload.encode(),
+            headers={"Content-Type": "application/x-ndjson"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            if not (200 <= resp.status < 300):
+                raise RuntimeError(f"ES bulk failed: HTTP {resp.status}")
+
+    return df.writeStream.outputMode("update").foreachBatch(apply)
 
 
 def build_upsert_sql(

@@ -74,47 +74,38 @@ def split_statements(script: str) -> list[str]:
 
     Comment handling matches SqlFileParser.java:37-39 (whole-line and
     trailing ``--`` comments dropped); unlike the reference we track
-    quote state, so ``';'`` inside string literals doesn't split, and
-    ``--`` inside a literal isn't a comment.
+    quote state — in ONE pass over the whole script, so it carries
+    across line boundaries (ADVICE r01: the per-line reset mis-split
+    literals spanning lines). Inside a literal, ``;`` never splits,
+    ``--`` is not a comment, and newlines are content.
     """
     statements: list[str] = []
     buf: list[str] = []
-    for raw_line in script.splitlines():
-        line, in_quote, i = [], False, 0
-        while i < len(raw_line):
-            ch = raw_line[i]
-            if ch == "'":
-                # '' inside a literal is an escaped quote
-                if in_quote and raw_line[i + 1 : i + 2] == "'":
-                    line.append("''")
-                    i += 2
-                    continue
-                in_quote = not in_quote
-                line.append(ch)
-            elif not in_quote and raw_line.startswith("--", i):
-                break  # rest of line is a comment
-            else:
-                line.append(ch)
-            i += 1
-        text = "".join(line)
-        if not text.strip():
-            continue
-        # split on unquoted semicolons (possibly several per line)
-        part, in_quote = [], False
-        for ch in text:
-            if ch == "'":
-                in_quote = not in_quote
-            if ch == ";" and not in_quote:
-                buf.append("".join(part))
-                stmt = "\n".join(s for s in buf if s.strip()).strip()
-                if stmt:
-                    statements.append(stmt)
-                buf, part = [], []
-            else:
-                part.append(ch)
-        if "".join(part).strip():
-            buf.append("".join(part))
-    leftover = "\n".join(buf).strip()
+    in_quote = False
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
+        if ch == "'":
+            # '' inside a literal is an escaped quote
+            if in_quote and script[i + 1 : i + 2] == "'":
+                buf.append("''")
+                i += 2
+                continue
+            in_quote = not in_quote
+            buf.append(ch)
+        elif not in_quote and script.startswith("--", i):
+            while i < n and script[i] != "\n":  # comment to end of line
+                i += 1
+            continue  # the newline is handled on the next iteration
+        elif not in_quote and ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                statements.append(stmt)
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    leftover = "".join(buf).strip()
     if leftover:
         # reference errors on non-';'-terminated trailers
         # (SqlFileParser.java:47); we accept a final unterminated

@@ -176,7 +176,14 @@ class JobRunner:
                 else registry.filesystem_batch(self.spark, t)
             )
         elif c == "kafka":
-            df = registry.kafka_stream(self.spark, t)
+            # batch jobs get a BOUNDED kafka scan (earliest→latest);
+            # recording a streaming DF as 'batch' would silently break
+            # the batch write path downstream (ADVICE r01)
+            df = (
+                registry.kafka_stream(self.spark, t)
+                if streaming
+                else registry.kafka_batch(self.spark, t)
+            )
         elif c == "jdbc":
             # lookup/dim tables are batch reads even in streaming jobs
             # (demo_3.md FOR SYSTEM_TIME AS OF → per-micro-batch snapshot)
@@ -594,7 +601,16 @@ class JobRunner:
     ) -> None:
         c = sink.connector
         upsert = bool(sink.primary_key)
-        if upsert and c == "filesystem":
+        # connector routes FIRST: a PK on upsert-kafka/ES selects the
+        # connector's own upsert mechanism (key serialization / doc id),
+        # never the in-process store (ADVICE r01: the generic upsert
+        # fallback made the kafka branch unreachable and silently
+        # diverted declared external sinks to an in-memory dict)
+        if c in ("kafka", "upsert-kafka"):
+            writer = registry.kafka_writer(df, sink)
+        elif c == "elasticsearch-7":
+            writer = registry.es_writer(df, sink)
+        elif upsert and c == "filesystem":
             # durable PK sink: MERGE-emulating parquet upsert
             from flink_streaming_platform_web_spark.streaming.parquet_upsert import (
                 ParquetUpsertSink,
@@ -608,14 +624,28 @@ class JobRunner:
             writer = df.writeStream.outputMode("update").foreachBatch(
                 psink.foreach_batch()
             )
-        elif upsert:
-            # PRIMARY KEY sink → update-mode agg + keyed MERGE
-            # (demo_1.md upsert path; SURVEY §7.3)
+        elif upsert and c == "jdbc" and sink.options.get("url"):
+            # a REAL database target needs its driver jar; failing
+            # loudly beats silently upserting into process memory
+            raise registry.ConnectorUnavailable(
+                f"jdbc PK sink {sink.name!r} targets {sink.options['url']!r}"
+                " but no driver jar is available; provide spark.jars or"
+                " drop the url to use the in-process store"
+            )
+        elif upsert and c in ("jdbc", "memory", "print"):
+            # url-less jdbc / memory / print PK sink → in-process keyed
+            # MERGE store (demo_1.md upsert path in embedded/test mode;
+            # SURVEY §7.3)
             store = self.upsert_stores.setdefault(
                 sink.name, KeyedStore(sink.primary_key)
             )
             writer = df.writeStream.outputMode("update").foreachBatch(
                 foreach_batch_upsert(store)
+            )
+        elif upsert:
+            raise registry.ConnectorUnavailable(
+                f"PRIMARY-KEY sink connector {c!r} has no in-process"
+                " upsert implementation"
             )
         elif c == "print":
             writer = df.writeStream.format("console").outputMode("append")
@@ -633,8 +663,6 @@ class JobRunner:
                 .option("path", sink.options["path"])
                 .outputMode("append")
             )
-        elif c in ("kafka", "upsert-kafka"):
-            writer = registry.kafka_writer(df, sink)
         else:
             raise ValueError(f"unsupported stream sink connector: {c!r}")
         if self.checkpoint.checkpoint_dir:

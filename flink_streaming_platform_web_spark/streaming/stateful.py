@@ -146,23 +146,16 @@ def sessionize(
             )
             items.extend((int(t), int(t), 1) for t in ts_us)
         merged = _merge_sessions(items, gap_us)
-        state.update(
-            (
-                [s for s, _, _ in merged],
-                [e for _, e, _ in merged],
-                [n for _, _, n in merged],
-            )
-        )
+        starts = [s for s, _, _ in merged]
+        ends = [e for _, e, _ in merged]
+        counts = [n for _, _, n in merged]
+        state.update((starts, ends, counts))
         yield pd.DataFrame(
             {
                 "key": [key[0]] * len(merged),
-                "session_start": [
-                    pd.Timestamp(s, unit="us") for s, _, _ in merged
-                ],
-                "session_end": [
-                    pd.Timestamp(e, unit="us") for _, e, _ in merged
-                ],
-                "n_events": [n for _, _, n in merged],
+                "session_start": pd.to_datetime(starts, unit="us"),
+                "session_end": pd.to_datetime(ends, unit="us"),
+                "n_events": counts,
             }
         )
 

@@ -36,7 +36,7 @@ CREATE TABLE stream_events (
 
 
 def _events_as_stream_source(
-    spark: SparkSession, sf_dir: str, tag: str, files: int = 4
+    spark: SparkSession, sf_dir: str, tag: str, files: int = 2
 ) -> str:
     """The driver's events table re-staged as a multi-file stream
     directory (`files` files → that many micro-batches), normalized to
@@ -52,12 +52,12 @@ def _events_as_stream_source(
 
 def _run_and_wait(runner: JobRunner, script: str) -> None:
     # stateful-operator state-store count == shuffle partitions at the
-    # first checkpoint; 8 fits the test key space and quarters the
+    # first checkpoint; 4 fits the test key space and cuts the
     # per-micro-batch store-commit overhead (at scale this is sized
     # once to the executor count, like Flink max-parallelism)
     spark = runner.spark
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         result = runner.execute_script(script)
         for q in result.streaming_queries:
@@ -244,7 +244,11 @@ def st04_stream_session_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreach_batch_upsert,
     )
 
-    path = _events_as_stream_source(spark, sf_dir, "st04", files=4)
+    # 2 files → 2 micro-batches: the minimum that still proves
+    # cross-batch state merging (4 batches doubled the per-batch
+    # state-store commit + per-key Python call overhead for no extra
+    # semantic coverage — this was the slowest gate entry in round 1)
+    path = _events_as_stream_source(spark, sf_dir, "st04", files=2)
     schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(schema)
@@ -254,10 +258,10 @@ def st04_stream_session_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessionize(stream, "user_id", "ts", gap_minutes=30)
     store = GroupReplaceStore(["user_id"], ["session_start"])
     # stateful shuffle partitions == state-store count is fixed at the
-    # first checkpoint; 8 is plenty for the test key space (at scale
+    # first checkpoint; 4 is plenty for the test key space (at scale
     # this is sized to executor count once, like any Flink max-parallelism)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         query = (
             sessions.writeStream.outputMode("update")
