@@ -14,10 +14,14 @@ Implements the reference's connector surface (SURVEY §2.2):
 | mysql-cdc (demo_6.md)            | debezium-JSON over kafka/file → streaming.cdc |
 | memory (ours, tests)             | memory sink / temp view |
 
-Kafka and JDBC need external infra + driver jars that this container
-lacks; their option-mapping is pure and unit-tested, and `.load()`
+Kafka needs a broker + the spark-sql-kafka jar that this container
+lacks; its option-mapping is pure and unit-tested, and `.load()`
 raises ``ConnectorUnavailable`` with a clear message when the
-underlying package is absent.
+underlying package is absent. JDBC is LIVE: Spark ships the embedded
+Derby driver, so reads, lookup dims, and the PK upsert sink
+(stage-table bulk write + one server-side MERGE) run end-to-end in
+tests (tests/test_jdbc_live.py); external databases only need their
+driver jar on spark.jars.
 
 Computed columns and watermarks from the DDL are applied uniformly in
 ``apply_schema_decorations`` — matching Flink's behavior where both
@@ -290,6 +294,163 @@ def jdbc_batch(spark: SparkSession, table: TableDef) -> DataFrame:
             "classpath (spark.jars)"
         ) from e
     return apply_schema_decorations(df, table)
+
+
+def jdbc_connect(spark: SparkSession, options: dict[str, str]):
+    """Driver-side JDBC connection via the JVM's DriverManager (used
+    only for per-batch MERGE statements and availability probes — the
+    bulk row traffic goes through executor-parallel ``df.write.jdbc``,
+    never through this connection)."""
+    jvm = spark._jvm
+    if options.get("driver"):
+        jvm.java.lang.Class.forName(options["driver"])
+    return jvm.java.sql.DriverManager.getConnection(
+        options["url"], options.get("user", ""), options.get("password", "")
+    )
+
+
+def jdbc_execute(
+    spark: SparkSession, options: dict[str, str], *statements: str
+) -> None:
+    conn = jdbc_connect(spark, options)
+    try:
+        st = conn.createStatement()
+        try:
+            for sql in statements:
+                st.execute(sql)
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def jdbc_probe(spark: SparkSession, options: dict[str, str]) -> None:
+    """Raise ConnectorUnavailable unless the url is reachable with a
+    driver on the classpath — fail at sink REGISTRATION, not first
+    micro-batch (ADVICE r01: never silently divert a declared external
+    sink)."""
+    try:
+        jdbc_connect(spark, options).close()
+    except Exception as e:
+        raise ConnectorUnavailable(
+            f"jdbc target {options.get('url')!r} unreachable (driver jar "
+            "on spark.jars? database up?)"
+        ) from e
+
+
+def build_merge_sql(
+    target: str,
+    stage: str,
+    columns: list[str],
+    primary_key: list[str],
+    quote: str = '"',
+) -> str:
+    """ANSI MERGE from a staged delta table — the scale-safe upsert
+    shape: executors bulk-write the micro-batch into ``stage`` in
+    parallel, then the database applies ONE set-oriented MERGE.
+    Identifiers are quoted to match Spark's JdbcDialect-quoted column
+    names in CREATE TABLE."""
+
+    def q(c: str) -> str:
+        return f"{quote}{c}{quote}"
+
+    on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in primary_key)
+    sets = ", ".join(
+        f"{q(c)} = s.{q(c)}" for c in columns if c not in primary_key
+    )
+    cols = ", ".join(q(c) for c in columns)
+    vals = ", ".join(f"s.{q(c)}" for c in columns)
+    merge = f"MERGE INTO {target} t USING {stage} s ON {on} "
+    if sets:
+        merge += f"WHEN MATCHED THEN UPDATE SET {sets} "
+    return merge + (
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def _jdbc_writer_opts(opts: dict[str, str], dbtable: str):
+    def configure(writer, df: DataFrame | None = None):
+        writer = writer.format("jdbc").option("url", opts["url"]).option(
+            "dbtable", dbtable
+        )
+        for k in ("user", "password", "driver"):
+            if opts.get(k):
+                writer = writer.option(k, opts[k])
+        if df is not None:
+            # dialects default StringType to LOB types (Derby: CLOB)
+            # that can't be compared in a MERGE ON clause — create
+            # string columns as VARCHAR instead
+            from pyspark.sql.types import StringType
+
+            strings = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, StringType)
+            ]
+            if strings:
+                writer = writer.option(
+                    "createTableColumnTypes",
+                    ", ".join(f"{c} VARCHAR(1024)" for c in strings),
+                )
+        return writer
+
+    return configure
+
+
+def jdbc_upsert_foreach_batch(table: TableDef):
+    """PRIMARY-KEY jdbc sink (demo_1.md `PRIMARY KEY (day_time) NOT
+    ENFORCED`): per micro-batch, (1) executor-parallel bulk write of
+    the changed keys into ``<target>_stage`` (overwrite), (2) one
+    driver-issued `MERGE INTO target USING stage` applied atomically by
+    the database. Row traffic scales with executors; the driver only
+    ships one SQL string per batch."""
+    opts = jdbc_reader_options(table)
+    target = opts["dbtable"]
+    stage = f"{target}_stage"
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.columns:
+            return
+        spark = batch.sparkSession
+        _jdbc_writer_opts(opts, stage)(batch.write, batch).mode(
+            "overwrite"
+        ).save()
+        # first epoch: create the (empty) target with the same
+        # dialect-quoted schema if it doesn't exist yet
+        _jdbc_writer_opts(opts, target)(batch.limit(0).write, batch).mode(
+            "append"
+        ).save()
+        jdbc_execute(
+            spark,
+            opts,
+            build_merge_sql(
+                target, stage, batch.columns, table.primary_key
+            ),
+        )
+
+    return apply
+
+
+def jdbc_upsert_writer(df: DataFrame, table: TableDef):
+    jdbc_probe(df.sparkSession, jdbc_reader_options(table))
+    return df.writeStream.outputMode("update").foreachBatch(
+        jdbc_upsert_foreach_batch(table)
+    )
+
+
+def jdbc_batch_write(
+    df: DataFrame, table: TableDef, overwrite: bool = False
+) -> None:
+    """Batch INSERT INTO a jdbc sink: append/overwrite without a PK,
+    stage+MERGE upsert with one."""
+    opts = jdbc_reader_options(table)
+    jdbc_probe(df.sparkSession, opts)
+    if not table.primary_key:
+        _jdbc_writer_opts(opts, opts["dbtable"])(df.write, df).mode(
+            "overwrite" if overwrite else "append"
+        ).save()
+        return
+    jdbc_upsert_foreach_batch(table)(df, -1)
 
 
 # --------------------------------------------------------------------------
