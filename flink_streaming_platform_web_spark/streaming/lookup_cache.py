@@ -54,9 +54,15 @@ class DimCache:
     """TTL-gated persisted snapshot of a lookup dim, re-registered
     into each micro-batch's session."""
 
-    def __init__(self, table: TableDef, ttl_s: float) -> None:
+    def __init__(
+        self, table: TableDef, ttl_s: float, max_rows: int | None = None
+    ) -> None:
         self.table = table
         self.ttl_s = ttl_s
+        if max_rows is None:
+            raw = table.options.get("lookup.cache.max-rows")
+            max_rows = int(raw) if raw else None
+        self.max_rows = max_rows
         self._pinned: DataFrame | None = None
         self.loaded_at = float("-inf")
 
@@ -83,10 +89,22 @@ class DimCache:
         if self._pinned is None or now - self.loaded_at >= self.ttl_s:
             if self._pinned is not None:
                 self._pinned.unpersist(blocking=True)
+                self._pinned = None
             if self.table.options.get("path"):
                 sess.catalog.refreshByPath(self.table.options["path"])
-            self._pinned = self._load(sess)
-            self._pinned.persist()
+            candidate = self._load(sess)
+            # lookup.cache.max-rows: the user's memory bound on the
+            # cache. Flink evicts LRU per probed key; the snapshot
+            # analog is all-or-nothing, so a dim that outgrows the cap
+            # is simply NOT cached (probe with limit(cap+1) — never a
+            # full count) and re-read each batch.
+            if (
+                self.max_rows is None
+                or candidate.limit(self.max_rows + 1).count()
+                <= self.max_rows
+            ):
+                self._pinned = candidate
+                self._pinned.persist()
             self.loaded_at = now
         df = self._load(sess)  # same canonical plan → shared-cache hit
         df.createOrReplaceTempView(self.table.name)

@@ -124,7 +124,7 @@ def test_demo3_temporal_lookup_join_syntax(spark, sf_dir, tmp_path):
     }
 
 
-def _run_dim_ttl_scenario(spark, tmp_path, ttl, tag):
+def _run_dim_ttl_scenario(spark, tmp_path, ttl, tag, extra_opts=''):
     """Stream 2 micro-batches against a filesystem lookup dim whose
     contents change between batches; returns the per-user coupon
     counts after convergence."""
@@ -146,7 +146,7 @@ def _run_dim_ttl_scenario(spark, tmp_path, ttl, tag):
           'source.max-files-per-trigger'='1');
         CREATE TABLE ttl_dim (id BIGINT, coupon BIGINT) WITH
           ('connector'='filesystem', 'path'='{dim}', 'format'='parquet',
-           'lookup.cache.ttl'='{ttl}');
+           'lookup.cache.ttl'='{ttl}'{extra_opts});
         CREATE TABLE sink (event_id BIGINT, coupon BIGINT,
           PRIMARY KEY (event_id) NOT ENFORCED) WITH ('connector'='jdbc');
         INSERT INTO sink
@@ -202,4 +202,15 @@ def test_lookup_cache_ttl_expiry_refreshes(spark, tmp_path):
     """lookup.cache.ttl='1s' with >1s between batches: the second
     micro-batch must see the UPDATED dim."""
     rows = _run_dim_ttl_scenario(spark, tmp_path, "1s", "exp")
+    assert rows == {10: 100, 20: 999}, rows
+
+
+def test_lookup_cache_max_rows_disables_cache(spark, tmp_path):
+    """lookup.cache.max-rows caps cache memory: a dim that exceeds the
+    cap is not snapshot-cached, so even within a 1h TTL every batch
+    re-reads the source and sees updates (Flink's cap evicts per-key;
+    the snapshot analog is cache-nothing — BACKLOG r01)."""
+    rows = _run_dim_ttl_scenario(
+        spark, tmp_path, "1h", "cap", ", 'lookup.cache.max-rows'='0'"
+    )
     assert rows == {10: 100, 20: 999}, rows
