@@ -44,16 +44,28 @@ def build_submit_command(
     checkpoint_dir: str | None = None,
     restore_checkpoint: str | None = None,
     extra_args: list[str] | None = None,
+    ext_jars: list[str] | None = None,
+    py_files: list[str] | None = None,
 ) -> list[str]:
     """argv for cluster-mode submission of a SQL job script. The
     restore path maps the reference's ``-s <savepointPath>``
-    (CommandUtil.java:34-36) to re-using a checkpoint location."""
+    (CommandUtil.java:34-36) to re-using a checkpoint location;
+    ``ext_jars`` maps its custom-connector ``-C <url>`` classpath
+    append (CommandUtil.java:42-47) to ``--jars``, and ``py_files``
+    ships Python connector plugins (sources/registry.py plugin
+    registry) to the executors."""
     extra = list(extra_args or [])
     check_run_config(extra)
     cmd = [
         "spark-submit",
         "--master", master,
         "--deploy-mode", "cluster",
+    ]
+    if ext_jars:
+        cmd += ["--jars", ",".join(ext_jars)]
+    if py_files:
+        cmd += ["--py-files", ",".join(py_files)]
+    cmd += [
         *extra,
         "-m", "flink_streaming_platform_web_spark.platform.cli",
         "run",

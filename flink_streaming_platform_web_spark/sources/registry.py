@@ -45,6 +45,64 @@ class ConnectorUnavailable(RuntimeError):
     pass
 
 
+# --------------------------------------------------------------------------
+# Connector plugins — the reference's custom-jar extension surface
+# (`-C <http-url>` classpath append, CommandUtil.java:42-47 + the
+# per-job ext_jar_path column, docs/sql/flink_web.sql:60) re-expressed
+# for Spark: JVM connectors ride spark.jars (platform/submit.py), and
+# Python connectors register here so any DDL with their connector name
+# dispatches to them — same pluggability, no engine edits.
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class ConnectorPlugin:
+    """A user-supplied connector. Any hook may be None (a pure sink
+    defines neither source hook, etc.):
+
+    - source_batch(spark, table)  -> DataFrame
+    - source_stream(spark, table) -> streaming DataFrame
+    - sink_batch(df, table, overwrite) -> None (executes the write)
+    - sink_stream(df, table) -> DataStreamWriter (runner adds
+      checkpoint/trigger and calls .start())
+    """
+
+    name: str
+    source_batch: object | None = None
+    source_stream: object | None = None
+    sink_batch: object | None = None
+    sink_stream: object | None = None
+
+
+_PLUGINS: dict[str, ConnectorPlugin] = {}
+
+
+def register_connector(plugin: ConnectorPlugin) -> None:
+    _PLUGINS[plugin.name] = plugin
+
+
+def unregister_connector(name: str) -> None:
+    _PLUGINS.pop(name, None)
+
+
+def get_plugin(name: str) -> ConnectorPlugin | None:
+    return _PLUGINS.get(name)
+
+
+def load_plugin_module(spec: str) -> None:
+    """Import-time registration: ``pkg.module`` imports the module
+    (whose top level calls register_connector), ``pkg.module:fn``
+    additionally calls ``fn()``. This is the runner's analog of the
+    reference downloading a jar named in the job config and appending
+    it to the classpath before launch."""
+    import importlib
+
+    mod_name, _, fn_name = spec.partition(":")
+    mod = importlib.import_module(mod_name)
+    if fn_name:
+        getattr(mod, fn_name)()
+
+
 def apply_schema_decorations(df: DataFrame, table: TableDef) -> DataFrame:
     """Computed columns (`name AS expr`) + event-time watermark —
     applied at source-registration time, as in Flink DDL."""

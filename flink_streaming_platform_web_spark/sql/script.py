@@ -165,6 +165,9 @@ def parse_set(statement: str) -> tuple[str, str]:
     if not m:
         raise SqlParseError(f"malformed SET: {statement!r}")
     key, val = m.group(1).strip(), m.group(2).strip().rstrip(";").strip()
+    # Flink sql-client writes SET 'key' = 'value'; both forms accepted
+    if key.startswith("'") and key.endswith("'"):
+        key = key[1:-1]
     if val.startswith("'") and val.endswith("'"):
         val = val[1:-1]
     return key, val

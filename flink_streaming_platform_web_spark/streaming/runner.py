@@ -190,6 +190,11 @@ class JobRunner:
             df = registry.jdbc_batch(self.spark, t)
         elif c == "memory":
             df = self.spark.table(t.options.get("view", name))
+        elif (plugin := registry.get_plugin(c)) is not None and (
+            plugin.source_stream if streaming else plugin.source_batch
+        ) is not None:
+            hook = plugin.source_stream if streaming else plugin.source_batch
+            df = registry.apply_schema_decorations(hook(self.spark, t), t)
         else:
             raise ValueError(f"table {name!r} ({c!r}) is not a source")
         df.createOrReplaceTempView(name)
@@ -476,6 +481,13 @@ class JobRunner:
             self._trigger = {"processingTime": f"{m.group(1)} {unit}"}
         elif key in ("parallelism.default", "table.exec.resource.default-parallelism"):
             self.spark.conf.set("spark.sql.shuffle.partitions", val)
+        elif key == "graft.plugins":
+            # custom-connector loading (the reference's per-job ext jar
+            # list, flink_web.sql:60): comma-separated python module
+            # specs, each registering connectors on import
+            for spec in val.split(","):
+                if spec.strip():
+                    registry.load_plugin_module(spec.strip())
         elif key.startswith("spark."):
             self.spark.conf.set(key, val)
         # other table.exec.* options are accepted & recorded as no-ops
@@ -592,6 +604,11 @@ class JobRunner:
                 raise registry.ConnectorUnavailable(
                     f"jdbc batch sink {sink.name!r} has no 'url' option"
                 )
+        elif (
+            plugin := registry.get_plugin(c)
+        ) is not None and plugin.sink_batch is not None:
+            plugin.sink_batch(df, sink, job.overwrite)
+            result.batch_results[sink.name] = -1
         else:
             raise ValueError(f"unsupported batch sink connector: {c!r}")
 
@@ -643,6 +660,12 @@ class JobRunner:
             writer = df.writeStream.outputMode("update").foreachBatch(
                 foreach_batch_upsert(store)
             )
+        elif (
+            plugin := registry.get_plugin(c)
+        ) is not None and plugin.sink_stream is not None:
+            # plugin sinks own their upsert semantics (like
+            # upsert-kafka/ES above: the PK rides the connector)
+            writer = plugin.sink_stream(df, sink)
         elif upsert:
             raise registry.ConnectorUnavailable(
                 f"PRIMARY-KEY sink connector {c!r} has no in-process"
