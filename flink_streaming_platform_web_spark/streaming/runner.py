@@ -67,8 +67,11 @@ _MINI_BATCH_LATENCY = "table.exec.mini-batch.allow-latency"
 # O20 divergence control: Flink compiles a multi-INSERT statement set
 # into ONE job reading each source once; Spark runs N independent
 # queries (source read N×). `SET graft.statement-set.read-once=true`
-# restores read-once for STATELESS inserts sharing one stream source:
-# a single readStream fans out per micro-batch via foreachBatch.
+# restores read-once for inserts sharing one stream source: stateless
+# sets fan out per micro-batch via one foreachBatch; sets containing
+# aggregations route through a parquet mirror (bronze) stream so each
+# INSERT keeps real cross-batch streaming state while the external
+# source still has exactly one consumer.
 _READ_ONCE_KEY = "graft.statement-set.read-once"
 
 
@@ -342,7 +345,9 @@ class JobRunner:
             self.spark.sql(translate_expr(j.query_sql)) for j in inserts
         ]
         if any(_is_aggregated(df) for df in plans):
-            return False
+            # aggregating inserts need real cross-batch streaming state,
+            # which one foreachBatch can't give N ways → mirror pattern
+            return self._read_once_mirror_fanout(src, inserts, result)
         sinks = [self.tables[j.target] for j in inserts]
         for s in sinks:
             if s.primary_key:
@@ -391,6 +396,54 @@ class JobRunner:
         if self._trigger:
             writer = writer.trigger(**self._trigger)
         result.streaming_queries.append(writer.start())
+        return True
+
+    def _read_once_mirror_fanout(
+        self, src: str, inserts: list[InsertJob], result: ExecutionResult
+    ) -> bool:
+        """Read-once fan-out for AGGREGATING statement sets: the
+        external source is consumed by exactly ONE query that mirrors
+        it append-only into parquet staging (the medallion bronze
+        layer), and every INSERT runs as its own streaming query over
+        the mirror — full streaming-agg state, watermarks, and upsert
+        sinks all work, and the broker/binlog still sees one consumer
+        (the property Flink's single-job statement set buys,
+        JobApplication.java:78-82). Latency contract: downstream sees
+        a record one mirror micro-batch after ingest. At scale the
+        mirror is the standard kafka→bronze pattern: sized by the
+        source, partitioned by arrival, pruned by downstream filters."""
+        import tempfile
+
+        t = self.tables[src]
+        stream_df = self.spark.table(src)
+        base = self.checkpoint.checkpoint_dir or tempfile.mkdtemp(
+            prefix="graft_mirror_"
+        )
+        mirror = f"{base}/mirror_{src}/data"
+        ckpt = f"{base}/mirror_{src}/ckpt"
+        writer = (
+            stream_df.writeStream.format("parquet")
+            .option("path", mirror)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+        if self._trigger:
+            writer = writer.trigger(**self._trigger)
+        # mirror FIRST in streaming_queries: drain order matters for
+        # processAllAvailable-style tests and graceful shutdown
+        result.streaming_queries.append(writer.start())
+        mirrored = (
+            self.spark.readStream.schema(stream_df.schema)
+            .format("parquet")
+            .load(mirror)
+        )
+        if t.watermark is not None and t.watermark.delay:
+            mirrored = mirrored.withWatermark(
+                t.watermark.column, t.watermark.delay
+            )
+        mirrored.createOrReplaceTempView(src)
+        for i, job in enumerate(inserts):
+            self._run_insert(job, i, result)
         return True
 
     # -- lookup-join per-batch re-plan (O13 + lookup.cache.ttl) -----------

@@ -237,7 +237,10 @@ def test_read_once_statement_set_fanout(spark, sf_dir, tmp_path):
     )
 
 
-def test_read_once_falls_back_for_aggregates(spark, sf_dir, tmp_path):
+def test_read_once_mirror_fanout_for_aggregates(spark, sf_dir, tmp_path):
+    """Aggregating statement set in read-once mode: the source is
+    consumed by ONE mirror query (kafka→bronze shape); each INSERT
+    streams from the mirror with real cross-batch agg state."""
     from flink_streaming_platform_web_spark.tables import load
 
     src = f"{tmp_path}/fb_src"
@@ -256,8 +259,8 @@ def test_read_once_falls_back_for_aggregates(spark, sf_dir, tmp_path):
         INSERT INTO k2 SELECT event_type FROM bsrc;
         """
     )
-    # aggregation present -> falls back to one query per INSERT
-    assert len(result.streaming_queries) == 2
+    # 1 mirror (the only consumer of bsrc) + 1 query per INSERT
+    assert len(result.streaming_queries) == 3
     _wait_all(result)
     got = {
         r["event_type"]: r["n"]
