@@ -45,6 +45,9 @@ _CHECK_FIRST = (
     "tx03_token_count",
     "tx04_fingerprint",
     "tx05_corpus_stats_by_lang",
+    "tx06_topk_vocab",
+    "tx07_bigram_repetition",
+    "tx08_stratified_sample",
     "mm01_binary_meta",
     "mm02_decode_pipeline",
     "mm03_frame_sample",

@@ -226,12 +226,163 @@ GROUP BY d.lang
 """
 
 
+def tx06_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary top-k — the corpus statistic a tokenizer
+    training run starts from. Shape: classic wordcount with map-side
+    partial aggregation (one shuffle keyed by (lang, token)), then a
+    per-language top-10 via window row_number (tiny after the agg).
+    At 100 TB the token-count agg is the only corpus-sized stage and
+    it combines before the exchange; the ranked output is |langs|×10."""
+    from pyspark.sql import Window
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n"), F.asc("token")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", "token", "n", "rnk")
+    )
+
+
+ORACLE_TX06 = r"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT lang, token, COUNT(*) AS n FROM toks
+  WHERE token <> '' GROUP BY lang, token
+)
+SELECT lang, token, n,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY n DESC, token ASC) AS BIGINT)
+         AS rnk
+FROM counts
+QUALIFY rnk <= 10
+"""
+
+
+def tx07_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: per document, the fraction of
+    2-gram occurrences taken by the most frequent 2-gram, plus the
+    distinct-bigram ratio. High top-bigram fraction flags boilerplate/
+    spam for a training-data quality filter.
+
+    Shape: bigrams are built ARRAY-SIDE per row (zip of the token
+    array with its own tail — no self-join), then one exploded count
+    keyed by (doc_id, bigram) and one per-doc roll-up. Both aggs
+    combine map-side; integer max/sum then a single IEEE division keep
+    the doubles engine-portable (_portable.py rule 2)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+        " (x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))"
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    ).filter(F.size(toks) >= 2)
+    per_bigram = exploded.groupBy("doc_id", "bigram").agg(
+        F.count("*").alias("n")
+    )
+    return per_bigram.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias(
+            "top_bigram_frac"
+        ),
+        (F.count("*").cast("double") / F.sum("n").cast("double")).alias(
+            "distinct_frac"
+        ),
+    )
+
+
+ORACLE_TX07 = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1]))
+           AS bigram
+  FROM t WHERE len(toks) >= 2
+), counts AS (
+  SELECT doc_id, bigram, COUNT(*) AS n FROM b GROUP BY doc_id, bigram
+)
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+         AS top_bigram_frac,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+         AS distinct_frac
+FROM counts GROUP BY doc_id
+"""
+
+
+# per-language keep rates for the stratified sample (per-mille)
+TX08_RATES = {"en": 200, "zh": 500, "fr": 500, "de": 800, "es": 800}
+
+
+def tx08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — rebalancing a corpus by
+    language (or modality/source) with per-stratum keep rates, the
+    standard way a training mix is resampled. The keep decision is a
+    pure per-row predicate on a portable salted hash: NO shuffle, no
+    RNG state, reproducible across engines and runs, and trivially
+    scan-bound at 100 TB (predicate pushdown leaves the scan as the
+    only stage)."""
+    from flink_streaming_platform_web_spark.operators._portable import (
+        portable_hash,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(permille))
+            for lang, permille in TX08_RATES.items()
+        ],
+        F.lit(0),
+    )
+    bucket = portable_hash(
+        F.concat(F.lit("tx08|"), F.col("doc_id").cast("string"))
+    ) % 1000
+    return docs.select(
+        "doc_id", "lang", "source", bucket.alias("bucket")
+    ).filter(bucket < rate)
+
+
+def _oracle_tx08() -> str:
+    from flink_streaming_platform_web_spark.operators._portable import (
+        oracle_portable_hash,
+    )
+
+    h = oracle_portable_hash("'tx08|' || CAST(doc_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {p}" for lang, p in TX08_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang, source, {h} % 1000 AS bucket
+FROM documents
+WHERE {h} % 1000 < (CASE lang {cases} ELSE 0 END)
+"""
+
+
+ORACLE_TX08 = _oracle_tx08()
+
+
 QUERIES = {
     "tx01_langid": tx01_langid,
     "tx02_quality_score": tx02_quality_score,
     "tx03_token_count": tx03_token_count,
     "tx04_fingerprint": tx04_fingerprint,
     "tx05_corpus_stats_by_lang": tx05_corpus_stats_by_lang,
+    "tx06_topk_vocab": tx06_topk_vocab,
+    "tx07_bigram_repetition": tx07_bigram_repetition,
+    "tx08_stratified_sample": tx08_stratified_sample,
 }
 
 ORACLES = {
@@ -240,4 +391,7 @@ ORACLES = {
     "tx03_token_count": ORACLE_TX03,
     "tx04_fingerprint": ORACLE_TX04,
     "tx05_corpus_stats_by_lang": ORACLE_TX05,
+    "tx06_topk_vocab": ORACLE_TX06,
+    "tx07_bigram_repetition": ORACLE_TX07,
+    "tx08_stratified_sample": ORACLE_TX08,
 }

@@ -172,3 +172,28 @@ def test_tx_ops_shuffle_free(spark, sf_dir):
 
     for fn in (tx02_quality_score, tx04_fingerprint):
         assert "Exchange" not in executed_plan(fn(spark, sf_dir))
+
+
+def test_tx08_sample_is_pure_scan_filter(spark, sf_dir):
+    """Stratified sampling is a per-row predicate: no exchange, no
+    Python — the scan is the only corpus-sized stage at any SF."""
+    from flink_streaming_platform_web_spark.operators.text import (
+        tx08_stratified_sample,
+    )
+    from flink_streaming_platform_web_spark.plans import executed_plan
+
+    plan = executed_plan(tx08_stratified_sample(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_tx06_vocab_single_corpus_shuffle(spark, sf_dir):
+    """Vocab top-k: the (lang, token) count must partial-aggregate
+    before its exchange; the window ranks post-agg data only."""
+    from flink_streaming_platform_web_spark.operators.text import (
+        tx06_topk_vocab,
+    )
+    from flink_streaming_platform_web_spark.plans import executed_plan
+
+    plan = executed_plan(tx06_topk_vocab(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
