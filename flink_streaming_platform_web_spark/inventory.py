@@ -57,6 +57,7 @@ _CHECK_FIRST = (
     "st03_stream_session_window",
     "st04_stream_session_custom",
     "st05_stream_hop_window",
+    "st06_stream_dedup",
 )
 
 

@@ -285,15 +285,71 @@ def st04_stream_session_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st06_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication — the ingest-time dedup stage of
+    a training-data pipeline (and Flink SQL's canonical
+    `ROW_NUMBER() ... WHERE rn = 1` dedup query): duplicates injected
+    in a LATER micro-batch must be suppressed by cross-batch keyed
+    state, not per-batch distinct.
+
+    The full event set is staged twice (two files → two micro-batches;
+    batch 2 is a 100% duplicate replay) and `dropDuplicates(key)`
+    keeps one state entry per distinct key. Scale note: state is
+    O(distinct keys) — the honest cost of EXACT dedup, identical to
+    Flink's dedup operator; when the duplication window is bounded,
+    `dropDuplicatesWithinWatermark` caps state by event time
+    instead."""
+    import tempfile
+
+    from flink_streaming_platform_web_spark.tables import load
+
+    path = (
+        f"{tempfile.gettempdir()}/spark_graft_stream_st06_"
+        f"{int(time.time() * 1e6)}"
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    ev.coalesce(1).write.parquet(path)
+    ev.coalesce(1).write.mode("append").parquet(path)  # dup replay
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        stream.dropDuplicates(["event_id"])
+        .writeStream.format("memory")
+        .queryName("st06_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    return spark.table("st06_out").select(
+        "event_id", "event_type", "value"
+    )
+
+
+ORACLE_ST06 = """
+SELECT event_id, event_type, value FROM events
+"""
+
+
 QUERIES = {
     "st01_stream_tumble_window": st01_stream_tumble_window,
     "st02_stream_upsert_agg": st02_stream_upsert_agg,
     "st03_stream_session_window": st03_stream_session_window,
     "st04_stream_session_custom": st04_stream_session_custom,
     "st05_stream_hop_window": st05_stream_hop_window,
+    "st06_stream_dedup": st06_stream_dedup,
 }
 
 ORACLES = {
+    "st06_stream_dedup": ORACLE_ST06,
     "st05_stream_hop_window": ORACLE_ST05,
     "st01_stream_tumble_window": ORACLE_ST01,
     "st02_stream_upsert_agg": ORACLE_ST02,
