@@ -58,6 +58,16 @@ _CHECK_FIRST = (
     "st04_stream_session_custom",
     "st05_stream_hop_window",
     "st06_stream_dedup",
+    # r01 driver failures (now fixed) and operators rewritten since the
+    # r01 snapshot — these need a fresh driver row to prove the fix:
+    "q37_flink_builtin_suite",
+    "q38_approx_distinct_hll",
+    "dd05_simhash_signatures",
+    "ann03_lsh_bucketed_neardup",
+    "dd06_dup_clusters",
+    "dd07_embed_neardup_docs",
+    "dd08_simhash_neardup_pairs",
+    "ann02_embed_neardup_pairs",
 )
 
 
