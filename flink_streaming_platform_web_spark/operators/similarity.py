@@ -367,30 +367,23 @@ def _centroids_build(spark: SparkSession, sf_dir: str):
     return np.array(labels), C
 
 
-def ann04_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vecs(spark, sf_dir)
-    labels, C = _centroids(spark, sf_dir)
-    cb = spark.sparkContext.broadcast((labels, C))
+def _corpus_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe=1 cell assignment of the full corpus, persisted per
+    session — ann04 references it twice (cell self-join) and ann05
+    probes it; without the memo each reference re-runs the mapInPandas
+    assignment pass over the whole corpus."""
+    from flink_streaming_platform_web_spark.operators._cache import memo_df
 
-    def assign(batches):
-        lab, cent = cb.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["v"].to_numpy())
-            cos = np.round(_block_cosine(V, cent), 6)
-            # nearest centroid; ties → smaller label
-            order = np.lexsort(
-                (np.broadcast_to(lab, cos.shape), -cos), axis=1
-            )[:, 0]
-            out = pdf[["vec_id"]].copy()
-            out["cell"] = lab[order]
-            out["v"] = pdf["v"]
-            yield out
-
-    assigned = vecs.mapInPandas(
-        assign, "vec_id long, cell int, v array<double>"
+    return memo_df(
+        spark,
+        sf_dir,
+        "ivf_assigned1",
+        lambda: cell_assign(spark, _vecs(spark, sf_dir), sf_dir, 1),
     )
+
+
+def ann04_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _corpus_assigned(spark, sf_dir)
     queries = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("cell"),
@@ -511,15 +504,13 @@ def cell_assign(
 
 def ann05_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir)
-    cents = _centroids(spark, sf_dir)
-    corpus = cell_assign(spark, vecs, sf_dir, 1, centroids=cents)
+    corpus = _corpus_assigned(spark, sf_dir)
     query_probes = (
         cell_assign(
             spark,
             vecs.filter(F.col("vec_id") % QUERY_MOD == 0),
             sf_dir,
             N_PROBE,
-            centroids=cents,
         )
         .select(
             F.col("vec_id").alias("query_id"),
