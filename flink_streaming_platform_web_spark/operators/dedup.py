@@ -627,8 +627,111 @@ WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
 """
 
 
+# --------------------------------------------------------------------------
+# dd09 — chunk-level exact dedup (the paragraph/line-dedup algorithm of
+# C4/RefinedWeb applied at fixed 10-token granularity, since the
+# synthetic corpus has no newline structure): explode each document
+# into consecutive token chunks, keep only the globally-FIRST
+# occurrence of each distinct chunk (order: doc_id, then position),
+# and reassemble the surviving text per document.
+#
+# Scale shape: one shuffle keyed by chunk content for the
+# first-occurrence window (at 100 TB the key could be xxhash64(chunk)
+# with the string kept only for in-partition verification), one
+# map-side-combinable per-doc reassembly agg. The quadratic "compare
+# all paragraphs" never exists — global dedup IS the group-by.
+# --------------------------------------------------------------------------
+
+DD09_CHUNK_TOKENS = 10
+
+
+def dd09_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    n = DD09_CHUNK_TOKENS
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        F.filter(
+            F.split("text", r"\s+"), lambda t: F.length(t) > 0
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    chunks = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(toks) / {n}.0) AS INT)"
+                f" - 1), i -> array_join(slice(toks, i * {n} + 1, {n}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_idx", "chunk"))
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                )
+            ).alias("dedup_md5"),
+        )
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("dedup_md5", F.md5(F.lit(""))).alias("dedup_md5"),
+    )
+
+
+ORACLE_DD09 = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(
+           toks[(i * {DD09_CHUNK_TOKENS} + 1)
+                :(i * {DD09_CHUNK_TOKENS} + {DD09_CHUNK_TOKENS})],
+           ' ') AS chunk
+  FROM t, LATERAL (
+    SELECT unnest(range(0, CAST(ceil(len(toks) / {DD09_CHUNK_TOKENS}.0)
+                              AS INT))) AS i)
+  WHERE len(toks) > 0
+), k AS (
+  SELECT doc_id, chunk_idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+), agg_kept AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS dedup_md5
+  FROM k WHERE rn = 1 GROUP BY doc_id
+), agg_all AS (
+  SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_chunks,
+       COALESCE(n_kept, 0) AS n_kept,
+       COALESCE(dedup_md5, md5('')) AS dedup_md5
+FROM agg_all a LEFT JOIN agg_kept USING (doc_id)
+"""
+
+
 QUERIES = {
     "dd01_dedup_exact": dd01_dedup_exact,
+    "dd09_chunk_dedup": dd09_chunk_dedup,
     "dd08_simhash_neardup_pairs": dd08_simhash_neardup_pairs,
     "dd07_embed_neardup_docs": dd07_embed_neardup_docs,
     "dd02_ngram_jaccard_pairs": dd02_ngram_jaccard_pairs,
@@ -639,6 +742,7 @@ QUERIES = {
 
 ORACLES = {
     "dd01_dedup_exact": ORACLE_DD01,
+    "dd09_chunk_dedup": ORACLE_DD09,
     "dd08_simhash_neardup_pairs": ORACLE_DD08,
     "dd07_embed_neardup_docs": _oracle_dd07(),
     "dd02_ngram_jaccard_pairs": ORACLE_DD02,

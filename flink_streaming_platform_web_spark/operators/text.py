@@ -374,6 +374,145 @@ WHERE {h} % 1000 < (CASE lang {cases} ELSE 0 END)
 ORACLE_TX08 = _oracle_tx08()
 
 
+# C4-style token denylist (the corpus is synthetic word-soup, so the
+# "sensitive" lexicon is synthetic too — the operator shape is the real
+# one: whole-word regex scrub + removal accounting, pure columnar)
+TX09_DENYLIST = ("customer", "vector", "spark")
+_TX09_PAT = r"\b(" + "|".join(TX09_DENYLIST) + r")\b"
+
+
+def tx09_redact_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrub (C4-style bad-words filter, applied as redaction
+    rather than document drop): replace whole-word denylist hits with a
+    redaction marker, count the hits, and fingerprint the scrubbed
+    text. Zero shuffles — a 100 TB scrub is a pure scan-rewrite whose
+    output co-partitions with the input (the common first stage of a
+    training-data cleanup DAG)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_TX09_PAT)).alias("n_redacted"),
+        F.md5(
+            F.regexp_replace("text", _TX09_PAT, "[REDACTED]")
+        ).alias("clean_md5"),
+        (
+            F.length(F.regexp_replace("text", _TX09_PAT, "[REDACTED]"))
+            - F.length("text")
+        ).alias("len_delta"),
+    )
+
+
+ORACLE_TX09 = f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{_TX09_PAT}')) AS INT)
+         AS n_redacted,
+       md5(regexp_replace(text, '{_TX09_PAT}', '[REDACTED]', 'g'))
+         AS clean_md5,
+       CAST(length(regexp_replace(text, '{_TX09_PAT}', '[REDACTED]', 'g'))
+            - length(text) AS INT) AS len_delta
+FROM documents
+"""
+
+
+# Gopher-style rule thresholds (Rae et al. 2021 use 50..100k words,
+# mean word length 3..10, >=2 stopwords, repetition caps; the token
+# minimum is lowered to fit the synthetic corpus' 25-60-token docs)
+TX10_MIN_TOKENS = 30
+TX10_MAX_TOKENS = 100_000
+TX10_WORD_LEN_LO = 3.0
+TX10_WORD_LEN_HI = 10.0
+TX10_MIN_STOPWORDS = 2
+TX10_MAX_TOP_BIGRAM = 0.30
+
+
+def tx10_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-rule keep/drop decision with per-document
+    reason labels — the actual gate a pretraining pipeline applies
+    after scoring. Composes tx07's repetition signal (left join on
+    doc_id; docs too short for bigrams pass that rule) with pure
+    columnar length/stopword rules. One shuffle total (tx07's per-doc
+    agg) — the rule evaluation itself is scan-bound."""
+    docs = load(spark, sf_dir, "documents")
+    rep = tx07_bigram_repetition(spark, sf_dir).select(
+        "doc_id", "top_bigram_frac"
+    )
+    toks = F.size(
+        F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
+    )
+    base = docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        # mean word length: total non-space chars / token count
+        F.round(
+            F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
+            / toks.cast("double"),
+            6,
+        ).alias("mean_word_len"),
+        F.regexp_count("text", F.lit(STOPWORD_PAT)).alias("n_stopwords"),
+    ).join(rep, "doc_id", "left")
+    frac = F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+    r_short = F.col("n_tokens") < TX10_MIN_TOKENS
+    r_long = F.col("n_tokens") > TX10_MAX_TOKENS
+    r_wordlen = (F.col("mean_word_len") < TX10_WORD_LEN_LO) | (
+        F.col("mean_word_len") > TX10_WORD_LEN_HI
+    )
+    r_stop = F.col("n_stopwords") < TX10_MIN_STOPWORDS
+    r_rep = frac > TX10_MAX_TOP_BIGRAM
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "n_stopwords",
+        F.round(frac, 6).alias("top_bigram_frac"),
+        (~(r_short | r_long | r_wordlen | r_stop | r_rep)).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(r_short, "too_short"),
+            F.when(r_long, "too_long"),
+            F.when(r_wordlen, "word_len"),
+            F.when(r_stop, "low_stopwords"),
+            F.when(r_rep, "repetitive"),
+        ).alias("reasons"),
+    )
+
+
+ORACLE_TX10 = f"""
+WITH rep AS (
+  SELECT doc_id, top_bigram_frac FROM ({ORACLE_TX07})
+), base AS (
+  SELECT d.doc_id,
+         CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 t -> length(t) > 0)) AS INT) AS n_tokens,
+         round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+               / CAST(length(list_filter(
+                     regexp_split_to_array(text, '\\s+'),
+                     t -> length(t) > 0)) AS DOUBLE), 6) AS mean_word_len,
+         CAST(length(regexp_extract_all(text, '{STOPWORD_PAT}')) AS INT)
+           AS n_stopwords,
+         COALESCE(rep.top_bigram_frac, 0.0) AS frac
+  FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id
+)
+SELECT doc_id, n_tokens, mean_word_len, n_stopwords,
+       round(frac, 6) AS top_bigram_frac,
+       NOT (n_tokens < {TX10_MIN_TOKENS} OR n_tokens > {TX10_MAX_TOKENS}
+            OR mean_word_len < {TX10_WORD_LEN_LO}
+            OR mean_word_len > {TX10_WORD_LEN_HI}
+            OR n_stopwords < {TX10_MIN_STOPWORDS}
+            OR frac > {TX10_MAX_TOP_BIGRAM}) AS keep,
+       concat_ws(',',
+         CASE WHEN n_tokens < {TX10_MIN_TOKENS} THEN 'too_short' END,
+         CASE WHEN n_tokens > {TX10_MAX_TOKENS} THEN 'too_long' END,
+         CASE WHEN mean_word_len < {TX10_WORD_LEN_LO}
+                OR mean_word_len > {TX10_WORD_LEN_HI}
+              THEN 'word_len' END,
+         CASE WHEN n_stopwords < {TX10_MIN_STOPWORDS}
+              THEN 'low_stopwords' END,
+         CASE WHEN frac > {TX10_MAX_TOP_BIGRAM} THEN 'repetitive' END)
+         AS reasons
+FROM base
+"""
+
+
 QUERIES = {
     "tx01_langid": tx01_langid,
     "tx02_quality_score": tx02_quality_score,
@@ -383,6 +522,8 @@ QUERIES = {
     "tx06_topk_vocab": tx06_topk_vocab,
     "tx07_bigram_repetition": tx07_bigram_repetition,
     "tx08_stratified_sample": tx08_stratified_sample,
+    "tx09_redact_denylist": tx09_redact_denylist,
+    "tx10_quality_filter": tx10_quality_filter,
 }
 
 ORACLES = {
@@ -394,4 +535,6 @@ ORACLES = {
     "tx06_topk_vocab": ORACLE_TX06,
     "tx07_bigram_repetition": ORACLE_TX07,
     "tx08_stratified_sample": ORACLE_TX08,
+    "tx09_redact_denylist": ORACLE_TX09,
+    "tx10_quality_filter": ORACLE_TX10,
 }
