@@ -17,6 +17,7 @@ from flink_streaming_platform_web_spark.operators import (
     relational_ext,
     similarity,
     text,
+    vectors,
     windows,
 )
 from flink_streaming_platform_web_spark.streaming import stream_queries
@@ -32,6 +33,7 @@ _MODULES = (
     text,
     multimodal,
     stream_queries,
+    vectors,
 )
 
 # The driver's correctness gate walks queries() in dict insertion order
@@ -58,6 +60,11 @@ _CHECK_FIRST = (
     "st04_stream_session_custom",
     "st05_stream_hop_window",
     "st06_stream_dedup",
+    "tx09_redact_denylist",
+    "tx10_quality_filter",
+    "dd09_chunk_dedup",
+    "vec01_kmeans",
+    "vec02_quantize_int8",
     # r01 driver failures (now fixed) and operators rewritten since the
     # r01 snapshot — these need a fresh driver row to prove the fix:
     "q37_flink_builtin_suite",

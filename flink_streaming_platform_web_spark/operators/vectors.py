@@ -1,0 +1,205 @@
+"""Embedding-vector operators beyond search: k-means training and
+int8 quantization — the two vector-side stages a training-data
+pipeline runs besides ANN (cluster-balance analysis / semantic dedup
+prep, and storage compression for the vector store).
+
+vec01 is the repo's iterative-algorithm showcase: Lloyd's k-means as a
+driver-side loop of fully distributed rounds. Each round is (a) an
+assignment pass — broadcast K×dim centroid matrix, mapInPandas numpy
+block scoring, NO shuffle of the corpus (reuses similarity.cell_assign,
+the IVF quantizer) — and (b) a decimal-exact per-dimension mean
+(posexplode → groupBy(cluster, dim), one agg shuffle of |corpus|×dim
+rows that combines map-side) collected to the driver (K×dim doubles —
+tiny). Iteration count is fixed (ITERS=2) and init is deterministic
+(the K lowest vec_ids), so a DuckDB oracle can replay the exact run as
+unrolled CTEs — the convergence loop itself is the only thing the SQL
+oracle flattens.
+
+At 100 TB: the corpus never moves — assignment is scan-side, and the
+only shuffles are map-side-combined (cluster, dim) partial sums.
+That is the canonical billion-scale k-means (the same shape MLlib
+implements RDD-side; reference has no vector ops at all — this is a
+mandated training-data extension, not reference parity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_platform_web_spark.operators.similarity import (
+    _ORACLE_COS,
+    _vecs,
+    cell_assign,
+)
+
+KM_K = 8
+KM_ITERS = 2
+
+
+def _km_init(spark: SparkSession, sf_dir: str):
+    """Deterministic init: the KM_K vectors with the lowest vec_id,
+    cluster ids 0..K-1 in vec_id order."""
+    rows = (
+        _vecs(spark, sf_dir)
+        .orderBy("vec_id")
+        .limit(KM_K)
+        .collect()
+    )
+    labels = np.arange(len(rows))
+    C = np.array([r["v"] for r in rows], dtype=float)
+    return labels, C
+
+
+def _km_means(assigned: DataFrame):
+    """Decimal-exact per-(cluster, dim) means — same arithmetic as the
+    IVF centroid build, so the oracle reproduces them bitwise."""
+    return (
+        assigned.select("cell", F.posexplode("v").alias("d", "x"))
+        .groupBy("cell", "d")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(18,9)"))
+                .cast("double")
+                / F.count("*").cast("double")
+            ).alias("m")
+        )
+        .collect()
+    )
+
+
+def vec01_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels, C = _km_init(spark, sf_dir)
+    vecs = _vecs(spark, sf_dir)
+    for _ in range(KM_ITERS - 1):
+        assigned = cell_assign(spark, vecs, sf_dir, 1, centroids=(labels, C))
+        rows = _km_means(assigned)
+        # empty clusters drop (both engines: no members → no centroid)
+        labels = np.array(sorted({r["cell"] for r in rows}))
+        dim = max(r["d"] for r in rows) + 1
+        C = np.zeros((len(labels), dim))
+        idx = {c: i for i, c in enumerate(labels)}
+        for r in rows:
+            C[idx[r["cell"]], r["d"]] = r["m"]
+    final = cell_assign(spark, vecs, sf_dir, 1, centroids=(labels, C))
+    return final.groupBy(F.col("cell").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+    )
+
+
+def _oracle_vec01() -> str:
+    cos_init = _ORACLE_COS.format(a="e.v", b="i.cv")
+    cos_c1 = _ORACLE_COS.format(a="e.v", b="c.cv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+init AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {KM_K})
+),
+assign1 AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT e.vec_id, e.v, i.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({cos_init}, 6) DESC, i.cid ASC) AS rn
+    FROM e CROSS JOIN init i
+  ) WHERE rn = 1
+),
+means1 AS (
+  SELECT cell, d,
+         CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM (SELECT cell, d::INT - 1 AS d, v[d] AS x
+        FROM assign1,
+             LATERAL (SELECT unnest(generate_series(1, len(v))) AS d))
+  GROUP BY cell, d
+),
+cent1 AS (
+  SELECT cell AS cid, list(m ORDER BY d) AS cv FROM means1 GROUP BY cell
+),
+assign2 AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({cos_c1}, 6) DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN cent1 c
+  ) WHERE rn = 1
+)
+SELECT cell AS cluster_id, COUNT(*) AS n_members,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+FROM assign2 GROUP BY cell
+"""
+
+
+ORACLE_VEC01 = _oracle_vec01()
+
+
+# --------------------------------------------------------------------------
+# vec02 — asymmetric int8 quantization (min/max affine, the standard
+# embedding-store compression): per vector, scale [min, max] onto
+# [-128, 127], emit the code fingerprint and the max reconstruction
+# error. Pure per-row array math — zero shuffles, scan-bound at any
+# scale; both engines evaluate the identical IEEE expression tree
+# (floor(x + 0.5) rounding — portable, unlike CAST which truncates in
+# Spark and rounds in DuckDB).
+# --------------------------------------------------------------------------
+
+
+def vec02_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir).select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("amin"),
+        ((F.array_max("v") - F.array_min("v")) / F.lit(255.0)).alias("s"),
+    )
+    codes = F.expr(
+        "transform(v, x -> CAST(floor((x - amin) / s + 0.5) AS INT) - 128)"
+    )
+    recon_err = F.expr(
+        "array_max(transform(v, x -> "
+        "abs(x - (floor((x - amin) / s + 0.5) * s + amin))))"
+    )
+    return vecs.filter(F.col("s") > 0).select(
+        "vec_id",
+        F.round("amin", 6).alias("qmin"),
+        F.round(F.col("amin") + F.col("s") * 255.0, 6).alias("qmax"),
+        F.md5(
+            F.array_join(F.transform(codes, lambda c: c.cast("string")), ",")
+        ).alias("codes_md5"),
+        F.round(recon_err, 9).alias("max_err"),
+    )
+
+
+ORACLE_VEC02 = """
+WITH p AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_min(embedding::DOUBLE[]) AS amin,
+         (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[]))
+           / 255.0 AS s
+  FROM embeddings
+)
+SELECT vec_id,
+       round(amin, 6) AS qmin,
+       round(amin + s * 255.0, 6) AS qmax,
+       md5(array_to_string(
+         list_transform(v, x ->
+           CAST(floor((x - amin) / s + 0.5) AS INT) - 128), ',')) AS codes_md5,
+       round(list_max(list_transform(v, x ->
+           abs(x - (floor((x - amin) / s + 0.5) * s + amin)))), 9) AS max_err
+FROM p WHERE s > 0
+"""
+
+
+QUERIES = {
+    "vec01_kmeans": vec01_kmeans,
+    "vec02_quantize_int8": vec02_quantize_int8,
+}
+
+ORACLES = {
+    "vec01_kmeans": ORACLE_VEC01,
+    "vec02_quantize_int8": ORACLE_VEC02,
+}
