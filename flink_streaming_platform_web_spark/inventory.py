@@ -60,6 +60,7 @@ _CHECK_FIRST = (
     "st04_stream_session_custom",
     "st05_stream_hop_window",
     "st06_stream_dedup",
+    "st07_stream_interval_join",
     "tx09_redact_denylist",
     "tx10_quality_filter",
     "dd09_chunk_dedup",

@@ -339,6 +339,65 @@ SELECT event_id, event_type, value FROM events
 """
 
 
+_ST07_DDL = """
+CREATE TABLE {name} (
+  event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+  event_type STRING, value DOUBLE, props STRING,
+  WATERMARK FOR ts AS ts - INTERVAL '31' DAY
+) WITH ('connector' = 'filesystem', 'path' = '{path}',
+        'format' = 'parquet', 'source.max-files-per-trigger' = '1')
+"""
+
+
+def st07_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join (Flink's demo-grade
+    click→purchase attribution): two event streams join on user with
+    `b.ts BETWEEN a.ts AND a.ts + 30 min`, append-mode output, state
+    cleaned by the watermark+bound pair. Runs the full platform path —
+    DDL watermark → runner → Structured Streaming join state across
+    micro-batches.
+
+    The watermark delay is set beyond the fixture's whole time span so
+    the replayed files (which arrive in non-time order) can never be
+    late-dropped — final state must equal the batch join EXACTLY;
+    late-drop semantics are covered separately
+    (test_streaming_semantics). At scale the delay is set to the real
+    out-of-orderness bound and join state stays O(delay × rate)."""
+    path = _events_as_stream_source(spark, sf_dir, "st07")
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        _ST07_DDL.format(name="st07_clicks", path=path)
+        + ";"
+        + _ST07_DDL.format(name="st07_buys", path=path)
+        + """;
+        CREATE TABLE st07_out (user_id BIGINT, click_id BIGINT,
+          buy_id BIGINT, click_ts STRING, buy_ts STRING)
+        WITH ('connector' = 'memory');
+        INSERT INTO st07_out
+        SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id,
+               date_format(c.ts, 'yyyy-MM-dd HH:mm:ss') AS click_ts,
+               date_format(b.ts, 'yyyy-MM-dd HH:mm:ss') AS buy_ts
+        FROM st07_clicks c JOIN st07_buys b
+          ON c.user_id = b.user_id
+         AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL '30' MINUTE
+        WHERE c.event_type = 'click' AND b.event_type = 'purchase';
+        """,
+    )
+    return spark.table("st07_out")
+
+
+ORACLE_ST07 = """
+SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS buy_ts
+FROM events c JOIN events b
+  ON c.user_id = b.user_id
+ AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "st01_stream_tumble_window": st01_stream_tumble_window,
     "st02_stream_upsert_agg": st02_stream_upsert_agg,
@@ -346,9 +405,11 @@ QUERIES = {
     "st04_stream_session_custom": st04_stream_session_custom,
     "st05_stream_hop_window": st05_stream_hop_window,
     "st06_stream_dedup": st06_stream_dedup,
+    "st07_stream_interval_join": st07_stream_interval_join,
 }
 
 ORACLES = {
+    "st07_stream_interval_join": ORACLE_ST07,
     "st06_stream_dedup": ORACLE_ST06,
     "st05_stream_hop_window": ORACLE_ST05,
     "st01_stream_tumble_window": ORACLE_ST01,
