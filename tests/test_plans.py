@@ -197,3 +197,65 @@ def test_tx06_vocab_single_corpus_shuffle(spark, sf_dir):
 
     plan = executed_plan(tx06_topk_vocab(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_tx09_scrub_is_pure_scan_rewrite(spark, sf_dir):
+    """Denylist redaction is a zero-shuffle scan-rewrite with no
+    Python in the row loop — at 100 TB it is IO-bound, full stop."""
+    from flink_streaming_platform_web_spark.operators.text import (
+        tx09_redact_denylist,
+    )
+    from flink_streaming_platform_web_spark.plans import executed_plan
+
+    plan = executed_plan(tx09_redact_denylist(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_dd09_chunk_dedup_shuffle_budget(spark, sf_dir):
+    """Chunk dedup: first-occurrence window (1 exchange on chunk),
+    per-doc reassembly + totals (exchanges on doc_id), and the final
+    doc-level join — but NEVER a quadratic pair stage and no Python."""
+    from flink_streaming_platform_web_spark.operators.dedup import (
+        dd09_chunk_dedup,
+    )
+    from flink_streaming_platform_web_spark.plans import (
+        executed_plan,
+        shuffle_count,
+    )
+
+    df = dd09_chunk_dedup(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert shuffle_count(df) <= 5
+
+
+def test_vec02_quantize_zero_shuffle(spark, sf_dir):
+    """int8 quantization is per-row array math: the only exchange
+    allowed is _vecs' deliberate parallelism repartition."""
+    from flink_streaming_platform_web_spark.operators.vectors import (
+        vec02_quantize_int8,
+    )
+    from flink_streaming_platform_web_spark.plans import shuffle_count
+
+    assert shuffle_count(vec02_quantize_int8(spark, sf_dir)) <= 1
+
+
+def test_vec01_kmeans_assignment_never_shuffles_corpus(spark, sf_dir):
+    """k-means final assignment: broadcast centroids + mapInPandas —
+    the corpus-side plan must contain no join and only the group-by
+    exchange for the tiny per-cluster rollup (plus _vecs' repartition)."""
+    from flink_streaming_platform_web_spark.operators.vectors import (
+        vec01_kmeans,
+    )
+    from flink_streaming_platform_web_spark.plans import (
+        executed_plan,
+        shuffle_count,
+    )
+
+    df = vec01_kmeans(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "Join" not in plan  # assignment is not a join against centroids
+    assert shuffle_count(df) <= 2
