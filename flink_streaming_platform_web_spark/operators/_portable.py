@@ -11,7 +11,15 @@ parallelism). Two rules make every aggregate bit-stable:
    rounding can never hit a tie (a scale-(s+1) midpoint ending in 5 has
    a factor 5^(s+1) in its denominator, so it is never exactly
    representable as a binary double), hence both engines round to the
-   same nearest decimal.
+   same nearest decimal — PROVIDED the engines' conversion paths agree
+   on which neighbor is nearest. In practice they disagree by one
+   decimal ulp for doubles within ~1 double-ulp of a grid midpoint;
+   at scale 2 (DEC below) that is a ~1e-12/value event (safe), but at
+   scale 9 it is ~4e-7/value and WAS observed at 320k values (q32,
+   sf0.1). High-scale reductions over raw doubles must therefore use
+   integer fixed-point instead: SUM(CAST(floor(x * 1e9) AS BIGINT)) —
+   floor and double-multiply are bit-identical IEEE ops in both
+   engines, and the sum is exact integer arithmetic.
 2. **Scalar math after.** Once reductions are exact, any per-row or
    per-group scalar double math (division for AVG, sqrt, formulas) is
    IEEE-deterministic and identical across engines.

@@ -266,13 +266,18 @@ def q32_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     elems = emb.select(
         "label", F.posexplode("embedding").alias("d0", "x")
     ).select("label", (F.col("d0") + 1).alias("d"), "x")
-    # float → double first: Spark's float→decimal cast goes through the
-    # float's SHORTEST string repr (~8 sig digits), silently losing a
-    # ulp at scale 9; double widening is exact in both engines
+    # Fixed-point accumulate: floor(x * 1e9) as BIGINT, summed exactly.
+    # A double→DECIMAL(18,9) cast of a RAW double is NOT engine-portable
+    # at this scale — a double lands within one of its own ulps of a
+    # 0.5e-9 grid midpoint with probability ~4e-7 per value, and the
+    # engines' internal decimal-conversion paths then disagree by one
+    # decimal ulp (observed at sf0.1: 320k elements → one flipped sum).
+    # floor(x * 1e9) uses only IEEE ops both engines run bit-identically
+    # (double multiply, floor), and |x|*1e9 << 2^53 stays exact.
+    scaled = F.floor(F.col("x").cast("double") * F.lit(1e9)).cast("bigint")
     return elems.groupBy("label", "d").agg(
         (
-            F.sum(F.col("x").cast("double").cast("decimal(18,9)"))
-            .cast("double")
+            (F.sum(scaled).cast("double") / F.lit(1e9))
             / F.count("*").cast("double")
         ).alias("mean_x"),
         F.count("*").alias("n"),
@@ -281,8 +286,8 @@ def q32_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q32 = """
 SELECT label, d,
-       CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-         / CAST(COUNT(*) AS DOUBLE) AS mean_x,
+       (CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+        / 1e9) / CAST(COUNT(*) AS DOUBLE) AS mean_x,
        COUNT(*) AS n
 FROM (
   SELECT label, d::INT AS d, embedding[d] AS x

@@ -347,13 +347,23 @@ def _centroids(spark: SparkSession, sf_dir: str):
 
 def _centroids_build(spark: SparkSession, sf_dir: str):
     emb = load(spark, sf_dir, "embeddings")
+    # fixed-point accumulate (floor(x*1e9) summed as BIGINT): raw-double
+    # →DECIMAL(18,9) casts disagree between engines by one decimal ulp
+    # near grid midpoints (see q32, relational_ext.py) — portable means
+    # use only IEEE ops both engines run bit-identically
     rows = (
         emb.select("label", F.posexplode("embedding").alias("d", "x"))
         .groupBy("label", "d")
         .agg(
             (
-                F.sum(F.col("x").cast("double").cast("decimal(18,9)"))
-                .cast("double")
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("x").cast("double") * F.lit(1e9)
+                        ).cast("bigint")
+                    ).cast("double")
+                    / F.lit(1e9)
+                )
                 / F.count("*").cast("double")
             ).alias("m")
         )
@@ -414,7 +424,8 @@ ORACLE_ANN04 = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 cent_long AS (
   SELECT label, d,
-         CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+         (CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT))
+               AS DOUBLE) / 1e9)
            / CAST(COUNT(*) AS DOUBLE) AS m
   FROM (SELECT label, d::INT - 1 AS d, embedding[d] AS x
         FROM embeddings,
@@ -544,7 +555,8 @@ ORACLE_CELL_RANKED = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 cent_long AS (
   SELECT label, d,
-         CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+         (CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT))
+               AS DOUBLE) / 1e9)
            / CAST(COUNT(*) AS DOUBLE) AS m
   FROM (SELECT label, d::INT - 1 AS d, embedding[d] AS x
         FROM embeddings,

@@ -53,15 +53,23 @@ def _km_init(spark: SparkSession, sf_dir: str):
 
 
 def _km_means(assigned: DataFrame):
-    """Decimal-exact per-(cluster, dim) means — same arithmetic as the
-    IVF centroid build, so the oracle reproduces them bitwise."""
+    """Exact per-(cluster, dim) means via fixed-point accumulation
+    (floor(x*1e9) summed as BIGINT) — same arithmetic as the IVF
+    centroid build, so the oracle reproduces them bitwise. (Raw-double
+    →DECIMAL casts are not engine-portable at scale 9; see q32.)"""
     return (
         assigned.select("cell", F.posexplode("v").alias("d", "x"))
         .groupBy("cell", "d")
         .agg(
             (
-                F.sum(F.col("x").cast("double").cast("decimal(18,9)"))
-                .cast("double")
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("x").cast("double") * F.lit(1e9)
+                        ).cast("bigint")
+                    ).cast("double")
+                    / F.lit(1e9)
+                )
                 / F.count("*").cast("double")
             ).alias("m")
         )
@@ -110,7 +118,8 @@ assign1 AS (
 ),
 means1 AS (
   SELECT cell, d,
-         CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+         (CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT))
+               AS DOUBLE) / 1e9)
            / CAST(COUNT(*) AS DOUBLE) AS m
   FROM (SELECT cell, d::INT - 1 AS d, v[d] AS x
         FROM assign1,
