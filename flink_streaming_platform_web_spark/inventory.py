@@ -16,6 +16,7 @@ from flink_streaming_platform_web_spark.operators import (
     relational,
     relational_ext,
     similarity,
+    skew,
     text,
     vectors,
     windows,
@@ -34,6 +35,7 @@ _MODULES = (
     multimodal,
     stream_queries,
     vectors,
+    skew,
 )
 
 # The driver's correctness gate walks queries() in dict insertion order
@@ -42,6 +44,13 @@ _MODULES = (
 # the entries that have never received a driver row so every inventory
 # item gets checked across rounds regardless of the driver's budget.
 _CHECK_FIRST = (
+    # round-2 additions, never driver-checked:
+    "q39_dedup_latest",
+    "q40_salted_join_agg",
+    "tx11_idf_table",
+    "tx12_doc_top_terms",
+    "vec03_dim_stats",
+    "dd10_minhash_est_jaccard",
     "tx01_langid",
     "tx02_quality_score",
     "tx03_token_count",

@@ -301,7 +301,9 @@ ORACLE_DD03 = f"SELECT doc_id, perm, minhash FROM ({_ORACLE_MINHASH_LONG})"
 # --------------------------------------------------------------------------
 
 
-def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket collision candidate pairs (doc_a < doc_b), shared by
+    dd04 (exact-Jaccard verify) and dd10 (signature-estimate verify)."""
     wide = _minhash_wide(spark, sf_dir)
     rows_per_band = N_PERMS // N_BANDS
     # band buckets straight from the wide signature row — a projection
@@ -328,7 +330,7 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = buckets.alias("a")
     b = buckets.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -340,6 +342,10 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    candidates = _lsh_candidates(spark, sf_dir)
     # verify candidates with exact Jaccard over the FULL shingle sets,
     # restricted to the candidate set — the set sizes ride along on
     # the shingle rows (computed array-side, no extra shuffle)
@@ -367,8 +373,7 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DD04 = f"""
-WITH mh AS ({_ORACLE_MINHASH_LONG}),
+_ORACLE_LSH_CANDIDATES = f"""mh AS ({_ORACLE_MINHASH_LONG}),
 buckets AS (
   SELECT doc_id, perm // {N_PERMS // N_BANDS} AS band,
          md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS bucket
@@ -378,7 +383,10 @@ candidates AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM buckets a JOIN buckets b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
+)"""
+
+ORACLE_DD04 = f"""
+WITH {_ORACLE_LSH_CANDIDATES},
 sh AS ({_ORACLE_SHINGLES}),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 inter AS (
@@ -729,8 +737,68 @@ FROM agg_all a LEFT JOIN agg_kept USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# dd10 — MinHash Jaccard ESTIMATE on LSH candidates: the cheap verify
+# tier. Where dd04 verifies band-bucket candidates with exact Jaccard
+# over the full shingle sets (a corpus-sized join), dd10 verifies them
+# from the signatures alone — agree_n/16 is an unbiased Jaccard
+# estimator, and the verify cost is |candidates|×2 signature-row joins
+# (signature table is |docs|×16 ints, ~1/50th the shingle table). At
+# 100 TB this is the standard two-tier design: estimate-verify prunes
+# the candidate list before the exact-verify tier touches shingles.
+# est_jaccard = agree_n / 16.0 divides by a power of two — exact in
+# IEEE, so the double is engine-portable without rounding.
+# --------------------------------------------------------------------------
+
+
+def dd10_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    candidates = _lsh_candidates(spark, sf_dir)
+    wide = _minhash_wide(spark, sf_dir)
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{p}").alias(f"a{p}") for p in range(N_PERMS)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{p}").alias(f"b{p}") for p in range(N_PERMS)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        for p in range(N_PERMS)
+    )
+    return (
+        candidates.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("bigint").alias("agree_n"),
+            (agree.cast("double") / F.lit(float(N_PERMS))).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+ORACLE_DD10 = f"""
+WITH {_ORACLE_LSH_CANDIDATES},
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS agree_n
+  FROM candidates c
+  JOIN mh sa ON sa.doc_id = c.doc_a
+  JOIN mh sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(agree_n AS BIGINT) AS agree_n,
+       CAST(agree_n AS DOUBLE) / {float(N_PERMS)} AS est_jaccard
+FROM agree
+"""
+
+
 QUERIES = {
     "dd01_dedup_exact": dd01_dedup_exact,
+    "dd10_minhash_est_jaccard": dd10_minhash_est_jaccard,
     "dd09_chunk_dedup": dd09_chunk_dedup,
     "dd08_simhash_neardup_pairs": dd08_simhash_neardup_pairs,
     "dd07_embed_neardup_docs": dd07_embed_neardup_docs,
@@ -742,6 +810,7 @@ QUERIES = {
 
 ORACLES = {
     "dd01_dedup_exact": ORACLE_DD01,
+    "dd10_minhash_est_jaccard": ORACLE_DD10,
     "dd09_chunk_dedup": ORACLE_DD09,
     "dd08_simhash_neardup_pairs": ORACLE_DD08,
     "dd07_embed_neardup_docs": _oracle_dd07(),

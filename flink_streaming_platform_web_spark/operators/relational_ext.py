@@ -18,7 +18,9 @@ from flink_streaming_platform_web_spark.operators._portable import (
     dsum,
     oracle_dsum,
     oracle_portable_hash,
+    oracle_ts_str,
     portable_hash,
+    ts_str,
 )
 from flink_streaming_platform_web_spark.tables import load
 
@@ -461,8 +463,53 @@ FROM est
 """
 
 
+# --------------------------------------------------------------------------
+# q39 — Flink SQL's canonical "Deduplication" pattern (Flink 1.13 docs
+# §Queries/Deduplication, the shape the reference's users write for
+# latest-state materialization):
+#   SELECT ... FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+#     ORDER BY time_attr DESC) AS rn FROM t) WHERE rn = 1
+# Spark runs the identical plan batch-side (window + filter); the
+# streaming analog is the runner's upsert path (O6/O19). One shuffle
+# keyed by user_id; the window never materializes more than each key's
+# run — at 100 TB this is the standard last-row-wins compaction.
+# Tie-break on event_id DESC pins determinism when two events share a
+# timestamp.
+# --------------------------------------------------------------------------
+
+
+def q39_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            ts_str(F.col("ts")).alias("ts"),
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+ORACLE_Q39 = f"""
+SELECT user_id, event_id, {oracle_ts_str('ts')} AS ts, event_type,
+       CAST(value AS DOUBLE) AS value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q38_approx_distinct_hll": q38_approx_distinct_hll,
+    "q39_dedup_latest": q39_dedup_latest,
     "q26_asof_join": q26_asof_join,
     "q27_grouping_sets": q27_grouping_sets,
     "q28_interval_join": q28_interval_join,
@@ -475,6 +522,7 @@ QUERIES = {
 
 ORACLES = {
     "q38_approx_distinct_hll": ORACLE_Q38,
+    "q39_dedup_latest": ORACLE_Q39,
     "q26_asof_join": ORACLE_Q26,
     "q27_grouping_sets": ORACLE_Q27,
     "q28_interval_join": ORACLE_Q28,

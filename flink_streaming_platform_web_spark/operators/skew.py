@@ -15,8 +15,14 @@ small side must be the dimension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from flink_streaming_platform_web_spark.operators._portable import (
+    dsum,
+    oracle_dsum,
+)
+from flink_streaming_platform_web_spark.tables import load
 
 
 def salted_join(
@@ -41,3 +47,40 @@ def salted_join(
     small_s = small.crossJoin(F.broadcast(salts))
     joined = big_s.join(small_s, [key, "__salt"], how)
     return joined.drop("__salt")
+
+
+# --------------------------------------------------------------------------
+# q40 — the salted join through the correctness gate: events (the big,
+# potentially hot-keyed fact) ⋈ customer (the dim, replicated n_salts×)
+# on user_id = c_custkey, rolled up per market segment. The oracle is
+# the PLAIN join + aggregation — identical results is the entire
+# contract of salting (it rearranges the shuffle, never the data). At
+# 100 TB: each hot user_id spreads over n_salts tasks instead of
+# pinning one; the dim-side 8× replication is the bounded price.
+# --------------------------------------------------------------------------
+
+
+def q40_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "value"
+    )
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(events, dim, "c_custkey", n_salts=8, how="inner")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        dsum("value", "total_value"),
+    )
+
+
+ORACLE_Q40 = f"""
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       {oracle_dsum('value', 'total_value')}
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+QUERIES = {"q40_salted_join_agg": q40_salted_join_agg}
+ORACLES = {"q40_salted_join_agg": ORACLE_Q40}

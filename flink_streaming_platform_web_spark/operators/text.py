@@ -513,8 +513,108 @@ FROM base
 """
 
 
+# --------------------------------------------------------------------------
+# tx11 — corpus IDF table: per-token document frequency (df) and
+# collection frequency (cf), plus the corpus size every idf formula
+# needs. Deliberately integer-only: idf = ln(n_docs/df) is a per-row
+# scalar on this tiny output, and ln() is the one common op whose
+# last-ulp behavior is NOT pinned across engines (libm vs JVM
+# intrinsic) — so the engine emits the exact integer sufficient
+# statistics and leaves the transcendental to the consumer.
+# Shape: one exploded agg keyed by token with map-side combine
+# (count + count-distinct-doc via two-level agg); at 100 TB the
+# vocabulary output is tiny and the scan is the only corpus-sized
+# stage.
+# --------------------------------------------------------------------------
+
+
+def tx11_idf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one tiny job; the corpus-count every idf needs
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    # cf: plain count; df: distinct docs per token. A single agg with
+    # countDistinct would shuffle doc-level detail; pre-reducing to
+    # per-(token, doc) rows first keeps both aggs map-side-combinable.
+    per_doc = toks.groupBy("token", "doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    return per_doc.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+    )
+
+
+ORACLE_TX11 = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), per_doc AS (
+  SELECT token, doc_id, COUNT(*) AS tf FROM toks
+  WHERE token <> '' GROUP BY token, doc_id
+)
+SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+       (SELECT COUNT(*) FROM documents) AS n_docs
+FROM per_doc GROUP BY token
+"""
+
+
+# --------------------------------------------------------------------------
+# tx12 — per-document distinctive terms: top-3 tokens ranked by term
+# frequency, tie-broken by RARITY (ascending document frequency) then
+# token — the integer-exact core of tf-idf ranking (for fixed tf,
+# idf ordering IS ascending-df ordering, so no transcendental enters
+# the comparison). Shape: the (doc, token) tf agg is the corpus-sized
+# shuffle; the df table is vocabulary-sized and broadcast back; the
+# per-doc top-k window runs on already-reduced rows.
+# --------------------------------------------------------------------------
+
+
+def tx12_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), "token")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "rnk")
+    )
+
+
+ORACLE_TX12 = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token <> '' GROUP BY doc_id, token
+), df_tbl AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+)
+SELECT doc_id, token, tf, df,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tf DESC, df ASC, token ASC)
+            AS BIGINT) AS rnk
+FROM tf JOIN df_tbl USING (token)
+QUALIFY rnk <= 3
+"""
+
+
 QUERIES = {
     "tx01_langid": tx01_langid,
+    "tx11_idf_table": tx11_idf_table,
+    "tx12_doc_top_terms": tx12_doc_top_terms,
     "tx02_quality_score": tx02_quality_score,
     "tx03_token_count": tx03_token_count,
     "tx04_fingerprint": tx04_fingerprint,
@@ -528,6 +628,8 @@ QUERIES = {
 
 ORACLES = {
     "tx01_langid": ORACLE_TX01,
+    "tx11_idf_table": ORACLE_TX11,
+    "tx12_doc_top_terms": ORACLE_TX12,
     "tx02_quality_score": ORACLE_TX02,
     "tx03_token_count": ORACLE_TX03,
     "tx04_fingerprint": ORACLE_TX04,

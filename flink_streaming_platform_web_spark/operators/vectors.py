@@ -203,12 +203,72 @@ FROM p WHERE s > 0
 """
 
 
+# --------------------------------------------------------------------------
+# vec03 — per-dimension corpus feature statistics (n/mean/var/min/max):
+# the normalization-prep pass every embedding pipeline runs before
+# whitening, quantizer training, or drift monitoring. Shape: posexplode
+# to (dim, x) rows and ONE map-side-combined agg keyed by dim — at
+# 100 TB the only corpus-sized stage is the scan; the shuffle carries
+# |dims| × |partitions| partial rows. Means and variances use the
+# fixed-point integer carrier (floor(x·1e9), floor(x²·1e9) — exact
+# BIGINT sums; see q32 / _portable.py rule 1) so both engines reduce
+# bit-identically at any scale; the final mean/var arithmetic is
+# per-group scalar IEEE math (rule 2). min/max over doubles are exact
+# order-independent reductions and need no carrier.
+# --------------------------------------------------------------------------
+
+
+def vec03_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    elems = (
+        _vecs(spark, sf_dir)
+        .select(F.posexplode("v").alias("d0", "x"))
+        .select((F.col("d0") + 1).alias("d"), F.col("x"))
+    )
+    sx = F.sum(F.floor(F.col("x") * F.lit(1e9)).cast("bigint"))
+    sxx = F.sum(
+        F.floor(F.col("x") * F.col("x") * F.lit(1e9)).cast("bigint")
+    )
+    n = F.count("*").cast("double")
+    mean = (sx.cast("double") / F.lit(1e9)) / n
+    var = (sxx.cast("double") / F.lit(1e9)) / n - mean * mean
+    return elems.groupBy("d").agg(
+        F.count("*").alias("n"),
+        mean.alias("mean_x"),
+        var.alias("var_x"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )
+
+
+ORACLE_VEC03 = """
+SELECT d, COUNT(*) AS n,
+       (CAST(SUM(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_x,
+       (CAST(SUM(CAST(floor(x * x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+         / CAST(COUNT(*) AS DOUBLE)
+         - ((CAST(SUM(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+            / CAST(COUNT(*) AS DOUBLE))
+           * ((CAST(SUM(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+              / CAST(COUNT(*) AS DOUBLE)) AS var_x,
+       MIN(x) AS min_x,
+       MAX(x) AS max_x
+FROM (
+  SELECT d::INT AS d, CAST(v[d] AS DOUBLE) AS x
+  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       LATERAL (SELECT unnest(generate_series(1, len(v))) AS d)
+)
+GROUP BY d
+"""
+
+
 QUERIES = {
     "vec01_kmeans": vec01_kmeans,
     "vec02_quantize_int8": vec02_quantize_int8,
+    "vec03_dim_stats": vec03_dim_stats,
 }
 
 ORACLES = {
     "vec01_kmeans": ORACLE_VEC01,
     "vec02_quantize_int8": ORACLE_VEC02,
+    "vec03_dim_stats": ORACLE_VEC03,
 }

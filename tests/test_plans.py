@@ -115,6 +115,9 @@ def test_dd02_two_shuffles_no_python(spark, sf_dir):
         shuffle_count,
     )
 
+    from flink_streaming_platform_web_spark.operators import _cache
+
+    _cache.clear()  # cold-path shape: drop any memoized upstream
     df = dd02_ngram_jaccard_pairs(spark, sf_dir)
     assert shuffle_count(df) == 2
     assert executed_plan(df).count("Exchange RoundRobinPartitioning") == 1
