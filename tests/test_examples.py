@@ -113,3 +113,63 @@ def test_demo3_runs(spark, tmp_path):
         for r in spark.table("joined_out").collect()
     }
     assert got == {1: (10, 100), 2: (20, None)}
+
+
+def test_pipeline_training_mix_runs(spark, tmp_path):
+    """The training-data pipeline as a submitted SQL job: batch run
+    over the real documents parquet, sink parquet cross-checked
+    against the equivalent direct DataFrame computation."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_platform_web_spark.tables import load
+
+    sf_dir = "/root/testdata/sf0.001"
+    runner = JobRunner(spark, mode="batch")
+    runner.execute_script(
+        (EXAMPLES / "pipeline_training_mix.sql").read_text(),
+        variables={"data_dir": sf_dir, "out_dir": str(tmp_path)},
+    )
+    got = {
+        (r["lang"], r["source"]): (r["n_docs"], r["total_chars"])
+        for r in spark.read.parquet(
+            str(tmp_path / "training_mix")
+        ).collect()
+    }
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    from flink_streaming_platform_web_spark.operators._portable import (
+        portable_hash,
+    )
+
+    kept = docs.filter(F.size(F.split("text", " ")) >= 10)
+    deduped = (
+        kept.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 200)
+        .when(F.col("lang").isin("zh", "fr"), 500)
+        .when(F.col("lang").isin("de", "es"), 800)
+        .otherwise(0)
+    )
+    sampled = deduped.filter(
+        portable_hash(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
+        % 1000
+        < rate
+    )
+    want = {
+        (r["lang"], r["source"]): (r["n_docs"], r["total_chars"])
+        for r in sampled.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
