@@ -27,9 +27,10 @@ from pyspark.sql import SparkSession
 # where semantics or names diverge; identical built-ins pass through)
 _FN_REWRITES: list[tuple[re.Pattern[str], str]] = [
     # processing-time marker: Spark has no PROCTIME; ingest-time stamp
-    (re.compile(r"\bPROCTIME\(\)", re.IGNORECASE), "current_timestamp()"),
+    # \s* between name and parens: demo_2.md writes `PROCTIME ()`
+    (re.compile(r"\bPROCTIME\s*\(\s*\)", re.IGNORECASE), "current_timestamp()"),
     (re.compile(r"\bLOCALTIMESTAMP\b(?!\()", re.IGNORECASE), "localtimestamp()"),
-    (re.compile(r"\bNOW\(\)", re.IGNORECASE), "current_timestamp()"),
+    (re.compile(r"\bNOW\s*\(\s*\)", re.IGNORECASE), "current_timestamp()"),
     # Flink CURRENT_TIMESTAMP is ltz; Spark's matches under UTC session tz
 ]
 

@@ -173,3 +173,37 @@ def test_pipeline_training_mix_runs(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_demo2_runs(spark, tmp_path):
+    """demo_2.md faithful script: double-stream LEFT JOIN → grouped
+    GMV → PK upsert sink, driven with the reference's own sample
+    messages (topic flink_test_1/2 payloads)."""
+    orders = tmp_path / "orders_stream"
+    coupons = tmp_path / "coupon_stream"
+    orders.mkdir()
+    coupons.mkdir()
+    (orders / "p0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"day_time": "20201011", "id": 8, "amnount": 211},
+                {"day_time": "20201011", "id": 9, "amnount": 100},
+                {"day_time": "20201012", "id": 10, "amnount": 50},
+            ]
+        )
+    )
+    (coupons / "p0.json").write_text(
+        json.dumps({"id": 8, "coupon_amnount": 100})
+    )
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        (EXAMPLES / "demo_2_double_stream_gmv.sql").read_text(),
+        variables={"data_dir": str(tmp_path)},
+    )
+    _drain(result)
+    got = {
+        r["day_time"]: r["total_gmv"]
+        for r in runner.upsert_stores["sync_test_2"].to_df(spark).collect()
+    }
+    assert got == {"20201011": 211, "20201012": 50}
