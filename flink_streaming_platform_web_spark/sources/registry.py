@@ -267,6 +267,55 @@ def kafka_stream(spark: SparkSession, table: TableDef) -> DataFrame:
     return apply_schema_decorations(df, table)
 
 
+def cdc_changelog_stream(spark: SparkSession, table: TableDef) -> DataFrame:
+    """mysql-cdc source (demo_6.md §2.1.2) as a decoded debezium
+    changelog stream. The reference embeds a binlog client; this
+    container has no MySQL, so the binlog feed arrives as
+    debezium-JSON lines from a file/directory supplied via
+    `'graft.changelog-path'` (the same envelope a debezium→kafka
+    deployment would carry — swap this source for kafka_stream with
+    'format'='debezium-json' there). Declaring mysql-cdc without a
+    changelog path raises instead of silently producing nothing."""
+    from flink_streaming_platform_web_spark.streaming.cdc import (
+        decode_debezium,
+    )
+
+    path = table.options.get("graft.changelog-path")
+    if not path:
+        raise ConnectorUnavailable(
+            "mysql-cdc needs a binlog client (none in this container);"
+            " supply 'graft.changelog-path' with debezium-JSON lines,"
+            " or route the feed through kafka with"
+            " 'format'='debezium-json'"
+        )
+    raw = (
+        spark.readStream.format("text")
+        .option(
+            "maxFilesPerTrigger",
+            table.options.get("source.max-files-per-trigger", "10"),
+        )
+        .load(path)
+    )
+    return decode_debezium(raw.select("value"), table.schema_ddl())
+
+
+def cdc_changelog_batch(spark: SparkSession, table: TableDef) -> DataFrame:
+    """Bounded mysql-cdc read: the decoded changelog of everything in
+    the feed so far (a batch job then materializes its final state)."""
+    from flink_streaming_platform_web_spark.streaming.cdc import (
+        decode_debezium,
+    )
+
+    path = table.options.get("graft.changelog-path")
+    if not path:
+        raise ConnectorUnavailable(
+            "mysql-cdc needs a binlog client (none in this container);"
+            " supply 'graft.changelog-path' with debezium-JSON lines"
+        )
+    raw = spark.read.format("text").load(path)
+    return decode_debezium(raw.select("value"), table.schema_ddl())
+
+
 def kafka_batch(spark: SparkSession, table: TableDef) -> DataFrame:
     """Bounded kafka read for batch jobs (spark.read.format('kafka'),
     earliest→latest) — a kafka table in a `-type 2` script is a

@@ -27,6 +27,7 @@ Spark rebuild:
 from __future__ import annotations
 
 import re
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -111,8 +112,12 @@ class JobRunner:
         self.mode = mode
         self.checkpoint = checkpoint or CheckPointParam()
         self.tables: dict[str, TableDef] = {}
-        self._materialized: dict[str, str] = {}  # name → "stream"|"batch"
+        self._materialized: dict[str, str] = {}  # name → "stream"|"batch"|"cdc"
         self.upsert_stores: dict[str, KeyedStore] = {}
+        # mysql-cdc: decoded changelog streams + per-table latest-state
+        # stores (demo_6 §2.1.2 multiway CDC join, O14)
+        self._cdc_streams: dict[str, DataFrame] = {}
+        self.cdc_states: dict[str, KeyedStore] = {}
         self._trigger: dict[str, str] | None = None
         self._read_once = False
         # lookup dims with TTL caches (lookup_cache.DimCache by name)
@@ -186,6 +191,28 @@ class JobRunner:
                 registry.kafka_stream(self.spark, t)
                 if streaming
                 else registry.kafka_batch(self.spark, t)
+            )
+        elif c == "mysql-cdc":
+            if streaming:
+                # the decoded changelog is NOT a plain row view — the
+                # INSERT path applies it to keyed state and recomputes
+                # (demo_6 update/delete propagation); record the stream
+                # and mark the table so _run_insert routes accordingly
+                self._cdc_streams[name] = registry.cdc_changelog_stream(
+                    self.spark, t
+                )
+                self._materialized[name] = "cdc"
+                return
+            from flink_streaming_platform_web_spark.streaming.cdc import (
+                materialize_latest,
+            )
+
+            if not t.primary_key:
+                raise ValueError(
+                    f"mysql-cdc table {name!r} needs PRIMARY KEY"
+                )
+            df = materialize_latest(
+                registry.cdc_changelog_batch(self.spark, t), t.primary_key
             )
         elif c == "jdbc":
             # lookup/dim tables are batch reads even in streaming jobs
@@ -574,9 +601,17 @@ class JobRunner:
             r for r in refs
             if r.lower() in dims and r in self.dim_caches
         ]
+        cdc_refs = [
+            r for r in refs if self._materialized.get(r) == "cdc"
+        ]
+        if cdc_refs:
+            self._write_stream_cdc(job, refs, cdc_refs, idx, result)
+            return
         sql = translate_expr(job.query_sql)
         df = self.spark.sql(sql)
         sink = self.tables.get(job.target)
+        if sink is not None:
+            df = self._align_to_sink(df, sink)
         if (
             ttl_dims
             and sink is not None
@@ -624,6 +659,116 @@ class JobRunner:
             for demote in streams[1:]:
                 self._materialize_source(demote, force_batch=True)
             self._write_stream(self.spark.sql(sql), sink, idx, result)
+
+    def _align_to_sink(self, df: DataFrame, sink: TableDef) -> DataFrame:
+        """Flink maps INSERT SELECT output to the sink schema BY
+        POSITION (demo_6's `SELECT o.*, p.name, …` lands in
+        product_name etc.). If the query's column names already match
+        the sink's (any order), align by name; otherwise rename
+        positionally. Arity mismatch is a user error, reported as
+        such."""
+        sink_cols = [
+            c.name
+            for c in sink.columns
+            if c.spark_type is not None and c.computed_expr is None
+        ]
+        if not sink_cols:
+            return df
+        if {c.lower() for c in df.columns} == {
+            c.lower() for c in sink_cols
+        } and len(df.columns) == len(sink_cols):
+            return df.select(*sink_cols)
+        if len(df.columns) != len(sink_cols):
+            raise ValueError(
+                f"INSERT into {sink.name!r}: query emits"
+                f" {len(df.columns)} columns, sink declares"
+                f" {len(sink_cols)}"
+            )
+        return df.toDF(*sink_cols)
+
+    def _write_stream_cdc(
+        self,
+        job: InsertJob,
+        refs: list[str],
+        cdc_refs: list[str],
+        idx: int,
+        result: ExecutionResult,
+    ) -> None:
+        """demo_6 §2.1.2 (O14): INSERTs over mysql-cdc tables run as
+        changelog-apply + re-join. Each CDC source's micro-batch is
+        applied to that table's keyed latest-state store (inserts/
+        updates upsert the after-image, deletes remove the key), then
+        the full query recomputes over every table's CURRENT state and
+        REPLACES the sink's content — so updates rewrite the enriched
+        row and deletes make it disappear, Flink's retract-stream
+        propagation expressed as per-batch view maintenance. State
+        size = table cardinality (what Flink's changelog join also
+        holds); per-batch work = the re-join, which at scale becomes
+        incremental MERGE maintenance keyed on the touched rows.
+        Convergence: recompute runs after every applied batch, so the
+        final sink state equals the join of final table states
+        regardless of how the source streams interleave."""
+        sink = self.tables[job.target]
+        if not sink.primary_key:
+            raise ValueError(
+                f"CDC pipeline sink {job.target!r} needs PRIMARY KEY"
+                " (upsert semantics are what propagates updates)"
+            )
+        out_store = self.upsert_stores.setdefault(
+            sink.name, KeyedStore(sink.primary_key)
+        )
+        spark = self.spark
+        state_stores: dict[str, KeyedStore] = {}
+        for r in cdc_refs:
+            t = self.tables[r]
+            if not t.primary_key:
+                raise ValueError(
+                    f"mysql-cdc table {r!r} needs PRIMARY KEY"
+                )
+            store = self.cdc_states.setdefault(r, KeyedStore(t.primary_key))
+            if store.schema is None:
+                # schema from the DDL so an empty store is a valid
+                # (empty) view before its first change arrives
+                store.schema = spark.createDataFrame(
+                    [], t.schema_ddl()
+                ).schema
+            state_stores[r] = store
+        sql = translate_expr(job.query_sql)
+        lock = threading.Lock()
+
+        def recompute() -> None:
+            with lock:
+                for r, store in state_stores.items():
+                    store.to_df(spark).createOrReplaceTempView(r)
+                out_store.replace_batch(
+                    self._align_to_sink(spark.sql(sql), sink)
+                )
+
+        from flink_streaming_platform_web_spark.streaming.cdc import (
+            foreach_batch_apply_changelog,
+        )
+
+        for r in cdc_refs:
+            apply_fn = foreach_batch_apply_changelog(state_stores[r])
+
+            def fb(batch, epoch_id, _apply=apply_fn):
+                _apply(batch, epoch_id)
+                recompute()
+
+            writer = (
+                self._cdc_streams[r]
+                .writeStream.foreachBatch(fb)
+                .outputMode("append")
+                .queryName(f"cdc_{r}_{idx}")
+            )
+            if self.checkpoint.checkpoint_dir:
+                writer = writer.option(
+                    "checkpointLocation",
+                    f"{self.checkpoint.checkpoint_dir}/cdc_{r}_{idx}",
+                )
+            if self._trigger:
+                writer = writer.trigger(**self._trigger)
+            result.streaming_queries.append(writer.start())
 
     def _write_batch(
         self,

@@ -47,6 +47,21 @@ class KeyedStore:
         for row in batch.toLocalIterator():
             self.upsert(row.asDict())
 
+    def replace_batch(self, batch: DataFrame) -> None:
+        """Full-result replacement: the MERGE shape for recomputed
+        joins/aggregates where a key absent from the new result must
+        DISAPPEAR from the sink (delete propagation — demo_6's CDC
+        join drops the enriched row when the order is deleted). At
+        scale this becomes MERGE ... WHEN NOT MATCHED BY SOURCE THEN
+        DELETE; in-process it is an atomic swap."""
+        self.schema = batch.schema
+        rows = {
+            self._key(r.asDict()): r.asDict()
+            for r in batch.toLocalIterator()
+        }
+        with self._lock:
+            self.rows = rows
+
     def to_df(self, spark: SparkSession) -> DataFrame:
         with self._lock:
             rows = list(self.rows.values())

@@ -207,3 +207,47 @@ def test_demo2_runs(spark, tmp_path):
         for r in runner.upsert_stores["sync_test_2"].to_df(spark).collect()
     }
     assert got == {"20201011": 211, "20201012": 50}
+
+
+def test_demo6_cdc_script_runs(spark, tmp_path):
+    """demo_6.md §2.1 as a SUBMITTED SCRIPT: three mysql-cdc tables
+    (debezium changelog files standing in for the binlog), the exact
+    reference INSERT, driven with the §2.1.3 verification sequence —
+    insert order+shipment, update shipment, update order, delete
+    order. The sink must equal the join of the FINAL table states:
+    update propagated, deleted order's enriched row gone."""
+    from tests.test_cdc_multiway import (
+        ORDER_OPS,
+        PRODUCT_OPS,
+        SHIPMENT_OPS,
+    )
+
+    for name, ops in [
+        ("cdc_products", PRODUCT_OPS),
+        ("cdc_orders", ORDER_OPS),
+        ("cdc_shipments", SHIPMENT_OPS),
+    ]:
+        d = tmp_path / name
+        d.mkdir()
+        (d / "feed.jsonl").write_text("\n".join(ops))
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        (EXAMPLES / "demo_6_cdc_enriched_orders.sql").read_text(),
+        variables={"data_dir": str(tmp_path)},
+    )
+    _drain(result)
+    got = {
+        r["order_id"]: (
+            r["order_status"],
+            r["product_name"],
+            r["shipment_id"],
+            r["is_arrived"],
+        )
+        for r in runner.upsert_stores["enriched_orders"]
+        .to_df(spark)
+        .collect()
+    }
+    # order 10001 was deleted → its enriched row must be GONE;
+    # order 10004 ends status=true, product 101 (scooter),
+    # shipment 1004 arrived=true
+    assert got == {10004: (True, "scooter", 1004, True)}
