@@ -73,6 +73,7 @@ _CHECK_FIRST = (
     "st05_stream_hop_window",
     "st06_stream_dedup",
     "st07_stream_interval_join",
+    "st08_stream_cdc_latest",
     "tx09_redact_denylist",
     "tx10_quality_filter",
     "dd09_chunk_dedup",

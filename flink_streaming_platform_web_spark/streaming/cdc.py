@@ -84,9 +84,11 @@ def foreach_batch_apply_changelog(store: KeyedStore):
             store.schema = batch.select("__after.*").schema
         cols = ["__op", "__before", "__after"]
         order = ["__ts_ms"] + (["__seq"] if "__seq" in batch.columns else [])
-        for row in (
-            batch.select(*cols, *order).orderBy(*order).toLocalIterator()
-        ):
+        # collect(): one round-trip for the bounded micro-batch —
+        # toLocalIterator pays a network hop per partition and was the
+        # dominant cost of the st08 gate run (the production analog of
+        # this whole callback is a server-side MERGE; see upsert.py)
+        for row in batch.select(*cols, *order).orderBy(*order).collect():
             if row["__op"] in UPSERT_OPS and row["__after"] is not None:
                 store.upsert(row["__after"].asDict())
             elif row["__op"] == "d" and row["__before"] is not None:

@@ -398,8 +398,129 @@ WHERE c.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+def st08_stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC through the FULL script surface (demo_6's O14
+    path): the events table is re-encoded as a debezium changelog —
+    per user, each event is an upsert of that user's current row in
+    (ts, event_id) order; users whose final event is an 'error' get a
+    trailing delete — split at the time midpoint into two files (two
+    micro-batches), declared via `'connector'='mysql-cdc'`, and run as
+    an INSERT through the JobRunner. The runner applies each batch to
+    keyed latest-state and replace-merges the recompute into the PK
+    sink, so the final sink must equal the oracle's last-row-wins
+    state minus the deleted users — update AND delete propagation
+    across real micro-batches.
+
+    Staging collects the fixture driver-side to author the changelog
+    (test scaffolding, not the operator); the operator path itself is
+    the runner's streaming changelog-apply."""
+    import json
+    import os
+    import tempfile
+
+    from flink_streaming_platform_web_spark.tables import load
+
+    # 1-in-5 event sample: the changelog apply is a driver-side
+    # sequential loop (correctness scaffolding, not the scale path),
+    # so bound the staged feed; the oracle mirrors the sample
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    rows = sorted(
+        ev.collect(), key=lambda r: (r["ts"], r["event_id"])
+    )
+    mid = rows[len(rows) // 2]["ts"]
+    last_by_user: dict = {}
+    for r in rows:
+        last_by_user[r["user_id"]] = r
+    envs: list[tuple[bool, str]] = []  # (second_half, json line)
+    for seq, r in enumerate(rows):
+        after = {
+            "user_id": r["user_id"],
+            "event_id": r["event_id"],
+            "event_type": r["event_type"],
+            "value": r["value"],
+        }
+        envs.append(
+            (
+                r["ts"] > mid,
+                json.dumps(
+                    {"op": "u", "before": None, "after": after,
+                     "ts_ms": seq},
+                ),
+            )
+        )
+    n = len(rows)
+    for i, r in enumerate(sorted(
+        (r for r in last_by_user.values() if r["event_type"] == "error"),
+        key=lambda r: r["user_id"],
+    )):
+        before = {
+            "user_id": r["user_id"],
+            "event_id": r["event_id"],
+            "event_type": r["event_type"],
+            "value": r["value"],
+        }
+        envs.append(
+            (
+                True,
+                json.dumps(
+                    {"op": "d", "before": before, "after": None,
+                     "ts_ms": n + i},
+                ),
+            )
+        )
+    path = (
+        f"{tempfile.gettempdir()}/spark_graft_stream_st08_"
+        f"{int(time.time() * 1e6)}"
+    )
+    os.makedirs(path)
+    with open(f"{path}/a_first.jsonl", "w") as f:
+        f.write("\n".join(line for late, line in envs if not late))
+    with open(f"{path}/b_second.jsonl", "w") as f:
+        f.write("\n".join(line for late, line in envs if late))
+    # second file strictly newer so FileStreamSource batches in order
+    os.utime(f"{path}/b_second.jsonl", (time.time() + 2, time.time() + 2))
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        f"""
+        CREATE TABLE user_state (
+          user_id BIGINT, event_id BIGINT, event_type STRING,
+          value DOUBLE, PRIMARY KEY (user_id) NOT ENFORCED
+        ) WITH ('connector' = 'mysql-cdc',
+                'graft.changelog-path' = '{path}',
+                'source.max-files-per-trigger' = '1');
+        CREATE TABLE st08_out (
+          user_id BIGINT, event_id BIGINT, event_type STRING,
+          value DOUBLE, PRIMARY KEY (user_id) NOT ENFORCED
+        ) WITH ('connector' = 'jdbc');
+        INSERT INTO st08_out
+        SELECT user_id, event_id, event_type, value FROM user_state;
+        """,
+    )
+    return runner.upsert_stores["st08_out"].to_df(spark)
+
+
+ORACLE_ST08 = """
+WITH latest AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 5 = 0
+  ) WHERE rn = 1
+)
+SELECT user_id, event_id, event_type, value
+FROM latest WHERE event_type <> 'error'
+"""
+
+
 QUERIES = {
     "st01_stream_tumble_window": st01_stream_tumble_window,
+    "st08_stream_cdc_latest": st08_stream_cdc_latest,
     "st02_stream_upsert_agg": st02_stream_upsert_agg,
     "st03_stream_session_window": st03_stream_session_window,
     "st04_stream_session_custom": st04_stream_session_custom,
@@ -409,6 +530,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "st08_stream_cdc_latest": ORACLE_ST08,
     "st07_stream_interval_join": ORACLE_ST07,
     "st06_stream_dedup": ORACLE_ST06,
     "st05_stream_hop_window": ORACLE_ST05,
