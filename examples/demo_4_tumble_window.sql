@@ -18,10 +18,12 @@ CREATE TABLE clicks_per_minute (
   clicks BIGINT
 ) WITH ('connector' = 'memory');
 
+-- the reference's GROUP-window syntax runs VERBATIM (TUMBLE/
+-- TUMBLE_START translate to Spark's window()/.start)
 INSERT INTO clicks_per_minute
-SELECT date_format(window(ts, '60 seconds').start,
+SELECT date_format(TUMBLE_START(ts, INTERVAL '60' SECOND),
                    'yyyy-MM-dd HH:mm:ss') AS window_start,
        username,
        COUNT(*) AS clicks
 FROM user_clicks
-GROUP BY window(ts, '60 seconds'), username;
+GROUP BY TUMBLE(ts, INTERVAL '60' SECOND), username;

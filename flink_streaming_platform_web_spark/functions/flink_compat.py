@@ -46,9 +46,72 @@ _TEMPORAL_JOIN_RE = re.compile(
 )
 
 
+# Flink group-window syntax (demo_4.md TUMBLE, demo_5.md HOP, the
+# README grammar table) → Spark's window()/session_window(). Interval
+# literals convert as INTERVAL '60' SECOND → '60 seconds'. Spark
+# accepts the identical window expression in SELECT and GROUP BY and
+# merges them, so TUMBLE_START/HOP_END become .start/.end projections
+# of the same window — the reference scripts run VERBATIM.
+_IVL = r"INTERVAL\s+'(\d+)'\s+(\w+)"
+_TUMBLE_RE = re.compile(
+    rf"\bTUMBLE(?P<part>_START|_END)?\s*\(\s*(?P<col>[\w.`]+)\s*,"
+    rf"\s*{_IVL}\s*\)",
+    re.IGNORECASE,
+)
+_HOP_RE = re.compile(
+    rf"\bHOP(?P<part>_START|_END)?\s*\(\s*(?P<col>[\w.`]+)\s*,"
+    rf"\s*{_IVL}\s*,\s*{_IVL}\s*\)",
+    re.IGNORECASE,
+)
+_SESSION_RE = re.compile(
+    rf"\bSESSION(?P<part>_START|_END)?\s*\(\s*(?P<col>[\w.`]+)\s*,"
+    rf"\s*{_IVL}\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _ivl_str(n: str, unit: str) -> str:
+    u = unit.lower()
+    if not u.endswith("s"):
+        u += "s"
+    return f"{n} {u}"
+
+
+def _window_part(part: str | None) -> str:
+    if not part:
+        return ""
+    return ".start" if part.upper() == "_START" else ".end"
+
+
+def _sub_tumble(m: re.Match) -> str:
+    ivl = _ivl_str(m.group(3), m.group(4))
+    return f"window({m.group('col')}, '{ivl}'){_window_part(m.group('part'))}"
+
+
+def _sub_hop(m: re.Match) -> str:
+    # Flink arg order is (col, slide, size); Spark's is (col, size, slide)
+    slide = _ivl_str(m.group(3), m.group(4))
+    size = _ivl_str(m.group(5), m.group(6))
+    return (
+        f"window({m.group('col')}, '{size}', '{slide}')"
+        f"{_window_part(m.group('part'))}"
+    )
+
+
+def _sub_session(m: re.Match) -> str:
+    gap = _ivl_str(m.group(3), m.group(4))
+    return (
+        f"session_window({m.group('col')}, '{gap}')"
+        f"{_window_part(m.group('part'))}"
+    )
+
+
 def translate_expr(expr: str) -> str:
     """Rewrite a Flink SQL expression into Spark SQL."""
     out = _TEMPORAL_JOIN_RE.sub("", expr)
+    out = _TUMBLE_RE.sub(_sub_tumble, out)
+    out = _HOP_RE.sub(_sub_hop, out)
+    out = _SESSION_RE.sub(_sub_session, out)
     for pat, repl in _FN_REWRITES:
         out = pat.sub(repl, out)
     return out

@@ -251,3 +251,38 @@ def test_demo6_cdc_script_runs(spark, tmp_path):
     # order 10004 ends status=true, product 101 (scooter),
     # shipment 1004 arrived=true
     assert got == {10004: (True, "scooter", 1004, True)}
+
+
+def test_demo5_runs(spark, tmp_path):
+    """demo_5.md verbatim HOP syntax: each click lands in two sliding
+    windows; counts must match the reference's sample expectations."""
+    src = tmp_path / "user_clicks"
+    src.mkdir()
+    (src / "p0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"username": "zhp", "click_url": "u1",
+                 "ts": "2020-01-05 11:13:25"},
+                {"username": "zhp", "click_url": "u2",
+                 "ts": "2020-01-05 11:13:26"},
+            ]
+        )
+    )
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        (EXAMPLES / "demo_5_hop_window.sql").read_text(),
+        variables={"data_dir": str(tmp_path)},
+    )
+    _drain(result)
+    got = {
+        (r["window_start"], r["window_end"]): r["clicks"]
+        for r in spark.table("sync_test_hop_output").collect()
+    }
+    # both clicks fall in [11:13:00, 11:14:00) and [11:13:30, 11:14:30)?
+    # no — 11:13:25/26 land in the two windows covering them:
+    # [11:12:30, 11:13:30) and [11:13:00, 11:14:00)
+    assert got == {
+        ("2020-01-05 11:12:30", "2020-01-05 11:13:30"): 2,
+        ("2020-01-05 11:13:00", "2020-01-05 11:14:00"): 2,
+    }

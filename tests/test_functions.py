@@ -106,3 +106,31 @@ def test_flink_builtin_sql_udfs(spark):
         "(SELECT rand_integer(5) AS r FROM range(200))"
     ).collect()[0]
     assert 0 <= bounds["lo"] and bounds["hi"] <= 4
+
+
+def test_group_window_syntax_translation():
+    """demo_4/demo_5 verbatim: TUMBLE/HOP/SESSION (+_START/_END)
+    rewrite to Spark window()/session_window(); NOTE Flink's HOP args
+    are (col, slide, size) while Spark's are (col, size, slide)."""
+    from flink_streaming_platform_web_spark.functions.flink_compat import (
+        translate_expr,
+    )
+
+    assert (
+        translate_expr("TUMBLE(ts, INTERVAL '60' SECOND)")
+        == "window(ts, '60 seconds')"
+    )
+    assert (
+        translate_expr("TUMBLE_START(ts, INTERVAL '60' SECOND)")
+        == "window(ts, '60 seconds').start"
+    )
+    assert (
+        translate_expr(
+            "HOP_END (ts, INTERVAL '30' SECOND, INTERVAL '1' MINUTE)"
+        )
+        == "window(ts, '1 minutes', '30 seconds').end"
+    )
+    assert (
+        translate_expr("SESSION(ts, INTERVAL '5' MINUTE)")
+        == "session_window(ts, '5 minutes')"
+    )
