@@ -49,6 +49,7 @@ _CHECK_FIRST = (
     # round-2 additions, never driver-checked:
     "pp01_training_mix",
     "q39_dedup_latest",
+    "q41_correlated_subquery",
     "q40_salted_join_agg",
     "tx11_idf_table",
     "tx12_doc_top_terms",

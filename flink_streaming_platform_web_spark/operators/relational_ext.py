@@ -507,9 +507,56 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q41 — correlated scalar subquery (the TPC-H Q17 shape): line items
+# below 20% of their part's average quantity. Catalyst DECORRELATES
+# this into an aggregate-then-join plan (RewriteCorrelatedScalarQuery)
+# — the per-part average becomes one grouped aggregation joined back,
+# so the "subquery per outer row" never executes; at 100 TB that
+# decorrelation is the difference between O(n) and O(n²). The scalar
+# math is written identically on both engines (exact integer SUM/COUNT
+# then one double multiply) so the strict `<` boundary can't drift.
+# --------------------------------------------------------------------------
+
+
+def q41_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q41_lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("q41_part")
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               COUNT(*) AS n_small,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) / 7.0 AS avg_yearly
+        FROM q41_lineitem l JOIN q41_part p
+          ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity <
+              (SELECT 0.2 * (CAST(SUM(l2.l_quantity) AS DOUBLE)
+                             / COUNT(*))
+               FROM q41_lineitem l2
+               WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY p.p_brand
+        """
+    )
+
+
+ORACLE_Q41 = """
+SELECT p.p_brand,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+            AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity <
+      (SELECT 0.2 * (CAST(SUM(l2.l_quantity) AS DOUBLE) / COUNT(*))
+       FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+GROUP BY p.p_brand
+"""
+
+
 QUERIES = {
     "q38_approx_distinct_hll": q38_approx_distinct_hll,
     "q39_dedup_latest": q39_dedup_latest,
+    "q41_correlated_subquery": q41_correlated_subquery,
     "q26_asof_join": q26_asof_join,
     "q27_grouping_sets": q27_grouping_sets,
     "q28_interval_join": q28_interval_join,
@@ -523,6 +570,7 @@ QUERIES = {
 ORACLES = {
     "q38_approx_distinct_hll": ORACLE_Q38,
     "q39_dedup_latest": ORACLE_Q39,
+    "q41_correlated_subquery": ORACLE_Q41,
     "q26_asof_join": ORACLE_Q26,
     "q27_grouping_sets": ORACLE_Q27,
     "q28_interval_join": ORACLE_Q28,
