@@ -163,3 +163,18 @@ def test_dd10_estimates_cover_dd04_survivors(spark, sf_dir):
         for r in dd04_minhash_lsh_pairs(spark, sf_dir).collect()
     }
     assert verified <= cand
+
+
+def test_q41_subquery_is_decorrelated(spark, sf_dir):
+    """The correlated scalar subquery must compile to an aggregate-
+    then-join plan, not a per-row subquery: one grouped aggregation
+    over lineitem for the per-part averages, joined back — no
+    nested-loop/cartesian artifacts in the physical plan."""
+    from flink_streaming_platform_web_spark.operators.relational_ext import (
+        q41_correlated_subquery,
+    )
+
+    plan = executed_plan(q41_correlated_subquery(spark, sf_dir))
+    assert "Subquery" not in plan  # rewritten away, not re-executed
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
