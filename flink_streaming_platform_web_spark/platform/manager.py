@@ -203,6 +203,40 @@ class JobManager:
     def status(self, job_id: int) -> str:
         return self.store.get_job(job_id).status_name
 
+    def metrics(self, job_id: int) -> list[dict]:
+        """Per-query runtime metrics for a running job — the job-detail
+        numbers the reference reads from Flink's REST metrics endpoint
+        (FlinkRestRpcAdapterImpl job overview). `lastProgress` is
+        Spark's own progress JSON: input/processed rows per second,
+        batch durations, state-store rows — returned verbatim so the
+        caller sees the engine's full instrumentation. Empty list for
+        jobs with no in-process queries (remote/app mode reports
+        through the RPC adapters instead)."""
+        import json as _json
+
+        def _progress(qry):
+            p = qry.lastProgress
+            if p is None:
+                return None
+            if hasattr(p, "json"):  # StreamingQueryProgress object
+                return _json.loads(p.json)
+            # dict form may still carry UUID/timestamp objects
+            return _json.loads(_json.dumps(p, default=str))
+
+        with self._lock:
+            rj = self.running.get(job_id)
+            if rj is None or rj.result is None:
+                return []
+            return [
+                {
+                    "id": str(qry.id),
+                    "name": qry.name,
+                    "is_active": qry.isActive,
+                    "last_progress": _progress(qry),
+                }
+                for qry in rj.result.streaming_queries
+            ]
+
     # -- monitoring (SchedulerTask / TaskServiceAO parity) -----------------
 
     def reconcile(self) -> list[int]:

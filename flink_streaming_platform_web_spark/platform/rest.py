@@ -22,6 +22,7 @@ Routes (JSON in/out, reference verb names kept):
     POST /api/login            {username, password} → {token}
     POST /api/logout           {}
     GET  /api/status?id=N
+    GET  /api/metrics?id=N   (per-query lastProgress — job-detail metrics)
     GET  /api/listTask
     GET  /api/jobConfigHistoryPage?id=N
     GET  /api/jobConfigHistoryDetail?id=N&version=V
@@ -87,6 +88,8 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if url.path == "/api/status":
                 data = {"status": mgr.status(int(q["id"]))}
+            elif url.path == "/api/metrics":
+                data = mgr.metrics(int(q["id"]))
             elif url.path == "/api/jobConfigHistoryDetail":
                 data = {
                     "version": int(q["version"]),

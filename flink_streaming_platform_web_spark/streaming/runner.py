@@ -761,11 +761,14 @@ class JobRunner:
                 .outputMode("append")
                 .queryName(f"cdc_{r}_{idx}")
             )
-            if self.checkpoint.checkpoint_dir:
-                writer = writer.option(
-                    "checkpointLocation",
-                    f"{self.checkpoint.checkpoint_dir}/cdc_{r}_{idx}",
-                )
+            # deliberately NO checkpointLocation: the latest-state
+            # stores are in-process, so a checkpointed restart would
+            # skip already-read changelog files while the state starts
+            # empty — silently wrong. Replay-from-scratch is the
+            # correct recovery contract here (apply is deterministic,
+            # so full replay converges); a deployment swaps KeyedStore
+            # for a durable MERGE target (jdbc/Delta) and THEN
+            # checkpoints the source.
             if self._trigger:
                 writer = writer.trigger(**self._trigger)
             result.streaming_queries.append(writer.start())

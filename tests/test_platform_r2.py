@@ -404,3 +404,29 @@ def test_split_statements_multiline_literal():
     assert "line2;" in stmts[0]
     assert "-- not a comment" in stmts[0]
     assert stmts[1] == "SELECT 1"
+
+
+def test_metrics_endpoint_reports_query_progress(spark, stream_src):
+    """GET /api/metrics mirrors the reference's job-detail metrics
+    (Flink REST overview): per running query, id/name/activity and
+    Spark's own lastProgress JSON."""
+    from flink_streaming_platform_web_spark.platform.rest import serve
+
+    store = JobStore()
+    mgr = JobManager(spark, store)
+    jid = store.add_job("metrics1", _stream_script(stream_src))
+    srv, _ = serve(mgr)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        result = mgr.start(jid)
+        for q in result.streaming_queries:
+            q.processAllAvailable()
+        st, body = _get(base, f"/api/metrics?id={jid}")
+        assert st == 200 and body["code"] == 200
+        (m,) = body["data"]
+        assert m["is_active"] is True
+        assert m["last_progress"]["numInputRows"] >= 0
+        mgr.stop(jid)
+        assert _get(base, f"/api/metrics?id={jid}")[1]["data"] == []
+    finally:
+        srv.shutdown()
