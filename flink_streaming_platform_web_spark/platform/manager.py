@@ -223,19 +223,25 @@ class JobManager:
             # dict form may still carry UUID/timestamp objects
             return _json.loads(_json.dumps(p, default=str))
 
+        # snapshot under the lock, but do the py4j round-trips OUTSIDE
+        # it: a wedged JVM call must not stall every manager operation
+        # (scheduler ticks, start/stop verbs) behind one metrics read
         with self._lock:
             rj = self.running.get(job_id)
-            if rj is None or rj.result is None:
-                return []
-            return [
-                {
-                    "id": str(qry.id),
-                    "name": qry.name,
-                    "is_active": qry.isActive,
-                    "last_progress": _progress(qry),
-                }
-                for qry in rj.result.streaming_queries
-            ]
+            queries = (
+                list(rj.result.streaming_queries)
+                if rj is not None and rj.result is not None
+                else []
+            )
+        return [
+            {
+                "id": str(qry.id),
+                "name": qry.name,
+                "is_active": qry.isActive,
+                "last_progress": _progress(qry),
+            }
+            for qry in queries
+        ]
 
     # -- monitoring (SchedulerTask / TaskServiceAO parity) -----------------
 

@@ -600,6 +600,47 @@ def es_bulk_payload(
     return "\n".join(lines) + "\n" if lines else ""
 
 
+def es_bulk_delete_payload(
+    rows: list[dict], index: str, primary_key: list[str]
+) -> str:
+    """Bulk-API NDJSON `delete` actions for removed keys — the CDC
+    replace-merge's delete half (an enriched row whose order was
+    deleted must disappear from the index)."""
+    import json
+
+    lines = []
+    for row in rows:
+        lines.append(
+            json.dumps(
+                {
+                    "delete": {
+                        "_index": index,
+                        "_id": "_".join(
+                            str(row[k]) for k in primary_key
+                        ),
+                    }
+                },
+                default=str,
+            )
+        )
+    return "\n".join(lines) + "\n" if lines else ""
+
+
+def es_bulk_post(url: str, payload: str) -> None:
+    import urllib.request
+
+    if not payload:
+        return
+    req = urllib.request.Request(
+        url,
+        data=payload.encode(),
+        headers={"Content-Type": "application/x-ndjson"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        if not (200 <= resp.status < 300):
+            raise RuntimeError(f"ES bulk failed: HTTP {resp.status}")
+
+
 def es_writer(df: DataFrame, table: TableDef):
     """foreachBatch writer: micro-batch → bulk POST. Fails loudly if
     no hosts are configured (never silently diverts — ADVICE r01)."""
@@ -613,22 +654,51 @@ def es_writer(df: DataFrame, table: TableDef):
     pk = table.primary_key
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
-        import urllib.request
-
         rows = [r.asDict() for r in batch.toLocalIterator()]
-        payload = es_bulk_payload(rows, index, pk)
-        if not payload:
-            return
-        req = urllib.request.Request(
-            url,
-            data=payload.encode(),
-            headers={"Content-Type": "application/x-ndjson"},
-        )
-        with urllib.request.urlopen(req, timeout=30) as resp:
-            if not (200 <= resp.status < 300):
-                raise RuntimeError(f"ES bulk failed: HTTP {resp.status}")
+        es_bulk_post(url, es_bulk_payload(rows, index, pk))
 
     return df.writeStream.outputMode("update").foreachBatch(apply)
+
+
+def jdbc_delete_rows(
+    spark: SparkSession,
+    table: TableDef,
+    rows: list[dict],
+) -> None:
+    """Server-side DELETE of the given key rows — the CDC
+    replace-merge's delete half for a live jdbc sink. One statement
+    per batch (a disjunction of per-key conjunctions; removed-key
+    counts per micro-batch are update-rate-bounded, not table-sized)."""
+    if not rows:
+        return
+    opts = jdbc_reader_options(table)
+    target = opts["dbtable"]
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    def key_pred(row: dict) -> str:
+        # identifiers quoted exactly as the writer created them
+        # (build_merge_sql parity — Derby-quoted names are case-exact)
+        return (
+            "("
+            + " AND ".join(
+                f'"{k}" IS NULL'
+                if row[k] is None
+                else f'"{k}" = {lit(row[k])}'
+                for k in table.primary_key
+            )
+            + ")"
+        )
+
+    preds = " OR ".join(key_pred(r) for r in rows)
+    jdbc_execute(spark, opts, f"DELETE FROM {target} WHERE {preds}")
 
 
 def build_upsert_sql(

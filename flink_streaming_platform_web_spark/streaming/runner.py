@@ -117,7 +117,8 @@ class JobRunner:
         # mysql-cdc: decoded changelog streams + per-table latest-state
         # stores (demo_6 §2.1.2 multiway CDC join, O14)
         self._cdc_streams: dict[str, DataFrame] = {}
-        self.cdc_states: dict[str, KeyedStore] = {}
+        self.cdc_states: dict[tuple, KeyedStore] = {}
+        self._cdc_lock = threading.Lock()
         self._trigger: dict[str, str] | None = None
         self._read_once = False
         # lookup dims with TTL caches (lookup_cache.DimCache by name)
@@ -166,7 +167,10 @@ class JobRunner:
             return
         state = self._materialized.get(name)
         want = "batch" if (force_batch or self.mode == "batch") else "stream"
-        if state == want:
+        if state == want or (state == "cdc" and want == "stream"):
+            # a registered CDC changelog satisfies any later streaming
+            # reference (re-registering would build a duplicate
+            # readStream; _run_insert routes cdc-state semantics)
             return
         t = self.tables[name]
         c = t.connector
@@ -392,7 +396,7 @@ class JobRunner:
             sess = batch.sparkSession
             batch.createOrReplaceTempView(src)
             for sql, sink, overwrite in zip(queries, sinks, overwrites):
-                out = sess.sql(sql)
+                out = self._align_to_sink(sess.sql(sql), sink)
                 c = sink.connector
                 if sink.primary_key:
                     stores[sink.name].merge_batch(out)
@@ -516,7 +520,7 @@ class JobRunner:
             batch.createOrReplaceTempView(src)
             for cache in caches:
                 cache.ensure(sess)
-            out = sess.sql(sql)
+            out = self._align_to_sink(sess.sql(sql), sink)
             if sink.primary_key:
                 stores[sink.name].merge_batch(out)
             elif sink.connector == "print":
@@ -658,15 +662,20 @@ class JobRunner:
                 raise
             for demote in streams[1:]:
                 self._materialize_source(demote, force_batch=True)
-            self._write_stream(self.spark.sql(sql), sink, idx, result)
+            self._write_stream(
+                self._align_to_sink(self.spark.sql(sql), sink),
+                sink,
+                idx,
+                result,
+            )
 
     def _align_to_sink(self, df: DataFrame, sink: TableDef) -> DataFrame:
-        """Flink maps INSERT SELECT output to the sink schema BY
-        POSITION (demo_6's `SELECT o.*, p.name, …` lands in
-        product_name etc.). If the query's column names already match
-        the sink's (any order), align by name; otherwise rename
-        positionally. Arity mismatch is a user error, reported as
-        such."""
+        """Flink maps INSERT SELECT output to the sink schema strictly
+        BY POSITION (demo_6's `SELECT o.*, p.name, …` lands in
+        product_name etc.) — a migrated script must reproduce that,
+        including when the query's aliases happen to collide with sink
+        names in a different order. Arity mismatch is a user error,
+        reported as such (Flink validates the same way)."""
         sink_cols = [
             c.name
             for c in sink.columns
@@ -674,17 +683,91 @@ class JobRunner:
         ]
         if not sink_cols:
             return df
-        if {c.lower() for c in df.columns} == {
-            c.lower() for c in sink_cols
-        } and len(df.columns) == len(sink_cols):
-            return df.select(*sink_cols)
         if len(df.columns) != len(sink_cols):
             raise ValueError(
                 f"INSERT into {sink.name!r}: query emits"
                 f" {len(df.columns)} columns, sink declares"
                 f" {len(sink_cols)}"
             )
+        if [c.lower() for c in df.columns] == [
+            c.lower() for c in sink_cols
+        ]:
+            return df  # already aligned — keep the plan untouched
         return df.toDF(*sink_cols)
+
+    def _cdc_sink_delta(self, sink: TableDef):
+        """External-sink propagation for the CDC replace-merge: a
+        callable(changed_rows, removed_rows) per recompute, or None
+        when the in-process store IS the sink (url-less jdbc / memory
+        / print — embedded mode). Honesty contract (ADVICE r01): a
+        declared external sink either really receives the data or the
+        job refuses to start — never a silent in-memory diversion.
+        Deltas are update-rate-bounded; at scale each arm is the
+        MERGE/DELETE pair the target database applies atomically."""
+        c = sink.connector
+        if c in ("memory", "print") or (
+            c == "jdbc" and not sink.options.get("url")
+        ):
+            return None
+        if c == "jdbc":
+            registry.jdbc_probe(
+                self.spark, registry.jdbc_reader_options(sink)
+            )
+
+            def jdbc_delta(changed: list[dict], removed: list[dict]) -> None:
+                store = self.upsert_stores[sink.name]
+                if changed:
+                    registry.jdbc_upsert_foreach_batch(sink)(
+                        self.spark.createDataFrame(changed, store.schema),
+                        -1,
+                    )
+                registry.jdbc_delete_rows(self.spark, sink, removed)
+
+            return jdbc_delta
+        if c == "elasticsearch-7":
+            opts = registry.es_sink_options(sink)
+            if not opts["hosts"]:
+                raise registry.ConnectorUnavailable(
+                    f"elasticsearch-7 sink {sink.name!r} has no"
+                    " 'hosts' option"
+                )
+            url = opts["hosts"].rstrip("/") + "/_bulk"
+            index = opts["index"]
+            pk = sink.primary_key
+
+            def es_delta(changed: list[dict], removed: list[dict]) -> None:
+                registry.es_bulk_post(
+                    url,
+                    registry.es_bulk_payload(changed, index, pk)
+                    + registry.es_bulk_delete_payload(removed, index, pk),
+                )
+
+            return es_delta
+        if c == "filesystem":
+            from flink_streaming_platform_web_spark.streaming.parquet_upsert import (
+                ParquetUpsertSink,
+            )
+
+            psink = ParquetUpsertSink(
+                sink.options["path"], sink.primary_key
+            )
+            self.parquet_upserts = getattr(self, "parquet_upserts", {})
+            self.parquet_upserts[sink.name] = psink
+            epoch = {"n": 0}
+
+            def fs_delta(changed: list[dict], removed: list[dict]) -> None:
+                if not (changed or removed):
+                    return
+                store = self.upsert_stores[sink.name]
+                epoch["n"] += 1
+                psink.publish_state(store.to_df(self.spark), epoch["n"])
+
+            return fs_delta
+        raise registry.ConnectorUnavailable(
+            f"CDC pipeline sink connector {c!r} has no replace-merge"
+            " implementation in this container (kafka tombstone"
+            " propagation needs a broker)"
+        )
 
     def _write_stream_cdc(
         self,
@@ -717,7 +800,15 @@ class JobRunner:
         out_store = self.upsert_stores.setdefault(
             sink.name, KeyedStore(sink.primary_key)
         )
+        sink_delta = self._cdc_sink_delta(sink)
         spark = self.spark
+        # non-CDC refs that materialized as streams demote to batch
+        # snapshots — the recompute executes batch-side per micro-batch
+        # (the same processing-time-join parity as the demo_2 co-stream
+        # demotion; a streaming view inside the recompute would throw)
+        for r in refs:
+            if r not in cdc_refs and self._materialized.get(r) == "stream":
+                self._materialize_source(r, force_batch=True)
         state_stores: dict[str, KeyedStore] = {}
         for r in cdc_refs:
             t = self.tables[r]
@@ -725,7 +816,12 @@ class JobRunner:
                 raise ValueError(
                     f"mysql-cdc table {r!r} needs PRIMARY KEY"
                 )
-            store = self.cdc_states.setdefault(r, KeyedStore(t.primary_key))
+            # per-INSERT state (keyed by (table, insert idx)): two
+            # INSERTs over one CDC table each run their own consumer
+            # and must not double-apply into one store
+            store = self.cdc_states.setdefault(
+                (r, idx), KeyedStore(t.primary_key)
+            )
             if store.schema is None:
                 # schema from the DDL so an empty store is a valid
                 # (empty) view before its first change arrives
@@ -734,15 +830,29 @@ class JobRunner:
                 ).schema
             state_stores[r] = store
         sql = translate_expr(job.query_sql)
-        lock = threading.Lock()
 
         def recompute() -> None:
-            with lock:
+            # runner-global lock: temp-view names are session-wide, so
+            # view registration + SQL execution must be atomic across
+            # concurrent inserts' micro-batches
+            with self._cdc_lock:
                 for r, store in state_stores.items():
                     store.to_df(spark).createOrReplaceTempView(r)
-                out_store.replace_batch(
-                    self._align_to_sink(spark.sql(sql), sink)
-                )
+                new_df = self._align_to_sink(spark.sql(sql), sink)
+                old_rows = dict(out_store.rows)
+                out_store.replace_batch(new_df)
+                if sink_delta is not None:
+                    new_rows = dict(out_store.rows)
+                    changed = [
+                        v
+                        for k, v in new_rows.items()
+                        if old_rows.get(k) != v
+                    ]
+                    removed = [
+                        old_rows[k]
+                        for k in old_rows.keys() - new_rows.keys()
+                    ]
+                    sink_delta(changed, removed)
 
         from flink_streaming_platform_web_spark.streaming.cdc import (
             foreach_batch_apply_changelog,

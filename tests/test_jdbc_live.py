@@ -183,3 +183,54 @@ def test_jdbc_unreachable_url_raises(spark, sf_dir, tmp_path):
             FROM s GROUP BY event_type;
             """
         )
+
+
+def test_cdc_script_into_live_jdbc_sink(spark, tmp_path):
+    """The demo_6 CDC path with a REAL external sink: a mysql-cdc
+    script writing to a url-bearing jdbc sink must land the data in
+    the database (never only the in-process store — ADVICE r01), with
+    updates MERGEd and deletes DELETEd server-side."""
+    import json
+
+    url = _derby_url(tmp_path, "cdcdb")
+    feed = tmp_path / "cdc_users"
+    feed.mkdir()
+
+    def env(op, before, after, ts):
+        return json.dumps(
+            {"op": op, "before": before, "after": after, "ts_ms": ts}
+        )
+
+    (feed / "feed.jsonl").write_text(
+        "\n".join(
+            [
+                env("c", None, {"id": 1, "name": "a"}, 1),
+                env("c", None, {"id": 2, "name": "b"}, 2),
+                env("u", {"id": 1, "name": "a"}, {"id": 1, "name": "a2"}, 3),
+                env("d", {"id": 2, "name": "b"}, None, 4),
+            ]
+        )
+    )
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        CREATE TABLE users_cdc (id BIGINT, name STRING,
+          PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('connector'='mysql-cdc',
+              'graft.changelog-path'='{feed}');
+        CREATE TABLE users_out (id BIGINT, name STRING,
+          PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('connector'='jdbc', 'url'='{url}',
+              'table-name'='users_out');
+        INSERT INTO users_out SELECT id, name FROM users_cdc;
+        """
+    )
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+    got = {
+        r["id"]: r["name"]
+        for r in _read_table(spark, url, "users_out").collect()
+    }
+    assert got == {1: "a2"}  # update applied, key 2 deleted

@@ -107,7 +107,7 @@ def test_vec03_stats_are_consistent(spark, sf_dir):
     n_vecs = load(spark, sf_dir, "embeddings").count()
     assert out.count() == 64
     assert out.filter(F.col("n") != n_vecs).count() == 0
-    assert out.filter(F.col("var_x") < -1e-12).count() == 0
+    assert out.filter(F.col("var_x") < -5e-9).count() == 0  # floor-carrier bias bound
     assert out.filter(
         (F.col("min_x") > F.col("mean_x")) | (F.col("mean_x") > F.col("max_x"))
     ).count() == 0

@@ -430,3 +430,19 @@ def test_metrics_endpoint_reports_query_progress(spark, stream_src):
         assert _get(base, f"/api/metrics?id={jid}")[1]["data"] == []
     finally:
         srv.shutdown()
+
+
+def test_es_bulk_delete_payload_shape():
+    from flink_streaming_platform_web_spark.sources.registry import (
+        es_bulk_delete_payload,
+    )
+
+    p = es_bulk_delete_payload(
+        [{"order_id": 10001}, {"order_id": 10004}], "enriched", ["order_id"]
+    )
+    lines = [json.loads(l) for l in p.strip().splitlines()]
+    assert lines == [
+        {"delete": {"_index": "enriched", "_id": "10001"}},
+        {"delete": {"_index": "enriched", "_id": "10004"}},
+    ]
+    assert es_bulk_delete_payload([], "enriched", ["order_id"]) == ""
