@@ -106,15 +106,44 @@ def _sub_session(m: re.Match) -> str:
     )
 
 
-def translate_expr(expr: str) -> str:
-    """Rewrite a Flink SQL expression into Spark SQL."""
-    out = _TEMPORAL_JOIN_RE.sub("", expr)
+# split into [code, 'literal', code, 'literal', ...] so the textual
+# rewrites never touch the inside of a string literal (a filter on
+# "col = 'TUMBLE(ts, ...)'" must pass through byte-identical);
+# handles '' escapes within literals
+_LITERAL_SPLIT_RE = re.compile(r"('(?:[^']|'')*')")
+
+
+def _translate_code(out: str) -> str:
+    out = _TEMPORAL_JOIN_RE.sub("", out)
     out = _TUMBLE_RE.sub(_sub_tumble, out)
     out = _HOP_RE.sub(_sub_hop, out)
     out = _SESSION_RE.sub(_sub_session, out)
     for pat, repl in _FN_REWRITES:
         out = pat.sub(repl, out)
     return out
+
+
+def translate_expr(expr: str) -> str:
+    """Rewrite a Flink SQL expression into Spark SQL. String literals
+    pass through untouched — only code segments are rewritten.
+
+    Caveat: the window rewrites consume INTERVAL literals as part of
+    their own patterns, so those specific quoted intervals (e.g. the
+    '60' in TUMBLE(ts, INTERVAL '60' SECOND)) are intentionally
+    rewritten — the literal-split exempts free-standing strings, and
+    the window patterns re-match across the split via a pre-pass."""
+    # window syntax spans literal boundaries (INTERVAL '60' SECOND),
+    # so run those rewrites FIRST on the raw text, then protect the
+    # remaining literals from the simple function renames
+    out = _TEMPORAL_JOIN_RE.sub("", expr)
+    out = _TUMBLE_RE.sub(_sub_tumble, out)
+    out = _HOP_RE.sub(_sub_hop, out)
+    out = _SESSION_RE.sub(_sub_session, out)
+    parts = _LITERAL_SPLIT_RE.split(out)
+    for i in range(0, len(parts), 2):  # even indexes = code segments
+        for pat, repl in _FN_REWRITES:
+            parts[i] = pat.sub(repl, parts[i])
+    return "".join(parts)
 
 
 _CREATE_FN_RE = re.compile(

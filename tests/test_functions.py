@@ -134,3 +134,21 @@ def test_group_window_syntax_translation():
         translate_expr("SESSION(ts, INTERVAL '5' MINUTE)")
         == "session_window(ts, '5 minutes')"
     )
+
+
+def test_translation_leaves_string_literals_alone():
+    """A literal containing PROCTIME()/NOW() text must pass through
+    byte-identical — only code segments are rewritten ('' escapes
+    included)."""
+    from flink_streaming_platform_web_spark.functions.flink_compat import (
+        translate_expr,
+    )
+
+    sql = (
+        "SELECT PROCTIME() AS p, 'PROCTIME() isn''t code: NOW()' AS s"
+    )
+    out = translate_expr(sql)
+    assert out == (
+        "SELECT current_timestamp() AS p,"
+        " 'PROCTIME() isn''t code: NOW()' AS s"
+    )
