@@ -50,6 +50,7 @@ _CHECK_FIRST = (
     "pp01_training_mix",
     "q39_dedup_latest",
     "q41_correlated_subquery",
+    "q42_exists_semijoin",
     "q40_salted_join_agg",
     "tx11_idf_table",
     "tx12_doc_top_terms",

@@ -553,10 +553,49 @@ GROUP BY p.p_brand
 """
 
 
+# --------------------------------------------------------------------------
+# q42 — EXISTS-correlated semi-join (the TPC-H Q4 shape): order-priority
+# counts for orders having at least one returned lineitem (the
+# fixture's slim lineitem has no receipt/commit dates — the returnflag
+# predicate keeps the Q4 shape). Catalyst plans the EXISTS as a LEFT
+# SEMI join (no row
+# duplication from multiple matches — the property a plain join+distinct
+# gets wrong at scale), shuffling each side once on the join key.
+# --------------------------------------------------------------------------
+
+
+def q42_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q42_lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q42_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders
+        FROM q42_orders o
+        WHERE EXISTS (
+          SELECT 1 FROM q42_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_returnflag = 'R')
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+ORACLE_Q42 = """
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+"""
+
+
 QUERIES = {
     "q38_approx_distinct_hll": q38_approx_distinct_hll,
     "q39_dedup_latest": q39_dedup_latest,
     "q41_correlated_subquery": q41_correlated_subquery,
+    "q42_exists_semijoin": q42_exists_semijoin,
     "q26_asof_join": q26_asof_join,
     "q27_grouping_sets": q27_grouping_sets,
     "q28_interval_join": q28_interval_join,
@@ -571,6 +610,7 @@ ORACLES = {
     "q38_approx_distinct_hll": ORACLE_Q38,
     "q39_dedup_latest": ORACLE_Q39,
     "q41_correlated_subquery": ORACLE_Q41,
+    "q42_exists_semijoin": ORACLE_Q42,
     "q26_asof_join": ORACLE_Q26,
     "q27_grouping_sets": ORACLE_Q27,
     "q28_interval_join": ORACLE_Q28,
