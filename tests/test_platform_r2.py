@@ -446,3 +446,103 @@ def test_es_bulk_delete_payload_shape():
         {"delete": {"_index": "enriched", "_id": "10004"}},
     ]
     assert es_bulk_delete_payload([], "enriched", ["order_id"]) == ""
+
+
+def test_cdc_script_into_es_sink_posts_bulk_deltas(spark, tmp_path):
+    """demo_6's actual sink shape: mysql-cdc script → elasticsearch-7
+    sink. A mock _bulk endpoint captures the traffic; updates must
+    arrive as index actions and removed keys as delete actions (never
+    silently diverted in-process)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from flink_streaming_platform_web_spark.streaming.runner import (
+        JobRunner,
+    )
+
+    captured: list[str] = []
+
+    class Bulk(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            captured.append(self.rfile.read(n).decode())
+            body = b'{"errors": false}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Bulk)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    feed = tmp_path / "cdc_es"
+    feed.mkdir()
+
+    def env(op, before, after, ts):
+        return json.dumps(
+            {"op": op, "before": before, "after": after, "ts_ms": ts}
+        )
+
+    import os
+
+    # two files → two micro-batches, so key 2 lands in the sink in
+    # batch 1 and its delete must arrive as a bulk delete in batch 2
+    (feed / "a_first.jsonl").write_text(
+        "\n".join(
+            [
+                env("c", None, {"id": 1, "name": "a"}, 1),
+                env("c", None, {"id": 2, "name": "b"}, 2),
+            ]
+        )
+    )
+    (feed / "b_second.jsonl").write_text(
+        "\n".join(
+            [
+                env("u", {"id": 1, "name": "a"}, {"id": 1, "name": "a2"}, 3),
+                env("d", {"id": 2, "name": "b"}, None, 4),
+            ]
+        )
+    )
+    os.utime(
+        feed / "b_second.jsonl", (time.time() + 2, time.time() + 2)
+    )
+    runner = JobRunner(spark, mode="streaming")
+    try:
+        result = runner.execute_script(
+            f"""
+            CREATE TABLE es_cdc (id BIGINT, name STRING,
+              PRIMARY KEY (id) NOT ENFORCED)
+            WITH ('connector'='mysql-cdc',
+                  'graft.changelog-path'='{feed}',
+                  'source.max-files-per-trigger'='1');
+            CREATE TABLE es_out (id BIGINT, name STRING,
+              PRIMARY KEY (id) NOT ENFORCED)
+            WITH ('connector'='elasticsearch-7',
+                  'hosts'='http://127.0.0.1:{srv.server_address[1]}',
+                  'index'='es_out');
+            INSERT INTO es_out SELECT id, name FROM es_cdc;
+            """
+        )
+        for q in result.streaming_queries:
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(60)
+    finally:
+        srv.shutdown()
+    actions = [
+        json.loads(line)
+        for payload in captured
+        for line in payload.strip().splitlines()
+    ]
+    assert {"index": {"_index": "es_out", "_id": "1"}} in actions
+    assert {"name": "a2", "id": 1} in actions
+    assert {"delete": {"_index": "es_out", "_id": "2"}} in actions
+    # the in-process mirror converges too (it backs the delta compute)
+    got = {
+        r["id"]: r["name"]
+        for r in runner.upsert_stores["es_out"].to_df(spark).collect()
+    }
+    assert got == {1: "a2"}
