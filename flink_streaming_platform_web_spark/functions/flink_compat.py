@@ -113,16 +113,6 @@ def _sub_session(m: re.Match) -> str:
 _LITERAL_SPLIT_RE = re.compile(r"('(?:[^']|'')*')")
 
 
-def _translate_code(out: str) -> str:
-    out = _TEMPORAL_JOIN_RE.sub("", out)
-    out = _TUMBLE_RE.sub(_sub_tumble, out)
-    out = _HOP_RE.sub(_sub_hop, out)
-    out = _SESSION_RE.sub(_sub_session, out)
-    for pat, repl in _FN_REWRITES:
-        out = pat.sub(repl, out)
-    return out
-
-
 def translate_expr(expr: str) -> str:
     """Rewrite a Flink SQL expression into Spark SQL. String literals
     pass through untouched — only code segments are rewritten.

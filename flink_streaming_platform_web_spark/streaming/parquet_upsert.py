@@ -59,17 +59,19 @@ class ParquetUpsertSink:
             os.path.join(self.path, f"v{ptr['version']}")
         )
 
-    def publish_state(self, state: DataFrame, epoch_id: int) -> None:
+    def publish_state(self, state: DataFrame) -> None:
         """Replace-publish: the given DataFrame IS the new full state
         (the CDC re-join's contract — keys absent from it are thereby
         deleted). Same versioned-dir + atomic-pointer protocol as the
-        merge path."""
+        merge path; the version doubles as the epoch (the CDC path
+        replays from scratch on restart, so epoch replay-skip has no
+        meaning here)."""
         ptr = self._load_pointer()
         version = ptr["version"] + 1
         state.write.mode("overwrite").parquet(
             os.path.join(self.path, f"v{version}")
         )
-        self._publish(version, epoch_id)
+        self._publish(version, version)
 
     def foreach_batch(self):
         def apply(batch: DataFrame, epoch_id: int) -> None:

@@ -119,6 +119,8 @@ class JobRunner:
         self._cdc_streams: dict[str, DataFrame] = {}
         self.cdc_states: dict[tuple, KeyedStore] = {}
         self._cdc_lock = threading.Lock()
+        # durable parquet PK sinks by name (filesystem MERGE emulation)
+        self.parquet_upserts: dict = {}
         self._trigger: dict[str, str] | None = None
         self._read_once = False
         # lookup dims with TTL caches (lookup_cache.DimCache by name)
@@ -751,16 +753,13 @@ class JobRunner:
             psink = ParquetUpsertSink(
                 sink.options["path"], sink.primary_key
             )
-            self.parquet_upserts = getattr(self, "parquet_upserts", {})
             self.parquet_upserts[sink.name] = psink
-            epoch = {"n": 0}
 
             def fs_delta(changed: list[dict], removed: list[dict]) -> None:
                 if not (changed or removed):
                     return
                 store = self.upsert_stores[sink.name]
-                epoch["n"] += 1
-                psink.publish_state(store.to_df(self.spark), epoch["n"])
+                psink.publish_state(store.to_df(self.spark))
 
             return fs_delta
         raise registry.ConnectorUnavailable(
@@ -950,7 +949,6 @@ class JobRunner:
             psink = ParquetUpsertSink(
                 sink.options["path"], sink.primary_key
             )
-            self.parquet_upserts = getattr(self, "parquet_upserts", {})
             self.parquet_upserts[sink.name] = psink
             writer = df.writeStream.outputMode("update").foreachBatch(
                 psink.foreach_batch()
