@@ -348,8 +348,34 @@ def kafka_payload(df: DataFrame, table: TableDef) -> DataFrame:
     PRIMARY KEY columns serialize into the record key — Kafka log
     compaction on that key is what gives the connector its upsert
     semantics, so dropping the key (or diverting to an in-process
-    store — ADVICE r01) would break the contract."""
-    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
+    store — ADVICE r01) would break the contract.
+
+    `'format' = 'debezium-json'` (demo_6.md §2.2.1 kafka_gmv) emits
+    the changelog ENVELOPE instead of the bare row — each update-mode
+    row becomes {"before": null, "after": row, "op": "u", "ts_ms": 0}
+    so a downstream debezium-json reader (including this repo's own
+    kafka_stream decode) can re-apply the changelog. Spark's
+    update-mode writer surfaces upserts only (retractions route
+    through PK sinks), so op is always "u" — the reader's apply treats
+    c/u/r identically, making this lossless for the upsert stream.
+    ts_ms is fixed at 0: kafka's own log order is the apply order, and
+    a wall-clock stamp would break replay determinism."""
+    if table.options.get("format") == "debezium-json":
+        null_row = F.lit(None).cast(
+            df.select(F.struct(*df.columns).alias("s")).schema["s"].dataType
+        )
+        value = F.to_json(
+            F.struct(
+                null_row.alias("before"),
+                F.struct(*df.columns).alias("after"),
+                F.lit("u").alias("op"),
+                F.lit(0).cast("bigint").alias("ts_ms"),
+            ),
+            {"ignoreNullFields": "false"},  # "before": null must appear
+        ).alias("value")
+    else:
+        value = F.to_json(F.struct(*df.columns)).alias("value")
+    cols = [value]
     if table.primary_key:
         cols.insert(
             0,

@@ -546,3 +546,51 @@ def test_cdc_script_into_es_sink_posts_bulk_deltas(spark, tmp_path):
         for r in runner.upsert_stores["es_out"].to_df(spark).collect()
     }
     assert got == {1: "a2"}
+
+
+def test_kafka_debezium_json_sink_roundtrips(spark):
+    """demo_6 §2.2.1 kafka_gmv shape: a PK sink with
+    'format'='debezium-json' must emit changelog envelopes that this
+    repo's own debezium reader decodes back to the original rows."""
+    from flink_streaming_platform_web_spark.sources.ddl import (
+        parse_create_table,
+    )
+    from flink_streaming_platform_web_spark.sources.registry import (
+        kafka_payload,
+    )
+    from flink_streaming_platform_web_spark.streaming.cdc import (
+        decode_debezium,
+    )
+
+    t = parse_create_table(
+        """CREATE TABLE kafka_gmv (
+             day_str STRING, gmv DOUBLE,
+             PRIMARY KEY (day_str) NOT ENFORCED
+           ) WITH ('connector' = 'kafka', 'topic' = 'flink_test_6',
+                   'format' = 'debezium-json')"""
+    )
+    rows = spark.createDataFrame(
+        [("2020-07-30", 50.5), ("2020-07-31", 29.71)],
+        "day_str STRING, gmv DOUBLE",
+    )
+    payload = kafka_payload(rows, t)
+    assert payload.columns == ["key", "value"]
+    env = json.loads(payload.collect()[0]["value"])
+    assert set(env) == {"before", "after", "op", "ts_ms"}
+    assert env["op"] == "u" and env["before"] is None
+    # round-trip through the repo's own debezium decode
+    decoded = decode_debezium(
+        payload.select("value"), "day_str STRING, gmv DOUBLE"
+    )
+    got = {
+        (r["__after"]["day_str"], r["__after"]["gmv"], r["__op"])
+        for r in decoded.collect()
+    }
+    assert got == {
+        ("2020-07-30", 50.5, "u"),
+        ("2020-07-31", 29.71, "u"),
+    }
+    # keys carry the PK for log compaction
+    assert json.loads(payload.collect()[0]["key"]) == {
+        "day_str": "2020-07-30"
+    }
