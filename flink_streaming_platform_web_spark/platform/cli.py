@@ -40,6 +40,12 @@ def main(argv: list[str] | None = None) -> int:
     for verb in ("start", "stop", "savepoint", "history", "status"):
         vp = sub.add_parser(verb)
         vp.add_argument("--id", type=int, required=True)
+        if verb == "start":
+            vp.add_argument(
+                "--await", action="store_true", dest="await_",
+                help="drain available input, then stop the job",
+            )
+            vp.add_argument("--savepoint-id", type=int)
 
     sub.add_parser("list")
 
@@ -84,10 +90,26 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("platform-cli")
     mgr = JobManager(spark, store)
     if args.verb == "start":
-        result = mgr.start(args.id)
+        result = mgr.start(args.id, args.savepoint_id)
+        if result.streaming_queries:
+            # an in-process streaming job ends with this process — a
+            # bare exit would kill the queries while the store says
+            # RUN forever. --await drains + stops cleanly; otherwise
+            # block until termination/Ctrl-C, then mark STOP.
+            try:
+                if args.await_:
+                    for q in result.streaming_queries:
+                        q.processAllAvailable()
+                else:
+                    spark.streams.awaitAnyTermination()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                mgr.stop(args.id)
         print(json.dumps({"job_id": args.id,
                           "queries": result.query_ids,
-                          "batch_results": result.batch_results}))
+                          "batch_results": result.batch_results,
+                          "status": mgr.status(args.id)}))
         return 0
     if args.verb == "stop":
         mgr.stop(args.id)

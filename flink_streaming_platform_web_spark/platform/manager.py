@@ -91,17 +91,26 @@ class JobManager:
         if not self.store.set_status(job_id, "STARTING", job.version):
             # optimistic-lock conflict (reference: "任务状态已变更")
             raise RuntimeError(f"job {job_id} status changed concurrently")
-        ckpt_dir = job.checkpoint_dir
-        if restore_savepoint is not None:
-            saved = self.store.savepoints(job_id)
-            ckpt_dir = saved[restore_savepoint]
-        runner = JobRunner(
-            self.spark,
-            mode=job.job_type,
-            checkpoint=CheckPointParam(checkpoint_dir=ckpt_dir),
-        )
+        # everything after the STARTING flip must fail into FAIL — an
+        # exception here would otherwise strand the job in STARTING
+        # forever (it is not in `running`, so reconcile can't fix it)
         run_id = self.store.log_run(job_id, "STARTING", [])
         try:
+            ckpt_dir = job.checkpoint_dir
+            if restore_savepoint is not None:
+                by_id = dict(self.store.savepoints_with_ids(job_id))
+                if restore_savepoint not in by_id:
+                    raise ValueError(
+                        f"job {job_id} has no savepoint id"
+                        f" {restore_savepoint}; known:"
+                        f" {sorted(by_id)}"
+                    )
+                ckpt_dir = by_id[restore_savepoint]
+            runner = JobRunner(
+                self.spark,
+                mode=job.job_type,
+                checkpoint=CheckPointParam(checkpoint_dir=ckpt_dir),
+            )
             result = runner.execute_script(job.sql_script)
         except Exception as e:
             self.store.set_status(job_id, "FAIL")
@@ -151,8 +160,15 @@ class JobManager:
                 # savepoint-before-stop (reference :94-98)
                 self.savepoint(job_id)
                 for q in rj.result.streaming_queries:
-                    q.stop()
-                    q.awaitTermination(60)
+                    # a query that already DIED re-raises its failure
+                    # from awaitTermination — that must not abort the
+                    # stop (siblings would leak and the store would
+                    # stay RUN forever); the operator's stop wins
+                    try:
+                        q.stop()
+                        q.awaitTermination(60)
+                    except Exception:
+                        pass
                 if rj.proc is not None and rj.proc.poll() is None:
                     rj.proc.terminate()
                     try:
@@ -250,36 +266,63 @@ class JobManager:
         optionally auto-restart. Returns affected job ids. Per-job
         failures (including restart errors) never abort the sweep —
         the reference's scheduler catches per-job exceptions the same
-        way (TaskServiceAOImpl.checkJobStatus)."""
+        way (TaskServiceAOImpl.checkJobStatus).
+
+        Lock discipline (same invariant as metrics()): py4j probes,
+        sibling stops, webhook alarms, and script re-execution all run
+        OUTSIDE the manager lock — one wedged JVM call or slow restart
+        must not stall every start/stop/status verb. Only the
+        bookkeeping (untrack + status flip) holds the lock, re-checking
+        the RunningJob identity so a concurrent stop() can't be
+        double-processed."""
         with self._lock:
-            affected = []
-            for job_id, rj in list(self.running.items()):
-                exc = None
-                if rj.proc is not None:
-                    rc = rj.proc.poll()
-                    if rc is None:
-                        continue
-                    if rc != 0:
-                        exc = RuntimeError(f"app exited with code {rc}")
-                else:
-                    dead = [
-                        q
-                        for q in rj.result.streaming_queries
-                        if not q.isActive
-                    ]
-                    if not dead:
-                        continue
-                    for q in dead:
-                        if q.exception() is not None:
-                            exc = q.exception()
-                affected.append(job_id)
+            snapshot = list(self.running.items())
+        candidates = []  # (job_id, rj, exc) — probed lock-free
+        for job_id, rj in snapshot:
+            exc = None
+            if rj.proc is not None:
+                rc = rj.proc.poll()
+                if rc is None:
+                    continue
+                if rc != 0:
+                    exc = RuntimeError(f"app exited with code {rc}")
+            else:
+                dead = [
+                    q
+                    for q in rj.result.streaming_queries
+                    if not q.isActive
+                ]
+                if not dead:
+                    continue
+                for q in dead:
+                    if q.exception() is not None:
+                        exc = q.exception()
+                # a PARTIALLY-dead multi-query job: stop the surviving
+                # siblings before untracking, or they keep writing
+                # forever (and an auto-restart would run duplicates)
+                for q in rj.result.streaming_queries:
+                    try:
+                        if q.isActive:
+                            q.stop()
+                            q.awaitTermination(30)
+                    except Exception:
+                        pass
+            candidates.append((job_id, rj, exc))
+        affected, alarms_due, restarts_due = [], [], []
+        with self._lock:
+            for job_id, rj, exc in candidates:
+                if self.running.get(job_id) is not rj:
+                    continue  # raced with stop()/restart — theirs wins
                 self.running.pop(job_id)
+                affected.append(job_id)
                 job = self.store.get_job(job_id)
                 self.store.set_status(job_id, "FAIL" if exc else "STOP")
-                self._alarm(
-                    job_id,
-                    f"job {job.job_name} is no longer running"
-                    + (f": {exc}" if exc else ""),
+                alarms_due.append(
+                    (
+                        job_id,
+                        f"job {job.job_name} is no longer running"
+                        + (f": {exc}" if exc else ""),
+                    )
                 )
                 cfg = self._channels(job_id)
                 if (
@@ -287,19 +330,22 @@ class JobManager:
                     and cfg.auto_restart
                     and rj.restarts < cfg.max_restarts
                 ):
-                    # reference restarts as user 'task-auto'
-                    # (SystemConstants.java:22); a failed restart is
-                    # alarmed and the sweep continues (ADVICE r01)
-                    try:
-                        self._start_locked(job_id)
-                    except Exception as e:
-                        self.store.log_alarm(
-                            job_id, "AUTO_RESTART_FAIL", str(e)
-                        )
-                    else:
-                        if job_id in self.running:
-                            self.running[job_id].restarts = rj.restarts + 1
-            return affected
+                    restarts_due.append((job_id, rj))
+        for job_id, message in alarms_due:
+            self._alarm(job_id, message)
+        for job_id, rj in restarts_due:
+            # reference restarts as user 'task-auto'
+            # (SystemConstants.java:22); a failed restart is alarmed
+            # and the sweep continues (ADVICE r01)
+            try:
+                self.start(job_id)
+            except Exception as e:
+                self.store.log_alarm(job_id, "AUTO_RESTART_FAIL", str(e))
+            else:
+                with self._lock:
+                    if job_id in self.running:
+                        self.running[job_id].restarts = rj.restarts + 1
+        return affected
 
     # -- cluster-mode sweep (YARN/Spark REST; TaskServiceAO.checkYarn) --
 
@@ -318,24 +364,40 @@ class JobManager:
         mapped status, alarmed, and optionally auto-restarted —
         checkYarn/checkStandalone parity (TaskServiceAOImpl:208-245).
         """
+        affected, restarts_due = [], []
         with self._lock:
-            affected = []
-            for job_id, app_id in list(self.remote_apps.items()):
-                try:
-                    status = adapter.app_status(app_id)
-                except Exception:
-                    status = "UNKNOWN"
-                if status in ("RUN", "STARTING", "UNKNOWN"):
-                    continue  # healthy or indeterminate: leave alone
-                affected.append(job_id)
+            apps = list(self.remote_apps.items())
+        for job_id, app_id in apps:
+            try:
+                status = adapter.app_status(app_id)
+            except Exception:
+                status = "UNKNOWN"
+            if status in ("RUN", "STARTING", "UNKNOWN"):
+                continue  # healthy or indeterminate: leave alone
+            with self._lock:
+                if self.remote_apps.get(job_id) != app_id:
+                    continue
                 self.remote_apps.pop(job_id)
-                job = self.store.get_job(job_id)
-                self.store.set_status(job_id, status)
-                self._alarm(
-                    job_id,
-                    f"cluster job {job.job_name} ({app_id}) is {status}",
-                )
-            return affected
+            affected.append(job_id)
+            job = self.store.get_job(job_id)
+            self.store.set_status(job_id, status)
+            self._alarm(
+                job_id,
+                f"cluster job {job.job_name} ({app_id}) is {status}",
+            )
+            cfg = self._channels(job_id)
+            if cfg and cfg.auto_restart and status != "SUCCESS":
+                restarts_due.append(job_id)
+        for job_id in restarts_due:
+            # AUTO_START_JOB parity for cluster jobs (alermAndAutoJob):
+            # restart through the same lifecycle (in LOCAL that is an
+            # in-process run; a cluster deployment routes start()
+            # through the submit builder)
+            try:
+                self.start(job_id)
+            except Exception as e:
+                self.store.log_alarm(job_id, "AUTO_RESTART_FAIL", str(e))
+        return affected
 
     def _channels(self, job_id: int) -> AlarmConfig | None:
         """Per-job alarm channel selection: the in-memory override

@@ -23,6 +23,7 @@ Routes (JSON in/out, reference verb names kept):
     POST /api/logout           {}
     GET  /api/status?id=N
     GET  /api/metrics?id=N   (per-query lastProgress — job-detail metrics)
+    GET  /api/savepoints?id=N (savepoint ids for /api/start restore)
     GET  /api/listTask
     GET  /api/jobConfigHistoryPage?id=N
     GET  /api/jobConfigHistoryDetail?id=N&version=V
@@ -90,6 +91,13 @@ class _Handler(BaseHTTPRequestHandler):
                 data = {"status": mgr.status(int(q["id"]))}
             elif url.path == "/api/metrics":
                 data = mgr.metrics(int(q["id"]))
+            elif url.path == "/api/savepoints":
+                data = [
+                    {"savepoint_id": sid, "checkpoint_dir": path_}
+                    for sid, path_ in mgr.store.savepoints_with_ids(
+                        int(q["id"])
+                    )
+                ]
             elif url.path == "/api/jobConfigHistoryDetail":
                 data = {
                     "version": int(q["version"]),
@@ -169,9 +177,10 @@ class _Handler(BaseHTTPRequestHandler):
                 mgr.store.update_script(int(b["id"]), b["sql"])
                 data = None
             elif path == "/api/start":
+                sp = b.get("savepoint_id")
                 result = mgr.start(
                     int(b["id"]),
-                    b.get("savepoint_id"),
+                    int(sp) if sp is not None else None,
                 )
                 data = {"queries": result.query_ids}
             elif path == "/api/stop":

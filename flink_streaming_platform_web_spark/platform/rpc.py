@@ -156,7 +156,17 @@ class SparkRestAdapter:
         attempts = app.get("attempts") or []
         if not attempts:
             return "UNKNOWN"
-        last = attempts[-1]
+        # Spark's REST lists attempts NEWEST-FIRST; judging the job by
+        # attempts[-1] would read a re-attempted app's dead first
+        # attempt. Pick by attemptId when present (yarn multi-attempt),
+        # else the list head.
+        def _aid(a):
+            try:
+                return int(a.get("attemptId", -1))
+            except (TypeError, ValueError):
+                return -1
+
+        last = max(attempts, key=_aid) if len(attempts) > 1 else attempts[0]
         if not last.get("completed", False):
             return "RUN"
         # Spark REST doesn't expose success/failure directly in the

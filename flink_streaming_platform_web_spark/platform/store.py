@@ -197,7 +197,10 @@ class JobStore:
         )
 
     def delete_job(self, job_id: int) -> None:
-        """Delete the config + its dependents (reference: delete verb)."""
+        """Delete the config + its dependents (reference: delete
+        verb). alart_log rows are deliberately RETAINED — the alarm
+        trail is an audit log that must survive config deletion (ids
+        are AUTOINCREMENT and never reused within a store file)."""
         self.get_job(job_id)
         with self._lock:
             for table in (
@@ -299,10 +302,16 @@ class JobStore:
         )
 
     def savepoints(self, job_id: int) -> list[str]:
+        return [p for _, p in self.savepoints_with_ids(job_id)]
+
+    def savepoints_with_ids(self, job_id: int) -> list[tuple[int, str]]:
+        """(savepoint row id, checkpoint location) pairs — the id is
+        what restore-by-savepoint verbs reference (savepoint_backup.id,
+        flink_web.sql:132-145)."""
         return [
-            r[0]
+            (r[0], r[1])
             for r in self._read(
-                "SELECT checkpoint_location FROM savepoint_backup"
+                "SELECT id, checkpoint_location FROM savepoint_backup"
                 " WHERE job_id=? ORDER BY id",
                 (job_id,),
             )

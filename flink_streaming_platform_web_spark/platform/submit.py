@@ -65,9 +65,15 @@ def build_submit_command(
         cmd += ["--jars", ",".join(ext_jars)]
     if py_files:
         cmd += ["--py-files", ",".join(py_files)]
+    # spark-submit's primary resource must be a FILE (it has no -m
+    # module flag — the option parser rejects '-m' outright); the
+    # packaged launcher delegates to the CLI on the cluster driver
+    from pathlib import Path
+
+    launcher = str(Path(__file__).resolve().parent / "launcher.py")
     cmd += [
         *extra,
-        "-m", "flink_streaming_platform_web_spark.platform.cli",
+        launcher,
         "run",
         "--sql-file", sql_file,
         "--job-type", job_type,

@@ -125,6 +125,11 @@ def test_submit_whitelist():
         check_run_config(["--files", "x"])
     cmd = build_submit_command("/tmp/j.sql", restore_checkpoint="/ckpt/1")
     assert "--checkpoint-dir" in cmd and "/ckpt/1" in cmd
+    # spark-submit has no -m flag: the primary resource is the
+    # packaged launcher FILE, placed before its own args
+    assert "-m" not in cmd
+    launcher = next(c for c in cmd if c.endswith("launcher.py"))
+    assert cmd.index(launcher) < cmd.index("run")
 
 
 def test_cli_add_list_validate(tmp_path, spark):

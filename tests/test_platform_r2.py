@@ -594,3 +594,67 @@ def test_kafka_debezium_json_sink_roundtrips(spark):
     assert json.loads(payload.collect()[0]["key"]) == {
         "day_str": "2020-07-30"
     }
+
+
+def test_stop_of_dead_query_still_marks_stop(spark, stream_src):
+    """A query that already died re-raises its failure from
+    awaitTermination; stop() must swallow it, untrack the job, and
+    persist STOP — not leave the store claiming RUN forever."""
+    store = JobStore()
+    mgr = JobManager(spark, store)
+    jid = store.add_job("deadstop", _stream_script(stream_src))
+    result = mgr.start(jid)
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+        q.stop()  # dies before the operator's stop arrives
+    mgr.stop(jid)
+    assert store.get_job(jid).status_name == "STOP"
+    assert jid not in mgr.running
+
+
+def test_savepoint_restore_resolves_by_row_id(spark, stream_src):
+    """savepoint_id is the savepoint_backup ROW id (enumerable via
+    /api/savepoints), not a list index; unknown ids fail into FAIL,
+    never a stuck STARTING."""
+    store = JobStore()
+    mgr = JobManager(spark, store)
+    jid = store.add_job(
+        "sprestore", _stream_script(stream_src), checkpoint_dir="/ckpt/a"
+    )
+    store.add_savepoint(jid, "/ckpt/a")
+    store.add_savepoint(jid, "/ckpt/b")
+    (sid_a, _), (sid_b, path_b) = store.savepoints_with_ids(jid)
+    assert path_b == "/ckpt/b" and sid_b != 0
+    with pytest.raises(ValueError, match="no savepoint id"):
+        mgr.start(jid, sid_b + 999)
+    assert store.get_job(jid).status_name == "FAIL"  # not STARTING
+    result = mgr.start(jid, sid_b)
+    assert mgr.running[jid].runner.checkpoint.checkpoint_dir == "/ckpt/b"
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+    mgr.stop(jid)
+
+
+def test_reconcile_stops_surviving_siblings(spark, stream_src, tmp_path):
+    """A partially-dead multi-query job: reconcile must stop the
+    surviving queries before untracking, or they keep writing
+    untracked (and an auto-restart would duplicate them)."""
+    store = JobStore()
+    mgr = JobManager(spark, store)
+    script = f"""
+    CREATE TABLE src_r2m (event_type STRING) WITH
+      ('connector'='filesystem','path'='{stream_src}','format'='parquet');
+    CREATE TABLE out_a (event_type STRING) WITH ('connector'='blackhole');
+    CREATE TABLE out_b (event_type STRING) WITH ('connector'='blackhole');
+    INSERT INTO out_a SELECT event_type FROM src_r2m;
+    INSERT INTO out_b SELECT event_type FROM src_r2m;
+    """
+    jid = store.add_job("twosinks", script)
+    result = mgr.start(jid)
+    assert len(result.streaming_queries) == 2
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+    result.streaming_queries[0].stop()  # one dies, one survives
+    mgr.reconcile()
+    assert jid not in mgr.running
+    assert all(not q.isActive for q in result.streaming_queries)

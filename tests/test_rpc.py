@@ -140,3 +140,21 @@ def test_manager_remote_sweep(spark):
     assert mgr.status(j_ok) == "RUN"
     assert j_ok in mgr.remote_apps and j_dead not in mgr.remote_apps
     assert store.alarms(j_dead)[0][0] == "JOB_DOWN"
+
+
+def test_spark_rest_multi_attempt_judges_latest():
+    """Spark's REST lists attempts newest-first; a re-attempted app
+    must be judged by its LATEST attempt (highest attemptId), not the
+    dead first one."""
+    from flink_streaming_platform_web_spark.platform.rpc import (
+        SparkRestAdapter,
+    )
+
+    a = SparkRestAdapter("http://x")
+    a.fetch = lambda url: {
+        "attempts": [
+            {"attemptId": "2", "completed": False},  # running retry
+            {"attemptId": "1", "completed": True},   # dead first try
+        ]
+    }
+    assert a.app_status("app_1") == "RUN"
