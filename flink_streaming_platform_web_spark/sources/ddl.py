@@ -42,6 +42,9 @@ class TableDef:
     watermark: WatermarkDef | None = None
     options: dict[str, str] = field(default_factory=dict)
     if_not_exists: bool = False
+    # Flink `PARTITIONED BY (...)` trailer (filesystem/hive layout);
+    # the filesystem writer maps it to partitionBy
+    partitioned_by: list[str] = field(default_factory=list)
 
     @property
     def connector(self) -> str:
@@ -119,18 +122,36 @@ _INTERVAL_RE = re.compile(
 )
 
 
+# type constructors whose '<' opens a generic-argument bracket; a bare
+# '<' or '>' anywhere else (comparison operators inside computed-column
+# expressions — `flag AS CASE WHEN a > 10 ...`) must NOT be counted as
+# nesting, or the splitter silently merges the following column defs
+_GENERIC_TYPES = {"array", "map", "row", "multiset"}
+
+
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
-    """Split on `sep` outside parens/angle-brackets/quotes."""
-    parts, buf, depth, in_quote = [], [], 0, False
-    for ch in text:
+    """Split on `sep` outside parens/quotes/generic-type brackets."""
+    parts, buf = [], []
+    depth = 0  # parens
+    angle = 0  # generic-type brackets only
+    in_quote = False
+    for i, ch in enumerate(text):
         if ch == "'":
             in_quote = not in_quote
         elif not in_quote:
-            if ch in "(<":
+            if ch == "(":
                 depth += 1
-            elif ch in ")>":
+            elif ch == ")":
                 depth -= 1
-            elif ch == sep and depth == 0:
+            elif ch == "<":
+                word = re.search(r"(\w+)\s*$", text[:i])
+                if angle > 0 or (
+                    word and word.group(1).lower() in _GENERIC_TYPES
+                ):
+                    angle += 1
+            elif ch == ">" and angle > 0:
+                angle -= 1
+            elif ch == sep and depth == 0 and angle == 0:
                 parts.append("".join(buf).strip())
                 buf = []
                 continue
@@ -189,7 +210,18 @@ def parse_create_table(statement: str) -> TableDef:
     body_close = _matching_paren(stmt, body_open)
     body = stmt[body_open + 1 : body_close]
     opts_text = None
+    partitioned_by: list[str] = []
     rest = stmt[body_close + 1 :]
+    # optional Flink trailer: [COMMENT '...'] [PARTITIONED BY (...)]
+    # [WITH (...)]
+    pm = re.match(
+        r"\s*partitioned\s+by\s*\(([^)]*)\)", rest, re.IGNORECASE
+    )
+    if pm:
+        partitioned_by = [
+            c.strip().strip("`\"") for c in pm.group(1).split(",")
+        ]
+        rest = rest[pm.end() :]
     wm_ = _WITH_RE.match(rest)
     if wm_:
         opts_open = wm_.end() - 1
@@ -200,6 +232,7 @@ def parse_create_table(statement: str) -> TableDef:
     table = TableDef(
         name=m.group("name").strip("`\""),
         if_not_exists=bool(m.group("ine")),
+        partitioned_by=partitioned_by,
     )
     for item in _split_top_level(body):
         if not item:
@@ -234,11 +267,14 @@ def parse_create_table(statement: str) -> TableDef:
         if len(parts) != 2:
             raise DDLParseError(f"cannot parse column def: {item!r}")
         name, rest = parts
+        # Flink grammar order: type [NOT NULL] [COMMENT '...'] — strip
+        # the comment FIRST, then the nullability marker (the reverse
+        # order rejected `INT NOT NULL COMMENT 'x'`)
         rest_clean = re.sub(
-            r"\s+(not\s+null|null)\s*$", "", rest, flags=re.IGNORECASE
+            r"\s+comment\s+'(?:[^']|'')*'\s*$", "", rest, flags=re.IGNORECASE
         )
         rest_clean = re.sub(
-            r"\s+comment\s+'[^']*'\s*$", "", rest_clean, flags=re.IGNORECASE
+            r"\s+(not\s+null|null)\s*$", "", rest_clean, flags=re.IGNORECASE
         )
         table.columns.append(
             ColumnDef(
@@ -249,8 +285,14 @@ def parse_create_table(statement: str) -> TableDef:
         )
     if opts_text:
         for kv in _split_top_level(opts_text):
-            km = re.match(r"'([^']*)'\s*=\s*'([^']*)'", kv.strip())
+            # values may contain ''-escaped quotes (passwords, JAAS
+            # strings) — the old [^']* match silently truncated them
+            km = re.fullmatch(
+                r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'", kv.strip()
+            )
             if not km:
                 raise DDLParseError(f"cannot parse WITH option: {kv!r}")
-            table.options[km.group(1)] = km.group(2)
+            table.options[km.group(1).replace("''", "'")] = km.group(
+                2
+            ).replace("''", "'")
     return table

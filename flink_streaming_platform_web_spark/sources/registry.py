@@ -243,28 +243,33 @@ def kafka_stream(spark: SparkSession, table: TableDef) -> DataFrame:
             "kafka connector requires spark-sql-kafka on the classpath "
             "(spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
         ) from e
+    return apply_schema_decorations(_kafka_decode(raw, table), table)
+
+
+def _kafka_decode(raw: DataFrame, table: TableDef) -> DataFrame:
+    """Shared value-decode for kafka stream AND batch reads — the
+    declared 'format' governs both (a debezium-json table read in a
+    batch job must not be silently parsed as plain JSON)."""
     fmt = table.options.get("format", "json")
     if fmt == "json":
         # lenient JSON decode — the reference sets
         # 'json.ignore-parse-errors'='true' in every demo DDL
         # (demo_1.md): PERMISSIVE from_json yields nulls on bad rows
-        df = raw.select(
+        return raw.select(
             F.from_json(
                 F.col("value").cast("string"), table.schema_ddl()
             ).alias("v")
         ).select("v.*")
-    elif fmt == "debezium-json":
+    if fmt == "debezium-json":
         from flink_streaming_platform_web_spark.streaming.cdc import (
             decode_debezium,
         )
 
-        df = decode_debezium(
+        return decode_debezium(
             raw.select(F.col("value").cast("string").alias("value")),
             table.schema_ddl(),
         )
-    else:
-        raise ValueError(f"unsupported kafka format: {fmt!r}")
-    return apply_schema_decorations(df, table)
+    raise ValueError(f"unsupported kafka format: {fmt!r}")
 
 
 def cdc_changelog_stream(spark: SparkSession, table: TableDef) -> DataFrame:
@@ -334,12 +339,7 @@ def kafka_batch(spark: SparkSession, table: TableDef) -> DataFrame:
             "kafka connector requires spark-sql-kafka on the classpath "
             "(spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
         ) from e
-    df = raw.select(
-        F.from_json(
-            F.col("value").cast("string"), table.schema_ddl()
-        ).alias("v")
-    ).select("v.*")
-    return apply_schema_decorations(df, table)
+    return apply_schema_decorations(_kafka_decode(raw, table), table)
 
 
 def kafka_payload(df: DataFrame, table: TableDef) -> DataFrame:
@@ -385,9 +385,15 @@ def kafka_payload(df: DataFrame, table: TableDef) -> DataFrame:
 
 
 def kafka_writer(df: DataFrame, table: TableDef):
-    """Kafka / upsert-kafka stream sink (see kafka_payload)."""
+    """Kafka / upsert-kafka stream sink (see kafka_payload). A
+    PK-declared (upsert-kafka) sink runs in UPDATE output mode — the
+    whole point is emitting changed keys per micro-batch for log
+    compaction; the default append mode would reject streaming
+    aggregations outright (es_writer/jdbc_upsert_writer set the same
+    mode)."""
+    mode = "update" if table.primary_key else "append"
     return (
-        kafka_payload(df, table).writeStream.format("kafka")
+        kafka_payload(df, table).writeStream.outputMode(mode).format("kafka")
         .option(
             "kafka.bootstrap.servers",
             table.options.get("properties.bootstrap.servers", ""),
@@ -537,9 +543,14 @@ def jdbc_upsert_foreach_batch(table: TableDef):
     driver-issued `MERGE INTO target USING stage` applied atomically by
     the database. Row traffic scales with executors; the driver only
     ships one SQL string per batch."""
+    import uuid
+
     opts = jdbc_reader_options(table)
     target = opts["dbtable"]
-    stage = f"{target}_stage"
+    # unique stage per writer: two concurrent INSERTs into the same
+    # jdbc sink must not overwrite each other's staged micro-batch
+    # between the bulk write and the MERGE
+    stage = f"{target}_stage_{uuid.uuid4().hex[:8]}"
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         if not batch.columns:
@@ -663,8 +674,21 @@ def es_bulk_post(url: str, payload: str) -> None:
         headers={"Content-Type": "application/x-ndjson"},
     )
     with urllib.request.urlopen(req, timeout=30) as resp:
-        if not (200 <= resp.status < 300):
-            raise RuntimeError(f"ES bulk failed: HTTP {resp.status}")
+        # urlopen raises on non-2xx; the REAL failure channel is the
+        # body's errors flag — ES returns HTTP 200 with per-item
+        # failures (mapping/version conflicts), which must not be
+        # silently dropped (the never-silently-divert contract)
+        import json as _json
+
+        body = _json.loads(resp.read() or b"{}")
+        if body.get("errors"):
+            failed = [
+                item
+                for item in body.get("items", [])
+                for op in item.values()
+                if op.get("error")
+            ][:3]
+            raise RuntimeError(f"ES bulk had item failures: {failed}")
 
 
 def es_writer(df: DataFrame, table: TableDef):

@@ -158,9 +158,15 @@ def substitute_variables(
 SET_RE = re.compile(r"set\s+(\S+?)\s*=\s*(.+)", re.IGNORECASE | re.DOTALL)
 
 
-def parse_set(statement: str) -> tuple[str, str]:
+def parse_set(statement: str) -> tuple[str, str] | None:
     """Extract (key, value) from a SET statement
-    (Configurations.java:25-33 analog). Values may be quoted."""
+    (Configurations.java:25-33 analog). Values may be quoted. A bare
+    ``SET`` (legal in Flink's sql-client, where it lists properties)
+    returns None — callers treat it as a no-op instead of aborting
+    the script mid-run."""
+    stripped = statement.strip().rstrip(";").strip()
+    if stripped.lower() == "set":
+        return None
     m = SET_RE.fullmatch(statement.strip())
     if not m:
         raise SqlParseError(f"malformed SET: {statement!r}")

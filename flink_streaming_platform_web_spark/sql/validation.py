@@ -45,8 +45,19 @@ def validate_script(
     script: str,
     spark: SparkSession | None = None,
     job_type: str = "streaming",
+    variables: dict[str, str] | None = None,
 ) -> ValidationResult:
+    """`variables` mirrors JobRunner.execute_script's ${var}
+    substitution (the Nacos analog) — a script validated for a
+    parameterized run must be checked with the same text the runner
+    will execute."""
     errors: list[str] = []
+    if variables:
+        from flink_streaming_platform_web_spark.sql.script import (
+            substitute_variables,
+        )
+
+        script = substitute_variables(script, variables)
     try:
         calls = parse_script(script)
     except SqlParseError as e:

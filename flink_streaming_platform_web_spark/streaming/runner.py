@@ -272,7 +272,18 @@ class JobRunner:
         for call in calls:
             cmd, stmt = call.command, call.statement
             if cmd == SqlCommand.CREATE_TABLE:
-                t = parse_create_table(stmt)
+                from flink_streaming_platform_web_spark.sources.ddl import (
+                    DDLParseError,
+                )
+
+                try:
+                    t = parse_create_table(stmt)
+                except DDLParseError:
+                    # not connector DDL (Spark `USING parquet`,
+                    # catalog-specific clauses): the catalog-table
+                    # passthrough must still reach spark.sql
+                    self.spark.sql(stmt)
+                    continue
                 if t.connector:
                     if t.if_not_exists and t.name in self.tables:
                         continue
@@ -556,7 +567,10 @@ class JobRunner:
     # -- SET mapping ----------------------------------------------------------
 
     def _apply_set(self, stmt: str) -> None:
-        key, val = parse_set(stmt)
+        kv = parse_set(stmt)
+        if kv is None:  # bare SET: property listing — no-op here
+            return
+        key, val = kv
         if key == _READ_ONCE_KEY:
             self._read_once = val.strip().lower() == "true"
         elif key == _MINI_BATCH_LATENCY:
@@ -897,10 +911,11 @@ class JobRunner:
             df.write.format("noop").mode("overwrite").save()
             result.batch_results[sink.name] = -1
         elif c == "filesystem":
-            (
-                df.write.format(sink.options.get("format", "parquet"))
-                .mode("overwrite" if job.overwrite else "append")
-                .save(sink.options["path"])
+            writer = df.write.format(sink.options.get("format", "parquet"))
+            if sink.partitioned_by:
+                writer = writer.partitionBy(*sink.partitioned_by)
+            writer.mode("overwrite" if job.overwrite else "append").save(
+                sink.options["path"]
             )
             result.batch_results[sink.name] = -1
         elif c == "memory":
@@ -996,6 +1011,8 @@ class JobRunner:
                 .option("path", sink.options["path"])
                 .outputMode("append")
             )
+            if sink.partitioned_by:
+                writer = writer.partitionBy(*sink.partitioned_by)
         else:
             raise ValueError(f"unsupported stream sink connector: {c!r}")
         if self.checkpoint.checkpoint_dir:

@@ -114,3 +114,43 @@ def test_if_not_exists():
 def test_bad_ddl_raises():
     with pytest.raises(DDLParseError):
         parse_create_table("CREATE TABLE broken")
+
+
+def test_not_null_comment_order_and_escaped_options():
+    """Flink grammar: `type [NOT NULL] [COMMENT '...']` — both present
+    must parse; WITH values keep ''-escaped quotes intact."""
+    t = parse_create_table(
+        """CREATE TABLE t (
+             a INT NOT NULL COMMENT 'the id',
+             b STRING COMMENT 'it''s quoted'
+           ) WITH ('connector' = 'memory',
+                   'password' = 'ab''cd')"""
+    )
+    assert [c.spark_type for c in t.columns] == ["INT", "STRING"]
+    assert t.columns[0].nullable is False
+    assert t.options["password"] == "ab'cd"
+
+
+def test_comparison_operators_in_computed_columns():
+    """A bare '>' in a computed-column expression must not be counted
+    as a type bracket (it used to swallow the following columns)."""
+    t = parse_create_table(
+        """CREATE TABLE t (
+             a INT,
+             flag AS CASE WHEN a > 10 THEN 1 ELSE 0 END,
+             b ARRAY<MAP<STRING, INT>>,
+             c INT
+           ) WITH ('connector' = 'memory')"""
+    )
+    names = [c.name for c in t.columns]
+    assert names == ["a", "flag", "b", "c"]
+    assert t.columns[2].spark_type == "ARRAY<MAP<STRING, INT>>"
+
+
+def test_partitioned_by_trailer():
+    t = parse_create_table(
+        """CREATE TABLE t (a INT, dt STRING)
+           PARTITIONED BY (dt)
+           WITH ('connector' = 'filesystem', 'path' = '/x')"""
+    )
+    assert t.partitioned_by == ["dt"]

@@ -612,24 +612,25 @@ def test_stop_of_dead_query_still_marks_stop(spark, stream_src):
     assert jid not in mgr.running
 
 
-def test_savepoint_restore_resolves_by_row_id(spark, stream_src):
+def test_savepoint_restore_resolves_by_row_id(spark, stream_src, tmp_path):
     """savepoint_id is the savepoint_backup ROW id (enumerable via
     /api/savepoints), not a list index; unknown ids fail into FAIL,
     never a stuck STARTING."""
+    ck_a, ck_b = str(tmp_path / "ck_a"), str(tmp_path / "ck_b")
     store = JobStore()
     mgr = JobManager(spark, store)
     jid = store.add_job(
-        "sprestore", _stream_script(stream_src), checkpoint_dir="/ckpt/a"
+        "sprestore", _stream_script(stream_src), checkpoint_dir=ck_a
     )
-    store.add_savepoint(jid, "/ckpt/a")
-    store.add_savepoint(jid, "/ckpt/b")
+    store.add_savepoint(jid, ck_a)
+    store.add_savepoint(jid, ck_b)
     (sid_a, _), (sid_b, path_b) = store.savepoints_with_ids(jid)
-    assert path_b == "/ckpt/b" and sid_b != 0
+    assert path_b == ck_b and sid_b != 0
     with pytest.raises(ValueError, match="no savepoint id"):
         mgr.start(jid, sid_b + 999)
     assert store.get_job(jid).status_name == "FAIL"  # not STARTING
     result = mgr.start(jid, sid_b)
-    assert mgr.running[jid].runner.checkpoint.checkpoint_dir == "/ckpt/b"
+    assert mgr.running[jid].runner.checkpoint.checkpoint_dir == ck_b
     for q in result.streaming_queries:
         q.processAllAvailable()
     mgr.stop(jid)
@@ -658,3 +659,44 @@ def test_reconcile_stops_surviving_siblings(spark, stream_src, tmp_path):
     mgr.reconcile()
     assert jid not in mgr.running
     assert all(not q.isActive for q in result.streaming_queries)
+
+
+def test_bare_set_is_a_noop(spark):
+    """Flink sql-client accepts a bare `SET;` (property listing); the
+    runner must treat it as a no-op instead of aborting the script."""
+    from flink_streaming_platform_web_spark.streaming.runner import (
+        JobRunner,
+    )
+
+    runner = JobRunner(spark, mode="batch")
+    result = runner.execute_script(
+        """
+        SET;
+        CREATE TABLE g_set (a INT) WITH ('connector'='datagen',
+          'number-of-rows'='3', 'fields.a.kind'='sequence',
+          'fields.a.start'='1', 'fields.a.end'='3');
+        CREATE TABLE m_set (a INT) WITH ('connector'='memory');
+        INSERT INTO m_set SELECT a FROM g_set;
+        """
+    )
+    assert result.batch_results["m_set"] == 3
+
+
+def test_validation_accepts_parameterized_scripts(spark):
+    """validate_script(variables=...) checks the SAME text the runner
+    executes — a ${var} script validates when its variables are
+    supplied and fails clearly when they are not."""
+    from flink_streaming_platform_web_spark.sql.validation import (
+        validate_script,
+    )
+
+    script = """
+    CREATE TABLE src_v (a INT) WITH ('connector'='datagen',
+      'number-of-rows'='${rows}');
+    CREATE TABLE out_v (a INT) WITH ('connector'='memory');
+    INSERT INTO out_v SELECT a FROM src_v WHERE a > ${min_a};
+    """
+    r = validate_script(
+        script, spark, "batch", variables={"rows": "5", "min_a": "1"}
+    )
+    assert r.ok, r.errors
