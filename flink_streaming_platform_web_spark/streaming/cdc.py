@@ -31,25 +31,50 @@ def debezium_envelope_schema(row_schema_ddl: str) -> str:
 
 
 def _ddl_to_struct(ddl: str) -> str:
+    # type-aware split: DECIMAL(10,2) / MAP<...> contain commas that a
+    # naive split corrupts (demo_6's orders table uses DECIMAL)
+    from flink_streaming_platform_web_spark.sources.ddl import (
+        _split_top_level,
+    )
+
     return ", ".join(
         f"{p.strip().split(None, 1)[0]}: {p.strip().split(None, 1)[1]}"
-        for p in ddl.split(",")
+        for p in _split_top_level(ddl)
     )
 
 
 def decode_debezium(raw: DataFrame, row_schema_ddl: str) -> DataFrame:
-    """value-string DF → (op, ts_ms, before.*, after.*) changelog rows."""
+    """value-string DF → (op, ts_ms, before.*, after.*) changelog rows.
+
+    ``__seq`` carries the INPUT order within the read (the kafka-offset
+    analog): ts_ms is millisecond-resolution, so two updates to one key
+    in the same millisecond would otherwise apply in partition-
+    nondeterministic order. monotonically_increasing_id is
+    partition-prefixed — monotone within each input split, which is
+    exactly the per-partition ordering kafka/binlog readers guarantee
+    (cross-partition order is undefined there too)."""
     env = raw.select(
         F.from_json("value", debezium_envelope_schema(row_schema_ddl)).alias(
             "e"
-        )
+        ),
+        *(
+            []
+            if raw.isStreaming
+            # monotonically_increasing_id is rejected on streaming
+            # plans; the streaming path attaches __seq per micro-batch
+            # inside foreach_batch_apply_changelog instead
+            else [F.monotonically_increasing_id().alias("__seq")]
+        ),
     )
-    return env.select(
+    cols = [
         F.col("e.op").alias("__op"),
         F.col("e.ts_ms").alias("__ts_ms"),
         F.col("e.before").alias("__before"),
         F.col("e.after").alias("__after"),
-    )
+    ]
+    if "__seq" in env.columns:
+        cols.append(F.col("__seq"))
+    return env.select(*cols)
 
 
 def changelog_dedup(changelog: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -82,8 +107,15 @@ def foreach_batch_apply_changelog(store: KeyedStore):
     def apply(batch: DataFrame, epoch_id: int) -> None:
         if store.schema is None:
             store.schema = batch.select("__after.*").schema
+        if "__seq" not in batch.columns:
+            # per-micro-batch input order (the kafka-offset analog):
+            # ts_ms is ms-resolution, so same-key updates within one
+            # millisecond need the reader's own order as tie-break
+            batch = batch.withColumn(
+                "__seq", F.monotonically_increasing_id()
+            )
         cols = ["__op", "__before", "__after"]
-        order = ["__ts_ms"] + (["__seq"] if "__seq" in batch.columns else [])
+        order = ["__ts_ms", "__seq"]
         # collect(): one round-trip for the bounded micro-batch —
         # toLocalIterator pays a network hop per partition and was the
         # dominant cost of the st08 gate run (the production analog of

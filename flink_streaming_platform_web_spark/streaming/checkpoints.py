@@ -50,5 +50,7 @@ def spark_confs(p: CheckPointParam) -> dict[str, str]:
 
 def trigger_kwargs(p: CheckPointParam) -> dict[str, str]:
     """writeStream.trigger(**kwargs) — checkpoint cadence maps to the
-    micro-batch trigger interval."""
-    return {"processingTime": f"{p.checkpoint_interval_ms // 1000} seconds"}
+    micro-batch trigger interval. Milliseconds pass through directly:
+    integer-dividing to seconds silently turned sub-second intervals
+    into '0 seconds' (= as-fast-as-possible)."""
+    return {"processingTime": f"{p.checkpoint_interval_ms} milliseconds"}

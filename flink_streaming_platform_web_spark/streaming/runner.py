@@ -335,8 +335,15 @@ class JobRunner:
                     self.spark.sql(translate_expr(stmt))
                 )
             elif cmd.name.startswith("SHOW"):
-                rows = self.spark.sql(stmt).collect()
-                result.show_results.append([r[0] for r in rows])
+                df = self.spark.sql(stmt)
+                # SHOW TABLES emits (namespace, tableName, isTemporary)
+                # — the interesting column is tableName, not r[0]
+                col = (
+                    "tableName" if "tableName" in df.columns else df.columns[0]
+                )
+                result.show_results.append(
+                    [r[col] for r in df.collect()]
+                )
             elif cmd == SqlCommand.CREATE_CATALOG:
                 self._create_catalog(stmt)
             elif cmd == SqlCommand.USE_CATALOG:
@@ -394,6 +401,21 @@ class JobRunner:
             return self._read_once_mirror_fanout(src, inserts, result)
         sinks = [self.tables[j.target] for j in inserts]
         for s in sinks:
+            # connector-first honesty (ADVICE r01): a PK EXTERNAL sink
+            # (upsert-kafka/ES/jdbc-with-url/filesystem) must go through
+            # _write_stream's real writers, not an in-process dict —
+            # fall back to per-query reads, which route correctly.
+            # Same for non-PK sinks the fanout body can't serve.
+            if s.primary_key:
+                if s.connector not in ("jdbc", "memory", "print") or (
+                    s.connector == "jdbc" and s.options.get("url")
+                ):
+                    return False
+            elif s.connector not in (
+                "print", "blackhole", "filesystem", "memory",
+            ):
+                return False
+        for s in sinks:
             if s.primary_key:
                 self.upsert_stores.setdefault(
                     s.name, KeyedStore(s.primary_key)
@@ -418,11 +440,16 @@ class JobRunner:
                 elif c == "blackhole":
                     out.write.format("noop").mode("overwrite").save()
                 elif c == "filesystem":
-                    out.write.format(
+                    w = out.write.format(
                         sink.options.get("format", "parquet")
-                    ).mode("overwrite" if overwrite else "append").save(
+                    )
+                    if sink.partitioned_by:
+                        w = w.partitionBy(*sink.partitioned_by)
+                    w.mode("overwrite" if overwrite else "append").save(
                         sink.options["path"]
                     )
+                elif c == "memory":
+                    self._register_memory_result(out, sink)
                 else:
                     raise ValueError(
                         f"sink {sink.name!r} ({c!r}) unsupported in"
@@ -514,8 +541,18 @@ class JobRunner:
         if len(stream_refs) != 1 or _is_aggregated(plan_df):
             return False
         sink = self.tables[job.target]
-        if sink.connector not in (
-            "jdbc", "print", "blackhole", "filesystem", "memory",
+        # connector-first honesty (ADVICE r01): only sinks this body
+        # actually serves are admitted; PK EXTERNAL sinks (jdbc-with-
+        # url, upsert-kafka, ES, filesystem MERGE) and non-PK jdbc fall
+        # back to the in-plan join + _write_stream's real writers —
+        # never a silent drop or in-memory diversion
+        if sink.primary_key:
+            if sink.connector not in ("jdbc", "memory", "print") or (
+                sink.connector == "jdbc" and sink.options.get("url")
+            ):
+                return False
+        elif sink.connector not in (
+            "print", "blackhole", "filesystem", "memory",
         ):
             return False
         src = stream_refs[0]
@@ -541,13 +578,14 @@ class JobRunner:
             elif sink.connector == "blackhole":
                 out.write.format("noop").mode("overwrite").save()
             elif sink.connector == "filesystem":
-                out.write.format(
-                    sink.options.get("format", "parquet")
-                ).mode("overwrite" if overwrite else "append").save(
+                w = out.write.format(sink.options.get("format", "parquet"))
+                if sink.partitioned_by:
+                    w = w.partitionBy(*sink.partitioned_by)
+                w.mode("overwrite" if overwrite else "append").save(
                     sink.options["path"]
                 )
             elif sink.connector == "memory":
-                out.createOrReplaceTempView(sink.name)
+                self._register_memory_result(out, sink)
 
         writer = (
             self.spark.table(src)
@@ -575,6 +613,10 @@ class JobRunner:
             self._read_once = val.strip().lower() == "true"
         elif key == _MINI_BATCH_LATENCY:
             m = re.match(r"([\d.]+)\s*(ms|s|sec|min)?", val)
+            if not m:
+                raise ValueError(
+                    f"cannot parse {_MINI_BATCH_LATENCY}: {val!r}"
+                )
             unit = {"ms": "milliseconds", "min": "minutes"}.get(
                 m.group(2) or "s", "seconds"
             )
@@ -685,6 +727,14 @@ class JobRunner:
                 result,
             )
 
+    def _register_memory_result(self, out: DataFrame, sink: TableDef) -> None:
+        """foreachBatch runs in a CLONED session whose temp views the
+        driver session can't see — copy the batch result onto the
+        driver session so `spark.table(sink)` works after the run."""
+        self.spark.createDataFrame(
+            out.collect(), out.schema
+        ).createOrReplaceTempView(sink.name)
+
     def _align_to_sink(self, df: DataFrame, sink: TableDef) -> DataFrame:
         """Flink maps INSERT SELECT output to the sink schema strictly
         BY POSITION (demo_6's `SELECT o.*, p.name, …` lands in
@@ -730,10 +780,15 @@ class JobRunner:
                 self.spark, registry.jdbc_reader_options(sink)
             )
 
+            # ONE upsert callback (and one stage table) for the whole
+            # stream — minting it per recompute would leave a new
+            # stage table in the database every micro-batch
+            upsert_cb = registry.jdbc_upsert_foreach_batch(sink)
+
             def jdbc_delta(changed: list[dict], removed: list[dict]) -> None:
                 store = self.upsert_stores[sink.name]
                 if changed:
-                    registry.jdbc_upsert_foreach_batch(sink)(
+                    upsert_cb(
                         self.spark.createDataFrame(changed, store.schema),
                         -1,
                     )
@@ -946,6 +1001,7 @@ class JobRunner:
     ) -> None:
         c = sink.connector
         upsert = bool(sink.primary_key)
+        in_process_state = False  # set by the KeyedStore branch below
         # connector routes FIRST: a PK on upsert-kafka/ES selects the
         # connector's own upsert mechanism (key serialization / doc id),
         # never the in-process store (ADVICE r01: the generic upsert
@@ -977,7 +1033,11 @@ class JobRunner:
         elif upsert and c in ("jdbc", "memory", "print"):
             # url-less jdbc / memory / print PK sink → in-process keyed
             # MERGE store (demo_1.md upsert path in embedded/test mode;
-            # SURVEY §7.3)
+            # SURVEY §7.3). NO checkpoint for this writer: the store is
+            # process-local, so a checkpointed restart would skip
+            # replay against empty state (same contract as the CDC
+            # path) — replay-from-scratch converges.
+            in_process_state = True
             store = self.upsert_stores.setdefault(
                 sink.name, KeyedStore(sink.primary_key)
             )
@@ -1015,7 +1075,7 @@ class JobRunner:
                 writer = writer.partitionBy(*sink.partitioned_by)
         else:
             raise ValueError(f"unsupported stream sink connector: {c!r}")
-        if self.checkpoint.checkpoint_dir:
+        if self.checkpoint.checkpoint_dir and not in_process_state:
             writer = writer.option(
                 "checkpointLocation",
                 f"{self.checkpoint.checkpoint_dir}/q{idx}_{sink.name}",
