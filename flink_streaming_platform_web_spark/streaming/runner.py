@@ -225,7 +225,11 @@ class JobRunner:
             # (demo_3.md FOR SYSTEM_TIME AS OF → per-micro-batch snapshot)
             df = registry.jdbc_batch(self.spark, t)
         elif c == "memory":
+            # a memory table is ALWAYS a batch view — recording it as
+            # "stream" would let the read-once fan-out mistake it for
+            # the streaming source
             df = self.spark.table(t.options.get("view", name))
+            want = "batch"
         elif (plugin := registry.get_plugin(c)) is not None and (
             plugin.source_stream if streaming else plugin.source_batch
         ) is not None:
