@@ -37,7 +37,18 @@ def props_k_bucket(props: pd.Series) -> pd.Series:
     def bucket(s: str) -> int:
         try:
             v = json.loads(s).get("k")
-            return int(v) % 10 if v is not None else -1
+            if v is None:
+                return -1
+            # SQL-compatible semantics across engines: truncate toward
+            # zero (explicit trunc — DuckDB's double→int CAST rounds)
+            # and keep the DIVIDEND's sign like SQL %, not Python's
+            # floor-mod (-3 % 10: SQL -3, Python 7) — ORACLE_Q34
+            # mirrors with trunc + %
+            import math
+
+            t = math.trunc(float(v))
+            m = abs(t) % 10
+            return m if t >= 0 else -m
         except (json.JSONDecodeError, TypeError, ValueError):
             return -1
 

@@ -25,6 +25,18 @@ _DF_CACHE: dict[tuple, DataFrame] = {}
 _OBJ_CACHE: dict[tuple, Any] = {}
 
 
+def _session_key(spark: SparkSession) -> tuple:
+    """id(spark) alone can be REUSED by a new session after the old
+    one is garbage-collected (CPython recycles addresses), which would
+    serve persisted DataFrames bound to a dead SparkContext; the
+    applicationId pins the key to the live context."""
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # stopped context: never match a cache entry
+        app_id = object()
+    return (id(spark), app_id)
+
+
 def memo_df(
     spark: SparkSession,
     sf_dir: str,
@@ -32,7 +44,7 @@ def memo_df(
     builder: Callable[[], DataFrame],
 ) -> DataFrame:
     """Build-once persisted DataFrame per (session, sf_dir, name)."""
-    key = (id(spark), sf_dir, name)
+    key = (*_session_key(spark), sf_dir, name)
     if key not in _DF_CACHE:
         _DF_CACHE[key] = builder().persist(StorageLevel.MEMORY_AND_DISK)
     return _DF_CACHE[key]
@@ -45,7 +57,7 @@ def memo_obj(
     builder: Callable[[], Any],
 ) -> Any:
     """Build-once driver-side object (e.g. the tiny centroid matrix)."""
-    key = (id(spark), sf_dir, name)
+    key = (*_session_key(spark), sf_dir, name)
     if key not in _OBJ_CACHE:
         _OBJ_CACHE[key] = builder()
     return _OBJ_CACHE[key]

@@ -153,6 +153,7 @@ def connected_components(
             pairs, "id long, label long"
         )
     else:
+        converged = False
         for _ in range(MAX_ITERATIONS):
             new_e = _small_star(_large_star(e)).persist()
             new_sig = _sig(new_e)
@@ -161,6 +162,14 @@ def connected_components(
             sig = new_sig
             if converged:
                 break
+        if not converged:
+            # emitting non-fixpoint labels would silently split real
+            # components — fail loudly instead (needs component height
+            # > 2^MAX_ITERATIONS, far beyond any real dup graph)
+            raise RuntimeError(
+                "connected_components did not converge in"
+                f" {MAX_ITERATIONS} star-contraction rounds"
+            )
         # at fixpoint every edge points node → component-min root
         labels = e.select(
             F.col("src").alias("id"), F.col("dst").alias("label")

@@ -77,15 +77,21 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     words = df.select(
         "doc_id", F.split(F.col("text"), r"\s+").alias("w")
     ).repartition(par)
+    # docs with fewer than n tokens have NO shingles: sequence(0, -1)
+    # would produce a DESCENDING [0, -1] (not empty!) and w[i+2] then
+    # faults under ANSI — the guard emits an empty array, matching the
+    # oracle's generate_series(1, greatest(len-2, 0))
+    idxs = F.when(
+        F.size("w") >= n,
+        F.sequence(F.lit(0), F.size("w") - n),
+    ).otherwise(F.array().cast("array<int>"))
     arrs = words.select(
         "doc_id",
         F.array_distinct(
             F.transform(
                 F.filter(
                     F.transform(
-                        F.sequence(
-                            F.lit(0), F.greatest(F.size("w") - n, F.lit(-1))
-                        ),
+                        idxs,
                         lambda i: F.concat_ws(
                             " ", *[F.col("w")[i + j] for j in range(n)]
                         ),

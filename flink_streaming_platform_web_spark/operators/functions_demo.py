@@ -57,7 +57,8 @@ def q34_udf_json_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q34 = """
-SELECT COALESCE(CAST(json_extract_string(props, '$.k') AS INT) % 10, -1)
+SELECT COALESCE(CAST(trunc(TRY_CAST(json_extract_string(props, '$.k')
+                               AS DOUBLE)) AS INT) % 10, -1)
          AS k_bucket,
        COUNT(*) AS n,
        COUNT(DISTINCT user_id) AS n_users

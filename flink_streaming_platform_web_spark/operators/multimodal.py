@@ -198,6 +198,12 @@ def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(with_binary_payload(docs))
 
 
+# ORACLE SCOPE: DuckDB has no byte-level blob substring/md5, so the
+# digest column mirrors the byte chunking only where bytes == chars
+# (the synthetic corpus is pure ASCII — verified). The multi-byte
+# contract (frames chunk the UTF-8 BYTE payload, possibly splitting a
+# codepoint) is pinned Python-side in
+# tests/test_pipeline_ops_r2.py::test_mm03_frames_chunk_bytes_not_chars.
 ORACLE_MM03 = f"""
 SELECT doc_id,
        CAST(i AS INT) AS frame_idx,

@@ -33,13 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_streaming_platform_web_spark.operators._portable import (
-    oracle_portable_hash,
-    portable_hash,
-)
 from flink_streaming_platform_web_spark.operators.text import (
     ORACLE_TX10,
-    TX08_RATES,
+    stratified_keep,
+    stratified_keep_where,
     tx10_quality_filter,
 )
 from flink_streaming_platform_web_spark.tables import load
@@ -57,20 +54,8 @@ def pp01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     )
     deduped = kept.join(survivors.select("doc_id"), "doc_id", "left_semi")
-    rate = F.coalesce(
-        *[
-            F.when(F.col("lang") == lang, F.lit(permille))
-            for lang, permille in TX08_RATES.items()
-        ],
-        F.lit(0),
-    )
-    bucket = (
-        portable_hash(
-            F.concat(F.lit("pp01|"), F.col("doc_id").cast("string"))
-        )
-        % 1000
-    )
-    final = deduped.filter(bucket < rate)
+    _, keep = stratified_keep("pp01")
+    final = deduped.filter(keep)
     return final.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -78,10 +63,7 @@ def pp01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_pp01() -> str:
-    h = oracle_portable_hash("'pp01|' || CAST(doc_id AS VARCHAR)")
-    cases = " ".join(
-        f"WHEN '{lang}' THEN {p}" for lang, p in TX08_RATES.items()
-    )
+    where = stratified_keep_where("pp01")
     return f"""
 WITH flt AS (
   SELECT doc_id FROM ({ORACLE_TX10}) WHERE keep
@@ -96,8 +78,7 @@ deduped AS (
   SELECT k.* FROM kept k JOIN surv USING (doc_id)
 ),
 final AS (
-  SELECT * FROM deduped
-  WHERE {h} % 1000 < (CASE lang {cases} ELSE 0 END)
+  SELECT * FROM deduped WHERE {where}
 )
 SELECT lang, source, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars

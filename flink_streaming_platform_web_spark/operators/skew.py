@@ -33,13 +33,24 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join `big ⋈ small` on `key`, spreading each of big's keys
-    across `n_salts` partitions. Deterministic salting (hash of the
-    full row via monotonically-increasing id would break determinism;
-    crc32 of the key + a per-row component from existing columns keeps
-    replays stable)."""
-    salt = (F.crc32(F.concat_ws("\x1f", *big.columns)) % n_salts).alias(
-        "__salt"
-    )
+    across `n_salts` partitions. The salt is a seeded rand() — a
+    content hash would assign DUPLICATE rows of a hot key the same
+    salt, collapsing the spread exactly in the pathological case this
+    function exists for (a bot key emitting identical events). The
+    salt never reaches the output, so its per-execution assignment
+    cannot affect results; rand(seed) is deterministic given the
+    upstream partitioning.
+
+    Only inner/left joins are supported: a right/full outer join would
+    emit each unmatched small-side row once PER SALT (the small side
+    is replicated before the join)."""
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r} —"
+            " the replicated small side would duplicate unmatched"
+            " outer rows"
+        )
+    salt = F.floor(F.rand(42) * n_salts).cast("int").alias("__salt")
     big_s = big.select("*", salt)
     salts = small.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("__salt")

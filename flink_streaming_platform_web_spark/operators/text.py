@@ -110,10 +110,19 @@ def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_punct",
         "n_digits",
         "n_stopwords",
+        # nullif guards: a zero-token/zero-char doc gets NULL quality
+        # on BOTH engines (under ANSI a bare /0 would abort the job;
+        # the oracle mirrors with the same nullif)
         F.round(
             F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.5
-            + (F.col("n_stopwords").cast("double") / F.col("n_tokens")) * 2.0
-            - (F.col("n_digits").cast("double") / F.col("len_chars")) * 1.0,
+            + (
+                F.col("n_stopwords").cast("double")
+                / F.nullif(F.col("n_tokens"), F.lit(0))
+            ) * 2.0
+            - (
+                F.col("n_digits").cast("double")
+                / F.nullif(F.col("len_chars"), F.lit(0))
+            ) * 1.0,
             6,
         ).alias("quality"),
     )
@@ -133,8 +142,9 @@ WITH scored AS (
 )
 SELECT doc_id, len_chars, n_tokens, n_punct, n_digits, n_stopwords,
        round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
-             + (CAST(n_stopwords AS DOUBLE) / n_tokens) * 2.0
-             - (CAST(n_digits AS DOUBLE) / len_chars) * 1.0, 6) AS quality
+             + (CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0)) * 2.0
+             - (CAST(n_digits AS DOUBLE) / nullif(len_chars, 0)) * 1.0, 6)
+         AS quality
 FROM scored
 """
 
@@ -327,6 +337,46 @@ FROM counts GROUP BY doc_id
 TX08_RATES = {"en": 200, "zh": 500, "fr": 500, "de": 800, "es": 800}
 
 
+def stratified_keep(salt: str):
+    """The shared keep-decision of the stratified sample (tx08 and
+    pp01's sampling stage): (bucket_column, keep_predicate). One
+    definition — a rate-table or hash change can't drift between the
+    standalone op and the composed pipeline. Spark columns only —
+    must be called at query-build time (needs an active context); the
+    oracle twin is stratified_keep_where (pure string, import-safe)."""
+    from flink_streaming_platform_web_spark.operators._portable import (
+        portable_hash,
+    )
+
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(permille))
+            for lang, permille in TX08_RATES.items()
+        ],
+        F.lit(0),
+    )
+    bucket = (
+        portable_hash(
+            F.concat(F.lit(f"{salt}|"), F.col("doc_id").cast("string"))
+        )
+        % 1000
+    )
+    return bucket, (bucket < rate)
+
+
+def stratified_keep_where(salt: str) -> str:
+    """DuckDB WHERE fragment mirroring :func:`stratified_keep`."""
+    from flink_streaming_platform_web_spark.operators._portable import (
+        oracle_portable_hash,
+    )
+
+    h = oracle_portable_hash(f"'{salt}|' || CAST(doc_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {p}" for lang, p in TX08_RATES.items()
+    )
+    return f"{h} % 1000 < (CASE lang {cases} ELSE 0 END)"
+
+
 def tx08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling — rebalancing a corpus by
     language (or modality/source) with per-stratum keep rates, the
@@ -335,24 +385,11 @@ def tx08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     RNG state, reproducible across engines and runs, and trivially
     scan-bound at 100 TB (predicate pushdown leaves the scan as the
     only stage)."""
-    from flink_streaming_platform_web_spark.operators._portable import (
-        portable_hash,
-    )
-
     docs = load(spark, sf_dir, "documents")
-    rate = F.coalesce(
-        *[
-            F.when(F.col("lang") == lang, F.lit(permille))
-            for lang, permille in TX08_RATES.items()
-        ],
-        F.lit(0),
-    )
-    bucket = portable_hash(
-        F.concat(F.lit("tx08|"), F.col("doc_id").cast("string"))
-    ) % 1000
+    bucket, keep = stratified_keep("tx08")
     return docs.select(
         "doc_id", "lang", "source", bucket.alias("bucket")
-    ).filter(bucket < rate)
+    ).filter(keep)
 
 
 def _oracle_tx08() -> str:
@@ -361,13 +398,11 @@ def _oracle_tx08() -> str:
     )
 
     h = oracle_portable_hash("'tx08|' || CAST(doc_id AS VARCHAR)")
-    cases = " ".join(
-        f"WHEN '{lang}' THEN {p}" for lang, p in TX08_RATES.items()
-    )
+    where = stratified_keep_where("tx08")
     return f"""
 SELECT doc_id, lang, source, {h} % 1000 AS bucket
 FROM documents
-WHERE {h} % 1000 < (CASE lang {cases} ELSE 0 END)
+WHERE {where}
 """
 
 
@@ -443,9 +478,11 @@ def tx10_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         toks.alias("n_tokens"),
         # mean word length: total non-space chars / token count
+        # (nullif: a zero-token doc gets NULL — the too_short rule
+        # already forces keep=false, so the null never decides)
         F.round(
             F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
-            / toks.cast("double"),
+            / F.nullif(toks, F.lit(0)).cast("double"),
             6,
         ).alias("mean_word_len"),
         F.regexp_count("text", F.lit(STOPWORD_PAT)).alias("n_stopwords"),

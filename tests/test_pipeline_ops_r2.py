@@ -89,3 +89,80 @@ def test_vec02_error_bounded_by_half_step(spark, sf_dir):
     ).count()
     assert viol == 0
     assert out.count() == load(spark, sf_dir, "embeddings").count()
+
+
+def test_mm03_frames_chunk_bytes_not_chars(spark):
+    """The multi-byte contract the SQL oracle can't express (DuckDB
+    has no blob substring/md5): frames chunk the UTF-8 BYTE payload —
+    a codepoint may split across frames — verified against hashlib
+    over raw bytes."""
+    import hashlib
+
+    from flink_streaming_platform_web_spark.operators.multimodal import (
+        FRAME_STRIDE,
+        sample_frames,
+        with_binary_payload,
+    )
+
+    text = "café €uro " * 20  # multi-byte chars crossing stride bounds
+    raw = text.encode()
+    assert len(raw) > len(text)  # really multi-byte
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["frame_idx"]: (r["frame_bytes"], r["frame_digest"])
+        for r in sample_frames(with_binary_payload(df)).collect()
+    }
+    want = {
+        i // FRAME_STRIDE: (
+            len(raw[i : i + FRAME_STRIDE]),
+            hashlib.md5(raw[i : i + FRAME_STRIDE]).hexdigest(),
+        )
+        for i in range(0, len(raw), FRAME_STRIDE)
+    }
+    assert got == want
+
+
+def test_short_and_empty_docs_survive_text_dedup_ops(spark):
+    """Docs with <3 tokens (no shingles) and zero tokens (no quality
+    denominator) must flow through the pipeline ops without faulting
+    under ANSI — short corpora are normal at ingest."""
+    from flink_streaming_platform_web_spark.operators.dedup import (
+        _shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "  "), (4, "three word doc")],
+        "doc_id long, text string",
+    )
+    sh = _shingles(df)
+    assert {r["doc_id"] for r in sh.collect()} == {4}
+
+
+def test_salted_join_spreads_duplicate_hot_rows(spark):
+    """1000 IDENTICAL rows of one hot key must spread across salts —
+    a content-derived salt would put them all in one task, defeating
+    the whole point."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_platform_web_spark.operators.skew import (
+        salted_join,
+    )
+
+    big = spark.createDataFrame(
+        [(7, 1.0)] * 1000, "k long, v double"
+    )
+    small = spark.createDataFrame([(7, "x")], "k long, name string")
+    joined = salted_join(big, small, "k", n_salts=8)
+    assert joined.count() == 1000  # semantics unchanged
+    salts = (
+        big.select(
+            F.floor(F.rand(42) * 8).cast("int").alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert salts >= 4  # duplicates really spread over multiple salts
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", how="full")
