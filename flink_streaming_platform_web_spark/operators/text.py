@@ -278,37 +278,68 @@ QUALIFY rnk <= 10
 """
 
 
+# Bigram array built per row from a pre-split `toks` array column: zip
+# of the token array with its own tail — no self-join, no explode, and
+# the split happens ONCE per row (an element_at(split(...)) inside the
+# lambda would re-split per element: O(tokens²) on long docs). Docs
+# with <2 tokens yield an empty array.
+_BIGRAMS_EXPR = (
+    "zip_with(slice(toks, 1, size(toks) - 1),"
+    " slice(toks, 2, size(toks) - 1),"
+    " (x, y) -> concat(x, ' ', y))"
+)
+
+
+def _bigram_top_run() -> "F.Column":
+    """Max multiplicity of any bigram in the row's `bigrams` column,
+    computed entirely array-side: sort the array, then a sequential
+    fold counts the longest run of equal neighbours. Equal strings are
+    adjacent after array_sort, so max-run == max per-bigram count —
+    the same number tx07's old groupBy(doc_id, bigram).max produced,
+    with ZERO Exchange. The fold is a Catalyst higher-order function
+    (whole-stage codegen, no Python)."""
+    return F.expr(
+        "aggregate(array_sort(bigrams),"
+        " named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', if(x <=> acc.prev, acc.run + 1L, 1L),"
+        "   'best', greatest(acc.best,"
+        "                    if(x <=> acc.prev, acc.run + 1L, 1L))),"
+        " acc -> acc.best)"
+    )
+
+
 def tx07_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: per document, the fraction of
     2-gram occurrences taken by the most frequent 2-gram, plus the
     distinct-bigram ratio. High top-bigram fraction flags boilerplate/
     spam for a training-data quality filter.
 
-    Shape: bigrams are built ARRAY-SIDE per row (zip of the token
-    array with its own tail — no self-join), then one exploded count
-    keyed by (doc_id, bigram) and one per-doc roll-up. Both aggs
-    combine map-side; integer max/sum then a single IEEE division keep
-    the doubles engine-portable (_portable.py rule 2)."""
+    Shape: a per-document statistic computed per row — bigrams are
+    built ARRAY-SIDE (_BIGRAMS_EXPR), the top-bigram count is a sorted-
+    array run-length fold (_bigram_top_run), distinct/total are
+    size(array_distinct)/size. ZERO shuffles: the r2 verdict flagged
+    the old explode→groupBy×2 shape as the last corpus-wide shuffle for
+    a per-doc stat; at 100 TB this version is scan-bound, full stop.
+    Integer max/size then a single IEEE division keep the doubles
+    engine-portable (_portable.py rule 2)."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    bigrams = F.expr(
-        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
-        " (x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))"
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    with_b = toked.filter(F.size("toks") >= 2).select(
+        "doc_id", F.expr(_BIGRAMS_EXPR).alias("bigrams")
     )
-    exploded = docs.select(
-        "doc_id", F.explode(bigrams).alias("bigram")
-    ).filter(F.size(toks) >= 2)
-    per_bigram = exploded.groupBy("doc_id", "bigram").agg(
-        F.count("*").alias("n")
-    )
-    return per_bigram.groupBy("doc_id").agg(
-        F.sum("n").alias("n_bigrams"),
-        (F.max("n").cast("double") / F.sum("n").cast("double")).alias(
+    n = F.size("bigrams")
+    return with_b.select(
+        "doc_id",
+        n.cast("bigint").alias("n_bigrams"),
+        (_bigram_top_run().cast("double") / n.cast("double")).alias(
             "top_bigram_frac"
         ),
-        (F.count("*").cast("double") / F.sum("n").cast("double")).alias(
-            "distinct_frac"
-        ),
+        (
+            F.size(F.array_distinct("bigrams")).cast("double")
+            / n.cast("double")
+        ).alias("distinct_frac"),
     )
 
 
@@ -463,13 +494,15 @@ TX10_MAX_TOP_BIGRAM = 0.30
 def tx10_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher-rule keep/drop decision with per-document
     reason labels — the actual gate a pretraining pipeline applies
-    after scoring. Composes tx07's repetition signal (left join on
-    doc_id; docs too short for bigrams pass that rule) with pure
-    columnar length/stopword rules. One shuffle total (tx07's per-doc
-    agg) — the rule evaluation itself is scan-bound."""
-    docs = load(spark, sf_dir, "documents")
-    rep = tx07_bigram_repetition(spark, sf_dir).select(
-        "doc_id", "top_bigram_frac"
+    after scoring. tx07's repetition signal is computed INLINE on the
+    same scan (it is per-row since the r3 zero-shuffle rewrite — the
+    old version left-joined a per-doc agg back onto documents; both
+    sides were the same table, so the join was a self-shuffle for
+    nothing). ZERO shuffles: rule evaluation is scan-bound. Docs too
+    short for bigrams (empty bigram array) get frac 0.0 — identical
+    to the old left-join-null→coalesce semantics."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("toks")
     )
     toks = F.size(
         F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
@@ -486,8 +519,13 @@ def tx10_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_word_len"),
         F.regexp_count("text", F.lit(STOPWORD_PAT)).alias("n_stopwords"),
-    ).join(rep, "doc_id", "left")
-    frac = F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+        F.expr(_BIGRAMS_EXPR).alias("bigrams"),
+    )
+    frac = F.when(
+        F.size("bigrams") >= 1,
+        _bigram_top_run().cast("double")
+        / F.size("bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
     r_short = F.col("n_tokens") < TX10_MIN_TOKENS
     r_long = F.col("n_tokens") > TX10_MAX_TOKENS
     r_wordlen = (F.col("mean_word_len") < TX10_WORD_LEN_LO) | (

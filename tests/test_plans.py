@@ -215,6 +215,36 @@ def test_tx09_scrub_is_pure_scan_rewrite(spark, sf_dir):
     assert "Python" not in plan
 
 
+def test_tx07_bigram_repetition_zero_shuffle(spark, sf_dir):
+    """tx07 is a per-document statistic: the r2 verdict flagged its old
+    explode→groupBy×2 shape as two corpus-wide shuffles for no
+    cross-row need. The rewrite computes the bigram histogram
+    array-side (sorted-array run-length fold) — the plan must stay a
+    pure scan rewrite forever: no Exchange, no Python."""
+    from flink_streaming_platform_web_spark.operators.text import (
+        tx07_bigram_repetition,
+    )
+    from flink_streaming_platform_web_spark.plans import executed_plan
+
+    plan = executed_plan(tx07_bigram_repetition(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_tx10_quality_filter_zero_shuffle(spark, sf_dir):
+    """tx10 used to left-join tx07's per-doc agg back onto documents —
+    a self-shuffle of the same scan. With tx07 per-row, the repetition
+    rule is inline and the whole Gopher gate is scan-bound."""
+    from flink_streaming_platform_web_spark.operators.text import (
+        tx10_quality_filter,
+    )
+    from flink_streaming_platform_web_spark.plans import executed_plan
+
+    plan = executed_plan(tx10_quality_filter(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
 def test_dd09_chunk_dedup_shuffle_budget(spark, sf_dir):
     """Chunk dedup: first-occurrence window (1 exchange on chunk),
     per-doc reassembly + totals (exchanges on doc_id), and the final
