@@ -297,23 +297,15 @@ class JobManager:
                 for q in dead:
                     if q.exception() is not None:
                         exc = q.exception()
-                # a PARTIALLY-dead multi-query job: stop the surviving
-                # siblings before untracking, or they keep writing
-                # forever (and an auto-restart would run duplicates)
-                for q in rj.result.streaming_queries:
-                    try:
-                        if q.isActive:
-                            q.stop()
-                            q.awaitTermination(30)
-                    except Exception:
-                        pass
             candidates.append((job_id, rj, exc))
         affected, alarms_due, restarts_due = [], [], []
+        claimed: list[RunningJob] = []
         with self._lock:
             for job_id, rj, exc in candidates:
                 if self.running.get(job_id) is not rj:
                     continue  # raced with stop()/restart — theirs wins
                 self.running.pop(job_id)
+                claimed.append(rj)
                 affected.append(job_id)
                 job = self.store.get_job(job_id)
                 self.store.set_status(job_id, "FAIL" if exc else "STOP")
@@ -331,6 +323,22 @@ class JobManager:
                     and rj.restarts < cfg.max_restarts
                 ):
                     restarts_due.append((job_id, rj))
+        # a PARTIALLY-dead multi-query job: stop the surviving siblings
+        # or they keep writing forever (and an auto-restart would run
+        # duplicates). This runs AFTER the job is claimed under the
+        # lock — the old pre-claim stop could race a concurrent
+        # operator stop() and kill queries while that stop()'s
+        # savepoint-before-stop was in flight (ADVICE r02). Stops stay
+        # lock-free (py4j calls must not stall other verbs) and happen
+        # before any auto-restart below, so no duplicate writers.
+        for rj in claimed:
+            for q in rj.result.streaming_queries:
+                try:
+                    if q.isActive:
+                        q.stop()
+                        q.awaitTermination(30)
+                except Exception:
+                    pass
         for job_id, message in alarms_due:
             self._alarm(job_id, message)
         for job_id, rj in restarts_due:

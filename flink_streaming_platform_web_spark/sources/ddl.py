@@ -128,6 +128,39 @@ _INTERVAL_RE = re.compile(
 # nesting, or the splitter silently merges the following column defs
 _GENERIC_TYPES = {"array", "map", "row", "multiset"}
 
+# SQL keywords that can never appear inside a generic type-argument
+# list — seeing one between '<' and its candidate '>' proves the '<'
+# was a comparison (`flag AS CASE WHEN map < 3 THEN ... x > 1 END`)
+_NON_TYPE_KEYWORDS = {"and", "or", "then", "else", "when", "case", "end"}
+
+
+def _angle_opens_type(text: str, i: int) -> bool:
+    """True iff the '<' at ``text[i]`` starts a generic type-argument
+    list. A column named after a type constructor (`map`, `row`, …)
+    used in a computed-column comparison would otherwise open an
+    unclosed angle depth and silently merge all following column defs
+    (ADVICE r02). Three tests: the bracket must CLOSE with a balanced
+    '>', everything between must be type-expression text (identifiers,
+    digits, whitespace, commas, parens, nested angles — a string
+    literal or operator fails), and no expression keyword (AND/THEN/…)
+    may appear inside."""
+    depth = 0
+    for j in range(i, len(text)):
+        ch = text[j]
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+            if depth == 0:
+                body = text[i + 1 : j]
+                return not any(
+                    w.lower() in _NON_TYPE_KEYWORDS
+                    for w in re.findall(r"[A-Za-z_]\w*", body)
+                )
+        elif not (ch.isalnum() or ch in "_ \t\r\n,()"):
+            return False
+    return False
+
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
     """Split on `sep` outside parens/quotes/generic-type brackets."""
@@ -146,7 +179,9 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
             elif ch == "<":
                 word = re.search(r"(\w+)\s*$", text[:i])
                 if angle > 0 or (
-                    word and word.group(1).lower() in _GENERIC_TYPES
+                    word
+                    and word.group(1).lower() in _GENERIC_TYPES
+                    and _angle_opens_type(text, i)
                 ):
                     angle += 1
             elif ch == ">" and angle > 0:
@@ -199,6 +234,17 @@ def _flink_interval_to_spark(expr: str) -> str | None:
         return None
     unit = m.group("unit").lower()
     return f"{m.group('n')} {unit}s"
+
+
+def looks_like_connector_ddl(statement: str) -> bool:
+    """True if a CREATE TABLE is Flink-connector-shaped — it carries a
+    ``WITH ('connector' = …)`` clause. The runner uses this to decide
+    whether a DDLParseError is a real user error (connector DDL with a
+    typo → surface OUR precise message) or a Spark catalog statement
+    (``USING parquet``, TBLPROPERTIES, …) that should pass through to
+    spark.sql verbatim (ADVICE r02: a passthrough of broken connector
+    DDL produced a confusing Spark ParseException instead)."""
+    return re.search(r"'connector'\s*=", statement) is not None
 
 
 def parse_create_table(statement: str) -> TableDef:

@@ -564,12 +564,18 @@ def jdbc_upsert_foreach_batch(table: TableDef):
         _jdbc_writer_opts(opts, target)(batch.limit(0).write, batch).mode(
             "append"
         ).save()
+        # MERGE then DROP the stage in one connection: the stage name
+        # is per-writer-unique (uuid), so without the drop every job
+        # start/restart/batch-write left a permanent <target>_stage_*
+        # table in the target database (ADVICE r02). Spark's overwrite
+        # save recreates it next micro-batch.
         jdbc_execute(
             spark,
             opts,
             build_merge_sql(
                 target, stage, batch.columns, table.primary_key
             ),
+            f"DROP TABLE {stage}",
         )
 
     return apply
@@ -725,12 +731,40 @@ def jdbc_delete_rows(
     target = opts["dbtable"]
 
     def lit(v) -> str:
+        # key values become SQL literals; each supported type renders
+        # in the form the column type actually compares against
+        # (ADVICE r02: str() emitted invalid SQL for inf/nan and
+        # relied on accidental format matches for temporals)
+        import datetime as _dt
+        import decimal as _decimal
+        import math as _math
+
         if v is None:
             return "NULL"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
-        if isinstance(v, (int, float)):
+        if isinstance(v, float):
+            if not _math.isfinite(v):
+                raise ValueError(
+                    f"non-finite float {v!r} in CDC delete key — no "
+                    "portable SQL literal exists; refuse rather than "
+                    "emit invalid SQL or silently match nothing"
+                )
+            return repr(v)
+        if isinstance(v, int):
             return str(v)
+        if isinstance(v, _decimal.Decimal):
+            return str(v)
+        # CAST('…' AS type) is the portable temporal literal — Derby
+        # rejects the ANSI `DATE '…'` keyword-literal form
+        if isinstance(v, _dt.datetime):
+            frac = f".{v.microsecond:06d}" if v.microsecond else ""
+            ts = v.strftime("%Y-%m-%d %H:%M:%S") + frac
+            return f"CAST('{ts}' AS TIMESTAMP)"
+        if isinstance(v, _dt.date):
+            return f"CAST('{v.isoformat()}' AS DATE)"
+        if isinstance(v, _dt.time):
+            return f"CAST('{v.strftime('%H:%M:%S')}' AS TIME)"
         return "'" + str(v).replace("'", "''") + "'"
 
     def key_pred(row: dict) -> str:

@@ -22,6 +22,7 @@ from pyspark.sql import SparkSession
 
 from flink_streaming_platform_web_spark.sources.ddl import (
     DDLParseError,
+    looks_like_connector_ddl,
     parse_create_table,
 )
 from flink_streaming_platform_web_spark.sql.script import (
@@ -68,9 +69,20 @@ def validate_script(
         cmd, stmt = call.command, call.statement
         try:
             if cmd == SqlCommand.CREATE_TABLE:
-                t = parse_create_table(stmt)
-                if not t.connector:
+                # same passthrough rule as JobRunner.execute_script:
+                # a non-connector CREATE TABLE that our DDL parser
+                # rejects is a Spark catalog statement — validate it
+                # with Spark's parser instead of rejecting a script
+                # the runner would happily execute (ADVICE r02)
+                try:
+                    t = parse_create_table(stmt)
+                except DDLParseError:
+                    if looks_like_connector_ddl(stmt):
+                        raise
                     _spark_parse(spark, stmt)
+                else:
+                    if not t.connector:
+                        _spark_parse(spark, stmt)
             elif cmd == SqlCommand.SET:
                 parse_set(stmt)
             elif cmd in (SqlCommand.INSERT_INTO, SqlCommand.INSERT_OVERWRITE):

@@ -278,11 +278,18 @@ class JobRunner:
             if cmd == SqlCommand.CREATE_TABLE:
                 from flink_streaming_platform_web_spark.sources.ddl import (
                     DDLParseError,
+                    looks_like_connector_ddl,
                 )
 
                 try:
                     t = parse_create_table(stmt)
                 except DDLParseError:
+                    # connector-shaped DDL that fails OUR parser is a
+                    # user error (typo in the WITH clause) — surface
+                    # the precise DDL message, don't let spark.sql
+                    # turn it into a confusing ParseException
+                    if looks_like_connector_ddl(stmt):
+                        raise
                     # not connector DDL (Spark `USING parquet`,
                     # catalog-specific clauses): the catalog-table
                     # passthrough must still reach spark.sql

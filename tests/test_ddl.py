@@ -154,3 +154,48 @@ def test_partitioned_by_trailer():
            WITH ('connector' = 'filesystem', 'path' = '/x')"""
     )
     assert t.partitioned_by == ["dt"]
+
+
+def test_type_named_column_in_comparison():
+    """A column actually NAMED after a type constructor (`map`) used
+    in a computed-column comparison must not open a generic bracket —
+    the old splitter merged every following column def (ADVICE r02)."""
+    t = parse_create_table(
+        """CREATE TABLE t (
+             map INT,
+             flag AS CASE WHEN map < 3 THEN 1 ELSE 0 END,
+             b MAP<STRING, INT>,
+             c INT
+           ) WITH ('connector' = 'memory')"""
+    )
+    names = [c.name for c in t.columns]
+    assert names == ["map", "flag", "b", "c"]
+    assert t.columns[2].spark_type == "MAP<STRING, INT>"
+
+
+def test_type_named_column_two_comparisons():
+    """`row < a AND x > b` must not read as a generic bracket even
+    though a balanced '>' exists later — the keyword filter proves it
+    is expression text."""
+    t = parse_create_table(
+        """CREATE TABLE t (
+             row INT,
+             x INT,
+             flag AS CASE WHEN row < 3 AND x > 1 THEN 1 ELSE 0 END,
+             c INT
+           ) WITH ('connector' = 'memory')"""
+    )
+    assert [c.name for c in t.columns] == ["row", "x", "flag", "c"]
+
+
+def test_looks_like_connector_ddl():
+    from flink_streaming_platform_web_spark.sources.ddl import (
+        looks_like_connector_ddl,
+    )
+
+    assert looks_like_connector_ddl(
+        "CREATE TABLE t (a INT) WITH ('connector' = 'kafka')"
+    )
+    assert not looks_like_connector_ddl(
+        "CREATE TABLE t (a INT) USING parquet"
+    )

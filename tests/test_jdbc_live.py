@@ -234,3 +234,86 @@ def test_cdc_script_into_live_jdbc_sink(spark, tmp_path):
         for r in _read_table(spark, url, "users_out").collect()
     }
     assert got == {1: "a2"}  # update applied, key 2 deleted
+
+
+def _user_tables(spark, url):
+    return [
+        r[0]
+        for r in spark.read.format("jdbc")
+        .option("url", url)
+        .option(
+            "query",
+            "SELECT tablename FROM sys.systables WHERE tabletype = 'T'",
+        )
+        .load()
+        .collect()
+    ]
+
+
+def test_jdbc_upsert_leaves_no_stage_table(spark, tmp_path):
+    """The per-writer uuid stage table must be dropped after each
+    MERGE — the old writer left a permanent <target>_stage_<hex> table
+    per job start / batch write (ADVICE r02)."""
+    url = _derby_url(tmp_path)
+    runner = JobRunner(spark, mode="batch")
+    runner.execute_script(
+        f"""
+        CREATE TABLE g (k BIGINT, v BIGINT) WITH
+          ('connector'='datagen', 'number-of-rows'='3',
+           'fields.k.kind'='sequence', 'fields.k.start'='1',
+           'fields.k.end'='3');
+        CREATE TABLE out (k BIGINT, v BIGINT,
+          PRIMARY KEY (k) NOT ENFORCED)
+          WITH ('connector'='jdbc', 'url'='{url}',
+                'table-name'='leak_t');
+        INSERT INTO out SELECT k, 1 AS v FROM g;
+        INSERT INTO out SELECT k, 2 AS v FROM g;
+        """
+    )
+    tables = _user_tables(spark, url)
+    assert any(t.upper() == "LEAK_T" for t in tables)
+    assert not any("STAGE" in t.upper() for t in tables), tables
+
+
+def test_jdbc_delete_rows_temporal_keys(spark, tmp_path):
+    """CDC delete with DATE/TIMESTAMP keys renders typed SQL literals
+    (ADVICE r02: str() relied on accidental format matches)."""
+    import datetime
+
+    url = _derby_url(tmp_path)
+    spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 1), 1),
+            (datetime.date(2024, 1, 2), 2),
+        ],
+        "d date, v int",
+    ).write.format("jdbc").option("url", url).option(
+        "dbtable", "dt_t"
+    ).save()
+    table = parse_create_table(
+        f"""CREATE TABLE s (d DATE, v INT,
+              PRIMARY KEY (d) NOT ENFORCED)
+            WITH ('connector'='jdbc', 'url'='{url}',
+                  'table-name'='dt_t')"""
+    )
+    registry.jdbc_delete_rows(
+        spark, table, [{"d": datetime.date(2024, 1, 1)}]
+    )
+    assert [r["v"] for r in _read_table(spark, url, "dt_t").collect()] == [2]
+
+
+def test_jdbc_delete_rows_nonfinite_rejected(spark, tmp_path):
+    """inf/nan key values have no SQL literal — refuse loudly instead
+    of emitting invalid SQL or silently matching nothing."""
+    url = _derby_url(tmp_path)
+    spark.createDataFrame([(1.0, 1)], "k double, v int").write.format(
+        "jdbc"
+    ).option("url", url).option("dbtable", "nf_t").save()
+    table = parse_create_table(
+        f"""CREATE TABLE s (k DOUBLE, v INT,
+              PRIMARY KEY (k) NOT ENFORCED)
+            WITH ('connector'='jdbc', 'url'='{url}',
+                  'table-name'='nf_t')"""
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        registry.jdbc_delete_rows(spark, table, [{"k": float("nan")}])

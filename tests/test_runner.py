@@ -274,3 +274,21 @@ def test_read_once_mirror_fanout_for_aggregates(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_runner_connector_ddl_typo_raises_ddl_error(spark):
+    """execute_script must surface the precise DDLParseError for
+    connector-shaped DDL with a typo instead of passing the statement
+    to spark.sql and failing with a confusing ParseException
+    (ADVICE r02)."""
+    import pytest
+
+    from flink_streaming_platform_web_spark.sources.ddl import (
+        DDLParseError,
+    )
+
+    runner = JobRunner(spark, mode="batch")
+    with pytest.raises(DDLParseError, match="unsupported type"):
+        runner.execute_script(
+            "CREATE TABLE k (a FOOTYPE) WITH ('connector' = 'kafka');"
+        )

@@ -56,3 +56,28 @@ def test_validate_without_session():
     # classification-only validation still enforces business rules
     r = validate_script("SELECT 1;")
     assert not r.ok
+
+
+def test_catalog_ddl_passthrough_accepted(spark):
+    """A Spark catalog CREATE TABLE (USING parquet — not connector
+    DDL) must validate the same way the runner executes it: via
+    Spark's parser, not a DDLParseError (ADVICE r02: validation and
+    execution diverged)."""
+    r = validate_script(
+        """CREATE TABLE cat_t (a INT) USING parquet;
+           INSERT INTO cat_t SELECT 1;""",
+        spark,
+    )
+    assert r.ok, r.errors
+
+
+def test_connector_ddl_typo_precise_error(spark):
+    """Connector-shaped DDL with a broken column type surfaces OUR
+    DDL error, not a Spark ParseException passthrough."""
+    r = validate_script(
+        """CREATE TABLE k (a FOOTYPE) WITH ('connector' = 'kafka');
+           INSERT INTO x SELECT * FROM k;""",
+        spark,
+    )
+    assert not r.ok
+    assert any("unsupported type" in e for e in r.errors), r.errors
