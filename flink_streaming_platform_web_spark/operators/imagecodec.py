@@ -1,0 +1,311 @@
+"""Pure-stdlib image codec: 24-bit BMP and 8-bit-RGB PNG.
+
+The multimodal pipeline (multimodal.py) needs a REAL decoder behind
+its `set_decoder` seam — the container has no PIL/ffmpeg, but BMP is
+plain struct-packing and PNG is chunks + zlib, both fully in the
+stdlib. The round-1/2 deterministic fake never decoded a byte; with
+this module mm02 synthesizes real image files and the decode stage
+parses real headers (and, in tests, real pixels).
+
+Supported surface (deliberately the common denominator a
+training-data pipeline meets):
+- BMP: BITMAPINFOHEADER, 24bpp, uncompressed (BI_RGB), bottom-up rows
+  with 4-byte padding — the format every encoder on earth can write.
+- PNG: 8-bit/channel, color type 2 (truecolor RGB), non-interlaced;
+  all five scanline filters (None/Sub/Up/Average/Paeth) on decode,
+  configurable filter on encode (tests exercise every unfilter path);
+  zlib level 0 (stored) on encode so the file size is a closed-form
+  function of the dimensions — the DuckDB oracle for mm02 exploits
+  that to hash-check the full encode→decode round trip.
+
+Anything else (interlace, palettes, 16-bit, other color types) raises
+ValueError loudly — a 100 TB pipeline must quarantine undecodable
+payloads, not guess.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# --------------------------------------------------------------------------
+# BMP — 24bpp BI_RGB
+# --------------------------------------------------------------------------
+
+
+def _bmp_row_size(width: int) -> int:
+    return (width * 3 + 3) & ~3
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """24-bit uncompressed BMP from top-down RGB triples.
+
+    ``rgb`` is ``width*height*3`` bytes, row-major, top row first.
+    File size is exactly ``54 + height * ((width*3 + 3) & ~3)``.
+    """
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"need {width * height * 3} RGB bytes, got {len(rgb)}"
+        )
+    row_size = _bmp_row_size(width)
+    pad = b"\x00" * (row_size - width * 3)
+    # BMP stores rows bottom-up and pixels as BGR; the channel swap is
+    # three strided slice copies, not a per-pixel Python loop
+    body = bytearray()
+    for y in range(height - 1, -1, -1):
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        bgr = bytearray(row)
+        bgr[0::3] = row[2::3]
+        bgr[2::3] = row[0::3]
+        body += bgr
+        body += pad
+    size = 54 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    return header + info + bytes(body)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
+    """-> (width, height, top-down RGB bytes)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    header_size, width, height = struct.unpack_from("<Iii", data, 14)
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP: {bpp}bpp compression={compression}"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = _bmp_row_size(width)
+    out = bytearray()
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        base = offset + src_y * row_size
+        if base + width * 3 > len(data):
+            raise ValueError("truncated BMP pixel data")
+        bgr = data[base : base + width * 3]
+        rgb = bytearray(bgr)
+        rgb[0::3] = bgr[2::3]
+        rgb[2::3] = bgr[0::3]
+        out += rgb
+    return width, height, bytes(out)
+
+
+# --------------------------------------------------------------------------
+# PNG — 8-bit truecolor, non-interlaced
+# --------------------------------------------------------------------------
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _filter_row(
+    ftype: int, row: bytes, prev: bytes, bpp: int
+) -> bytes:
+    if ftype == 0:
+        return row
+    out = bytearray(len(row))
+    for i, x in enumerate(row):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 1:
+            out[i] = (x - a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x - b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x - (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            out[i] = (x - _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+    return bytes(out)
+
+
+def _unfilter_row(
+    ftype: int, row: bytearray, prev: bytes, bpp: int
+) -> None:
+    if ftype == 0:
+        return
+    for i in range(len(row)):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 1:
+            row[i] = (row[i] + a) & 0xFF
+        elif ftype == 2:
+            row[i] = (row[i] + b) & 0xFF
+        elif ftype == 3:
+            row[i] = (row[i] + (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            row[i] = (row[i] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter type {ftype}")
+
+
+def encode_png(
+    width: int,
+    height: int,
+    rgb: bytes,
+    filter_type: int = 0,
+    compress_level: int = 0,
+) -> bytes:
+    """8-bit RGB non-interlaced PNG from top-down RGB triples.
+
+    With the defaults (filter 0, zlib level 0 = stored blocks) the
+    file size is closed-form: raw = height*(1 + 3*width); for
+    raw <= 65535 the file is exactly ``68 + raw`` bytes — the mm02
+    oracle replays this arithmetic in SQL to hash-check real encodes.
+    """
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"need {width * height * 3} RGB bytes, got {len(rgb)}"
+        )
+    stride = width * 3
+    prev = bytes(stride)
+    raw = bytearray()
+    for y in range(height):
+        row = rgb[y * stride : (y + 1) * stride]
+        raw.append(filter_type)
+        raw += _filter_row(filter_type, row, prev, 3)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(raw), compress_level)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """-> (width, height, top-down RGB bytes). Verifies chunk CRCs."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if crc != (zlib.crc32(ctype + payload) & 0xFFFFFFFF):
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_v, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", payload)
+            )
+            if (depth, ctype_v, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG variant: depth="
+                    f"{depth} color={ctype_v} interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * 3
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        base = y * (1 + stride)
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        _unfilter_row(raw[base], row, prev, 3)
+        out += row
+        prev = bytes(row)
+    return width, height, bytes(out)
+
+
+# --------------------------------------------------------------------------
+# format-sniffing entry points
+# --------------------------------------------------------------------------
+
+
+def decode_image(data: bytes) -> tuple[int, int, str, bytes]:
+    """Sniff the magic bytes and decode. -> (w, h, format, rgb)."""
+    if data.startswith(_PNG_SIG):
+        w, h, rgb = decode_png(data)
+        return w, h, "png", rgb
+    if data[:2] == b"BM":
+        w, h, rgb = decode_bmp(data)
+        return w, h, "bmp", rgb
+    raise ValueError(
+        f"undecodable payload (magic {data[:8]!r}) — quarantine, "
+        "don't guess"
+    )
+
+
+def decode_image_meta(data: bytes) -> tuple[int, int, str]:
+    """The `set_decoder`-shaped entry: header-only metadata decode.
+
+    Parses and VALIDATES the real header (PNG: signature + IHDR CRC +
+    variant check; BMP: magic + bpp/compression fields) without
+    touching pixel data — the shape a 100 TB metadata pass actually
+    runs. Full pixel decode stays available via `decode_image`."""
+    if data.startswith(_PNG_SIG):
+        pos = len(_PNG_SIG)
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if ctype != b"IHDR" or len(payload) != 13:
+            raise ValueError("PNG missing leading IHDR")
+        if crc != (zlib.crc32(ctype + payload) & 0xFFFFFFFF):
+            raise ValueError("PNG IHDR CRC mismatch")
+        w, h, depth, ctype_v, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", payload
+        )
+        if (depth, ctype_v, comp, filt, interlace) != (8, 2, 0, 0, 0):
+            raise ValueError(
+                f"unsupported PNG variant: depth={depth} "
+                f"color={ctype_v} interlace={interlace}"
+            )
+        return w, h, "png"
+    if data[:2] == b"BM":
+        if len(data) < 54:
+            raise ValueError("truncated BMP header")
+        _, w, h = struct.unpack_from("<Iii", data, 14)
+        _, bpp, compression = struct.unpack_from("<HHI", data, 26)
+        if bpp != 24 or compression != 0:
+            raise ValueError(
+                f"unsupported BMP: {bpp}bpp compression={compression}"
+            )
+        return w, abs(h), "bmp"
+    raise ValueError(
+        f"undecodable payload (magic {data[:8]!r}) — quarantine, "
+        "don't guess"
+    )

@@ -3,16 +3,21 @@
 Pattern for image/audio/video at 100 TB: the payload is a `binary`
 column that never leaves the executor JVM except through Arrow batches
 into a Pandas UDF (`mapInPandas`), which decodes / feature-extracts /
-resizes in vectorized chunks. The decode libraries (PIL/ffmpeg/etc.)
-are NOT in this container, so the decode kernel is stubbed behind
-``set_decoder`` with a deterministic fake — the Spark-side plumbing
-(schema, Arrow batch shape, partitioning) is real and tested.
+resizes in vectorized chunks. The container has no PIL/ffmpeg, but the
+default decoder is REAL: a pure-stdlib BMP/PNG codec (imagecodec.py)
+that parses actual file headers (PNG signature + IHDR + CRC, BMP
+BITMAPINFOHEADER) and, when asked, actual pixels. ``set_decoder``
+remains the seam for swapping in PIL/ffmpeg-backed codecs.
 
 mm01 exercises the pure-JVM metadata path (no Python). mm02 drives the
-full mapInPandas pipeline with the deterministic fake decoder; because
-the fake derives (width, height, format) from byte length alone, the
-DuckDB oracle can replay it and the Arrow plumbing gets a strong
-value-hash check, not just a row count.
+full mapInPandas pipeline end-to-end with REAL files: each document's
+bytes are deterministically rendered into a real PNG (zlib stored
+blocks) or BMP, then decoded back. Because the synthesis rule is
+arithmetic in the source byte length — and stored-block PNG/24bpp BMP
+file sizes are closed-form in (width, height) — the DuckDB oracle
+predicts the exact byte size and dimensions of every generated file,
+so the value-hash gate proves the encode→decode round trip, not just
+the Arrow plumbing.
 """
 
 from __future__ import annotations
@@ -45,23 +50,19 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, str]:
-    """Deterministic stand-in for an image decoder: derives a plausible
-    (width, height, format) from the payload length. Replace via
-    ``set_decoder`` when a real codec library is available."""
-    n = len(payload)
-    return (n % 64 + 1, n % 48 + 1, "png" if n % 2 == 0 else "jpeg")
+from flink_streaming_platform_web_spark.operators.imagecodec import (
+    decode_image_meta,
+    encode_bmp,
+    encode_png,
+)
 
-
-_decoder: Callable[[bytes], tuple[int, int, str]] = _fake_decode
+_decoder: Callable[[bytes], tuple[int, int, str]] = decode_image_meta
 
 
 def set_decoder(fn: Callable[[bytes], tuple[int, int, str]]) -> None:
-    """Install a real decoder (e.g. PIL-based). Not available in this
-    container — attempting to import one should raise::
-
-        raise NotImplementedError("image codec libs not in container")
-    """
+    """Swap the decode kernel (e.g. a PIL/ffmpeg-backed one). The
+    default is the pure-stdlib BMP/PNG header decoder
+    (imagecodec.decode_image_meta) — undecodable payloads raise."""
     global _decoder
     _decoder = fn
 
@@ -123,24 +124,84 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
-# mm02 — full mapInPandas decode pipeline with the deterministic fake
-# codec; oracle replays the fake's arithmetic on byte lengths.
+# mm02 — full mapInPandas encode→decode round trip over REAL files.
+#
+# Synthesis rule (deterministic in n = source byte length):
+#   width  = n % 64 + 1          (<= 64)
+#   height = n % 48 + 1          (<= 48)
+#   format = png if n even else bmp
+#   pixels = source bytes tiled to width*height*3
+# File sizes are then closed-form (imagecodec docstrings):
+#   png (stored zlib, one block since raw <= 48*193 < 65535):
+#       68 + height * (3*width + 1)
+#   bmp (24bpp): 54 + height * ((3*width + 3) & ~3)
+# The oracle predicts n_bytes/width/height/format of every REAL file;
+# a header mis-write, CRC bug, or decode drift breaks the hash.
 # --------------------------------------------------------------------------
+
+
+def render_image(data: bytes) -> bytes:
+    """Deterministically render source bytes as a real PNG or BMP."""
+    n = len(data)
+    w, h = n % 64 + 1, n % 48 + 1
+    need = w * h * 3
+    px = (
+        (data * (need // n + 1))[:need] if n else bytes(need)
+    )
+    return (
+        encode_png(w, h, px) if n % 2 == 0 else encode_bmp(w, h, px)
+    )
+
+
+def with_image_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload) where payload is a real image
+    file rendered from the doc's bytes (mapInPandas, Arrow-batched —
+    the synthesis stands in for reading real image blobs, which the
+    synthetic testdata lacks)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        render_image(t.encode("utf-8"))
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(render, schema)
 
 
 def mm02_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return decode_metadata(with_binary_payload(docs))
+    return decode_metadata(with_image_payload(docs))
 
 
 ORACLE_MM02 = """
+WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         octet_length(encode(text)) % 64 + 1 AS w,
+         octet_length(encode(text)) % 48 + 1 AS h
+  FROM documents
+)
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-       CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
-       CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height,
-       CASE WHEN octet_length(encode(text)) % 2 = 0
-            THEN 'png' ELSE 'jpeg' END AS format
-FROM documents
+       CAST(CASE WHEN n % 2 = 0
+                 THEN 68 + h * (3 * w + 1)
+                 ELSE 54 + h * (((3 * w + 3) // 4) * 4)
+            END AS INT) AS n_bytes,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CASE WHEN n % 2 = 0 THEN 'png' ELSE 'bmp' END AS format
+FROM m
 """
 
 

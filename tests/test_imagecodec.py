@@ -1,0 +1,105 @@
+"""Pure-stdlib BMP/PNG codec: known-image round trips and the mm02
+closed-form file-size contract the DuckDB oracle relies on."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_streaming_platform_web_spark.operators.imagecodec import (
+    decode_bmp,
+    decode_image,
+    decode_image_meta,
+    decode_png,
+    encode_bmp,
+    encode_png,
+)
+
+# 2x2 test image: red, green / blue, white (top-down RGB)
+PIX_2X2 = bytes(
+    [255, 0, 0, 0, 255, 0] + [0, 0, 255, 255, 255, 255]
+)
+
+
+def test_bmp_round_trip_known_pixels():
+    data = encode_bmp(2, 2, PIX_2X2)
+    w, h, rgb = decode_bmp(data)
+    assert (w, h) == (2, 2)
+    assert rgb == PIX_2X2
+    # closed-form size: 54 + h * ((3w+3) & ~3) = 54 + 2*8
+    assert len(data) == 70
+
+
+def test_png_round_trip_known_pixels():
+    data = encode_png(2, 2, PIX_2X2)
+    w, h, rgb = decode_png(data)
+    assert (w, h) == (2, 2)
+    assert rgb == PIX_2X2
+    # closed-form size with stored blocks: 68 + h*(3w+1) = 68 + 14
+    assert len(data) == 82
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_all_filter_types_decode(ftype):
+    """The decoder must unfilter every PNG scanline filter, not just
+    the one our encoder defaults to — real files in the wild use all
+    five."""
+    # 4x3 gradient-ish image so Sub/Up/Average/Paeth all differ
+    rgb = bytes((x * 17 + y * 31 + c * 7) % 256
+                for y in range(3) for x in range(4) for c in range(3))
+    data = encode_png(4, 3, rgb, filter_type=ftype)
+    w, h, out = decode_png(data)
+    assert (w, h, out) == (4, 3, rgb)
+
+
+def test_png_compressed_round_trip():
+    rgb = bytes(range(0, 48))
+    data = encode_png(4, 4, rgb, compress_level=9)
+    assert decode_png(data) == (4, 4, rgb)
+
+
+def test_decode_image_sniffs_format():
+    assert decode_image(encode_png(2, 2, PIX_2X2))[2] == "png"
+    assert decode_image(encode_bmp(2, 2, PIX_2X2))[2] == "bmp"
+
+
+def test_decode_image_meta_header_only():
+    assert decode_image_meta(encode_png(2, 2, PIX_2X2)) == (2, 2, "png")
+    assert decode_image_meta(encode_bmp(2, 2, PIX_2X2)) == (2, 2, "bmp")
+
+
+def test_undecodable_payload_raises():
+    with pytest.raises(ValueError, match="undecodable"):
+        decode_image_meta(b"not an image at all")
+    with pytest.raises(ValueError, match="undecodable"):
+        decode_image(b"JFIF-ish garbage")
+
+
+def test_corrupt_png_crc_raises():
+    data = bytearray(encode_png(2, 2, PIX_2X2))
+    # flip a bit inside the IHDR payload (width field)
+    data[18] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_image_meta(bytes(data))
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+
+
+def test_mm02_renders_real_decodable_files():
+    """mm02's synthesis rule produces real files whose size matches
+    the oracle's closed-form arithmetic."""
+    from flink_streaming_platform_web_spark.operators.multimodal import (
+        render_image,
+    )
+
+    for text in (b"hello world", b"x" * 200, b"ab", b""):
+        n = len(text)
+        w, h = n % 64 + 1, n % 48 + 1
+        payload = render_image(text)
+        expect = (
+            68 + h * (3 * w + 1)
+            if n % 2 == 0
+            else 54 + h * ((3 * w + 3) & ~3)
+        )
+        assert len(payload) == expect, (n, len(payload), expect)
+        got = decode_image_meta(payload)
+        assert got == (w, h, "png" if n % 2 == 0 else "bmp")
