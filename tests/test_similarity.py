@@ -40,3 +40,33 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     # sanity floor: random-ish sf0.001 embeddings quantize poorly
     # against per-label centroids, but the probe must find something
     assert r2 > 0.2
+
+
+def test_dd07_ivf_recall_vs_exact(spark, sf_dir):
+    """Pin dd07's measured IVF recall: candidate discovery at
+    nprobe=4 must recover >=95% of the pairs the exact quadratic
+    kernel (ann02) finds at sf0.01. A centroid-seeding or probe-
+    ranking change that silently degrades discovery fails here, not
+    in production (r2 verdict watch item: the 98% figure was
+    documented but unpinned)."""
+    from flink_streaming_platform_web_spark.operators.dedup import (
+        dd07_embed_neardup_docs,
+    )
+    from flink_streaming_platform_web_spark.operators.similarity import (
+        ann02_embed_neardup_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ann02_embed_neardup_pairs(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["id_a"], r["id_b"])
+        for r in dd07_embed_neardup_docs(spark, sf_dir).collect()
+    }
+    assert exact, "exact kernel found no pairs — fixture drifted"
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.95, f"IVF recall degraded: {recall:.3f}"
+    # IVF candidates are verified with the same cosine+threshold, so
+    # anything it reports must be a true pair (no false positives)
+    assert ivf <= exact
