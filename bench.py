@@ -89,6 +89,21 @@ def main() -> None:
             }
         )
     )
+    # The driver archives only the tail of stdout; the full line above
+    # puts "value" first, so truncation can lose the headline (it did in
+    # BENCH_r02). Repeat the totals in a short trailing line so the
+    # artifact is self-sufficient from its last 200 bytes.
+    print(
+        json.dumps(
+            {
+                "metric": "inventory_total_runtime_summary",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf,
+            }
+        )
+    )
     spark.stop()
 
 
