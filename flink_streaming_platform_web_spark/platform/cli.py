@@ -136,6 +136,15 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint=CheckPointParam(checkpoint_dir=args.checkpoint_dir),
         )
         result = runner.execute_script(sql)
+        # structured submit handshake, emitted the moment the queries
+        # are running and BEFORE any draining — the typed replacement
+        # for the reference's scraped `job-submitted-success:<jobID>`
+        # stdout marker (SystemConstant.java:29-31; scraped at
+        # CommandRpcClinetAdapterImpl.java:150-161). A parent process
+        # (platform/manager._start_process) reads this line to flip
+        # the job to RUN while the child keeps executing.
+        print(json.dumps({"marker": "job-submitted-success",
+                          "queries": result.query_ids}), flush=True)
         if args.await_:
             for q in result.streaming_queries:
                 q.processAllAvailable()

@@ -64,6 +64,9 @@ class JobManager:
     running: dict[int, RunningJob] = field(default_factory=dict)
     # cluster-mode jobs: job_id → application id (YARN/Spark REST)
     remote_apps: dict[int, str] = field(default_factory=dict)
+    # LOCAL_PROCESS working dir for job sql files + child logs
+    # (reference: <web_home>/sql/job_sql_<id>.sql); tempdir if unset
+    work_dir: str | None = None
     # serializes lifecycle transitions: the REST facade's request
     # threads and the scheduler daemon share this manager, and
     # check-then-act on `running` would otherwise race (ADVICE r01)
@@ -88,6 +91,8 @@ class JobManager:
         v = validate_script(job.sql_script, self.spark, job.job_type)
         if not v.ok:
             raise ValueError(f"validation failed: {v.errors}")
+        if job.deploy_mode == "LOCAL_PROCESS":
+            return self._start_process(job, restore_savepoint)
         if not self.store.set_status(job_id, "STARTING", job.version):
             # optimistic-lock conflict (reference: "任务状态已变更")
             raise RuntimeError(f"job {job_id} status changed concurrently")
@@ -152,6 +157,125 @@ class JobManager:
         result = ExecutionResult()
         self.running[job.id] = RunningJob(None, result, run_id, proc=proc)
         return result
+
+    def _start_process(self, job, restore_savepoint: int | None = None):
+        """LOCAL deploy that still execs a real ``spark-submit`` child
+        — the reference's LOCAL mode also shells out (``flink run``
+        via Runtime.exec, CommandUtil.java:29-68 builds the argv,
+        CommandRpcClinetAdapterImpl.java:48-70 execs and scrapes the
+        ``job-submitted-success:`` stdout marker). Parity flow:
+        write the SQL to ``<work>/sql/job_sql_<id>.sql``
+        (JobBaseServiceAOImpl.writeSqlToFile:169-181), build the
+        submit argv (platform/submit.py), exec, then read the child's
+        structured JSON handshake line instead of scraping free text;
+        RUN lands in the store the moment the handshake arrives, and
+        reconcile() turns the child's exit into SUCCESS (clean batch)
+        / STOP (clean drain) / FAIL (+alarm)."""
+        import os
+        import tempfile
+        from pathlib import Path
+
+        from flink_streaming_platform_web_spark.platform.submit import (
+            build_local_submit_command,
+        )
+
+        if not self.store.set_status(job.id, "STARTING", job.version):
+            raise RuntimeError(f"job {job.id} status changed concurrently")
+        run_id = self.store.log_run(job.id, "STARTING", [])
+        try:
+            ckpt_dir = job.checkpoint_dir
+            if restore_savepoint is not None:
+                by_id = dict(self.store.savepoints_with_ids(job.id))
+                if restore_savepoint not in by_id:
+                    raise ValueError(
+                        f"job {job.id} has no savepoint id"
+                        f" {restore_savepoint}; known: {sorted(by_id)}"
+                    )
+                ckpt_dir = by_id[restore_savepoint]
+            work = Path(self.work_dir or tempfile.mkdtemp(prefix="sspw-"))
+            (work / "sql").mkdir(parents=True, exist_ok=True)
+            (work / "logs").mkdir(parents=True, exist_ok=True)
+            sql_file = work / "sql" / f"job_sql_{job.id}.sql"
+            sql_file.write_text(job.sql_script)
+            cmd = build_local_submit_command(
+                str(sql_file), job.job_type, checkpoint_dir=ckpt_dir
+            )
+            env = dict(os.environ)
+            pkg_root = str(Path(__file__).resolve().parents[2])
+            env["PYTHONPATH"] = (
+                pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+            )
+            log_f = open(work / "logs" / f"job_{job.id}.log", "ab")
+            try:
+                proc = subprocess.Popen(
+                    cmd,
+                    stdout=subprocess.PIPE,
+                    stderr=log_f,
+                    env=env,
+                    text=True,
+                )
+            finally:
+                log_f.close()  # child holds its own fd
+            handshake = self._read_handshake(proc)
+        except Exception as e:
+            self.store.set_status(job.id, "FAIL")
+            self.store.finish_run(run_id, "FAIL", traceback.format_exc())
+            self._alarm(job.id, f"job {job.job_name} failed to submit: {e}")
+            raise
+        qids = [str(q) for q in handshake.get("queries", [])]
+        self.store.set_status(job.id, "RUN")
+        self.store.log_run(job.id, "RUN", qids + [f"pid:{proc.pid}"])
+        self.store.finish_run(run_id, "RUN")
+        result = ExecutionResult(remote_query_ids=qids)
+        self.running[job.id] = RunningJob(None, result, run_id, proc=proc)
+        return result
+
+    @staticmethod
+    def _read_handshake(proc, timeout: float = 300.0) -> dict:
+        """Block until the child prints its submit handshake —
+        a JSON line ``{"marker": "job-submitted-success", ...}``
+        (the typed analog of the marker scrape at
+        CommandRpcClinetAdapterImpl.java:150-161). Raises if the child
+        dies or stays silent past the timeout; afterwards a daemon
+        thread keeps draining stdout so the pipe can't fill up."""
+        import json as _json
+        import queue as _queue
+        import time as _time
+
+        q: _queue.Queue = _queue.Queue()
+
+        def _pump():
+            for line in proc.stdout:
+                q.put(line)
+            q.put(None)
+
+        threading.Thread(target=_pump, daemon=True).start()
+        deadline = _time.monotonic() + timeout
+        while True:
+            remaining = deadline - _time.monotonic()
+            if remaining <= 0:
+                proc.kill()
+                raise RuntimeError(
+                    f"no submit handshake within {timeout:.0f}s"
+                )
+            try:
+                line = q.get(timeout=min(remaining, 5.0))
+            except _queue.Empty:
+                continue
+            if line is None:
+                raise RuntimeError(
+                    f"child exited (rc={proc.wait()}) before the"
+                    " submit handshake"
+                )
+            try:
+                obj = _json.loads(line)
+            except ValueError:
+                continue  # non-handshake stdout noise
+            if (
+                isinstance(obj, dict)
+                and obj.get("marker") == "job-submitted-success"
+            ):
+                return obj
 
     def stop(self, job_id: int) -> None:
         with self._lock:
@@ -308,7 +432,22 @@ class JobManager:
                 claimed.append(rj)
                 affected.append(job_id)
                 job = self.store.get_job(job_id)
-                self.store.set_status(job_id, "FAIL" if exc else "STOP")
+                # a batch child that exited 0 COMPLETED — SUCCESS, no
+                # alarm, no restart (JobConfigStatus.SUCCESS(3); the
+                # reference's batch jobs land there the same way)
+                clean_batch = (
+                    exc is None
+                    and rj.proc is not None
+                    and job.job_type == "batch"
+                )
+                self.store.set_status(
+                    job_id,
+                    "FAIL"
+                    if exc
+                    else ("SUCCESS" if clean_batch else "STOP"),
+                )
+                if clean_batch:
+                    continue
                 alarms_due.append(
                     (
                         job_id,

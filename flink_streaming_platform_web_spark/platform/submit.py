@@ -84,5 +84,49 @@ def build_submit_command(
     return cmd
 
 
+def build_local_submit_command(
+    sql_file: str,
+    job_type: str = "streaming",
+    master: str = "local[2]",
+    checkpoint_dir: str | None = None,
+    restore_checkpoint: str | None = None,
+    extra_args: list[str] | None = None,
+    drain: bool = True,
+) -> list[str]:
+    """argv for a LOCAL submission that still execs a real
+    ``spark-submit`` child — the reference's LOCAL deploy mode also
+    shells out (``flink run`` via Runtime.exec,
+    CommandRpcClinetAdapterImpl.java:48-70); only the cluster is
+    absent. The child prints a structured JSON handshake line
+    (``{"marker": "job-submitted-success", ...}`` — the typed analog
+    of the reference's scraped ``job-submitted-success:<jobID>``
+    stdout marker, SystemConstant.java:29-31) which the manager
+    parses instead of scraping free text.
+
+    ``drain`` adds ``--await``: the child processes all available
+    input and exits 0 — the deterministic-test mode; without it the
+    child blocks on awaitAnyTermination like a long-running job."""
+    extra = list(extra_args or [])
+    check_run_config(extra)
+    from pathlib import Path
+
+    launcher = str(Path(__file__).resolve().parent / "launcher.py")
+    cmd = [
+        "spark-submit",
+        "--master", master,
+        *extra,
+        launcher,
+        "run",
+        "--sql-file", sql_file,
+        "--job-type", job_type,
+    ]
+    if drain:
+        cmd.append("--await")
+    ckpt = restore_checkpoint or checkpoint_dir
+    if ckpt:
+        cmd += ["--checkpoint-dir", ckpt]
+    return cmd
+
+
 def render(cmd: list[str]) -> str:
     return " ".join(shlex.quote(c) for c in cmd)

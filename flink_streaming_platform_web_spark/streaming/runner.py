@@ -93,10 +93,16 @@ class ExecutionResult:
     batch_results: dict[str, int] = field(default_factory=dict)
     select_results: list[DataFrame] = field(default_factory=list)
     show_results: list[list[str]] = field(default_factory=list)
+    # ids reported by an out-of-process child's handshake (the queries
+    # live in the child's SparkSession, not ours) — manager
+    # LOCAL_PROCESS deploy mode
+    remote_query_ids: list = field(default_factory=list)
 
     @property
     def query_ids(self) -> list[str]:
-        return [str(q.id) for q in self.streaming_queries]
+        return [
+            str(q.id) for q in self.streaming_queries
+        ] or list(self.remote_query_ids)
 
 
 class JobRunner:

@@ -1,0 +1,151 @@
+"""End-to-end LOCAL_PROCESS deploy: a real ``spark-submit`` child.
+
+The reference's LOCAL mode still execs a real CLI child
+(CommandUtil.java:29-68 builds ``flink run …``;
+CommandRpcClinetAdapterImpl.java:48-70 execs it and scrapes the
+``job-submitted-success:`` stdout marker, :150-161). These tests prove
+the same flow against an actual ``spark-submit`` subprocess: manager →
+submit argv → child JVM → structured JSON handshake on stdout → RUN in
+the store → child exit reconciled to SUCCESS (batch) / STOP (drained
+stream). VERDICT r02 item 4.
+
+Each child boots its own JVM (~30 s) — kept to two tests."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from flink_streaming_platform_web_spark.platform.manager import JobManager
+from flink_streaming_platform_web_spark.platform.store import JobStore
+from flink_streaming_platform_web_spark.platform.submit import (
+    build_local_submit_command,
+)
+from flink_streaming_platform_web_spark.tables import load
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("spark-submit") is None,
+    reason="spark-submit binary not on PATH",
+)
+
+
+def _batch_script(src: str, out: str) -> str:
+    return f"""
+    CREATE TABLE src_orders (
+      o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING
+    ) WITH ('connector'='filesystem', 'path'='{src}',
+            'format'='parquet');
+    CREATE TABLE snk (
+      o_orderstatus STRING, total DOUBLE
+    ) WITH ('connector'='filesystem', 'path'='{out}',
+            'format'='parquet');
+    INSERT INTO snk
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM src_orders GROUP BY o_orderstatus;
+    """
+
+
+def test_build_local_submit_command_shape(tmp_path):
+    cmd = build_local_submit_command(
+        "/x/job.sql", "batch", checkpoint_dir="/ck"
+    )
+    assert cmd[0] == "spark-submit"
+    assert cmd[1:3] == ["--master", "local[2]"]
+    assert "run" in cmd and "--sql-file" in cmd and "--await" in cmd
+    assert cmd[cmd.index("--checkpoint-dir") + 1] == "/ck"
+
+
+def test_local_process_batch_submit_run_success(spark, sf_dir, tmp_path):
+    """start → real spark-submit child → handshake → RUN; child exit
+    → reconcile → SUCCESS; sink parquet written by the CHILD matches
+    the same aggregation computed in-process."""
+    src = f"{tmp_path}/src"
+    out = f"{tmp_path}/out"
+    load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.parquet(src)
+
+    store = JobStore()
+    jid = store.add_job(
+        "proc-batch", _batch_script(src, out),
+        job_type="batch", deploy_mode="LOCAL_PROCESS",
+    )
+    mgr = JobManager(spark, store, work_dir=str(tmp_path / "work"))
+    result = mgr.start(jid)
+    # handshake arrived → RUN in the store while the child still runs
+    assert mgr.status(jid) == "RUN"
+    assert result.query_ids == []  # batch job: no streaming queries
+
+    rj = mgr.running[jid]
+    assert rj.proc is not None
+    rc = rj.proc.wait(timeout=300)
+    assert rc == 0
+    affected = mgr.reconcile()
+    assert jid in affected
+    assert mgr.status(jid) == "SUCCESS"
+    # clean batch completion: no "job died" alarm row
+    assert not [
+        a for a in store.alarms(jid) if "no longer running" in str(a)
+    ]
+
+    got = {
+        r["o_orderstatus"]: round(r["total"], 2)
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        r["o_orderstatus"]: round(r["total"], 2)
+        for r in spark.sql(
+            "SELECT o_orderstatus, CAST(SUM(CAST(o_totalprice AS"
+            " DECIMAL(18,2))) AS DOUBLE) AS total FROM"
+            f" parquet.`{src}` GROUP BY o_orderstatus"
+        ).collect()
+    }
+    assert got == expected
+    # writeSqlToFile parity: the sql landed under <work>/sql/
+    assert (tmp_path / "work" / "sql" / f"job_sql_{jid}.sql").exists()
+
+
+def test_local_process_streaming_drain_to_stop(spark, sf_dir, tmp_path):
+    """A streaming job in the child: handshake reports the streaming
+    query ids; --await drains, child exits 0 → reconcile → STOP (not
+    SUCCESS, not FAIL, no restart)."""
+    src = f"{tmp_path}/src"
+    sink = f"{tmp_path}/sink"
+    ckpt = f"{tmp_path}/ckpt"
+    load(spark, sf_dir, "orders").limit(200).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.parquet(src)
+
+    script = f"""
+    CREATE TABLE src_orders (
+      o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING
+    ) WITH ('connector'='filesystem', 'path'='{src}',
+            'format'='parquet');
+    CREATE TABLE snk (
+      o_orderkey BIGINT, o_totalprice DOUBLE
+    ) WITH ('connector'='filesystem', 'path'='{sink}',
+            'format'='parquet');
+    INSERT INTO snk SELECT o_orderkey, o_totalprice FROM src_orders
+    WHERE o_totalprice > 0;
+    """
+    store = JobStore()
+    jid = store.add_job(
+        "proc-stream", script,
+        job_type="streaming", deploy_mode="LOCAL_PROCESS",
+        checkpoint_dir=ckpt,
+    )
+    mgr = JobManager(spark, store, work_dir=str(tmp_path / "work"))
+    result = mgr.start(jid)
+    assert mgr.status(jid) == "RUN"
+    # the child's handshake carried its streaming query ids
+    assert len(result.query_ids) == 1
+
+    rj = mgr.running[jid]
+    assert rj.proc.wait(timeout=300) == 0
+    mgr.reconcile()
+    assert mgr.status(jid) == "STOP"
+    n = spark.read.parquet(sink).count()
+    assert n == spark.read.parquet(src).filter("o_totalprice > 0").count()
