@@ -501,32 +501,94 @@ FROM votes GROUP BY 1
 
 DD07_NPROBE = 4  # 98% measured recall; see block comment above
 
+# per-chunk vector budget for the blocked within-cell all-pairs: a
+# chunk-pair block densifies at most (2·CHUNK)² cosines (~67 MB) —
+# executor memory stays bounded no matter how large a cell grows.
+# The sf5 scale run (100k vectors over the 10 label-cells) crashed
+# the unblocked kernel at 40k vectors/cell (13 GB dense block); with
+# chunking the same cells complete. At real scale BOTH knobs move:
+# more IVF cells (centroid count grows with the corpus) AND this
+# chunk guard for whatever skew remains.
+DD07_CHUNK = 2048
+
 
 def dd07_embed_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
     from flink_streaming_platform_web_spark.operators import similarity
+    from flink_streaming_platform_web_spark.operators._cache import memo_obj
 
     vecs = similarity._vecs(spark, sf_dir)
     assigned = similarity.cell_assign(
         spark, vecs, sf_dir, DD07_NPROBE
     )
+    # chunk count from expected rows per cell; c == 1 (every tested
+    # SF ≤ 0.1) degenerates to exactly the one-group-per-cell plan
+    n_vecs = memo_obj(spark, sf_dir, "n_vecs", vecs.count)
+    labels, _ = similarity._centroids(spark, sf_dir)
+    per_cell = n_vecs * DD07_NPROBE / max(len(labels), 1)
+    c = max(1, -(-int(per_cell) // DD07_CHUNK))
+
+    # blocked all-pairs: rows hash into c chunks per cell; each row
+    # joins every chunk-PAIR group (ci ≤ cj) containing its chunk, so
+    # group (ci, cj) holds both sides and a pair is computed in
+    # exactly one group — within-chunk pairs in (k, k), cross-chunk
+    # in (min, max). Fan-out is ×c rows (the price of bounding the
+    # dense block); compute totals are unchanged.
+    chunked = assigned.withColumn(
+        "chunk", F.pmod(F.xxhash64("vec_id"), F.lit(c)).cast("int")
+    ).withColumn(
+        "g",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {c - 1}), j ->"
+                " struct(least(chunk, j) AS ci,"
+                " greatest(chunk, j) AS cj))"
+            )
+        ),
+    ).select("vec_id", "cell", "v", "chunk", "g.ci", "g.cj")
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        V = np.stack(pdf["v"].to_numpy())
-        cos = np.round(similarity._block_cosine(V, V), 6)
-        ai, bi = np.nonzero(
-            (ids[:, None] < ids[None, :])
-            & (cos >= similarity.NEARDUP_COS)
-        )
+        ci, cj = int(pdf["ci"].iat[0]), int(pdf["cj"].iat[0])
+        if ci == cj:
+            ids = pdf["vec_id"].to_numpy()
+            V = np.stack(pdf["v"].to_numpy())
+            cos = np.round(similarity._block_cosine(V, V), 6)
+            ai, bi = np.nonzero(
+                (ids[:, None] < ids[None, :])
+                & (cos >= similarity.NEARDUP_COS)
+            )
+            return pd.DataFrame(
+                {"id_a": ids[ai], "id_b": ids[bi], "cos_sim": cos[ai, bi]}
+            )
+        left = pdf[pdf["chunk"] == ci]
+        right = pdf[pdf["chunk"] == cj]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cos_sim": []}
+            ).astype({"id_a": "int64", "id_b": "int64",
+                      "cos_sim": "float64"})
+        lids = left["vec_id"].to_numpy()
+        rids = right["vec_id"].to_numpy()
+        L = np.stack(left["v"].to_numpy())
+        R = np.stack(right["v"].to_numpy())
+        # _block_cosine is bitwise symmetric (per-dim scalar products
+        # commute; accumulation order over dims is fixed), so emitting
+        # min/max ids keeps multi-probe duplicates bit-identical for
+        # the distinct() below
+        cos = np.round(similarity._block_cosine(L, R), 6)
+        ai, bi = np.nonzero(cos >= similarity.NEARDUP_COS)
         return pd.DataFrame(
-            {"id_a": ids[ai], "id_b": ids[bi], "cos_sim": cos[ai, bi]}
+            {
+                "id_a": np.minimum(lids[ai], rids[bi]),
+                "id_b": np.maximum(lids[ai], rids[bi]),
+                "cos_sim": cos[ai, bi],
+            }
         )
 
     pairs = (
-        assigned.groupBy("cell")
+        chunked.groupBy("cell", "ci", "cj")
         .applyInPandas(block, "id_a long, id_b long, cos_sim double")
         .distinct()
     )

@@ -197,19 +197,35 @@ def ann02_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            a_ids = pdf["vec_id"].to_numpy()
-            A = np.stack(pdf["v"].to_numpy())
-            cos = np.round(_block_cosine(A, B), 6)
-            ai, bi = np.nonzero(
-                (a_ids[:, None] < b_ids[None, :]) & (cos >= NEARDUP_COS)
-            )
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ai],
-                    "id_b": b_ids[bi],
-                    "cos_sim": cos[ai, bi],
-                }
-            )
+            # tile both sides: an untiled batch×corpus block is
+            # O(|batch|·|corpus|) doubles — 8 GB per worker at 100k
+            # vectors (it crashed the sf5 scale run). Tiling bounds
+            # the dense intermediate at A_TILE×B_TILE (~67 MB) with
+            # bit-identical results: _block_cosine's per-pair
+            # sequential dim order is untouched by partitioning the
+            # pair space.
+            A_TILE, B_TILE = 1024, 8192
+            for a0 in range(0, len(pdf), A_TILE):
+                sub = pdf.iloc[a0:a0 + A_TILE]
+                a_ids = sub["vec_id"].to_numpy()
+                A = np.stack(sub["v"].to_numpy())
+                for b0 in range(0, len(b_ids), B_TILE):
+                    bid = b_ids[b0:b0 + B_TILE]
+                    cos = np.round(
+                        _block_cosine(A, B[b0:b0 + B_TILE]), 6
+                    )
+                    ai, bi = np.nonzero(
+                        (a_ids[:, None] < bid[None, :])
+                        & (cos >= NEARDUP_COS)
+                    )
+                    if len(ai):
+                        yield pd.DataFrame(
+                            {
+                                "id_a": a_ids[ai],
+                                "id_b": bid[bi],
+                                "cos_sim": cos[ai, bi],
+                            }
+                        )
 
     return vecs.mapInPandas(score, "id_a long, id_b long, cos_sim double")
 

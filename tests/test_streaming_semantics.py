@@ -183,3 +183,116 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.stop()
     ids = sorted(r["event_id"] for r in spark.table("dedup_out").collect())
     assert ids == [1, 2, 3]  # the duplicate id=1 appears exactly once
+
+
+def _write_kv(spark, path, rows):
+    from datetime import datetime
+
+    rows = [(datetime.fromisoformat(ts), k, float(v)) for ts, k, v in rows]
+    spark.createDataFrame(
+        rows, "ts TIMESTAMP, k STRING, v DOUBLE"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _kv_script(src: str, sink_path: str, select: str,
+               sink_cols: str = "k STRING, n BIGINT") -> str:
+    # durable filesystem PK upsert sink: unlike the url-less jdbc
+    # mock store (process-local, deliberately UNcheckpointed so
+    # replay-from-scratch converges — runner.py in_process_state),
+    # this sink gets a real checkpointLocation, which is what these
+    # restore-semantics tests are about
+    return f"""
+        CREATE TABLE esrc (ts TIMESTAMP, k STRING, v DOUBLE) WITH
+          ('connector'='filesystem','path'='{src}','format'='parquet');
+        CREATE TABLE esink ({sink_cols},
+          PRIMARY KEY (k) NOT ENFORCED) WITH
+          ('connector'='filesystem','path'='{sink_path}',
+           'format'='parquet');
+        INSERT INTO esink {select};
+    """
+
+
+def _run_drained(spark, ckpt, script):
+    r = JobRunner(spark, "streaming", CheckPointParam(checkpoint_dir=ckpt))
+    res = r.execute_script(script)
+    for q in res.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+    return r, res
+
+
+def test_savepoint_restore_survives_benign_edit(spark, tmp_path):
+    """SURVEY §7.3: restore = same checkpoint dir + a compatible
+    script. A stateless edit upstream of the stateful operator (a
+    changed filter constant) keeps the state schema intact: the
+    restart resumes from the checkpoint — old input is NOT replayed —
+    carries the old counts in restored state, and applies the NEW
+    predicate to new input only. Same contract as the reference's
+    savepoint redeploy (docs/manual-sql.md restore flow)."""
+    src = f"{tmp_path}/edit_src"
+    sink = f"{tmp_path}/edit_sink"
+    ckpt = f"{tmp_path}/edit_ckpt"
+    q1 = "SELECT k, COUNT(*) AS n FROM esrc WHERE k <> 'drop1' GROUP BY k"
+    q2 = "SELECT k, COUNT(*) AS n FROM esrc WHERE k <> 'drop2' GROUP BY k"
+
+    _write_kv(spark, src, [("2024-01-01 00:00:00", "x", 1.0),
+                           ("2024-01-01 00:00:01", "drop2", 1.0)])
+    r1, _ = _run_drained(spark, ckpt, _kv_script(src, sink, q1))
+    got1 = {
+        r["k"]: r["n"]
+        for r in r1.parquet_upserts["esink"].read_state(spark).collect()
+    }
+    # drop2 passed the ORIGINAL filter
+    assert got1 == {"x": 1, "drop2": 1}
+
+    # edited script, same checkpoint: only the new file is processed,
+    # under the NEW filter
+    _write_kv(spark, src, [("2024-01-01 00:00:02", "x", 1.0),
+                           ("2024-01-01 00:00:03", "drop2", 1.0)])
+    r2, _ = _run_drained(spark, ckpt, _kv_script(src, sink, q2))
+    got2 = {
+        r["k"]: r["n"]
+        for r in r2.parquet_upserts["esink"].read_state(spark).collect()
+    }
+    # x: restored state 1 + one new row = 2. drop2: stays 1 — the
+    # PROOF the old input wasn't replayed: a from-scratch rerun under
+    # filter q2 would yield drop2 absent or x=2/drop2 gone from the
+    # upserted sink; restored state + new-file-only processing keeps
+    # the pre-edit drop2 count while the new drop2 row is excluded
+    # by the edited predicate.
+    assert got2 == {"x": 2, "drop2": 1}
+
+
+def test_savepoint_restore_rejects_state_schema_break(spark, tmp_path):
+    """SURVEY §7.3 caveat, pinned: an edit that changes the stateful
+    operator's schema (adding an aggregate buffer column) cannot
+    restore from the old checkpoint — the engine must REFUSE loudly
+    (state-schema incompatibility), not silently corrupt state. The
+    reference documents the same practical limit for savepoint
+    restores across incompatible job graphs."""
+    src = f"{tmp_path}/break_src"
+    sink = f"{tmp_path}/break_sink"
+    ckpt = f"{tmp_path}/break_ckpt"
+    q1 = "SELECT k, COUNT(*) AS n FROM esrc GROUP BY k"
+
+    _write_kv(spark, src, [("2024-01-01 00:00:00", "x", 1.0)])
+    _run_drained(spark, ckpt, _kv_script(src, sink, q1))
+
+    # breaking edit: extra agg buffer (SUM) changes the state row
+    q2 = "SELECT k, COUNT(*) AS n, SUM(v) AS s FROM esrc GROUP BY k"
+    _write_kv(spark, src, [("2024-01-01 00:00:01", "x", 2.0)])
+    r2 = JobRunner(spark, "streaming", CheckPointParam(checkpoint_dir=ckpt))
+    res2 = r2.execute_script(
+        _kv_script(src, sink, q2, sink_cols="k STRING, n BIGINT, s DOUBLE")
+    )
+    with pytest.raises(Exception) as ei:
+        for q in res2.streaming_queries:
+            q.processAllAvailable()
+            q.stop()
+    msg = str(ei.value)
+    assert "schema" in msg.lower() or "compatib" in msg.lower(), msg
+    for q in res2.streaming_queries:
+        try:
+            q.stop()
+        except Exception:
+            pass
