@@ -101,7 +101,9 @@ _CHECK_FIRST = (
     "tx05_corpus_stats_by_lang",
     "tx06_topk_vocab",
     "tx08_stratified_sample",
-    "tx09_redact_denylist",
+    # dd11 is new this round (never driver-checked) — it takes tx09's
+    # slot; tx09 is a zero-shuffle scan rewrite pinned by a plan test
+    "dd11_embed_neardup_kmeans",
     "tx11_idf_table",
     "tx12_doc_top_terms",
     "mm01_binary_meta",

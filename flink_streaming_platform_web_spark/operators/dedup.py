@@ -512,30 +512,23 @@ DD07_NPROBE = 4  # 98% measured recall; see block comment above
 DD07_CHUNK = 2048
 
 
-def dd07_embed_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _blocked_cell_pairs(assigned: DataFrame, c: int) -> DataFrame:
+    """Within-cell all-pairs ≥ τ over (vec_id, cell, v) rows, with the
+    dense block bounded by hash-chunking — shared by dd07 (label-cell
+    IVF) and dd11 (scaled k-means IVF).
+
+    Blocked all-pairs: rows hash into c chunks per cell; each row
+    joins every chunk-PAIR group (ci ≤ cj) containing its chunk, so
+    group (ci, cj) holds both sides and a pair is computed in
+    exactly one group — within-chunk pairs in (k, k), cross-chunk
+    in (min, max). Fan-out is ×c rows (the price of bounding the
+    dense block); compute totals are unchanged. c == 1 degenerates
+    to one group per cell."""
     import numpy as np
     import pandas as pd
 
     from flink_streaming_platform_web_spark.operators import similarity
-    from flink_streaming_platform_web_spark.operators._cache import memo_obj
 
-    vecs = similarity._vecs(spark, sf_dir)
-    assigned = similarity.cell_assign(
-        spark, vecs, sf_dir, DD07_NPROBE
-    )
-    # chunk count from expected rows per cell; c == 1 (every tested
-    # SF ≤ 0.1) degenerates to exactly the one-group-per-cell plan
-    n_vecs = memo_obj(spark, sf_dir, "n_vecs", vecs.count)
-    labels, _ = similarity._centroids(spark, sf_dir)
-    per_cell = n_vecs * DD07_NPROBE / max(len(labels), 1)
-    c = max(1, -(-int(per_cell) // DD07_CHUNK))
-
-    # blocked all-pairs: rows hash into c chunks per cell; each row
-    # joins every chunk-PAIR group (ci ≤ cj) containing its chunk, so
-    # group (ci, cj) holds both sides and a pair is computed in
-    # exactly one group — within-chunk pairs in (k, k), cross-chunk
-    # in (min, max). Fan-out is ×c rows (the price of bounding the
-    # dense block); compute totals are unchanged.
     chunked = assigned.withColumn(
         "chunk", F.pmod(F.xxhash64("vec_id"), F.lit(c)).cast("int")
     ).withColumn(
@@ -587,11 +580,28 @@ def dd07_embed_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    pairs = (
+    return (
         chunked.groupBy("cell", "ci", "cj")
         .applyInPandas(block, "id_a long, id_b long, cos_sim double")
         .distinct()
     )
+
+
+def dd07_embed_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_streaming_platform_web_spark.operators import similarity
+    from flink_streaming_platform_web_spark.operators._cache import memo_obj
+
+    vecs = similarity._vecs(spark, sf_dir)
+    assigned = similarity.cell_assign(
+        spark, vecs, sf_dir, DD07_NPROBE
+    )
+    # chunk count from expected rows per cell; c == 1 (every tested
+    # SF ≤ 0.1) degenerates to exactly the one-group-per-cell plan
+    n_vecs = memo_obj(spark, sf_dir, "n_vecs", vecs.count)
+    labels, _ = similarity._centroids(spark, sf_dir)
+    per_cell = n_vecs * DD07_NPROBE / max(len(labels), 1)
+    c = max(1, -(-int(per_cell) // DD07_CHUNK))
+    pairs = _blocked_cell_pairs(assigned, c)
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     da = docs.select(
         F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")
@@ -871,8 +881,81 @@ FROM agree
 """
 
 
+# --------------------------------------------------------------------------
+# dd11 — embedding near-dup with a SCALED k-means quantizer: the
+# "IVF cell count grows with the corpus" knob as real code. Centroids
+# come from the SAME Lloyd's trainer vec01 oracle-gates
+# (vectors.km_centroids), with k = max(KM_K, ceil(N·nprobe/CHUNK)) so
+# per-cell population stays ≈ DD07_CHUNK regardless of corpus size —
+# total discovery compute is O(N·nprobe·CHUNK), i.e. LINEAR in N,
+# where dd07's fixed 10 label-cells are O(N²/10) (measured in
+# SCALE.md's curves). The trade is recall: fewer probes over more,
+# smaller cells see less of the space; measured against the exact
+# ann02 kernel in tests and the scale runs. At sf ≤ 0.1 the scaling
+# formula floors at k = KM_K, which is exactly what the DuckDB
+# oracle replays (the unrolled-CTE trainer at KM_K) — the driver's
+# gate runs at sf0.01 where the floor always holds.
+# --------------------------------------------------------------------------
+
+DD11_NPROBE = 4
+
+
+def dd11_embed_neardup_kmeans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_streaming_platform_web_spark.operators import similarity
+    from flink_streaming_platform_web_spark.operators._cache import memo_obj
+    from flink_streaming_platform_web_spark.operators.vectors import (
+        KM_K,
+        km_centroids,
+    )
+
+    vecs = similarity._vecs(spark, sf_dir)
+    n_vecs = memo_obj(spark, sf_dir, "n_vecs", vecs.count)
+    k = max(KM_K, -(-n_vecs * DD11_NPROBE // DD07_CHUNK))
+    labels, C = km_centroids(spark, sf_dir, k)
+    assigned = similarity.cell_assign(
+        spark, vecs, sf_dir, DD11_NPROBE, centroids=(labels, C)
+    )
+    per_cell = n_vecs * DD11_NPROBE / max(len(labels), 1)
+    c = max(1, -(-int(per_cell) // DD07_CHUNK))
+    return _blocked_cell_pairs(assigned, c)
+
+
+def _oracle_dd11() -> str:
+    from flink_streaming_platform_web_spark.operators.similarity import (
+        NEARDUP_COS,
+        _ORACLE_COS,
+    )
+    from flink_streaming_platform_web_spark.operators.vectors import (
+        _oracle_km_prefix,
+    )
+
+    cosq = _ORACLE_COS.format(a="e.v", b="c.cv")
+    cos = _ORACLE_COS.format(a="a.v", b="b.v")
+    return f"""{_oracle_km_prefix()},
+ranked AS (
+  SELECT e.vec_id, e.v, c.cid AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({cosq}, 6) DESC, c.cid ASC) AS rn
+  FROM e CROSS JOIN cent1 c
+),
+probes AS (SELECT vec_id, v, cell FROM ranked WHERE rn <= {DD11_NPROBE}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({cos}, 6) AS cos_sim
+  FROM probes a JOIN probes b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({cos}, 6) >= {NEARDUP_COS}
+)
+SELECT id_a, id_b, cos_sim FROM pairs
+"""
+
+
 QUERIES = {
     "dd01_dedup_exact": dd01_dedup_exact,
+    "dd11_embed_neardup_kmeans": dd11_embed_neardup_kmeans,
     "dd10_minhash_est_jaccard": dd10_minhash_est_jaccard,
     "dd09_chunk_dedup": dd09_chunk_dedup,
     "dd08_simhash_neardup_pairs": dd08_simhash_neardup_pairs,
@@ -885,6 +968,7 @@ QUERIES = {
 
 ORACLES = {
     "dd01_dedup_exact": ORACLE_DD01,
+    "dd11_embed_neardup_kmeans": _oracle_dd11(),
     "dd10_minhash_est_jaccard": ORACLE_DD10,
     "dd09_chunk_dedup": ORACLE_DD09,
     "dd08_simhash_neardup_pairs": ORACLE_DD08,

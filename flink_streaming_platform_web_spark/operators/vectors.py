@@ -77,19 +77,43 @@ def _km_means(assigned: DataFrame):
     )
 
 
+def km_centroids(spark: SparkSession, sf_dir: str, k: int = KM_K):
+    """Train k centroids with KM_ITERS rounds of Lloyd's (deterministic
+    lowest-vec_id init) and return (labels, C) in cell_assign's
+    centroid format. Memoized per (session, sf_dir, k): dd11 trains
+    its scaled quantizer through this exact path, so the IVF
+    'centroid count grows with the corpus' knob is the SAME trainer
+    vec01 gates through its oracle (k=KM_K there)."""
+    from flink_streaming_platform_web_spark.operators._cache import memo_obj
+
+    def build():
+        rows0 = (
+            _vecs(spark, sf_dir).orderBy("vec_id").limit(k).collect()
+        )
+        labels = np.arange(len(rows0))
+        C = np.array([r["v"] for r in rows0], dtype=float)
+        vecs = _vecs(spark, sf_dir)
+        for _ in range(KM_ITERS - 1):
+            assigned = cell_assign(
+                spark, vecs, sf_dir, 1, centroids=(labels, C)
+            )
+            rows = _km_means(assigned)
+            # empty clusters drop (both engines: no members → no row)
+            labels2 = np.array(sorted({r["cell"] for r in rows}))
+            dim = max(r["d"] for r in rows) + 1
+            C2 = np.zeros((len(labels2), dim))
+            idx = {c: i for i, c in enumerate(labels2)}
+            for r in rows:
+                C2[idx[r["cell"]], r["d"]] = r["m"]
+            labels, C = labels2, C2
+        return labels, C
+
+    return memo_obj(spark, sf_dir, f"km_centroids_{k}", build)
+
+
 def vec01_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    labels, C = _km_init(spark, sf_dir)
+    labels, C = km_centroids(spark, sf_dir, KM_K)
     vecs = _vecs(spark, sf_dir)
-    for _ in range(KM_ITERS - 1):
-        assigned = cell_assign(spark, vecs, sf_dir, 1, centroids=(labels, C))
-        rows = _km_means(assigned)
-        # empty clusters drop (both engines: no members → no centroid)
-        labels = np.array(sorted({r["cell"] for r in rows}))
-        dim = max(r["d"] for r in rows) + 1
-        C = np.zeros((len(labels), dim))
-        idx = {c: i for i, c in enumerate(labels)}
-        for r in rows:
-            C[idx[r["cell"]], r["d"]] = r["m"]
     final = cell_assign(spark, vecs, sf_dir, 1, centroids=(labels, C))
     return final.groupBy(F.col("cell").alias("cluster_id")).agg(
         F.count("*").alias("n_members"),
@@ -97,9 +121,12 @@ def vec01_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_vec01() -> str:
+def _oracle_km_prefix() -> str:
+    """Shared CTE chain replaying km_centroids(k=KM_K) exactly: e →
+    init → assign1 → means1 → cent1 (the trained centroid list).
+    vec01's oracle appends the final assignment; dd11's appends the
+    multi-probe near-dup pair tail."""
     cos_init = _ORACLE_COS.format(a="e.v", b="i.cv")
-    cos_c1 = _ORACLE_COS.format(a="e.v", b="c.cv")
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 init AS (
@@ -128,7 +155,12 @@ means1 AS (
 ),
 cent1 AS (
   SELECT cell AS cid, list(m ORDER BY d) AS cv FROM means1 GROUP BY cell
-),
+)"""
+
+
+def _oracle_vec01() -> str:
+    cos_c1 = _ORACLE_COS.format(a="e.v", b="c.cv")
+    return f"""{_oracle_km_prefix()},
 assign2 AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT e.vec_id, c.cid,

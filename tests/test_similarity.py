@@ -70,3 +70,32 @@ def test_dd07_ivf_recall_vs_exact(spark, sf_dir):
     # IVF candidates are verified with the same cosine+threshold, so
     # anything it reports must be a true pair (no false positives)
     assert ivf <= exact
+
+
+def test_dd11_scaled_kmeans_recall_vs_exact(spark, sf_dir):
+    """dd11 (k-means-quantized IVF, cell count scaling with the
+    corpus) at small SF floors at k=KM_K cells and must recover
+    >=90% of the exact kernel's pairs; like dd07, anything it
+    reports is verified with the same cosine+threshold, so it can
+    emit no false positives. The recall/cost frontier at scale is
+    recorded in SCALE.md (the isotropic synthetic corpus is the
+    WORST case for a geometric quantizer at weak τ)."""
+    from flink_streaming_platform_web_spark.operators.dedup import (
+        dd11_embed_neardup_kmeans,
+    )
+    from flink_streaming_platform_web_spark.operators.similarity import (
+        ann02_embed_neardup_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ann02_embed_neardup_pairs(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["id_a"], r["id_b"])
+        for r in dd11_embed_neardup_kmeans(spark, sf_dir).collect()
+    }
+    assert exact, "exact kernel found no pairs — fixture drifted"
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.90, f"scaled-IVF recall degraded: {recall:.3f}"
+    assert ivf <= exact
