@@ -100,10 +100,11 @@ _CHECK_FIRST = (
     "tx04_fingerprint",
     "tx05_corpus_stats_by_lang",
     "tx06_topk_vocab",
-    "tx08_stratified_sample",
-    # dd11 is new this round (never driver-checked) — it takes tx09's
-    # slot; tx09 is a zero-shuffle scan rewrite pinned by a plan test
+    # dd11/dd12 are new this round (never driver-checked) — they take
+    # tx08/tx09's slots; both tx entries are zero-shuffle scan shapes
+    # pinned by plan tests
     "dd11_embed_neardup_kmeans",
+    "dd12_simhash64_neardup_pairs",
     "tx11_idf_table",
     "tx12_doc_top_terms",
     "mm01_binary_meta",

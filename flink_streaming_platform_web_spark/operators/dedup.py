@@ -721,6 +721,148 @@ WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
 
 
 # --------------------------------------------------------------------------
+# dd12 — wide-fingerprint SimHash near-dup pairs: the saturation knob
+# from SCALE.md made real. 32-bit SimHash saturates on low-entropy
+# corpora (measured: the 31-word-vocabulary corpus drives dd08's
+# verified pair count ~quadratic — 313M pairs at sf5, chance
+# collisions, not near-dups). The production fix is a wider
+# fingerprint; portable_hash already carries 60 bits (15 md5 hex
+# chars — dd05 uses only the low 32), so the wide variant costs one
+# wider tally agg and nothing else. Bands: 4 × 15 bits — the
+# pigeonhole guarantee (Hamming ≤ 3 ⇒ ≥ 1 band equal) is identical
+# to dd08's byte bands. Same plan shape: one tally shuffle, band
+# self-join on (band, value), bit_count verify.
+# --------------------------------------------------------------------------
+
+SIMHASH64_BITS = 60  # full portable_hash width (15 hex chars)
+SIMHASH64_BANDS = 4  # 15-bit bands: Hamming<=3 ⇒ >=1 band equal
+
+
+def _simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        par = spark.sparkContext.defaultParallelism
+        tokens = docs.repartition(par).select(
+            "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+        ).where(F.length("tok") > 0)
+        hashed = tokens.select(
+            "doc_id", portable_hash(F.col("tok")).alias("h")
+        )
+        tallies = hashed.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+                ).alias(f"t{b}")
+                for b in range(SIMHASH64_BITS)
+            ]
+        )
+        bit_terms = [
+            F.when(F.col(f"t{b}") > 0, F.lit(1 << b).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+            for b in range(SIMHASH64_BITS)
+        ]
+        sig = bit_terms[0]
+        for term in bit_terms[1:]:
+            sig = sig + term
+        return tallies.select("doc_id", sig.alias("simhash"))
+
+    return memo_df(spark, sf_dir, "simhash64_sigs", build)
+
+
+def dd12_simhash64_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sigs = _simhash64_sigs(spark, sf_dir)
+    band_w = SIMHASH64_BITS // SIMHASH64_BANDS
+    mask = (1 << band_w) - 1
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(simhash >> {band_w * b}) & {mask}"
+                        ).alias("bandval"),
+                    )
+                    for b in range(SIMHASH64_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bandval")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bandval") == F.col("b.bandval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        candidates.withColumn(
+            "hamming", F.expr("bit_count(sig_a ^ sig_b)")
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_ORACLE_SIMHASH64_SIGS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, {oracle_portable_hash('tok')} AS h
+  FROM toks WHERE length(tok) > 0
+),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+  FROM hashed CROSS JOIN
+       (SELECT unnest(range({SIMHASH64_BITS}))::INT AS bit) b
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY 1
+"""
+
+ORACLE_DD12 = f"""
+WITH sigs AS ({_ORACLE_SIMHASH64_SIGS}),
+bands AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> ({SIMHASH64_BITS // SIMHASH64_BANDS} * band))
+           & {(1 << (SIMHASH64_BITS // SIMHASH64_BANDS)) - 1} AS bandval
+  FROM sigs CROSS JOIN
+       (SELECT unnest(range({SIMHASH64_BANDS}))::INT AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bandval = b.bandval
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
+"""
+
+
+# --------------------------------------------------------------------------
 # dd09 — chunk-level exact dedup (the paragraph/line-dedup algorithm of
 # C4/RefinedWeb applied at fixed 10-token granularity, since the
 # synthetic corpus has no newline structure): explode each document
@@ -956,6 +1098,7 @@ SELECT id_a, id_b, cos_sim FROM pairs
 QUERIES = {
     "dd01_dedup_exact": dd01_dedup_exact,
     "dd11_embed_neardup_kmeans": dd11_embed_neardup_kmeans,
+    "dd12_simhash64_neardup_pairs": dd12_simhash64_neardup_pairs,
     "dd10_minhash_est_jaccard": dd10_minhash_est_jaccard,
     "dd09_chunk_dedup": dd09_chunk_dedup,
     "dd08_simhash_neardup_pairs": dd08_simhash_neardup_pairs,
@@ -969,6 +1112,7 @@ QUERIES = {
 ORACLES = {
     "dd01_dedup_exact": ORACLE_DD01,
     "dd11_embed_neardup_kmeans": _oracle_dd11(),
+    "dd12_simhash64_neardup_pairs": ORACLE_DD12,
     "dd10_minhash_est_jaccard": ORACLE_DD10,
     "dd09_chunk_dedup": ORACLE_DD09,
     "dd08_simhash_neardup_pairs": ORACLE_DD08,
