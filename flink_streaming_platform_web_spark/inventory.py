@@ -105,7 +105,7 @@ _CHECK_FIRST = (
     # pinned by plan tests
     "dd11_embed_neardup_kmeans",
     "dd12_simhash64_neardup_pairs",
-    "tx11_idf_table",
+    "dd13_jaccard_prefix_filter",
     "tx12_doc_top_terms",
     "mm01_binary_meta",
     "mm02_decode_pipeline",

@@ -721,6 +721,141 @@ WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
 
 
 # --------------------------------------------------------------------------
+# dd13 — exact Jaccard pairs via PREFIX FILTERING (Bayardo et al.,
+# WWW'07 "Scaling Up All Pairs Similarity Search" / PPJoin): order
+# shingles by global document frequency (rarest first), index only
+# each doc's first |d| - ceil(θ·|d|) + 1 shingles. Any pair with
+# J ≥ θ must share an overlap of ≥ θ·|d| elements, so skipping the
+# prefix would leave too few shingles to reach it — RECALL IS
+# GUARANTEED, unlike dd02's MAX_DF stop-shingle cap, which drops
+# saturated shingles outright and measures 0 recall at sf ≥ 1 on the
+# 31-word-vocabulary corpus (SCALE.md). Candidates verify with the
+# exact per-doc shingle sets (array_intersect — no re-shingling).
+# Scale shape: inverted-list length for a shingle is the number of
+# docs carrying it IN-PREFIX (≈ |corpus|·prefix/|shingle-space|), so
+# the candidate space shrinks by the prefix fraction squared versus a
+# full inverted index; on open-vocabulary corpora rare shingles make
+# the lists near-constant. This is the exact-recall point on the
+# frontier whose approximate points are dd04 (MinHash-LSH) and dd12.
+# --------------------------------------------------------------------------
+
+
+def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → (n_sh, sorted distinct shingle-hash array) — the exact
+    verification side; built once per session from the cached shingle
+    rows."""
+
+    def build() -> DataFrame:
+        sh = _shingles_cached(spark, sf_dir)
+        return sh.groupBy("doc_id").agg(
+            F.first("n_sh").alias("n_sh"),
+            F.array_sort(F.collect_list("shingle")).alias("arr"),
+        )
+
+    return memo_df(spark, sf_dir, "doc_shingle_arrays", build)
+
+
+def dd13_jaccard_prefix_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    sh = _shingles_cached(spark, sf_dir)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .select("doc_id", "n_sh", "shingle", "df")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n_sh")
+        - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh"))
+        + 1
+    ).select("doc_id", "shingle")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = _doc_shingle_arrays(spark, sf_dir)
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("arr").alias("arr_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("arr").alias("arr_b"),
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("arr_a", "arr_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+ORACLE_DD13 = f"""
+WITH sh AS ({_ORACLE_SHINGLES}),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+ranked AS (
+  SELECT s.doc_id, s.n_sh, s.shingle,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.doc_id
+           ORDER BY d.df ASC, s.shingle ASC) AS rn
+  FROM sh s JOIN dfreq d USING (shingle)
+),
+pref AS (
+  SELECT doc_id, shingle FROM ranked
+  WHERE rn <= n_sh - CEIL({JACCARD_THRESHOLD} * n_sh) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, any_value(n_sh) AS n_sh,
+         list_sort(list(shingle)) AS arr
+  FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT doc_a, doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         len(list_intersect(sa.arr, sb.arr)) AS ni
+  FROM cand
+  JOIN sets sa ON sa.doc_id = doc_a
+  JOIN sets sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b,
+       ni / CAST(n_a + n_b - ni AS DOUBLE) AS jaccard
+FROM inter
+WHERE ni / CAST(n_a + n_b - ni AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
 # dd12 — wide-fingerprint SimHash near-dup pairs: the saturation knob
 # from SCALE.md made real. 32-bit SimHash saturates on low-entropy
 # corpora (measured: the 31-word-vocabulary corpus drives dd08's
@@ -1099,6 +1234,7 @@ QUERIES = {
     "dd01_dedup_exact": dd01_dedup_exact,
     "dd11_embed_neardup_kmeans": dd11_embed_neardup_kmeans,
     "dd12_simhash64_neardup_pairs": dd12_simhash64_neardup_pairs,
+    "dd13_jaccard_prefix_filter": dd13_jaccard_prefix_filter,
     "dd10_minhash_est_jaccard": dd10_minhash_est_jaccard,
     "dd09_chunk_dedup": dd09_chunk_dedup,
     "dd08_simhash_neardup_pairs": dd08_simhash_neardup_pairs,
@@ -1113,6 +1249,7 @@ ORACLES = {
     "dd01_dedup_exact": ORACLE_DD01,
     "dd11_embed_neardup_kmeans": _oracle_dd11(),
     "dd12_simhash64_neardup_pairs": ORACLE_DD12,
+    "dd13_jaccard_prefix_filter": ORACLE_DD13,
     "dd10_minhash_est_jaccard": ORACLE_DD10,
     "dd09_chunk_dedup": ORACLE_DD09,
     "dd08_simhash_neardup_pairs": ORACLE_DD08,

@@ -56,3 +56,27 @@ def test_connected_components_long_chain_and_isolates(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert res2 == res
+
+
+def test_dd13_prefix_filter_contains_capped_dd02(spark, sf_dir):
+    """dd13's prefix filter guarantees recall at the threshold; dd02's
+    MAX_DF stop-shingle cap can only MISS pairs (it measures 0 recall
+    on saturated shingle spaces — SCALE.md). Containment must hold:
+    every pair the capped index finds, the prefix filter finds, with
+    the same exact Jaccard."""
+    from flink_streaming_platform_web_spark.operators.dedup import (
+        dd02_ngram_jaccard_pairs,
+        dd13_jaccard_prefix_filter,
+    )
+
+    capped = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in dd02_ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in dd13_jaccard_prefix_filter(spark, sf_dir).collect()
+    }
+    assert capped, "capped index found nothing — fixture drifted"
+    for pair, j in capped.items():
+        assert exact.get(pair) == j, f"dd13 missed/mismatched {pair}"
