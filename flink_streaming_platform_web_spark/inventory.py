@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_streaming_platform_web_spark.operators import (
     clusters,
+    decontam,
     dedup,
     functions_demo,
     multimodal,
@@ -30,6 +31,7 @@ _MODULES = (
     functions_demo,
     windows,
     dedup,
+    decontam,
     clusters,
     similarity,
     text,
@@ -59,10 +61,8 @@ _CHECK_FIRST = (
     "q13_window_over",
     "q14_rollup",
     "q15_semi_anti",
-    "q16_values_inline",
     "q17_distinct_agg",
     "q18_conditional_pivot",
-    "q19_minmax",
     "q20_json_extract",
     "q21_local_supplier_volume",
     "q22_tumble_window",
@@ -106,6 +106,12 @@ _CHECK_FIRST = (
     "dd11_embed_neardup_kmeans",
     "dd12_simhash64_neardup_pairs",
     "dd13_jaccard_prefix_filter",
+    # dc01/pp02 are new this session (never driver-checked) — they
+    # take q16/q19's slots: both displaced entries are trivial inline
+    # shapes (VALUES literal, min/max agg) with no dependence on the
+    # refactored shared operator code.
+    "dc01_contamination",
+    "pp02_shard_packing",
     "tx12_doc_top_terms",
     "mm01_binary_meta",
     "mm02_decode_pipeline",

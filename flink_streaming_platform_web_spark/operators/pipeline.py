@@ -88,5 +88,87 @@ FROM final GROUP BY lang, source
 
 ORACLE_PP01 = _oracle_pp01()
 
-QUERIES = {"pp01_training_mix": pp01_training_mix}
-ORACLES = {"pp01_training_mix": ORACLE_PP01}
+
+# Tokens-per-shard budget. Small against the synthetic docs (~30
+# whitespace tokens each) so every SF produces several shards per
+# source; production sets this to the trainer's sequence length × rows
+# per shard.
+PACK_BUDGET = 512
+
+
+def pp02_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing (concat-and-chunk): within each source,
+    documents are laid out in doc_id order and cut into shards of
+    ~PACK_BUDGET tokens — the standard sequence-packing layout step
+    before tokenized corpus serialization. A doc belongs to the shard
+    where its first token lands (shard = tokens-before-me DIV budget),
+    so the assignment is a pure window cumsum: deterministic,
+    order-stable, no greedy driver loop.
+
+    Scale shape: ONE shuffle keyed by the pack partition (source), then
+    the window cumsum runs sorted within each partition and the shard
+    roll-up is map-side combinable. Skew knob at 100 TB: a dominant
+    source serializes its own window — production packs per
+    (source, hash-bucket) and offsets shard ids per bucket, same plan
+    shape with B× the parallelism; the synthetic corpus' sources are
+    balanced so the direct form is the honest benchmark."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "tokens_before", F.coalesce(F.sum("tokens").over(w), F.lit(0))
+    ).withColumn(
+        "shard_id", F.expr(f"tokens_before DIV {PACK_BUDGET}")
+    )
+    return packed.groupBy("source", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_PP02 = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         length(list_filter(regexp_split_to_array(text, '\\s+'),
+                            t -> length(t) > 0)) AS tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, tokens,
+         COALESCE(SUM(tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tokens_before
+  FROM toks
+)
+SELECT source,
+       CAST(tokens_before // {PACK_BUDGET} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY source, shard_id
+"""
+
+QUERIES = {
+    "pp01_training_mix": pp01_training_mix,
+    "pp02_shard_packing": pp02_shard_packing,
+}
+ORACLES = {
+    "pp01_training_mix": ORACLE_PP01,
+    "pp02_shard_packing": ORACLE_PP02,
+}

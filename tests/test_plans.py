@@ -292,3 +292,33 @@ def test_vec01_kmeans_assignment_never_shuffles_corpus(spark, sf_dir):
     plan = executed_plan(df)
     assert "Join" not in plan  # assignment is not a join against centroids
     assert shuffle_count(df) <= 2
+
+
+def test_dc01_eval_set_broadcasts(spark, sf_dir):
+    """Decontamination probe: the eval shingle union must broadcast —
+    the corpus side is never sort-merge-joined. The only hash
+    exchanges are the tiny eval DISTINCT and the per-doc collision
+    roll-up (collision rows only, map-side combined)."""
+    from flink_streaming_platform_web_spark.operators.decontam import (
+        dc01_contamination,
+    )
+
+    plan = _physical(dc01_contamination(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_pp02_packing_single_shuffle(spark, sf_dir):
+    """Shard packing: ONE exchange keyed by the pack partition
+    (source). The window cumsum and the shard roll-up both run on that
+    partitioning — the roll-up's ClusteredDistribution(source,
+    shard_id) is satisfied by hashpartitioning(source), so no second
+    exchange appears."""
+    from flink_streaming_platform_web_spark.operators.pipeline import (
+        pp02_shard_packing,
+    )
+
+    plan = _physical(pp02_shard_packing(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
