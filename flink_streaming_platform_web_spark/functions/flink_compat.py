@@ -106,6 +106,102 @@ def _sub_session(m: re.Match) -> str:
     )
 
 
+# ------------------------------------------------------------------
+# Flink 1.13+ windowing TVFs (FLIP-145): TABLE(TUMBLE(TABLE src,
+# DESCRIPTOR(ts), size)), HOP(..., slide, size), CUMULATE(..., step,
+# size). Rewritten into a derived subquery that appends the exact
+# columns the Flink TVF appends — window_start, window_end,
+# window_time (= window_end - 1 ms) — so every downstream reference
+# (SELECT list, GROUP BY window_start/window_end, HAVING, joins on
+# window bounds) works untouched as plain column references. Named
+# arguments (DATA =>, TIMECOL =>, SIZE =>, SLIDE =>, STEP =>) are
+# accepted; the optional OFFSET argument is not supported.
+#
+# CUMULATE has no Spark builtin: the rewrite assigns each row to every
+# expanding slice of its max-size window whose end is after the row's
+# event time (explode over size/step slice indexes + filter) — the
+# same declarative expansion operators/windows.q36 benchmarks.
+#
+# Streaming caveat (documented, batch is exact): grouping by the
+# derived window_start/window_end columns is an ordinary keyed
+# aggregation to Spark — state for a window is not watermark-evicted
+# the way GROUP BY window(...) structs are. The group-window syntax
+# above remains the streaming-native path; the reference's own script
+# corpus (demo_4/demo_5) uses that form.
+# ------------------------------------------------------------------
+_TVF_IVL1 = r"(?:\w+\s*=>\s*)?INTERVAL\s+'(?P<i1n>\d+)'\s+(?P<i1u>\w+)"
+_TVF_IVL2 = r"(?:\w+\s*=>\s*)?INTERVAL\s+'(?P<i2n>\d+)'\s+(?P<i2u>\w+)"
+_WINDOW_TVF_RE = re.compile(
+    rf"\bTABLE\s*\(\s*(?P<kind>TUMBLE|HOP|CUMULATE)\s*\(\s*"
+    rf"(?:DATA\s*=>\s*)?TABLE\s+(?P<src>[\w.`]+)\s*,\s*"
+    rf"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*(?P<col>[\w.`]+)\s*\)\s*,\s*"
+    rf"{_TVF_IVL1}(?:\s*,\s*{_TVF_IVL2})?\s*\)\s*\)",
+    re.IGNORECASE,
+)
+
+_IVL_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+}
+
+
+def _ivl_seconds(n: str, unit: str) -> int:
+    u = unit.lower().rstrip("s")
+    if u not in _IVL_SECONDS:
+        raise ValueError(f"unsupported window TVF interval unit: {unit}")
+    return int(n) * _IVL_SECONDS[u]
+
+
+def _sub_window_tvf(m: re.Match) -> str:
+    kind = m.group("kind").upper()
+    src, col = m.group("src"), m.group("col")
+    first = _ivl_str(m.group("i1n"), m.group("i1u"))
+    second = (
+        _ivl_str(m.group("i2n"), m.group("i2u"))
+        if m.group("i2n")
+        else None
+    )
+    if kind == "TUMBLE":
+        if second is not None:
+            raise ValueError("TUMBLE TVF takes one interval (size)")
+        win = f"window({col}, '{first}')"
+    elif kind == "HOP":
+        if second is None:
+            raise ValueError("HOP TVF takes two intervals (slide, size)")
+        # Flink TVF arg order is (slide, size); Spark's window() is
+        # (size, slide)
+        win = f"window({col}, '{second}', '{first}')"
+    else:  # CUMULATE
+        if second is None:
+            raise ValueError(
+                "CUMULATE TVF takes two intervals (step, size)"
+            )
+        step_s = _ivl_seconds(m.group("i1n"), m.group("i1u"))
+        size_s = _ivl_seconds(m.group("i2n"), m.group("i2u"))
+        if step_s <= 0 or size_s % step_s != 0:
+            raise ValueError(
+                "CUMULATE size must be a positive multiple of step"
+            )
+        steps = size_s // step_s
+        wend = f"timestampadd(SECOND, __k * {step_s}, __ws)"
+        return (
+            f"(SELECT * EXCEPT(__ws, __k), __ws AS window_start, "
+            f"{wend} AS window_end, "
+            f"{wend} - INTERVAL '0.001' SECOND AS window_time "
+            f"FROM (SELECT *, window({col}, '{size_s} seconds').start "
+            f"AS __ws, explode(sequence(1, {steps})) AS __k FROM {src}) "
+            f"WHERE {wend} > {col})"
+        )
+    return (
+        f"(SELECT * EXCEPT(__w), __w.start AS window_start, "
+        f"__w.end AS window_end, "
+        f"__w.end - INTERVAL '0.001' SECOND AS window_time "
+        f"FROM (SELECT *, {win} AS __w FROM {src}))"
+    )
+
+
 # split into [code, 'literal', code, 'literal', ...] so the textual
 # rewrites never touch the inside of a string literal (a filter on
 # "col = 'TUMBLE(ts, ...)'" must pass through byte-identical);
@@ -126,6 +222,9 @@ def translate_expr(expr: str) -> str:
     # so run those rewrites FIRST on the raw text, then protect the
     # remaining literals from the simple function renames
     out = _TEMPORAL_JOIN_RE.sub("", expr)
+    # windowing TVFs first: their inner TUMBLE/HOP/CUMULATE text must
+    # not be half-eaten by the group-window rewrites below
+    out = _WINDOW_TVF_RE.sub(_sub_window_tvf, out)
     out = _TUMBLE_RE.sub(_sub_tumble, out)
     out = _HOP_RE.sub(_sub_hop, out)
     out = _SESSION_RE.sub(_sub_session, out)

@@ -152,3 +152,108 @@ def test_translation_leaves_string_literals_alone():
         "SELECT current_timestamp() AS p,"
         " 'PROCTIME() isn''t code: NOW()' AS s"
     )
+
+
+def test_window_tvf_translation_text():
+    """FLIP-145 windowing TVFs rewrite to derived subqueries that
+    append window_start/window_end/window_time (= end - 1 ms), exactly
+    the columns the Flink TVF appends. Positional and named-argument
+    forms both translate; HOP's (slide, size) order flips to Spark's
+    (size, slide)."""
+    from flink_streaming_platform_web_spark.functions.flink_compat import (
+        translate_expr,
+    )
+
+    t = translate_expr(
+        "SELECT window_start FROM TABLE(TUMBLE(TABLE src, "
+        "DESCRIPTOR(ts), INTERVAL '1' MINUTE))"
+    )
+    assert "window(ts, '1 minutes') AS __w" in t
+    assert "__w.start AS window_start" in t
+    assert "AS window_time" in t
+    assert "TABLE(" not in t
+
+    h = translate_expr(
+        "SELECT 1 FROM TABLE(HOP(TABLE src, DESCRIPTOR(ts), "
+        "INTERVAL '30' SECOND, INTERVAL '1' MINUTE))"
+    )
+    assert "window(ts, '1 minutes', '30 seconds')" in h
+
+    n = translate_expr(
+        "SELECT 1 FROM TABLE(TUMBLE(DATA => TABLE src, "
+        "TIMECOL => DESCRIPTOR(ts), SIZE => INTERVAL '10' MINUTE))"
+    )
+    assert "window(ts, '10 minutes')" in n
+
+    c = translate_expr(
+        "SELECT 1 FROM TABLE(CUMULATE(TABLE src, DESCRIPTOR(ts), "
+        "INTERVAL '15' MINUTE, INTERVAL '1' HOUR))"
+    )
+    assert "explode(sequence(1, 4))" in c
+    assert "timestampadd(SECOND, __k * 900, __ws)" in c
+
+
+def test_window_tvf_execution_matches_group_window(spark, sf_dir):
+    """TVF and group-window forms of the same tumble aggregation must
+    produce identical results on the events table; the cumulate TVF
+    must match q36's declarative expansion semantics (each row in
+    every expanding slice whose end is after its event time)."""
+    from flink_streaming_platform_web_spark.functions.flink_compat import (
+        translate_expr,
+    )
+    from flink_streaming_platform_web_spark.tables import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("ev_tvf")
+
+    tvf = spark.sql(
+        translate_expr(
+            "SELECT window_start, window_end, COUNT(*) AS n "
+            "FROM TABLE(TUMBLE(TABLE ev_tvf, DESCRIPTOR(ts), "
+            "INTERVAL '1' HOUR)) GROUP BY window_start, window_end"
+        )
+    )
+    gw = spark.sql(
+        translate_expr(
+            "SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS window_start,"
+            " TUMBLE_END(ts, INTERVAL '1' HOUR) AS window_end,"
+            " COUNT(*) AS n FROM ev_tvf"
+            " GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+        )
+    )
+    assert sorted(map(tuple, tvf.collect())) == sorted(
+        map(tuple, gw.collect())
+    )
+
+    cum = spark.sql(
+        translate_expr(
+            "SELECT window_start, window_end, COUNT(*) AS n "
+            "FROM TABLE(CUMULATE(TABLE ev_tvf, DESCRIPTOR(ts), "
+            "INTERVAL '30' MINUTE, INTERVAL '1' HOUR)) "
+            "GROUP BY window_start, window_end"
+        )
+    ).collect()
+    # every hour bucket appears as two expanding slices; the full-hour
+    # slice count equals the tumble count for that hour
+    full = {
+        (r.window_start, r.n) for r in cum
+        if (r.window_end - r.window_start).total_seconds() == 3600
+    }
+    tumble = {(r.window_start, r.n) for r in tvf.collect()}
+    assert full == tumble
+    # half-hour slices count a subset of the hour's events
+    half = {
+        r.window_start: r.n for r in cum
+        if (r.window_end - r.window_start).total_seconds() == 1800
+    }
+    for ws, n in half.items():
+        assert n <= dict(tumble)[ws]
+
+    # window_time is window_end - 1 ms
+    wt = spark.sql(
+        translate_expr(
+            "SELECT window_end, window_time "
+            "FROM TABLE(TUMBLE(TABLE ev_tvf, DESCRIPTOR(ts), "
+            "INTERVAL '1' HOUR)) LIMIT 1"
+        )
+    ).collect()[0]
+    assert (wt.window_end - wt.window_time).total_seconds() == 0.001

@@ -292,3 +292,40 @@ def test_runner_connector_ddl_typo_raises_ddl_error(spark):
         runner.execute_script(
             "CREATE TABLE k (a FOOTYPE) WITH ('connector' = 'kafka');"
         )
+
+
+def test_window_tvf_batch_script(spark, sf_dir, tmp_path):
+    """FLIP-145 windowing TVF syntax runs through the script path:
+    TABLE(TUMBLE(TABLE src, DESCRIPTOR(ts), ...)) with GROUP BY
+    window_start/window_end lands the same rows as the group-window
+    form of the identical aggregation."""
+    src = f"{tmp_path}/ev_src"
+    load(spark, sf_dir, "events").limit(500).write.parquet(src)
+    runner = JobRunner(spark, mode="batch")
+    runner.execute_script(
+        f"""
+        CREATE TABLE ev (
+          event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+          event_type STRING, value DOUBLE, props STRING
+        ) WITH ('connector'='filesystem', 'path'='{src}',
+                'format'='parquet');
+        CREATE TABLE agg_tvf (
+          window_start TIMESTAMP, window_end TIMESTAMP, n BIGINT
+        ) WITH ('connector'='memory');
+        CREATE TABLE agg_gw (
+          window_start TIMESTAMP, window_end TIMESTAMP, n BIGINT
+        ) WITH ('connector'='memory');
+        INSERT INTO agg_tvf
+          SELECT window_start, window_end, COUNT(*) AS n
+          FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts),
+                            INTERVAL '1' HOUR))
+          GROUP BY window_start, window_end;
+        INSERT INTO agg_gw
+          SELECT TUMBLE_START(ts, INTERVAL '1' HOUR),
+                 TUMBLE_END(ts, INTERVAL '1' HOUR), COUNT(*)
+          FROM ev GROUP BY TUMBLE(ts, INTERVAL '1' HOUR);
+    """
+    )
+    tvf = sorted(tuple(r) for r in spark.table("agg_tvf").collect())
+    gw = sorted(tuple(r) for r in spark.table("agg_gw").collect())
+    assert tvf == gw and len(tvf) > 0
