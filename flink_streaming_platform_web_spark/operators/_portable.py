@@ -58,6 +58,32 @@ def oracle_dsum(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
 
 
+def fp_mean(col: str | Column) -> Column:
+    """Engine-portable exact MEAN of unit-scale doubles (embedding
+    coordinates): fixed-point accumulate floor(x·1e9) as BIGINT, then
+    one double division. A raw-double→DECIMAL(18,9) cast is NOT
+    portable — a double lands within one ulp of a 0.5e-9 grid midpoint
+    with probability ~4e-7/value and the engines' decimal-conversion
+    paths then disagree by one decimal ulp (observed at sf0.1). floor
+    and multiply are IEEE ops both engines run bit-identically, and
+    |x|·1e9 ≪ 2⁵³ stays exact. Single definition shared by q32, the
+    IVF centroid build (ann04/ann05/dd07), and k-means (vec01/dd11) so
+    a carrier change can never partially apply."""
+    c = F.col(col) if isinstance(col, str) else col
+    scaled = F.floor(c.cast("double") * F.lit(1e9)).cast("bigint")
+    return (F.sum(scaled).cast("double") / F.lit(1e9)) / F.count(
+        "*"
+    ).cast("double")
+
+
+def oracle_fp_mean(expr: str) -> str:
+    """DuckDB side of :func:`fp_mean` (same IEEE operation sequence)."""
+    return (
+        f"(CAST(SUM(CAST(floor(CAST({expr} AS DOUBLE) * 1e9) AS BIGINT))"
+        f" AS DOUBLE) / 1e9) / CAST(COUNT(*) AS DOUBLE)"
+    )
+
+
 def oracle_davg(expr: str, alias: str) -> str:
     """DuckDB side of :func:`davg`."""
     return (

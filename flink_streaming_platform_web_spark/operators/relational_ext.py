@@ -16,6 +16,8 @@ from pyspark.sql.window import Window
 
 from flink_streaming_platform_web_spark.operators._portable import (
     dsum,
+    fp_mean,
+    oracle_fp_mean,
     oracle_dsum,
     oracle_portable_hash,
     oracle_ts_str,
@@ -268,28 +270,19 @@ def q32_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     elems = emb.select(
         "label", F.posexplode("embedding").alias("d0", "x")
     ).select("label", (F.col("d0") + 1).alias("d"), "x")
-    # Fixed-point accumulate: floor(x * 1e9) as BIGINT, summed exactly.
-    # A double→DECIMAL(18,9) cast of a RAW double is NOT engine-portable
-    # at this scale — a double lands within one of its own ulps of a
-    # 0.5e-9 grid midpoint with probability ~4e-7 per value, and the
-    # engines' internal decimal-conversion paths then disagree by one
-    # decimal ulp (observed at sf0.1: 320k elements → one flipped sum).
-    # floor(x * 1e9) uses only IEEE ops both engines run bit-identically
-    # (double multiply, floor), and |x|*1e9 << 2^53 stays exact.
-    scaled = F.floor(F.col("x").cast("double") * F.lit(1e9)).cast("bigint")
+    # Fixed-point accumulate via the shared fp_mean carrier (rationale
+    # documented once in operators/_portable.py): raw-double→DECIMAL
+    # casts disagree between engines by one decimal ulp near grid
+    # midpoints (observed at sf0.1: 320k elements → one flipped sum).
     return elems.groupBy("label", "d").agg(
-        (
-            (F.sum(scaled).cast("double") / F.lit(1e9))
-            / F.count("*").cast("double")
-        ).alias("mean_x"),
+        fp_mean("x").alias("mean_x"),
         F.count("*").alias("n"),
     )
 
 
-ORACLE_Q32 = """
+ORACLE_Q32 = f"""
 SELECT label, d,
-       (CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
-        / 1e9) / CAST(COUNT(*) AS DOUBLE) AS mean_x,
+       {oracle_fp_mean('x')} AS mean_x,
        COUNT(*) AS n
 FROM (
   SELECT label, d::INT AS d, embedding[d] AS x

@@ -31,6 +31,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
+from flink_streaming_platform_web_spark.operators._portable import (
+    fp_mean,
+    oracle_fp_mean,
+)
 from flink_streaming_platform_web_spark.tables import load
 
 TOP_K = 5
@@ -363,26 +367,10 @@ def _centroids(spark: SparkSession, sf_dir: str):
 
 def _centroids_build(spark: SparkSession, sf_dir: str):
     emb = load(spark, sf_dir, "embeddings")
-    # fixed-point accumulate (floor(x*1e9) summed as BIGINT): raw-double
-    # →DECIMAL(18,9) casts disagree between engines by one decimal ulp
-    # near grid midpoints (see q32, relational_ext.py) — portable means
-    # use only IEEE ops both engines run bit-identically
     rows = (
         emb.select("label", F.posexplode("embedding").alias("d", "x"))
         .groupBy("label", "d")
-        .agg(
-            (
-                (
-                    F.sum(
-                        F.floor(
-                            F.col("x").cast("double") * F.lit(1e9)
-                        ).cast("bigint")
-                    ).cast("double")
-                    / F.lit(1e9)
-                )
-                / F.count("*").cast("double")
-            ).alias("m")
-        )
+        .agg(fp_mean("x").alias("m"))
         .collect()
     )
     labels = sorted({r["label"] for r in rows})
@@ -436,45 +424,9 @@ def ann04_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ANN04 = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-cent_long AS (
-  SELECT label, d,
-         (CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT))
-               AS DOUBLE) / 1e9)
-           / CAST(COUNT(*) AS DOUBLE) AS m
-  FROM (SELECT label, d::INT - 1 AS d, embedding[d] AS x
-        FROM embeddings,
-             LATERAL (SELECT unnest(generate_series(1, len(embedding)))
-                      AS d))
-  GROUP BY label, d
-),
-cent AS (
-  SELECT label, list(m ORDER BY d) AS cv FROM cent_long GROUP BY label
-),
-assigned AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT e.vec_id, e.v, c.label AS cell,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round({_ORACLE_COS.format(a='e.v', b='c.cv')}, 6)
-                      DESC, c.label ASC) AS rn
-    FROM e CROSS JOIN cent c
-  ) WHERE rn = 1
-),
-probed AS (
-  SELECT q.vec_id AS query_id, a.cell, a.vec_id AS neighbor_id,
-         round({_ORACLE_COS.format(a='q.v', b='a.v')}, 6) AS cos_sim
-  FROM assigned q JOIN assigned a
-    ON q.cell = a.cell AND a.vec_id != q.vec_id
-  WHERE q.vec_id % {QUERY_MOD} = 0
-)
-SELECT query_id, cell, neighbor_id, rk, cos_sim FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-             ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
-  FROM probed
-) WHERE rk <= {IVF_TOP_K}
-"""
+# ORACLE_ANN04 is defined below on top of the shared ORACLE_CELL_RANKED
+# CTE (the quantizer text ann05/dd07 also reuse), so a carrier change
+# in the centroid fixed-point expression can never partially apply.
 
 
 # --------------------------------------------------------------------------
@@ -571,9 +523,7 @@ ORACLE_CELL_RANKED = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 cent_long AS (
   SELECT label, d,
-         (CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT))
-               AS DOUBLE) / 1e9)
-           / CAST(COUNT(*) AS DOUBLE) AS m
+         {oracle_fp_mean('x')} AS m
   FROM (SELECT label, d::INT - 1 AS d, embedding[d] AS x
         FROM embeddings,
              LATERAL (SELECT unnest(generate_series(1, len(embedding)))
@@ -591,6 +541,22 @@ ranked AS (
                     DESC, c.label ASC) AS rn
   FROM e CROSS JOIN cent c
 )"""
+
+ORACLE_ANN04 = f"""{ORACLE_CELL_RANKED},
+assigned AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+probed AS (
+  SELECT q.vec_id AS query_id, a.cell, a.vec_id AS neighbor_id,
+         round({_ORACLE_COS.format(a='q.v', b='a.v')}, 6) AS cos_sim
+  FROM assigned q JOIN assigned a
+    ON q.cell = a.cell AND a.vec_id != q.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+)
+SELECT query_id, cell, neighbor_id, rk, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM probed
+) WHERE rk <= {IVF_TOP_K}
+"""
 
 ORACLE_ANN05 = f"""{ORACLE_CELL_RANKED},
 corpus AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),

@@ -28,6 +28,10 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_streaming_platform_web_spark.operators._portable import (
+    fp_mean,
+    oracle_fp_mean,
+)
 from flink_streaming_platform_web_spark.operators.similarity import (
     _ORACLE_COS,
     _vecs,
@@ -60,19 +64,7 @@ def _km_means(assigned: DataFrame):
     return (
         assigned.select("cell", F.posexplode("v").alias("d", "x"))
         .groupBy("cell", "d")
-        .agg(
-            (
-                (
-                    F.sum(
-                        F.floor(
-                            F.col("x").cast("double") * F.lit(1e9)
-                        ).cast("bigint")
-                    ).cast("double")
-                    / F.lit(1e9)
-                )
-                / F.count("*").cast("double")
-            ).alias("m")
-        )
+        .agg(fp_mean("x").alias("m"))
         .collect()
     )
 
@@ -145,9 +137,7 @@ assign1 AS (
 ),
 means1 AS (
   SELECT cell, d,
-         (CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT))
-               AS DOUBLE) / 1e9)
-           / CAST(COUNT(*) AS DOUBLE) AS m
+         {oracle_fp_mean('x')} AS m
   FROM (SELECT cell, d::INT - 1 AS d, v[d] AS x
         FROM assign1,
              LATERAL (SELECT unnest(generate_series(1, len(v))) AS d))
