@@ -51,6 +51,7 @@ from flink_streaming_platform_web_spark.streaming.checkpoints import (
     trigger_kwargs,
 )
 from flink_streaming_platform_web_spark.streaming.upsert import (
+    CombiningStore,
     KeyedStore,
     foreach_batch_upsert,
 )
@@ -555,8 +556,15 @@ class JobRunner:
         stream_refs = [
             r for r in refs if self._materialized.get(r) == "stream"
         ]
-        if len(stream_refs) != 1 or _is_aggregated(plan_df):
+        if len(stream_refs) != 1:
             return False
+        if _is_aggregated(plan_df):
+            # aggregating TTL-dim queries: incremental per-batch delta
+            # fold when the aggregates are algebraic, else the in-plan
+            # join (pinned dim snapshot) remains the documented fallback
+            return self._write_stream_ttl_incremental_agg(
+                job, stream_refs[0], ttl_dims, idx, result
+            )
         sink = self.tables[job.target]
         # connector-first honesty (ADVICE r01): only sinks this body
         # actually serves are admitted; PK EXTERNAL sinks (jdbc-with-
@@ -603,6 +611,103 @@ class JobRunner:
                 )
             elif sink.connector == "memory":
                 self._register_memory_result(out, sink)
+
+        writer = (
+            self.spark.table(src)
+            .writeStream.foreachBatch(apply)
+            .outputMode("append")
+        )
+        if self.checkpoint.checkpoint_dir:
+            writer = writer.option(
+                "checkpointLocation",
+                f"{self.checkpoint.checkpoint_dir}/q{idx}_{sink.name}",
+            )
+        if self._trigger:
+            writer = writer.trigger(**self._trigger)
+        result.streaming_queries.append(writer.start())
+        return True
+
+    def _write_stream_ttl_incremental_agg(
+        self,
+        job: InsertJob,
+        src: str,
+        ttl_dims: list[str],
+        idx: int,
+        result: ExecutionResult,
+    ) -> bool:
+        """Aggregating query over TTL-refreshed lookup dims, run
+        INCREMENTALLY: each micro-batch joins only its own rows against
+        the dim's CURRENT snapshot and emits per-key partial aggregates
+        (SUM/COUNT deltas, MIN/MAX candidates); the PK sink folds the
+        partials (CombiningStore — at scale the identical fold is the
+        jdbc MERGE's `x + EXCLUDED.x` / `LEAST(x, EXCLUDED.x)`). This
+        is Flink's StreamExecGroupAggregate shape with per-batch dim
+        re-resolution — the enrichment always sees the freshest dim,
+        which the in-plan stream-static join cannot (it pins the dim's
+        file listing at query start).
+
+        Sound iff the source is append-only and every aggregate is
+        algebraic: bare SUM/COUNT/MIN/MAX select items (no DISTINCT,
+        no arithmetic over aggregates, no HAVING/OVER — HAVING filters
+        on a fold that later batches may still change). Anything else
+        returns False and the in-plan join with its pinned-snapshot
+        caveat remains the documented fallback."""
+        sink = self.tables[job.target]
+        if not sink.primary_key:
+            return False
+        if sink.connector not in ("jdbc", "memory", "print") or (
+            sink.connector == "jdbc" and sink.options.get("url")
+        ):
+            return False
+        sql = translate_expr(job.query_sql)
+        if re.search(
+            r"\b(HAVING|OVER|UNION|EXCEPT|INTERSECT)\b", sql, re.IGNORECASE
+        ):
+            return False
+        items = _split_select_list(sql)
+        if not items:
+            return False
+        kinds = [_classify_agg_item(it) for it in items]
+        if any(k is None for k in kinds):
+            return False
+        sink_cols = [
+            c.name
+            for c in sink.columns
+            if c.spark_type is not None and c.computed_expr is None
+        ]
+        if len(sink_cols) != len(kinds):
+            return False
+        keys = [
+            c for c, (kind, _) in zip(sink_cols, kinds) if kind == "key"
+        ]
+        combiners = {
+            c: op
+            for c, (kind, op) in zip(sink_cols, kinds)
+            if kind == "agg"
+        }
+        if not combiners or set(keys) != set(sink.primary_key):
+            return False
+        caches = [self.dim_caches[d] for d in ttl_dims]
+        store = self.upsert_stores.get(sink.name)
+        if not isinstance(store, CombiningStore):
+            store = CombiningStore(list(sink.primary_key), combiners)
+            self.upsert_stores[sink.name] = store
+
+        def apply(batch: DataFrame, epoch_id: int) -> None:
+            # combining is not idempotent — skip redelivered epochs
+            # (same-run retry; across restarts the in-process store is
+            # empty and the replay-from-scratch contract applies)
+            if epoch_id <= store.applied_epoch:
+                return
+            sess = batch.sparkSession
+            batch.createOrReplaceTempView(src)
+            for cache in caches:
+                cache.ensure(sess)
+            out = self._align_to_sink(sess.sql(sql), sink)
+            store.merge_batch(out)
+            store.applied_epoch = epoch_id
+            if sink.connector == "print":
+                store.to_df(sess).show(truncate=False)
 
         writer = (
             self.spark.table(src)
@@ -1107,3 +1212,81 @@ class JobRunner:
 def _is_aggregated(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+# -- algebraic select-list analysis (incremental TTL-dim aggregation) ------
+
+_AGG_FN_RE = re.compile(r"^(SUM|COUNT|MIN|MAX)\s*\(", re.IGNORECASE)
+_AGG_TAIL_RE = re.compile(r"^(?:\s+AS\s+[\w`]+)?\s*$", re.IGNORECASE)
+
+
+def _split_select_list(sql: str) -> list[str] | None:
+    """Top-level SELECT-list items of `sql` (None if the text is not a
+    single plain SELECT). Paren depth and ''-escaped string literals
+    are respected, so commas inside CASE/functions/subqueries and a
+    literal "FROM" never split."""
+    m = re.match(r"\s*SELECT\s+", sql, re.IGNORECASE)
+    if not m:
+        return None
+    i, n = m.end(), len(sql)
+    start, depth, in_str = i, 0, False
+    items: list[str] = []
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            if ch == ",":
+                items.append(sql[start:i])
+                start = i + 1
+            elif (
+                sql[i : i + 4].upper() == "FROM"
+                and sql[i - 1].isspace()
+                and (i + 4 >= n or not sql[i + 4].isalnum())
+            ):
+                items.append(sql[start:i])
+                return [s.strip() for s in items if s.strip()]
+        i += 1
+    return None
+
+
+def _classify_agg_item(item: str) -> tuple[str, str | None] | None:
+    """('agg', combiner-op) for a bare SUM/COUNT/MIN/MAX(...) item
+    (optionally aliased), ('key', None) for a non-aggregate item, None
+    for anything the incremental fold cannot combine (DISTINCT inside
+    the call, arithmetic ON aggregates like SUM(a)+SUM(b), AVG, ...)."""
+    m = _AGG_FN_RE.match(item)
+    if not m:
+        # a non-agg item that still MENTIONS an agg fn deeper in (e.g.
+        # 1 + SUM(x)) is not a pure key — reject the whole statement
+        if re.search(r"\b(SUM|COUNT|MIN|MAX|AVG)\s*\(", item, re.IGNORECASE):
+            return None
+        return ("key", None)
+    # the fn's opening paren must close at the item's end (modulo an
+    # optional alias) — otherwise the agg is nested in arithmetic
+    depth, i = 0, m.end() - 1
+    while i < len(item):
+        if item[i] == "(":
+            depth += 1
+        elif item[i] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    if depth != 0 or not _AGG_TAIL_RE.match(item[i + 1 :]):
+        return None
+    inner = item[m.end() : i].strip()
+    if re.match(r"DISTINCT\b", inner, re.IGNORECASE):
+        return None
+    fn = m.group(1).lower()
+    return ("agg", "sum" if fn in ("sum", "count") else fn)

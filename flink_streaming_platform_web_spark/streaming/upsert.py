@@ -98,6 +98,64 @@ class GroupReplaceStore(KeyedStore):
                 self.rows[self._key(row)] = row
 
 
+class CombiningStore(KeyedStore):
+    """Keyed store whose merge COMBINES per-batch aggregate deltas
+    into the held row instead of replacing it — the sink half of the
+    incremental-aggregation contract (Flink's per-key agg state,
+    StreamExecGroupAggregate): each micro-batch contributes only its
+    own partial (SUM/COUNT deltas, MIN/MAX candidates) and the store
+    folds them. Valid for append-only inputs and algebraic aggregates;
+    retraction would need the full changelog path (streaming/cdc.py).
+    At scale the identical fold runs server-side: SUM → `UPDATE SET x
+    = x + EXCLUDED.x`, MIN/MAX → `LEAST/GREATEST(x, EXCLUDED.x)` in
+    the jdbc MERGE (sources/registry.build_upsert_sql's shape)."""
+
+    #: combiner ops: new = op(old, delta); COUNT combines as "sum"
+    OPS = ("sum", "min", "max")
+
+    def __init__(
+        self, key_cols: list[str], combiners: dict[str, str]
+    ) -> None:
+        super().__init__(key_cols)
+        bad = {op for op in combiners.values()} - set(self.OPS)
+        if bad:
+            raise ValueError(f"unknown combiner ops: {bad}")
+        self.combiners = combiners
+        # combining is NOT idempotent on redelivery (unlike replace-
+        # by-key): callers gate on epoch id — see the runner's
+        # incremental-agg apply. applied_epoch is the high-water mark.
+        self.applied_epoch = -1
+
+    @staticmethod
+    def _combine(op: str, old, new):
+        if old is None:
+            return new
+        if new is None:
+            return old
+        if op == "sum":
+            return old + new
+        if op == "min":
+            return new if new < old else old
+        return new if new > old else old
+
+    def merge_batch(self, batch: DataFrame) -> None:
+        self.schema = batch.schema
+        for row in batch.toLocalIterator():
+            delta = row.asDict()
+            k = self._key(delta)
+            with self._lock:
+                held = self.rows.get(k)
+                if held is None:
+                    self.rows[k] = delta
+                else:
+                    merged = dict(held)
+                    for col, op in self.combiners.items():
+                        merged[col] = self._combine(
+                            op, held.get(col), delta.get(col)
+                        )
+                    self.rows[k] = merged
+
+
 def foreach_batch_upsert(store: KeyedStore):
     """foreachBatch callback: MERGE the micro-batch into the store.
     Epoch id makes redelivery idempotent by construction here (upsert

@@ -329,3 +329,58 @@ def test_window_tvf_batch_script(spark, sf_dir, tmp_path):
     tvf = sorted(tuple(r) for r in spark.table("agg_tvf").collect())
     gw = sorted(tuple(r) for r in spark.table("agg_gw").collect())
     assert tvf == gw and len(tvf) > 0
+
+
+def test_algebraic_select_classifier():
+    """The incremental-agg gate's parser: bare SUM/COUNT/MIN/MAX items
+    classify with their fold op; nested/derived aggregates, DISTINCT,
+    and AVG reject (fall back to the in-plan join)."""
+    from flink_streaming_platform_web_spark.streaming.runner import (
+        _classify_agg_item,
+        _split_select_list,
+    )
+
+    items = _split_select_list(
+        "SELECT a, SUM(x) AS s, COUNT(*) AS n, MIN(CASE WHEN x > 0 "
+        "THEN x END) AS m FROM t GROUP BY a"
+    )
+    assert items == [
+        "a",
+        "SUM(x) AS s",
+        "COUNT(*) AS n",
+        "MIN(CASE WHEN x > 0 THEN x END) AS m",
+    ]
+    assert _classify_agg_item("a") == ("key", None)
+    assert _classify_agg_item("SUM(x) AS s") == ("agg", "sum")
+    assert _classify_agg_item("COUNT(*) AS n") == ("agg", "sum")
+    assert _classify_agg_item("MIN(x)") == ("agg", "min")
+    assert _classify_agg_item("MAX(x) AS biggest") == ("agg", "max")
+    # not algebraic / not a pure fold:
+    assert _classify_agg_item("AVG(x) AS m") is None
+    assert _classify_agg_item("SUM(a) + SUM(b) AS s") is None
+    assert _classify_agg_item("1 + SUM(x) AS s") is None
+    assert _classify_agg_item("SUM(DISTINCT x) AS s") is None
+    # literal containing FROM must not truncate the list
+    items2 = _split_select_list("SELECT 'FROM x' AS lit, b FROM t")
+    assert items2 == ["'FROM x' AS lit", "b"]
+    # commas inside function calls don't split
+    items3 = _split_select_list("SELECT coalesce(a, b), c FROM t")
+    assert items3 == ["coalesce(a, b)", "c"]
+
+
+def test_combining_store_fold_semantics():
+    from flink_streaming_platform_web_spark.streaming.upsert import (
+        CombiningStore,
+    )
+
+    c = CombiningStore._combine
+    assert c("sum", 2, 3) == 5
+    assert c("sum", None, 3) == 3  # first sight of a key's column
+    assert c("sum", 2, None) == 2  # all-null batch partial
+    assert c("min", 5, 7) == 5 and c("min", 7, 5) == 5
+    assert c("max", 5, 7) == 7 and c("max", None, None) is None
+    try:
+        CombiningStore(["k"], {"x": "avg"})
+        raise AssertionError("avg must be rejected")
+    except ValueError:
+        pass

@@ -214,3 +214,121 @@ def test_lookup_cache_max_rows_disables_cache(spark, tmp_path):
         spark, tmp_path, "1h", "cap", ", 'lookup.cache.max-rows'='0'"
     )
     assert rows == {10: 100, 20: 999}, rows
+
+
+def _run_agg_ttl_scenario(
+    spark, tmp_path, tag, select_sql, sink_cols, update_dim=True
+):
+    """Aggregating variant of the TTL scenario: 2 micro-batches for
+    the same user; with update_dim the dim value changes between them
+    (1s TTL, >1s gap — only valid for the per-batch replan/incremental
+    paths; the in-plan fallback pins the dim's FILE LISTING, so a
+    file swap under it is a scan error, not staleness)."""
+    src = f"{tmp_path}/aggttl_src_{tag}"
+    dim = f"{tmp_path}/aggttl_dim_{tag}"
+    spark.createDataFrame(
+        [(1, 100)], "id BIGINT, coupon BIGINT"
+    ).write.mode("overwrite").parquet(dim)
+    spark.createDataFrame(
+        [(10, 1)], "event_id BIGINT, user_id BIGINT"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        CREATE TABLE ev (event_id BIGINT, user_id BIGINT,
+          proctime AS PROCTIME()) WITH ('connector'='filesystem',
+          'path'='{src}', 'format'='parquet',
+          'source.max-files-per-trigger'='1');
+        CREATE TABLE ttl_dim (id BIGINT, coupon BIGINT) WITH
+          ('connector'='filesystem', 'path'='{dim}', 'format'='parquet',
+           'lookup.cache.ttl'='1s');
+        CREATE TABLE sink ({sink_cols},
+          PRIMARY KEY (user_id) NOT ENFORCED) WITH ('connector'='jdbc');
+        INSERT INTO sink
+        {select_sql}
+        FROM ev LEFT JOIN ttl_dim FOR SYSTEM_TIME AS OF ev.proctime AS b
+          ON b.id = ev.user_id
+        GROUP BY ev.user_id;
+        """
+    )
+    try:
+        for q in result.streaming_queries:
+            q.processAllAvailable()
+        import shutil
+        import time as _t
+
+        if update_dim:
+            staged = f"{dim}_staged"
+            spark.createDataFrame(
+                [(1, 999)], "id BIGINT, coupon BIGINT"
+            ).write.mode("overwrite").parquet(staged)
+            shutil.rmtree(dim)
+            shutil.move(staged, dim)
+            _t.sleep(1.2)
+        spark.createDataFrame(
+            [(20, 1)], "event_id BIGINT, user_id BIGINT"
+        ).coalesce(1).write.mode("append").parquet(src)
+        for q in result.streaming_queries:
+            q.processAllAvailable()
+    finally:
+        for q in result.streaming_queries:
+            q.stop()
+            q.awaitTermination(60)
+        for c in runner.dim_caches.values():
+            c.release()
+    return runner
+
+
+def test_ttl_dim_aggregation_is_incremental_and_fresh(spark, tmp_path):
+    """Algebraic aggregates over a TTL dim run the per-batch delta
+    fold: each micro-batch joins against the dim's CURRENT snapshot,
+    so the second batch's SUM contribution uses the UPDATED coupon —
+    a result the in-plan stream-static join (pinned dim listing) can
+    never produce. COUNT folds as sum, MIN/MAX as candidates."""
+    from flink_streaming_platform_web_spark.streaming.upsert import (
+        CombiningStore,
+    )
+
+    runner = _run_agg_ttl_scenario(
+        spark,
+        tmp_path,
+        "inc",
+        "SELECT ev.user_id, COUNT(*) AS n, SUM(b.coupon) AS total,"
+        " MAX(b.coupon) AS biggest",
+        "user_id BIGINT, n BIGINT, total BIGINT, biggest BIGINT",
+    )
+    store = runner.upsert_stores["sink"]
+    assert isinstance(store, CombiningStore)
+    rows = {
+        r["user_id"]: (r["n"], r["total"], r["biggest"])
+        for r in store.to_df(spark).collect()
+    }
+    assert rows == {1: (2, 100 + 999, 999)}, rows
+
+
+def test_ttl_dim_non_algebraic_agg_falls_back_to_pinned_join(
+    spark, tmp_path
+):
+    """AVG is not an algebraic fold — the runner must fall back to the
+    in-plan stream-static join, whose documented caveat is the PINNED
+    dim snapshot: both batches see the original coupon."""
+    from flink_streaming_platform_web_spark.streaming.upsert import (
+        CombiningStore,
+    )
+
+    runner = _run_agg_ttl_scenario(
+        spark,
+        tmp_path,
+        "avg",
+        "SELECT ev.user_id, AVG(b.coupon) AS mean_coupon",
+        "user_id BIGINT, mean_coupon DOUBLE",
+        update_dim=False,
+    )
+    store = runner.upsert_stores["sink"]
+    assert not isinstance(store, CombiningStore)
+    rows = {
+        r["user_id"]: r["mean_coupon"]
+        for r in store.to_df(spark).collect()
+    }
+    assert rows == {1: 100.0}, rows
