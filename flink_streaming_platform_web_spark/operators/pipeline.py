@@ -9,19 +9,21 @@ and the composition is oracle-gated as one query (the oracle nests the
 tx10 oracle verbatim as a subquery, then mirrors dedup + sample +
 roll-up CTE by CTE).
 
-Scale shape (the point at 100 TB): every stage is a scan-bound filter
-or a digest-keyed aggregation —
-- the keep-list joins back as LEFT SEMI on doc_id (no row widening,
-  no dedup of the probe side needed);
-- exact dedup groups by md5(text) and keeps min(doc_id) — one shuffle
-  keyed by digest, the canonical job;
-- survivor selection is a second LEFT SEMI on doc_id;
+Scale shape (the point at 100 TB): one scan, two shuffles, ZERO joins —
+- the quality gate is a per-row predicate evaluated on the scan
+  (quality_flags: every tx10 metric is array-side, so no keep-list
+  self-join exists to shuffle);
+- exact dedup is a min-doc_id window over md5(text), with the digest
+  computed BEFORE the exchange so the shuffle carries 16 bytes + three
+  small columns, never text (the earlier groupBy + LEFT SEMI pair
+  shuffled survivors a second time on doc_id — and its broadcast side
+  is corpus-sized at scale, where this window is a single bounded
+  exchange);
 - the sample is a pure per-row predicate on a salted portable hash
-  (zero state, reproducible, pushes to the scan);
+  (zero state, reproducible);
 - the final per-(lang, source) roll-up is map-side combinable and
   stratum-sized.
-Nothing in the pipeline materializes doc text anywhere but the digest
-computation; the driver holds nothing.
+Doc text never leaves the scan stage; the driver holds nothing.
 
 Reference parity note: the reference platform has no data-pipeline
 surface (it routes Flink SQL); this composition is the mandated
@@ -35,25 +37,34 @@ from pyspark.sql import functions as F
 
 from flink_streaming_platform_web_spark.operators.text import (
     ORACLE_TX10,
+    quality_flags,
     stratified_keep,
     stratified_keep_where,
-    tx10_quality_filter,
 )
 from flink_streaming_platform_web_spark.tables import load
 
 
 def pp01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan, two shuffles, zero joins: the quality gate is a
+    per-row predicate evaluated inline on the scan (quality_flags —
+    every tx10 metric is array-side since the r3 rewrite, so no
+    keep-list join is needed); exact dedup is a min-doc_id window over
+    the content digest (ONE exchange keyed by the digest — the old
+    groupBy+left-semi pair shuffled the survivors a second time on
+    doc_id); the sample predicate is stateless; the final roll-up's
+    exchange carries |lang|×|source| combined rows."""
+    from pyspark.sql import Window
+
     docs = load(spark, sf_dir, "documents")
-    keep_ids = (
-        tx10_quality_filter(spark, sf_dir)
-        .filter(F.col("keep"))
-        .select("doc_id")
+    kept = quality_flags(docs).filter(F.col("keep")).select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5("text").alias("h"),  # digest BEFORE the exchange: the
+        # dedup shuffle carries 16 bytes + 3 small columns, never text
     )
-    kept = docs.join(keep_ids, "doc_id", "left_semi")
-    survivors = kept.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    deduped = kept.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    w = Window.partitionBy("h")
+    deduped = kept.withColumn(
+        "first_id", F.min("doc_id").over(w)
+    ).filter(F.col("doc_id") == F.col("first_id"))
     _, keep = stratified_keep("pp01")
     final = deduped.filter(keep)
     return final.groupBy("lang", "source").agg(

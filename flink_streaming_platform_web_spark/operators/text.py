@@ -491,24 +491,20 @@ TX10_MIN_STOPWORDS = 2
 TX10_MAX_TOP_BIGRAM = 0.30
 
 
-def tx10_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite Gopher-rule keep/drop decision with per-document
-    reason labels — the actual gate a pretraining pipeline applies
-    after scoring. tx07's repetition signal is computed INLINE on the
-    same scan (it is per-row since the r3 zero-shuffle rewrite — the
-    old version left-joined a per-doc agg back onto documents; both
-    sides were the same table, so the join was a self-shuffle for
-    nothing). ZERO shuffles: rule evaluation is scan-bound. Docs too
-    short for bigrams (empty bigram array) get frac 0.0 — identical
-    to the old left-join-null→coalesce semantics."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.split("text", " ").alias("toks")
-    )
+def quality_flags(docs: DataFrame) -> DataFrame:
+    """Append the tx10 Gopher-rule columns (n_tokens, mean_word_len,
+    n_stopwords, top_bigram_frac, keep, reasons) to any DataFrame that
+    carries doc_id+text, preserving the caller's other columns — the
+    reusable per-row gate pp01 applies WITHOUT a keep-list join. All
+    metrics are array-side expressions of `text`; evaluation is
+    scan-bound with zero shuffles."""
+    carried = [c for c in docs.columns if c not in ("text", "toks")]
     toks = F.size(
         F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
     )
-    base = docs.select(
-        "doc_id",
+    base = docs.withColumn("toks", F.split("text", " ")).select(
+        *carried,
+        "text",
         toks.alias("n_tokens"),
         # mean word length: total non-space chars / token count
         # (nullif: a zero-token doc gets NULL — the too_short rule
@@ -533,11 +529,9 @@ def tx10_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r_stop = F.col("n_stopwords") < TX10_MIN_STOPWORDS
     r_rep = frac > TX10_MAX_TOP_BIGRAM
+    carried2 = [c for c in base.columns if c not in ("bigrams",)]
     return base.select(
-        "doc_id",
-        "n_tokens",
-        "mean_word_len",
-        "n_stopwords",
+        *carried2,
         F.round(frac, 6).alias("top_bigram_frac"),
         (~(r_short | r_long | r_wordlen | r_stop | r_rep)).alias("keep"),
         F.concat_ws(
@@ -548,6 +542,28 @@ def tx10_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(r_stop, "low_stopwords"),
             F.when(r_rep, "repetitive"),
         ).alias("reasons"),
+    )
+
+
+def tx10_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-rule keep/drop decision with per-document
+    reason labels — the actual gate a pretraining pipeline applies
+    after scoring. tx07's repetition signal is computed INLINE on the
+    same scan (it is per-row since the r3 zero-shuffle rewrite — the
+    old version left-joined a per-doc agg back onto documents; both
+    sides were the same table, so the join was a self-shuffle for
+    nothing). ZERO shuffles: rule evaluation is scan-bound. Docs too
+    short for bigrams (empty bigram array) get frac 0.0 — identical
+    to the old left-join-null→coalesce semantics."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_flags(docs).select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "n_stopwords",
+        "top_bigram_frac",
+        "keep",
+        "reasons",
     )
 
 

@@ -322,3 +322,18 @@ def test_pp02_packing_single_shuffle(spark, sf_dir):
     plan = _physical(pp02_shard_packing(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_pp01_pipeline_no_joins_narrow_dedup_shuffle(spark, sf_dir):
+    """pp01: quality gate inline on the scan (no keep-list join),
+    dedup as a digest window — exactly two hash exchanges and zero
+    joins; the dedup exchange must carry the md5 digest, not text."""
+    from flink_streaming_platform_web_spark.operators.pipeline import (
+        pp01_training_mix,
+    )
+
+    plan = _physical(pp01_training_mix(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the window exchange partitions on the digest column
+    assert "hashpartitioning(h#" in plan
