@@ -384,3 +384,49 @@ def test_combining_store_fold_semantics():
         raise AssertionError("avg must be rejected")
     except ValueError:
         pass
+
+
+def test_window_tvf_streaming_update_mode(spark, sf_dir, tmp_path):
+    """The TVF form in a STREAMING insert: grouping by the derived
+    window_start/window_end columns runs as an update-mode keyed agg
+    into a PK sink (the documented caveat — no watermark eviction);
+    the converged result must equal the batch aggregation."""
+    src = f"{tmp_path}/events_tvf_stream"
+    load(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).coalesce(4).write.parquet(src)
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        CREATE TABLE clicks (
+          event_type STRING, ts TIMESTAMP, value DOUBLE
+        ) WITH ('connector' = 'filesystem', 'path' = '{src}',
+                'format' = 'parquet',
+                'source.max-files-per-trigger' = '1');
+        CREATE TABLE out_tvf (
+          window_start TIMESTAMP, event_type STRING, n BIGINT,
+          PRIMARY KEY (window_start, event_type) NOT ENFORCED
+        ) WITH ('connector' = 'memory');
+        INSERT INTO out_tvf
+        SELECT window_start, event_type, COUNT(*) AS n
+        FROM TABLE(TUMBLE(TABLE clicks, DESCRIPTOR(ts),
+                          INTERVAL '1' HOUR))
+        GROUP BY window_start, event_type;
+        """
+    )
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in runner.upsert_stores["out_tvf"].to_df(spark).collect()
+    }
+    expected = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.sql(
+            "SELECT window(ts, '1 hour').start AS ws, event_type, "
+            "COUNT(*) AS n FROM parquet.`{}` GROUP BY 1, 2".format(src)
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
