@@ -112,8 +112,11 @@ _CHECK_FIRST = (
     # refactored shared operator code.
     "dc01_contamination",
     "pp02_shard_packing",
-    "tx12_doc_top_terms",
-    "mm01_binary_meta",
+    # pp03/vec04 are also new (never driver-checked) — they take
+    # tx12/mm01's slots: both displaced entries have r2-dated green
+    # rows and their code paths were untouched since.
+    "pp03_prep_pipeline",
+    "vec04_gram_matrix",
     "mm02_decode_pipeline",
     "mm03_frame_sample",
 )

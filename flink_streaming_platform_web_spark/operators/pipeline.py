@@ -175,11 +175,116 @@ FROM packed
 GROUP BY source, shard_id
 """
 
+def pp03_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete corpus-preparation job, end to end:
+
+        drop the eval split  →  drop contaminated docs (dc01)  →
+        exact dedup (digest window)  →  pack per-source shards (pp02)
+
+    — i.e. what actually runs before a tokenizer ever sees a corpus,
+    composed from the individually-gated stages and gated as ONE
+    nested-oracle query.
+
+    Scale shape: the contamination verdicts come from dc01's broadcast
+    probe (collision rows only); the drop is a LEFT ANTI join against
+    that verdict set keyed by doc_id — bounded by the number of
+    CONTAMINATED docs, which is eval-benchmark-sized, not
+    corpus-sized, so the anti join broadcasts; dedup is pp01's narrow
+    digest-window exchange; packing is pp02's single source-keyed
+    exchange with the roll-up reusing its partitioning. Doc text never
+    shuffles anywhere."""
+    from pyspark.sql import Window
+
+    from flink_streaming_platform_web_spark.operators.decontam import (
+        dc01_contamination,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 != 7
+    )
+    bad_ids = (
+        dc01_contamination(spark, sf_dir)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = docs.join(F.broadcast(bad_ids), "doc_id", "left_anti")
+    slim = clean.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("tokens"),
+    )
+    wd = Window.partitionBy("h")
+    deduped = slim.withColumn(
+        "first_id", F.min("doc_id").over(wd)
+    ).filter(F.col("doc_id") == F.col("first_id"))
+    wp = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = deduped.withColumn(
+        "tokens_before", F.coalesce(F.sum("tokens").over(wp), F.lit(0))
+    ).withColumn("shard_id", F.expr(f"tokens_before DIV {PACK_BUDGET}"))
+    return packed.groupBy("source", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("shard_tokens"),
+    )
+
+
+def _oracle_pp03() -> str:
+    from flink_streaming_platform_web_spark.operators.decontam import (
+        ORACLE_DC01,
+    )
+
+    return f"""
+WITH verdicts AS ({ORACLE_DC01}),
+clean AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id % 20 <> 7
+    AND NOT EXISTS (SELECT 1 FROM verdicts v
+                    WHERE v.doc_id = d.doc_id AND v.contaminated)
+),
+slim AS (
+  SELECT doc_id, source, md5(text) AS h,
+         length(list_filter(regexp_split_to_array(text, '\\s+'),
+                            t -> length(t) > 0)) AS tokens
+  FROM clean
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT slim.*, MIN(doc_id) OVER (PARTITION BY h) AS first_id
+    FROM slim
+  ) WHERE doc_id = first_id
+),
+packed AS (
+  SELECT doc_id, source, tokens,
+         COALESCE(SUM(tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tokens_before
+  FROM deduped
+)
+SELECT source,
+       CAST(tokens_before // {PACK_BUDGET} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS shard_tokens
+FROM packed
+GROUP BY source, shard_id
+"""
+
+
+ORACLE_PP03 = _oracle_pp03()
+
 QUERIES = {
     "pp01_training_mix": pp01_training_mix,
     "pp02_shard_packing": pp02_shard_packing,
+    "pp03_prep_pipeline": pp03_prep_pipeline,
 }
 ORACLES = {
     "pp01_training_mix": ORACLE_PP01,
     "pp02_shard_packing": ORACLE_PP02,
+    "pp03_prep_pipeline": ORACLE_PP03,
 }

@@ -283,14 +283,92 @@ GROUP BY d
 """
 
 
+# --------------------------------------------------------------------------
+# vec04 — gram matrix Xᵀ·X (upper triangle): the sufficient statistic
+# for PCA / whitening / covariance over an embedding corpus. The
+# distributed shape is the textbook one: each partition accumulates a
+# LOCAL d×d partial in numpy (mapInPandas, Arrow-batched), and the
+# only exchange carries |partitions| × d(d+1)/2 tiny rows — the corpus
+# itself never shuffles, and nothing is ever corpus × d² (the
+# posexplode² formulation would be). Products are per-row fixed-point
+# (floor(xᵢ·xⱼ·1e9) as int64) so the global sum is order-independent
+# and bit-identical across engines (_portable.py rationale).
+# --------------------------------------------------------------------------
+
+
+def vec04_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+
+    def partial_gram(iterator):
+        import numpy as np
+        import pandas as pd
+
+        G = None
+        n = 0
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if G is None:
+                d = X.shape[1]
+                G = np.zeros((d, d), dtype=np.int64)
+            # chunk the R×d×d product tensor to bound memory at
+            # ~512·d² doubles (~16 MB at d=64) regardless of batch size
+            for lo in range(0, X.shape[0], 512):
+                B = X[lo : lo + 512]
+                P = B[:, :, None] * B[:, None, :]
+                G += np.floor(P * 1e9).astype(np.int64).sum(axis=0)
+            n += X.shape[0]
+        if G is not None:
+            iu = np.triu_indices(G.shape[0])
+            yield pd.DataFrame(
+                {
+                    "d1": (iu[0] + 1).astype("int32"),
+                    "d2": (iu[1] + 1).astype("int32"),
+                    "gram_scaled": G[iu],
+                    "n_rows": np.int64(n),
+                }
+            )
+
+    partials = vecs.mapInPandas(
+        partial_gram,
+        "d1 int, d2 int, gram_scaled bigint, n_rows bigint",
+    )
+    return partials.groupBy("d1", "d2").agg(
+        (F.sum("gram_scaled").cast("double") / F.lit(1e9)).alias("gram"),
+        F.sum("n_rows").alias("n"),
+    )
+
+
+ORACLE_VEC04 = """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT CAST(i.d AS INT) AS d1, CAST(j.d AS INT) AS d2,
+         CAST(floor(CAST(v[i.d] AS DOUBLE) * CAST(v[j.d] AS DOUBLE)
+                    * 1e9) AS BIGINT) AS p
+  FROM e,
+       LATERAL (SELECT unnest(generate_series(1, len(v))) AS d) i,
+       LATERAL (SELECT unnest(generate_series(1, len(v))) AS d) j
+  WHERE j.d >= i.d
+)
+SELECT d1, d2,
+       CAST(SUM(p) AS DOUBLE) / 1e9 AS gram,
+       COUNT(*) AS n
+FROM pairs
+GROUP BY d1, d2
+"""
+
+
 QUERIES = {
     "vec01_kmeans": vec01_kmeans,
     "vec02_quantize_int8": vec02_quantize_int8,
     "vec03_dim_stats": vec03_dim_stats,
+    "vec04_gram_matrix": vec04_gram_matrix,
 }
 
 ORACLES = {
     "vec01_kmeans": ORACLE_VEC01,
     "vec02_quantize_int8": ORACLE_VEC02,
     "vec03_dim_stats": ORACLE_VEC03,
+    "vec04_gram_matrix": ORACLE_VEC04,
 }

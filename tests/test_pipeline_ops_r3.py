@@ -85,3 +85,63 @@ def test_pp02_partition_of_corpus_and_budget_shape(spark, sf_dir):
         # synthetic docs (< budget tokens each) that is < 2*budget
         for r in shards[:-1]:
             assert r.shard_tokens < 2 * PACK_BUDGET, (source, r)
+
+
+def test_pp03_composition_accounting(spark, sf_dir):
+    """pp03's shard totals must equal the independently-computed
+    survivor count: eval split dropped, contaminated docs dropped,
+    one doc per content digest."""
+    from flink_streaming_platform_web_spark.operators.decontam import (
+        dc01_contamination,
+    )
+    from flink_streaming_platform_web_spark.operators.pipeline import (
+        PACK_BUDGET,
+        pp03_prep_pipeline,
+    )
+
+    out = pp03_prep_pipeline(spark, sf_dir).collect()
+    bad = dc01_contamination(spark, sf_dir).filter(
+        F.col("contaminated")
+    )
+    docs = load(spark, sf_dir, "documents")
+    expected = (
+        docs.filter(F.col("doc_id") % 20 != 7)
+        .join(bad.select("doc_id"), "doc_id", "left_anti")
+        .select(F.md5("text"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_docs for r in out) == expected > 0
+    # non-final shards stay within a doc of the budget
+    per_source = {}
+    for r in out:
+        per_source.setdefault(r.source, []).append(r)
+    for shards in per_source.values():
+        shards.sort(key=lambda r: r.shard_id)
+        for r in shards[:-1]:
+            assert r.shard_tokens < 2 * PACK_BUDGET
+
+
+def test_vec04_gram_matches_numpy(spark, sf_dir):
+    """The distributed fixed-point gram equals the single-machine
+    numpy computation bit-for-bit (per-row floor(x_i*x_j*1e9) summed
+    as int64), and covers exactly the upper triangle with the corpus
+    count on every pair."""
+    import numpy as np
+
+    from flink_streaming_platform_web_spark.operators.vectors import (
+        vec04_gram_matrix,
+    )
+
+    rows = vec04_gram_matrix(spark, sf_dir).collect()
+    emb = load(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+    n, d = X.shape
+    assert len(rows) == d * (d + 1) // 2
+    G = np.zeros((d, d), dtype=np.int64)
+    for row in X:
+        G += np.floor(np.outer(row, row) * 1e9).astype(np.int64)
+    for r in rows:
+        assert 1 <= r.d1 <= r.d2 <= d
+        assert r.n == n
+        assert r.gram == G[r.d1 - 1, r.d2 - 1] / 1e9, (r.d1, r.d2)

@@ -337,3 +337,31 @@ def test_pp01_pipeline_no_joins_narrow_dedup_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
     # the window exchange partitions on the digest column
     assert "hashpartitioning(h#" in plan
+
+
+def test_pp03_prep_pipeline_broadcast_only_joins(spark, sf_dir):
+    """pp03: contamination drop is a broadcast anti join (verdict set
+    is eval-benchmark-sized), dedup/pack are window exchanges — no
+    sort-merge join anywhere and the pack roll-up reuses the source
+    partitioning (4 hash exchanges total incl. dc01's two)."""
+    from flink_streaming_platform_web_spark.operators.pipeline import (
+        pp03_prep_pipeline,
+    )
+
+    plan = _physical(pp03_prep_pipeline(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2  # dc01 probe + anti
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_vec04_gram_single_tiny_exchange(spark, sf_dir):
+    """vec04: per-partition numpy partials — the only hash exchange
+    carries |partitions| × d(d+1)/2 rows; the corpus never joins and
+    never shuffles past the _vecs spread."""
+    from flink_streaming_platform_web_spark.operators.vectors import (
+        vec04_gram_matrix,
+    )
+
+    plan = _physical(vec04_gram_matrix(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
