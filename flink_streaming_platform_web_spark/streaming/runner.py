@@ -689,9 +689,13 @@ class JobRunner:
             return False
         caches = [self.dim_caches[d] for d in ttl_dims]
         store = self.upsert_stores.get(sink.name)
-        if not isinstance(store, CombiningStore):
+        if store is None:
             store = CombiningStore(list(sink.primary_key), combiners)
             self.upsert_stores[sink.name] = store
+        elif not isinstance(store, CombiningStore):
+            # another query already feeds this sink with replace-by-key
+            # semantics — don't clobber its rows; fall back
+            return False
 
         def apply(batch: DataFrame, epoch_id: int) -> None:
             # combining is not idempotent — skip redelivered epochs

@@ -140,10 +140,14 @@ class CombiningStore(KeyedStore):
 
     def merge_batch(self, batch: DataFrame) -> None:
         self.schema = batch.schema
-        for row in batch.toLocalIterator():
-            delta = row.asDict()
-            k = self._key(delta)
-            with self._lock:
+        # drain the batch FULLY before touching state: combining is
+        # not idempotent, so a mid-iteration failure must leave the
+        # store untouched or the foreachBatch retry double-counts the
+        # rows that had already folded
+        deltas = [row.asDict() for row in batch.toLocalIterator()]
+        with self._lock:
+            for delta in deltas:
+                k = self._key(delta)
                 held = self.rows.get(k)
                 if held is None:
                     self.rows[k] = delta
