@@ -117,8 +117,11 @@ _CHECK_FIRST = (
     # rows and their code paths were untouched since.
     "pp03_prep_pipeline",
     "vec04_gram_matrix",
+    # st09 is new (streaming windowing-TVF) — takes mm03's slot
+    # (mm03 is r2-green; its byte-chunking path is pinned by
+    # tests/test_imagecodec.py and untouched since).
+    "st09_stream_window_tvf",
     "mm02_decode_pipeline",
-    "mm03_frame_sample",
 )
 
 

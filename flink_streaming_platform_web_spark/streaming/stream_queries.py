@@ -518,8 +518,56 @@ FROM latest WHERE event_type <> 'error'
 """
 
 
+def st09_stream_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink 1.13 windowing-TVF form (FLIP-145) end-to-end through the
+    runner in STREAMING mode: `TABLE(TUMBLE(TABLE ..., DESCRIPTOR(ts),
+    ...))` grouped by the derived window_start/window_end runs as an
+    update-mode keyed aggregation into a PK sink (the documented
+    caveat: derived window columns get no watermark eviction — state
+    is bounded by live windows × types here). Converged store == the
+    batch aggregation, driver-gated like every other entry."""
+    path = _events_as_stream_source(spark, sf_dir, "st09")
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        _EVENTS_DDL.format(path=path)
+        + """;
+        CREATE TABLE st09_sink (
+          window_start STRING, event_type STRING, n_events BIGINT,
+          sum_value DOUBLE,
+          PRIMARY KEY (window_start, event_type) NOT ENFORCED
+        ) WITH ('connector' = 'jdbc');
+        INSERT INTO st09_sink
+        SELECT date_format(window_start, 'yyyy-MM-dd HH:mm:ss')
+                 AS window_start,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_value
+        FROM TABLE(TUMBLE(TABLE stream_events, DESCRIPTOR(ts),
+                          INTERVAL '1' HOUR))
+        GROUP BY window_start, event_type;
+        """,
+    )
+    return (
+        runner.upsert_stores["st09_sink"]
+        .to_df(spark)
+        .select("window_start", "event_type", "n_events", "sum_value")
+    )
+
+
+ORACLE_ST09 = f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       {oracle_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "st01_stream_tumble_window": st01_stream_tumble_window,
+    "st09_stream_window_tvf": st09_stream_window_tvf,
     "st08_stream_cdc_latest": st08_stream_cdc_latest,
     "st02_stream_upsert_agg": st02_stream_upsert_agg,
     "st03_stream_session_window": st03_stream_session_window,
@@ -530,6 +578,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "st09_stream_window_tvf": ORACLE_ST09,
     "st08_stream_cdc_latest": ORACLE_ST08,
     "st07_stream_interval_join": ORACLE_ST07,
     "st06_stream_dedup": ORACLE_ST06,
