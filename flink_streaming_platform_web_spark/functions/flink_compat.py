@@ -129,8 +129,12 @@ def _sub_session(m: re.Match) -> str:
 # above remains the streaming-native path; the reference's own script
 # corpus (demo_4/demo_5) uses that form.
 # ------------------------------------------------------------------
-_TVF_IVL1 = r"(?:\w+\s*=>\s*)?INTERVAL\s+'(?P<i1n>\d+)'\s+(?P<i1u>\w+)"
-_TVF_IVL2 = r"(?:\w+\s*=>\s*)?INTERVAL\s+'(?P<i2n>\d+)'\s+(?P<i2u>\w+)"
+_TVF_IVL1 = (
+    r"(?:(?P<i1k>\w+)\s*=>\s*)?INTERVAL\s+'(?P<i1n>\d+)'\s+(?P<i1u>\w+)"
+)
+_TVF_IVL2 = (
+    r"(?:(?P<i2k>\w+)\s*=>\s*)?INTERVAL\s+'(?P<i2n>\d+)'\s+(?P<i2u>\w+)"
+)
 _WINDOW_TVF_RE = re.compile(
     rf"\bTABLE\s*\(\s*(?P<kind>TUMBLE|HOP|CUMULATE)\s*\(\s*"
     rf"(?:DATA\s*=>\s*)?TABLE\s+(?P<src>[\w.`]+)\s*,\s*"
@@ -154,32 +158,65 @@ def _ivl_seconds(n: str, unit: str) -> int:
     return int(n) * _IVL_SECONDS[u]
 
 
+# positional interval-argument order per TVF kind (Flink FLIP-145);
+# named arguments may appear in ANY order, so they resolve by name
+_TVF_ARG_ORDER = {
+    "TUMBLE": ("size",),
+    "HOP": ("slide", "size"),
+    "CUMULATE": ("step", "size"),
+}
+
+
+def _tvf_intervals(m: re.Match, kind: str) -> dict[str, tuple[str, str]]:
+    """Resolve the TVF's interval arguments to {role: (n, unit)} —
+    positionally when unnamed, by keyword when named (mixing the two
+    is rejected; Flink's named form names every argument)."""
+    order = _TVF_ARG_ORDER[kind]
+    args = []
+    for i in ("1", "2"):
+        if m.group(f"i{i}n"):
+            args.append(
+                (
+                    (m.group(f"i{i}k") or "").lower() or None,
+                    (m.group(f"i{i}n"), m.group(f"i{i}u")),
+                )
+            )
+    if len(args) != len(order):
+        raise ValueError(
+            f"{kind} TVF takes {len(order)} interval argument(s)"
+            f" ({', '.join(order)}); got {len(args)}"
+        )
+    names = [k for k, _ in args]
+    if all(k is None for k in names):
+        return dict(zip(order, (v for _, v in args)))
+    if any(k is None for k in names):
+        raise ValueError(
+            f"{kind} TVF: name all interval arguments or none"
+        )
+    if sorted(names) != sorted(order):
+        raise ValueError(
+            f"{kind} TVF: expected named arguments {set(order)},"
+            f" got {set(names)}"
+        )
+    return {k: v for k, v in args}
+
+
 def _sub_window_tvf(m: re.Match) -> str:
     kind = m.group("kind").upper()
     src, col = m.group("src"), m.group("col")
-    first = _ivl_str(m.group("i1n"), m.group("i1u"))
-    second = (
-        _ivl_str(m.group("i2n"), m.group("i2u"))
-        if m.group("i2n")
-        else None
-    )
+    ivls = _tvf_intervals(m, kind)
     if kind == "TUMBLE":
-        if second is not None:
-            raise ValueError("TUMBLE TVF takes one interval (size)")
-        win = f"window({col}, '{first}')"
+        win = f"window({col}, '{_ivl_str(*ivls['size'])}')"
     elif kind == "HOP":
-        if second is None:
-            raise ValueError("HOP TVF takes two intervals (slide, size)")
-        # Flink TVF arg order is (slide, size); Spark's window() is
-        # (size, slide)
-        win = f"window({col}, '{second}', '{first}')"
+        # Flink TVF positional order is (slide, size); Spark's
+        # window() is (size, slide)
+        win = (
+            f"window({col}, '{_ivl_str(*ivls['size'])}',"
+            f" '{_ivl_str(*ivls['slide'])}')"
+        )
     else:  # CUMULATE
-        if second is None:
-            raise ValueError(
-                "CUMULATE TVF takes two intervals (step, size)"
-            )
-        step_s = _ivl_seconds(m.group("i1n"), m.group("i1u"))
-        size_s = _ivl_seconds(m.group("i2n"), m.group("i2u"))
+        step_s = _ivl_seconds(*ivls["step"])
+        size_s = _ivl_seconds(*ivls["size"])
         if step_s <= 0 or size_s % step_s != 0:
             raise ValueError(
                 "CUMULATE size must be a positive multiple of step"

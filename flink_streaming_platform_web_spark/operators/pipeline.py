@@ -37,9 +37,11 @@ from pyspark.sql import functions as F
 
 from flink_streaming_platform_web_spark.operators.text import (
     ORACLE_TX10,
+    ORACLE_WS_TOKENS,
     quality_flags,
     stratified_keep,
     stratified_keep_where,
+    ws_token_count,
 )
 from flink_streaming_platform_web_spark.tables import load
 
@@ -129,9 +131,7 @@ def pp02_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         "source",
-        F.size(
-            F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
-        ).alias("tokens"),
+        ws_token_count().alias("tokens"),
     )
     w = (
         Window.partitionBy("source")
@@ -154,8 +154,7 @@ def pp02_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PP02 = f"""
 WITH toks AS (
   SELECT doc_id, source,
-         length(list_filter(regexp_split_to_array(text, '\\s+'),
-                            t -> length(t) > 0)) AS tokens
+         {ORACLE_WS_TOKENS} AS tokens
   FROM documents
 ), packed AS (
   SELECT doc_id, source, tokens,
@@ -212,9 +211,7 @@ def pp03_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.md5("text").alias("h"),
-        F.size(
-            F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
-        ).alias("tokens"),
+        ws_token_count().alias("tokens"),
     )
     wd = Window.partitionBy("h")
     deduped = slim.withColumn(
@@ -249,8 +246,7 @@ clean AS (
 ),
 slim AS (
   SELECT doc_id, source, md5(text) AS h,
-         length(list_filter(regexp_split_to_array(text, '\\s+'),
-                            t -> length(t) > 0)) AS tokens
+         {ORACLE_WS_TOKENS} AS tokens
   FROM clean
 ),
 deduped AS (

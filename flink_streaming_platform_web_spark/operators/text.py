@@ -33,6 +33,25 @@ STOPWORD_PAT = r"\b(the|a|of|and|to|in)\b"
 BPE_ISH_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
+def ws_token_count() -> "F.Column":
+    """Whitespace token count of the `text` column (split artifacts
+    from leading/trailing whitespace excluded) — THE tokenization rule
+    shared by tx02/tx03/tx10 and pp02/pp03. Single definition (with
+    its DuckDB twin below) so a rule change can never partially apply
+    across the suite — the same hazard class _portable.fp_mean guards
+    against."""
+    return F.size(
+        F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
+    )
+
+
+#: DuckDB twin of :func:`ws_token_count` (same rule, same exclusions)
+ORACLE_WS_TOKENS = (
+    r"length(list_filter(regexp_split_to_array(text, '\s+'),"
+    r" t -> length(t) > 0))"
+)
+
+
 def tx01_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     scored = docs.select(
@@ -92,9 +111,7 @@ ORACLE_TX01 = _oracle_langid()
 
 def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = F.size(
-        F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
-    )
+    toks = ws_token_count()
     scored = docs.select(
         "doc_id",
         F.length("text").alias("len_chars"),
@@ -132,8 +149,7 @@ ORACLE_TX02 = f"""
 WITH scored AS (
   SELECT doc_id,
          CAST(length(text) AS INT) AS len_chars,
-         CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
-                                 t -> length(t) > 0)) AS INT) AS n_tokens,
+         CAST({ORACLE_WS_TOKENS} AS INT) AS n_tokens,
          CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
          CAST(length(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
          CAST(length(regexp_extract_all(text, '{STOPWORD_PAT}')) AS INT)
@@ -153,9 +169,7 @@ def tx03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(
-            F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
-        ).alias("ws_tokens"),
+        ws_token_count().alias("ws_tokens"),
         F.regexp_count("text", F.lit(BPE_ISH_PAT)).alias("bpe_ish_tokens"),
         F.length("text").alias("n_chars_actual"),
     )
@@ -163,8 +177,7 @@ def tx03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TX03 = f"""
 SELECT doc_id,
-       CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
-                               t -> length(t) > 0)) AS INT) AS ws_tokens,
+       CAST({ORACLE_WS_TOKENS} AS INT) AS ws_tokens,
        CAST(length(regexp_extract_all(text, '{BPE_ISH_PAT}')) AS INT)
          AS bpe_ish_tokens,
        CAST(length(text) AS INT) AS n_chars_actual
@@ -499,9 +512,7 @@ def quality_flags(docs: DataFrame) -> DataFrame:
     metrics are array-side expressions of `text`; evaluation is
     scan-bound with zero shuffles."""
     carried = [c for c in docs.columns if c not in ("text", "toks")]
-    toks = F.size(
-        F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
-    )
+    toks = ws_token_count()
     base = docs.withColumn("toks", F.split("text", " ")).select(
         *carried,
         "text",
@@ -572,12 +583,9 @@ WITH rep AS (
   SELECT doc_id, top_bigram_frac FROM ({ORACLE_TX07})
 ), base AS (
   SELECT d.doc_id,
-         CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
-                                 t -> length(t) > 0)) AS INT) AS n_tokens,
+         CAST({ORACLE_WS_TOKENS} AS INT) AS n_tokens,
          round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-               / CAST(length(list_filter(
-                     regexp_split_to_array(text, '\\s+'),
-                     t -> length(t) > 0)) AS DOUBLE), 6) AS mean_word_len,
+               / CAST({ORACLE_WS_TOKENS} AS DOUBLE), 6) AS mean_word_len,
          CAST(length(regexp_extract_all(text, '{STOPWORD_PAT}')) AS INT)
            AS n_stopwords,
          COALESCE(rep.top_bigram_frac, 0.0) AS frac

@@ -435,9 +435,7 @@ class JobRunner:
                 return False
         for s in sinks:
             if s.primary_key:
-                self.upsert_stores.setdefault(
-                    s.name, KeyedStore(s.primary_key)
-                )
+                self._replace_store(s.name, s.primary_key)
         stream_df = self.spark.table(src)
         queries = [translate_expr(j.query_sql) for j in inserts]
         overwrites = [j.overwrite for j in inserts]
@@ -584,9 +582,7 @@ class JobRunner:
         sql = translate_expr(job.query_sql)
         caches = [self.dim_caches[d] for d in ttl_dims]
         if sink.primary_key:
-            self.upsert_stores.setdefault(
-                sink.name, KeyedStore(sink.primary_key)
-            )
+            self._replace_store(sink.name, sink.primary_key)
         stores = self.upsert_stores
         overwrite = job.overwrite
 
@@ -660,9 +656,20 @@ class JobRunner:
         ):
             return False
         sql = translate_expr(job.query_sql)
+        # the fold is only sound when each micro-batch's partial is the
+        # query applied to that batch alone: ORDER BY/LIMIT truncate
+        # per batch (an early batch's cut keys are lost forever), and
+        # any nested SELECT (derived table, scalar subquery) can hide
+        # an inner aggregation whose partials do not compose — e.g.
+        # MIN over per-group COUNTs. One top-level SELECT only.
         if re.search(
-            r"\b(HAVING|OVER|UNION|EXCEPT|INTERSECT)\b", sql, re.IGNORECASE
+            r"\b(HAVING|OVER|UNION|EXCEPT|INTERSECT|LIMIT|OFFSET)\b"
+            r"|\bORDER\s+BY\b",
+            sql,
+            re.IGNORECASE,
         ):
+            return False
+        if len(re.findall(r"\bSELECT\b", sql, re.IGNORECASE)) != 1:
             return False
         items = _split_select_list(sql)
         if not items:
@@ -692,16 +699,23 @@ class JobRunner:
         if store is None:
             store = CombiningStore(list(sink.primary_key), combiners)
             self.upsert_stores[sink.name] = store
-        elif not isinstance(store, CombiningStore):
+        elif (
+            not isinstance(store, CombiningStore)
+            or store.combiners != combiners
+        ):
             # another query already feeds this sink with replace-by-key
-            # semantics — don't clobber its rows; fall back
+            # semantics (or an incompatible fold) — don't clobber or
+            # mis-fold its rows; fall back to the in-plan join
             return False
 
+        # per-WRITER epoch high-water mark: combining is not idempotent
+        # so a same-run foreachBatch retry must be skipped — but each
+        # query numbers its epochs independently, so the guard cannot
+        # live on the (possibly shared) store
+        last_epoch = [-1]
+
         def apply(batch: DataFrame, epoch_id: int) -> None:
-            # combining is not idempotent — skip redelivered epochs
-            # (same-run retry; across restarts the in-process store is
-            # empty and the replay-from-scratch contract applies)
-            if epoch_id <= store.applied_epoch:
+            if epoch_id <= last_epoch[0]:
                 return
             sess = batch.sparkSession
             batch.createOrReplaceTempView(src)
@@ -709,7 +723,7 @@ class JobRunner:
                 cache.ensure(sess)
             out = self._align_to_sink(sess.sql(sql), sink)
             store.merge_batch(out)
-            store.applied_epoch = epoch_id
+            last_epoch[0] = epoch_id
             if sink.connector == "print":
                 store.to_df(sess).show(truncate=False)
 
@@ -718,11 +732,14 @@ class JobRunner:
             .writeStream.foreachBatch(apply)
             .outputMode("append")
         )
-        if self.checkpoint.checkpoint_dir:
-            writer = writer.option(
-                "checkpointLocation",
-                f"{self.checkpoint.checkpoint_dir}/q{idx}_{sink.name}",
-            )
+        # deliberately NO checkpointLocation: a checkpoint would make
+        # the source resume past pre-restart batches while the
+        # in-process store restarts empty, permanently losing their
+        # contributions (a replace-by-key sink re-converges; a delta
+        # fold cannot). Restart therefore replays from scratch, which
+        # IS the in-process store contract; a durable deployment puts
+        # the fold server-side (jdbc MERGE x + EXCLUDED.x) with an
+        # epoch ledger, and only then pins a checkpoint.
         if self._trigger:
             writer = writer.trigger(**self._trigger)
         result.streaming_queries.append(writer.start())
@@ -861,6 +878,24 @@ class JobRunner:
             out.collect(), out.schema
         ).createOrReplaceTempView(sink.name)
 
+    def _replace_store(self, name: str, key_cols) -> KeyedStore:
+        """Acquire the replace-by-key store for a PK sink, refusing to
+        reuse a CombiningStore (delta-fold semantics) that another
+        query registered for the same sink — replace-merging a key's
+        full row into a fold store would ADD it to the running totals
+        instead of replacing, silently double-counting."""
+        store = self.upsert_stores.get(name)
+        if store is None:
+            store = KeyedStore(list(key_cols))
+            self.upsert_stores[name] = store
+        elif isinstance(store, CombiningStore):
+            raise ValueError(
+                f"sink {name!r} is already fed by an incremental"
+                " aggregation (delta-fold semantics); it cannot also"
+                " be fed with replace-by-key semantics in one script"
+            )
+        return store
+
     def _align_to_sink(self, df: DataFrame, sink: TableDef) -> DataFrame:
         """Flink maps INSERT SELECT output to the sink schema strictly
         BY POSITION (demo_6's `SELECT o.*, p.name, …` lands in
@@ -991,9 +1026,7 @@ class JobRunner:
                 f"CDC pipeline sink {job.target!r} needs PRIMARY KEY"
                 " (upsert semantics are what propagates updates)"
             )
-        out_store = self.upsert_stores.setdefault(
-            sink.name, KeyedStore(sink.primary_key)
-        )
+        out_store = self._replace_store(sink.name, sink.primary_key)
         sink_delta = self._cdc_sink_delta(sink)
         spark = self.spark
         # non-CDC refs that materialized as streams demote to batch
@@ -1164,9 +1197,7 @@ class JobRunner:
             # replay against empty state (same contract as the CDC
             # path) — replay-from-scratch converges.
             in_process_state = True
-            store = self.upsert_stores.setdefault(
-                sink.name, KeyedStore(sink.primary_key)
-            )
+            store = self._replace_store(sink.name, sink.primary_key)
             writer = df.writeStream.outputMode("update").foreachBatch(
                 foreach_batch_upsert(store)
             )

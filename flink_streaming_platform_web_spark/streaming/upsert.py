@@ -121,10 +121,6 @@ class CombiningStore(KeyedStore):
         if bad:
             raise ValueError(f"unknown combiner ops: {bad}")
         self.combiners = combiners
-        # combining is NOT idempotent on redelivery (unlike replace-
-        # by-key): callers gate on epoch id — see the runner's
-        # incremental-agg apply. applied_epoch is the high-water mark.
-        self.applied_epoch = -1
 
     @staticmethod
     def _combine(op: str, old, new):

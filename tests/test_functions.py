@@ -257,3 +257,36 @@ def test_window_tvf_execution_matches_group_window(spark, sf_dir):
         )
     ).collect()[0]
     assert (wt.window_end - wt.window_time).total_seconds() == 0.001
+
+
+def test_window_tvf_named_args_resolve_by_name():
+    """Named TVF arguments may appear in any order (legal Flink) —
+    they must resolve by NAME, never positionally; unknown names and
+    name/positional mixing are rejected."""
+    import pytest as _pytest
+
+    from flink_streaming_platform_web_spark.functions.flink_compat import (
+        translate_expr,
+    )
+
+    # SIZE before SLIDE (reverse of the positional order)
+    h = translate_expr(
+        "SELECT 1 FROM TABLE(HOP(TABLE src, DESCRIPTOR(ts), "
+        "SIZE => INTERVAL '10' MINUTE, SLIDE => INTERVAL '5' MINUTE))"
+    )
+    assert "window(ts, '10 minutes', '5 minutes')" in h
+    c = translate_expr(
+        "SELECT 1 FROM TABLE(CUMULATE(TABLE src, DESCRIPTOR(ts), "
+        "SIZE => INTERVAL '1' HOUR, STEP => INTERVAL '15' MINUTE))"
+    )
+    assert "sequence(1, 4)" in c and "__k * 900" in c
+    with _pytest.raises(ValueError, match="expected named arguments"):
+        translate_expr(
+            "SELECT 1 FROM TABLE(HOP(TABLE s, DESCRIPTOR(ts), "
+            "FOO => INTERVAL '1' MINUTE, SIZE => INTERVAL '2' MINUTE))"
+        )
+    with _pytest.raises(ValueError, match="name all"):
+        translate_expr(
+            "SELECT 1 FROM TABLE(HOP(TABLE s, DESCRIPTOR(ts), "
+            "INTERVAL '1' MINUTE, SIZE => INTERVAL '2' MINUTE))"
+        )
