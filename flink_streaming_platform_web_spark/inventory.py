@@ -61,7 +61,6 @@ _CHECK_FIRST = (
     "q13_window_over",
     "q14_rollup",
     "q15_semi_anti",
-    "q17_distinct_agg",
     "q18_conditional_pivot",
     "q20_json_extract",
     "q21_local_supplier_volume",
@@ -121,6 +120,9 @@ _CHECK_FIRST = (
     # (mm03 is r2-green; its byte-chunking path is pinned by
     # tests/test_imagecodec.py and untouched since).
     "st09_stream_window_tvf",
+    # q43 gates the CUMULATE TVF translation text itself — never
+    # checked; takes q17's slot (r1-green, untouched plain agg shape)
+    "q43_cumulate_tvf",
     "mm02_decode_pipeline",
 )
 

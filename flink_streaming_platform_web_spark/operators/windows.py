@@ -245,9 +245,45 @@ GROUP BY 1, 2, 3
 """
 
 
+def q43_cumulate_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUMULATE windowing TVF **syntax form** (Flink 1.13
+    FLIP-145) driver-gated end-to-end: the statement below goes
+    through functions.flink_compat.translate_expr — the same seam the
+    script runner uses — and must produce q36's cumulate semantics
+    (each event in every expanding 15-min slice of its hour). Gating
+    the TVF TEXT (not just the hand-built q36 plan) pins the
+    translation layer itself against the oracle."""
+    from flink_streaming_platform_web_spark.functions.flink_compat import (
+        translate_expr,
+    )
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("ev_q43")
+    return spark.sql(
+        translate_expr(
+            "SELECT date_format(window_start, 'yyyy-MM-dd HH:mm:ss')"
+            "         AS window_start,"
+            "       date_format(window_end, 'yyyy-MM-dd HH:mm:ss')"
+            "         AS window_end,"
+            "       event_type, COUNT(*) AS n_events,"
+            "       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+            "         AS sum_value"
+            " FROM TABLE(CUMULATE(TABLE ev_q43, DESCRIPTOR(ts),"
+            "                     INTERVAL '15' MINUTE,"
+            "                     INTERVAL '1' HOUR))"
+            " GROUP BY window_start, window_end, event_type"
+        )
+    )
+
+
+# the oracle mirrors q36's expansion exactly — the TVF form and the
+# hand-built cumulate must agree on the same text
+ORACLE_Q43 = ORACLE_Q36
+
+
 QUERIES = {
     "q22_tumble_window": q22_tumble_window,
     "q36_cumulate_window": q36_cumulate_window,
+    "q43_cumulate_tvf": q43_cumulate_tvf,
     "q23_hop_window": q23_hop_window,
     "q24_session_window": q24_session_window,
     "q25_cdc_latest_state": q25_cdc_latest_state,
@@ -256,6 +292,7 @@ QUERIES = {
 ORACLES = {
     "q22_tumble_window": ORACLE_Q22,
     "q36_cumulate_window": ORACLE_Q36,
+    "q43_cumulate_tvf": ORACLE_Q43,
     "q23_hop_window": ORACLE_Q23,
     "q24_session_window": ORACLE_Q24,
     "q25_cdc_latest_state": ORACLE_Q25,
