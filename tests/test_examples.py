@@ -286,3 +286,47 @@ def test_demo5_runs(spark, tmp_path):
         ("2020-01-05 11:12:30", "2020-01-05 11:13:30"): 2,
         ("2020-01-05 11:13:00", "2020-01-05 11:14:00"): 2,
     }
+
+
+def test_demo7_window_tvfs_runs(spark, tmp_path):
+    """FLIP-145 windowing-TVF script: TUMBLE and CUMULATE TABLE forms
+    through the runner; hand-checked expectations for a 3-bid stream."""
+    src = tmp_path / "bids"
+    src.mkdir()
+    (src / "p0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"bidder": "a", "price": 10.0,
+                 "ts": "2020-04-15 08:05:00"},
+                {"bidder": "b", "price": 20.0,
+                 "ts": "2020-04-15 08:07:00"},
+                {"bidder": "c", "price": 30.0,
+                 "ts": "2020-04-15 08:13:00"},
+            ]
+        )
+    )
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        (EXAMPLES / "demo_7_window_tvfs.sql").read_text(),
+        variables={"data_dir": str(tmp_path)},
+    )
+    _drain(result)
+    tumble = {
+        (str(r["window_start"]), r["n_bids"], r["total"])
+        for r in spark.table("bids_per_window").collect()
+    }
+    assert tumble == {
+        ("2020-04-15 08:00:00", 2, 30.0),
+        ("2020-04-15 08:10:00", 1, 30.0),
+    }
+    # cumulate: bid@08:05 appears in slices ending 08:06..08:10 (3
+    # slices: 06,08,10), bid@08:07 in 08:08,08:10 — per-slice counts:
+    cum = {
+        (str(r["window_start"]), str(r["window_end"])): r["n_bids"]
+        for r in spark.table("bids_cumulative").collect()
+    }
+    assert cum[("2020-04-15 08:00:00", "2020-04-15 08:06:00")] == 1
+    assert cum[("2020-04-15 08:00:00", "2020-04-15 08:08:00")] == 2
+    assert cum[("2020-04-15 08:00:00", "2020-04-15 08:10:00")] == 2
+    assert cum[("2020-04-15 08:10:00", "2020-04-15 08:14:00")] == 1
