@@ -37,6 +37,24 @@ def _session_key(spark: SparkSession) -> tuple:
     return (id(spark), app_id)
 
 
+def _evict_dead_sessions(live: tuple) -> None:
+    """Stale keys never MATCH (the app-id pins them to a dead
+    context) but without eviction they'd accumulate forever in a
+    driver that cycles SparkSessions — each one holding plan objects
+    and centroid matrices for a context that is gone. Sweep on insert:
+    any key whose session component differs from the live session is
+    unreachable and dropped (unpersist is a no-op/failure on a dead
+    context — ignored)."""
+    for cache in (_DF_CACHE, _OBJ_CACHE):
+        for key in [k for k in cache if k[:2] != live]:
+            val = cache.pop(key)
+            if isinstance(val, DataFrame):
+                try:
+                    val.unpersist()
+                except Exception:
+                    pass
+
+
 def memo_df(
     spark: SparkSession,
     sf_dir: str,
@@ -44,8 +62,10 @@ def memo_df(
     builder: Callable[[], DataFrame],
 ) -> DataFrame:
     """Build-once persisted DataFrame per (session, sf_dir, name)."""
-    key = (*_session_key(spark), sf_dir, name)
+    live = _session_key(spark)
+    key = (*live, sf_dir, name)
     if key not in _DF_CACHE:
+        _evict_dead_sessions(live)
         _DF_CACHE[key] = builder().persist(StorageLevel.MEMORY_AND_DISK)
     return _DF_CACHE[key]
 
@@ -57,8 +77,10 @@ def memo_obj(
     builder: Callable[[], Any],
 ) -> Any:
     """Build-once driver-side object (e.g. the tiny centroid matrix)."""
-    key = (*_session_key(spark), sf_dir, name)
+    live = _session_key(spark)
+    key = (*live, sf_dir, name)
     if key not in _OBJ_CACHE:
+        _evict_dead_sessions(live)
         _OBJ_CACHE[key] = builder()
     return _OBJ_CACHE[key]
 

@@ -170,10 +170,17 @@ def connected_components(
                 "connected_components did not converge in"
                 f" {MAX_ITERATIONS} star-contraction rounds"
             )
-        # at fixpoint every edge points node → component-min root
+        # at fixpoint every edge points node → component-min root.
+        # localCheckpoint materializes the labels and CUTS lineage so
+        # the converged edge set can be unpersisted NOW instead of
+        # staying pinned behind the lazily-consumed result (one
+        # leaked MEMORY_AND_DISK edge RDD per call otherwise); the
+        # checkpoint blocks themselves are context-cleaned when the
+        # result goes unreachable
         labels = e.select(
             F.col("src").alias("id"), F.col("dst").alias("label")
-        )
+        ).localCheckpoint(eager=True)
+        e.unpersist()
     all_nodes = nodes.select(F.col(node_col).alias("id"))
     return (
         all_nodes.join(labels, "id", "left")

@@ -419,42 +419,46 @@ WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
 SIMHASH_BITS = 32
 
 
-def dd05_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def build() -> DataFrame:
-        docs = load(spark, sf_dir, "documents")
-        par = spark.sparkContext.defaultParallelism
-        tokens = docs.repartition(par).select(
-            "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
-        ).where(F.length("tok") > 0)
-        hashed = tokens.select(
-            "doc_id", portable_hash(F.col("tok")).alias("h")
-        )
-        # all 32 bit tallies in ONE aggregation (±1 votes as conditional
-        # sums) — no 32× crossJoin fan-out ahead of the shuffle; the final
-        # signature assembly is a pure projection on one row per doc
-        tallies = hashed.groupBy("doc_id").agg(
-            *[
-                F.sum(
-                    F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
-                ).alias(f"t{b}")
-                for b in range(SIMHASH_BITS)
-            ]
-        )
-        bit_terms = [
-            F.when(F.col(f"t{b}") > 0, F.lit(1 << b).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint"))
-            for b in range(SIMHASH_BITS)
+def _simhash_sigs_build(
+    spark: SparkSession, sf_dir: str, bits: int
+) -> DataFrame:
+    """SimHash signature pipeline parametrized by fingerprint width —
+    ONE definition serving dd05 (32-bit) and dd12's 60-bit production
+    knob, so a tokenization or vote-rule change can never apply to one
+    width and not the other. All `bits` bit-tallies run in ONE
+    aggregation (±1 votes as conditional sums) — no bits× crossJoin
+    fan-out ahead of the shuffle; the final signature assembly is a
+    pure projection on one row per doc."""
+    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tokens = docs.repartition(par).select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    hashed = tokens.select(
+        "doc_id", portable_hash(F.col("tok")).alias("h")
+    )
+    tallies = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"t{b}")
+            for b in range(bits)
         ]
-        sig = bit_terms[0]
-        for term in bit_terms[1:]:
-            sig = sig + term
-        return tallies.select("doc_id", sig.alias("simhash"))
+    )
+    bit_terms = [
+        F.when(F.col(f"t{b}") > 0, F.lit(1 << b).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        for b in range(bits)
+    ]
+    sig = bit_terms[0]
+    for term in bit_terms[1:]:
+        sig = sig + term
+    return tallies.select("doc_id", sig.alias("simhash"))
 
-    # persisted per session: dd08's banding re-reads the signatures
-    return memo_df(spark, sf_dir, "simhash_sigs", build)
 
-
-ORACLE_DD05 = f"""
+def _oracle_simhash_sigs(bits: int) -> str:
+    """DuckDB twin of :func:`_simhash_sigs_build` (same width knob)."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
   FROM documents
@@ -466,7 +470,7 @@ hashed AS (
 votes AS (
   SELECT doc_id, bit,
          SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
-  FROM hashed CROSS JOIN (SELECT unnest(range({SIMHASH_BITS}))::INT AS bit) b
+  FROM hashed CROSS JOIN (SELECT unnest(range({bits}))::INT AS bit) b
   GROUP BY 1, 2
 )
 SELECT doc_id,
@@ -474,6 +478,19 @@ SELECT doc_id,
             AS BIGINT) AS simhash
 FROM votes GROUP BY 1
 """
+
+
+def dd05_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted per session: dd08's banding re-reads the signatures
+    return memo_df(
+        spark,
+        sf_dir,
+        "simhash_sigs",
+        lambda: _simhash_sigs_build(spark, sf_dir, SIMHASH_BITS),
+    )
+
+
+ORACLE_DD05 = _oracle_simhash_sigs(SIMHASH_BITS)
 
 
 # --------------------------------------------------------------------------
@@ -510,6 +527,32 @@ DD07_NPROBE = 4  # 98% measured recall; see block comment above
 # more IVF cells (centroid count grows with the corpus) AND this
 # chunk guard for whatever skew remains.
 DD07_CHUNK = 2048
+
+
+def _max_cell_chunks(
+    spark: SparkSession, sf_dir: str, assigned: DataFrame, key: str
+) -> int:
+    """Hash-chunk count sized by the LARGEST cell's population. An
+    average-based count under-chunks skewed assignments — one dominant
+    cell (routine for k-means on low-entropy data) would then be
+    processed as a single dense block, re-creating the allocation the
+    chunking exists to bound. The measurement is one tiny
+    count-per-cell aggregation, memoized per session like the
+    assignment itself."""
+
+    def measure() -> int:
+        row = (
+            assigned.groupBy("cell")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]
+        )
+        return int(row["m"] or 0)
+
+    from flink_streaming_platform_web_spark.operators._cache import memo_obj
+
+    biggest = memo_obj(spark, sf_dir, key, measure)
+    return max(1, -(-biggest // DD07_CHUNK))
 
 
 def _blocked_cell_pairs(assigned: DataFrame, c: int) -> DataFrame:
@@ -589,18 +632,14 @@ def _blocked_cell_pairs(assigned: DataFrame, c: int) -> DataFrame:
 
 def dd07_embed_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_streaming_platform_web_spark.operators import similarity
-    from flink_streaming_platform_web_spark.operators._cache import memo_obj
 
     vecs = similarity._vecs(spark, sf_dir)
     assigned = similarity.cell_assign(
         spark, vecs, sf_dir, DD07_NPROBE
     )
-    # chunk count from expected rows per cell; c == 1 (every tested
-    # SF ≤ 0.1) degenerates to exactly the one-group-per-cell plan
-    n_vecs = memo_obj(spark, sf_dir, "n_vecs", vecs.count)
-    labels, _ = similarity._centroids(spark, sf_dir)
-    per_cell = n_vecs * DD07_NPROBE / max(len(labels), 1)
-    c = max(1, -(-int(per_cell) // DD07_CHUNK))
+    # chunk count from the LARGEST cell (skew-safe); c == 1 (every
+    # tested SF ≤ 0.1) degenerates to the one-group-per-cell plan
+    c = _max_cell_chunks(spark, sf_dir, assigned, "dd07_max_cell")
     pairs = _blocked_cell_pairs(assigned, c)
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     da = docs.select(
@@ -655,8 +694,16 @@ SIMHASH_BANDS = 4
 HAMMING_MAX = 3
 
 
-def dd08_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = dd05_simhash_signatures(spark, sf_dir)
+def _banded_hamming_pairs(
+    sigs: DataFrame, n_bands: int, band_w: int
+) -> DataFrame:
+    """Pigeonhole banding + exact Hamming verify over (doc_id,
+    simhash) rows — ONE definition serving dd08 (32-bit sigs, 8-bit
+    bands) and dd12 (60-bit sigs, 15-bit bands). Any pair within
+    HAMMING_MAX differing bits must agree exactly on ≥1 band
+    (pigeonhole: HAMMING_MAX < n_bands), so candidates are band-value
+    collisions only; the verify is a per-candidate bit_count."""
+    mask = (1 << band_w) - 1
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -665,22 +712,22 @@ def dd08_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.expr(f"(simhash >> {8 * b}) & 255").alias(
-                            "byteval"
-                        ),
+                        F.expr(
+                            f"(simhash >> {band_w * b}) & {mask}"
+                        ).alias("bandval"),
                     )
-                    for b in range(SIMHASH_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.byteval")
+    ).select("doc_id", "simhash", "bb.band", "bb.bandval")
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.byteval") == F.col("b.byteval"))
+            & (F.col("a.bandval") == F.col("b.bandval"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -700,24 +747,36 @@ def dd08_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DD08 = f"""
-WITH sigs AS ({ORACLE_DD05}),
+def _oracle_banded_pairs(sig_sql: str, n_bands: int, band_w: int) -> str:
+    """DuckDB twin of :func:`_banded_hamming_pairs`."""
+    return f"""
+WITH sigs AS ({sig_sql}),
 bands AS (
-  SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS byteval
+  SELECT doc_id, simhash, band,
+         (simhash >> ({band_w} * band)) & {(1 << band_w) - 1} AS bandval
   FROM sigs CROSS JOIN
-       (SELECT unnest(range({SIMHASH_BANDS}))::INT AS band) b
+       (SELECT unnest(range({n_bands}))::INT AS band) b
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sig_a, b.simhash AS sig_b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.byteval = b.byteval
+    ON a.band = b.band AND a.bandval = b.bandval
    AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
 FROM cand
 WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
 """
+
+
+def dd08_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _banded_hamming_pairs(
+        dd05_simhash_signatures(spark, sf_dir), SIMHASH_BANDS, 8
+    )
+
+
+ORACLE_DD08 = _oracle_banded_pairs(ORACLE_DD05, SIMHASH_BANDS, 8)
 
 
 # --------------------------------------------------------------------------
@@ -874,127 +933,31 @@ SIMHASH64_BANDS = 4  # 15-bit bands: Hamming<=3 ⇒ >=1 band equal
 
 
 def _simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def build() -> DataFrame:
-        docs = load(spark, sf_dir, "documents")
-        par = spark.sparkContext.defaultParallelism
-        tokens = docs.repartition(par).select(
-            "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
-        ).where(F.length("tok") > 0)
-        hashed = tokens.select(
-            "doc_id", portable_hash(F.col("tok")).alias("h")
-        )
-        tallies = hashed.groupBy("doc_id").agg(
-            *[
-                F.sum(
-                    F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
-                ).alias(f"t{b}")
-                for b in range(SIMHASH64_BITS)
-            ]
-        )
-        bit_terms = [
-            F.when(F.col(f"t{b}") > 0, F.lit(1 << b).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint"))
-            for b in range(SIMHASH64_BITS)
-        ]
-        sig = bit_terms[0]
-        for term in bit_terms[1:]:
-            sig = sig + term
-        return tallies.select("doc_id", sig.alias("simhash"))
-
-    return memo_df(spark, sf_dir, "simhash64_sigs", build)
+    return memo_df(
+        spark,
+        sf_dir,
+        "simhash64_sigs",
+        lambda: _simhash_sigs_build(spark, sf_dir, SIMHASH64_BITS),
+    )
 
 
 def dd12_simhash64_neardup_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    sigs = _simhash64_sigs(spark, sf_dir)
-    band_w = SIMHASH64_BITS // SIMHASH64_BANDS
-    mask = (1 << band_w) - 1
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(
-                            f"(simhash >> {band_w * b}) & {mask}"
-                        ).alias("bandval"),
-                    )
-                    for b in range(SIMHASH64_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bandval")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bandval") == F.col("b.bandval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
-    )
-    return (
-        candidates.withColumn(
-            "hamming", F.expr("bit_count(sig_a ^ sig_b)")
-        )
-        .filter(F.col("hamming") <= HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
+    return _banded_hamming_pairs(
+        _simhash64_sigs(spark, sf_dir),
+        SIMHASH64_BANDS,
+        SIMHASH64_BITS // SIMHASH64_BANDS,
     )
 
 
-_ORACLE_SIMHASH64_SIGS = f"""
-WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
-  FROM documents
-),
-hashed AS (
-  SELECT doc_id, {oracle_portable_hash('tok')} AS h
-  FROM toks WHERE length(tok) > 0
-),
-votes AS (
-  SELECT doc_id, bit,
-         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
-  FROM hashed CROSS JOIN
-       (SELECT unnest(range({SIMHASH64_BITS}))::INT AS bit) b
-  GROUP BY 1, 2
-)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END)
-            AS BIGINT) AS simhash
-FROM votes GROUP BY 1
-"""
+_ORACLE_SIMHASH64_SIGS = _oracle_simhash_sigs(SIMHASH64_BITS)
 
-ORACLE_DD12 = f"""
-WITH sigs AS ({_ORACLE_SIMHASH64_SIGS}),
-bands AS (
-  SELECT doc_id, simhash, band,
-         (simhash >> ({SIMHASH64_BITS // SIMHASH64_BANDS} * band))
-           & {(1 << (SIMHASH64_BITS // SIMHASH64_BANDS)) - 1} AS bandval
-  FROM sigs CROSS JOIN
-       (SELECT unnest(range({SIMHASH64_BANDS}))::INT AS band) b
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sig_a, b.simhash AS sig_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bandval = b.bandval
-   AND a.doc_id < b.doc_id
+ORACLE_DD12 = _oracle_banded_pairs(
+    _ORACLE_SIMHASH64_SIGS,
+    SIMHASH64_BANDS,
+    SIMHASH64_BITS // SIMHASH64_BANDS,
 )
-SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
-FROM cand
-WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
-"""
 
 
 # --------------------------------------------------------------------------
@@ -1194,8 +1157,7 @@ def dd11_embed_neardup_kmeans(
     assigned = similarity.cell_assign(
         spark, vecs, sf_dir, DD11_NPROBE, centroids=(labels, C)
     )
-    per_cell = n_vecs * DD11_NPROBE / max(len(labels), 1)
-    c = max(1, -(-int(per_cell) // DD07_CHUNK))
+    c = _max_cell_chunks(spark, sf_dir, assigned, "dd11_max_cell")
     return _blocked_cell_pairs(assigned, c)
 
 

@@ -214,7 +214,10 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         (length,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
-        if len(payload) != length:
+        # the 4 CRC bytes must also be present — a payload cut at the
+        # chunk boundary would otherwise escape as struct.error and
+        # break the module's ValueError quarantine contract
+        if len(payload) != length or pos + 12 + length > len(data):
             raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
         if crc != (zlib.crc32(ctype + payload) & 0xFFFFFFFF):
@@ -277,13 +280,18 @@ def decode_image_meta(data: bytes) -> tuple[int, int, str]:
     touching pixel data — the shape a 100 TB metadata pass actually
     runs. Full pixel decode stays available via `decode_image`."""
     if data.startswith(_PNG_SIG):
+        # signature(8) + length(4) + type(4) + IHDR payload(13) +
+        # CRC(4): anything shorter is a truncated upload — ValueError
+        # (the quarantine contract), never struct.error
+        if len(data) < 33:
+            raise ValueError("truncated PNG header")
         pos = len(_PNG_SIG)
         (length,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4 : pos + 8]
+        if ctype != b"IHDR" or length != 13:
+            raise ValueError("PNG missing leading IHDR")
         payload = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
-        if ctype != b"IHDR" or len(payload) != 13:
-            raise ValueError("PNG missing leading IHDR")
         if crc != (zlib.crc32(ctype + payload) & 0xFFFFFFFF):
             raise ValueError("PNG IHDR CRC mismatch")
         w, h, depth, ctype_v, comp, filt, interlace = struct.unpack(

@@ -98,6 +98,14 @@ def _broadcast_matrix(spark: SparkSession, df: DataFrame):
     corpus.
     """
     pdf = df.orderBy("vec_id").toPandas()
+    if not len(pdf):
+        # np.stack on zero rows raises an opaque numpy error; say what
+        # actually went wrong (empty corpus slice / query selector
+        # matched nothing) so the caller can fix the input
+        raise ValueError(
+            "cannot broadcast an EMPTY vector set — the input "
+            "DataFrame produced no rows"
+        )
     ids = pdf["vec_id"].to_numpy()
     mat = np.stack(pdf["v"].to_numpy())
     return spark.sparkContext.broadcast((ids, mat))

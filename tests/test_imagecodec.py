@@ -103,3 +103,26 @@ def test_mm02_renders_real_decodable_files():
         assert len(payload) == expect, (n, len(payload), expect)
         got = decode_image_meta(payload)
         assert got == (w, h, "png" if n % 2 == 0 else "bmp")
+
+
+def test_truncated_payloads_raise_value_error():
+    """The quarantine contract: ANY undecodable/truncated payload
+    raises ValueError (never struct.error) so pipelines can route bad
+    blobs with one except clause."""
+    import pytest
+
+    from flink_streaming_platform_web_spark.operators import imagecodec
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    for payload in (
+        sig,  # signature only
+        sig + b"\x00\x00\x00\x0dIHDR",  # length+type, no payload/CRC
+        sig + b"\x00" * 20,  # garbage after signature
+        b"BM\x00\x00",  # truncated BMP
+    ):
+        for fn in (
+            imagecodec.decode_image_meta,
+            imagecodec.decode_image,
+        ):
+            with pytest.raises(ValueError):
+                fn(payload)
