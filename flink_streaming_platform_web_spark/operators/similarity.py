@@ -381,6 +381,10 @@ def _centroids_build(spark: SparkSession, sf_dir: str):
         .agg(fp_mean("x").alias("m"))
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "cannot build IVF centroids from an EMPTY embeddings table"
+        )
     labels = sorted({r["label"] for r in rows})
     dim = max(r["d"] for r in rows) + 1
     C = np.zeros((len(labels), dim))

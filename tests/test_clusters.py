@@ -80,3 +80,25 @@ def test_dd13_prefix_filter_contains_capped_dd02(spark, sf_dir):
     assert capped, "capped index found nothing — fixture drifted"
     for pair, j in capped.items():
         assert exact.get(pair) == j, f"dd13 missed/mismatched {pair}"
+
+
+def test_max_cell_chunks_sized_by_largest_cell(spark):
+    """The dense-block chunk count must come from the LARGEST cell's
+    population — an average-based count under-chunks skewed
+    assignments and re-densifies the block the chunking bounds."""
+    from flink_streaming_platform_web_spark.operators import _cache
+    from flink_streaming_platform_web_spark.operators.dedup import (
+        DD07_CHUNK,
+        _max_cell_chunks,
+    )
+
+    # 10 cells averaging ~DD07_CHUNK/2 rows, but one cell holds
+    # 3*DD07_CHUNK: the average says c=1, the max says c=3
+    n_small, big = 9, 3 * DD07_CHUNK
+    rows = [(i, i % n_small) for i in range(n_small * (DD07_CHUNK // 4))]
+    rows += [(10_000_000 + i, 99) for i in range(big)]
+    assigned = spark.createDataFrame(rows, "vec_id long, cell int")
+    _cache.clear()
+    c = _max_cell_chunks(spark, "memory://skewtest", assigned, "skew")
+    _cache.clear()
+    assert c == 3, c
