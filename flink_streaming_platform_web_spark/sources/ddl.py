@@ -112,6 +112,10 @@ _WATERMARK_RE = re.compile(
 )
 
 _PK_RE = re.compile(
+    # optional named-constraint form: CONSTRAINT pk_name PRIMARY KEY
+    # (...) NOT ENFORCED — valid Flink DDL that previously fell into
+    # the column branch and raised a misleading "unsupported type"
+    r"(?:constraint\s+`?\w+`?\s+)?"
     r"primary\s+key\s*\((?P<cols>[^)]*)\)\s*(not\s+enforced)?",
     re.IGNORECASE,
 )
@@ -200,13 +204,28 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
 def _map_type(flink_type: str) -> str:
     t = flink_type.strip()
     upper = t.upper()
+    # the parametrized scalar branches FULLMATCH: a prefix match would
+    # silently swallow trailing attributes (`VARCHAR(20) PRIMARY KEY`
+    # once lost its PK this way) instead of erroring
     if upper.startswith("DECIMAL") or upper.startswith("NUMERIC"):
-        m = re.match(r"(?:DECIMAL|NUMERIC)\s*(\(\s*\d+\s*(?:,\s*\d+)?\s*\))?", upper)
+        m = re.fullmatch(
+            r"(?:DECIMAL|NUMERIC)\s*(\(\s*\d+\s*(?:,\s*\d+)?\s*\))?", upper
+        )
+        if not m:
+            raise DDLParseError(f"unsupported type: {flink_type!r}")
         return f"DECIMAL{m.group(1) or '(10,0)'}".replace(" ", "")
     if upper.startswith("TIMESTAMP"):
         # TIMESTAMP(3) / TIMESTAMP_LTZ → Spark TIMESTAMP (µs ⊇ ms)
+        if not re.fullmatch(
+            r"TIMESTAMP(?:_LTZ)?\s*(\(\s*\d+\s*\))?"
+            r"(\s+WITH(?:OUT)?\s+(?:LOCAL\s+)?TIME\s+ZONE)?",
+            upper,
+        ):
+            raise DDLParseError(f"unsupported type: {flink_type!r}")
         return "TIMESTAMP"
     if upper.startswith(("VARCHAR", "CHAR")):
+        if not re.fullmatch(r"(?:VARCHAR|CHAR)\s*(\(\s*\d+\s*\))?", upper):
+            raise DDLParseError(f"unsupported type: {flink_type!r}")
         return "STRING"
     if upper.startswith("ARRAY"):
         inner = t[t.index("<") + 1 : t.rindex(">")]
@@ -313,12 +332,29 @@ def parse_create_table(statement: str) -> TableDef:
         if len(parts) != 2:
             raise DDLParseError(f"cannot parse column def: {item!r}")
         name, rest = parts
-        # Flink grammar order: type [NOT NULL] [COMMENT '...'] — strip
-        # the comment FIRST, then the nullability marker (the reverse
-        # order rejected `INT NOT NULL COMMENT 'x'`)
+        # METADATA columns (kafka record metadata) have no backing
+        # surface here — reject loudly rather than parse the type
+        # prefix and leave a silently-NULL physical column
+        if re.search(r"\bmetadata\b", rest, re.IGNORECASE):
+            raise DDLParseError(
+                f"column {name!r}: METADATA columns are not supported"
+                " — declare the column physical or remove it"
+            )
+        # Flink grammar order: type [PRIMARY KEY [NOT ENFORCED]]
+        # [NOT NULL] [COMMENT '...'] — strip the comment FIRST, then
+        # the column-level PK (registering it), then nullability (the
+        # reverse order rejected `INT NOT NULL COMMENT 'x'`)
         rest_clean = re.sub(
             r"\s+comment\s+'(?:[^']|'')*'\s*$", "", rest, flags=re.IGNORECASE
         )
+        pk_m = re.search(
+            r"\s+primary\s+key(\s+not\s+enforced)?\s*$",
+            rest_clean,
+            re.IGNORECASE,
+        )
+        if pk_m:
+            rest_clean = rest_clean[: pk_m.start()]
+            table.primary_key = [name.strip("`\"")]
         rest_clean = re.sub(
             r"\s+(not\s+null|null)\s*$", "", rest_clean, flags=re.IGNORECASE
         )

@@ -197,15 +197,23 @@ def filesystem_batch(spark: SparkSession, table: TableDef) -> DataFrame:
 
 def filesystem_stream(spark: SparkSession, table: TableDef) -> DataFrame:
     fmt = table.options.get("format", "parquet")
-    df = (
+    reader = (
         spark.readStream.format(fmt)
         .schema(table.schema_ddl())
         .option(
             "maxFilesPerTrigger",
             table.options.get("source.max-files-per-trigger", "10"),
         )
-        .load(table.options["path"])
     )
+    # same header handling as the batch reader — without it a
+    # streaming CSV source ingests the header row as a (null-filled)
+    # data row into every downstream aggregate
+    if (
+        fmt == "csv"
+        and table.options.get("csv.include-header", "false") == "true"
+    ):
+        reader = reader.option("header", "true")
+    df = reader.load(table.options["path"])
     return apply_schema_decorations(df, table)
 
 
@@ -221,12 +229,23 @@ def kafka_reader_options(table: TableDef) -> dict[str, str]:
         "subscribe": o.get("topic", ""),
     }
     startup = o.get("scan.startup.mode", "group-offsets")
-    opts["startingOffsets"] = {
-        "earliest-offset": "earliest",
-        "latest-offset": "latest",
-        "group-offsets": "latest",
-        "timestamp": "latest",
-    }.get(startup, "latest")
+    if startup == "timestamp":
+        # Spark supports timestamp-based starting positions directly;
+        # mapping this to 'latest' would silently skip every record
+        # between the requested timestamp and job start
+        millis = o.get("scan.startup.timestamp-millis")
+        if not millis:
+            raise ValueError(
+                "scan.startup.mode='timestamp' requires "
+                "'scan.startup.timestamp-millis'"
+            )
+        opts["startingTimestamp"] = millis
+    else:
+        opts["startingOffsets"] = {
+            "earliest-offset": "earliest",
+            "latest-offset": "latest",
+            "group-offsets": "latest",
+        }.get(startup, "latest")
     if o.get("properties.group.id"):
         opts["kafka.group.id"] = o["properties.group.id"]
     return opts
@@ -536,7 +555,7 @@ def _jdbc_writer_opts(opts: dict[str, str], dbtable: str):
     return configure
 
 
-def jdbc_upsert_foreach_batch(table: TableDef):
+def jdbc_upsert_foreach_batch(table: TableDef, replace_all: bool = False):
     """PRIMARY-KEY jdbc sink (demo_1.md `PRIMARY KEY (day_time) NOT
     ENFORCED`): per micro-batch, (1) executor-parallel bulk write of
     the changed keys into ``<target>_stage`` (overwrite), (2) one
@@ -552,31 +571,44 @@ def jdbc_upsert_foreach_batch(table: TableDef):
     # between the bulk write and the MERGE
     stage = f"{target}_stage_{uuid.uuid4().hex[:8]}"
 
+    bootstrapped = [False]
+
     def apply(batch: DataFrame, epoch_id: int) -> None:
-        if not batch.columns:
+        if batch.isEmpty():
             return
+        # an ANSI MERGE aborts when several source rows match one
+        # target row, so duplicate keys within the batch must collapse
+        # first (Flink's jdbc upsert buffer keeps one row per key the
+        # same way); update-mode aggregates never emit duplicates —
+        # this only triggers for non-aggregated inserts
+        batch = batch.dropDuplicates(table.primary_key)
         spark = batch.sparkSession
         _jdbc_writer_opts(opts, stage)(batch.write, batch).mode(
             "overwrite"
         ).save()
-        # first epoch: create the (empty) target with the same
-        # dialect-quoted schema if it doesn't exist yet
-        _jdbc_writer_opts(opts, target)(batch.limit(0).write, batch).mode(
-            "append"
-        ).save()
+        if not bootstrapped[0]:
+            # once per writer: create the (empty) target with the same
+            # dialect-quoted schema if it doesn't exist yet
+            _jdbc_writer_opts(opts, target)(
+                batch.limit(0).write, batch
+            ).mode("append").save()
+            bootstrapped[0] = True
         # MERGE then DROP the stage in one connection: the stage name
         # is per-writer-unique (uuid), so without the drop every job
         # start/restart/batch-write left a permanent <target>_stage_*
         # table in the target database (ADVICE r02). Spark's overwrite
-        # save recreates it next micro-batch.
-        jdbc_execute(
-            spark,
-            opts,
+        # save recreates it next micro-batch. replace_all (INSERT
+        # OVERWRITE) empties the target in the same transaction-ish
+        # statement batch first — a bare MERGE would keep stale rows.
+        stmts = [
             build_merge_sql(
                 target, stage, batch.columns, table.primary_key
             ),
             f"DROP TABLE {stage}",
-        )
+        ]
+        if replace_all:
+            stmts.insert(0, f"DELETE FROM {target}")
+        jdbc_execute(spark, opts, *stmts)
 
     return apply
 
@@ -600,7 +632,9 @@ def jdbc_batch_write(
             "overwrite" if overwrite else "append"
         ).save()
         return
-    jdbc_upsert_foreach_batch(table)(df, -1)
+    # INSERT OVERWRITE on a PK sink must REPLACE the table contents —
+    # a bare merge would keep target rows absent from the new result
+    jdbc_upsert_foreach_batch(table, replace_all=overwrite)(df, -1)
 
 
 # --------------------------------------------------------------------------
@@ -609,6 +643,11 @@ def jdbc_batch_write(
 # the bulk-API payload builder are pure (unit-tested without a
 # cluster); the stream writer POSTs _bulk per micro-batch.
 # --------------------------------------------------------------------------
+
+
+# rows per bulk POST: well under ES's default 100 MB
+# http.max_content_length at typical document sizes
+ES_BULK_CHUNK_ROWS = 5000
 
 
 def es_sink_options(table: TableDef) -> dict[str, str]:
@@ -710,8 +749,20 @@ def es_writer(df: DataFrame, table: TableDef):
     pk = table.primary_key
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
-        rows = [r.asDict() for r in batch.toLocalIterator()]
-        es_bulk_post(url, es_bulk_payload(rows, index, pk))
+        # recursive=True: a shallow asDict leaves nested Row objects
+        # that json.dumps(default=str) would emit as repr strings —
+        # silently wrong documents for ROW<...> columns. Chunked
+        # posts: a single unbounded _bulk body both holds the whole
+        # micro-batch on the driver and trips ES's
+        # http.max_content_length on large batches.
+        chunk: list[dict] = []
+        for r in batch.toLocalIterator():
+            chunk.append(r.asDict(recursive=True))
+            if len(chunk) >= ES_BULK_CHUNK_ROWS:
+                es_bulk_post(url, es_bulk_payload(chunk, index, pk))
+                chunk = []
+        if chunk:
+            es_bulk_post(url, es_bulk_payload(chunk, index, pk))
 
     return df.writeStream.outputMode("update").foreachBatch(apply)
 
@@ -785,31 +836,7 @@ def jdbc_delete_rows(
     jdbc_execute(spark, opts, f"DELETE FROM {target} WHERE {preds}")
 
 
-def build_upsert_sql(
-    table_name: str, columns: list[str], primary_key: list[str],
-    dialect: str = "mysql",
-) -> str:
-    """Keyed-upsert statement for the reference's PRIMARY-KEY jdbc sink
-    (demo_1.md `PRIMARY KEY (day_time) NOT ENFORCED`)."""
-    cols = ", ".join(columns)
-    ph = ", ".join(["?"] * len(columns))
-    if dialect == "mysql":
-        updates = ", ".join(
-            f"{c}=VALUES({c})" for c in columns if c not in primary_key
-        )
-        return (
-            f"INSERT INTO {table_name} ({cols}) VALUES ({ph}) "
-            f"ON DUPLICATE KEY UPDATE {updates}"
-        )
-    # ANSI MERGE (postgres 15+/oracle/sqlserver-ish)
-    on = " AND ".join(f"t.{c} = s.{c}" for c in primary_key)
-    sets = ", ".join(
-        f"{c} = s.{c}" for c in columns if c not in primary_key
-    )
-    src_cols = ", ".join(f"? AS {c}" for c in columns)
-    return (
-        f"MERGE INTO {table_name} t USING (SELECT {src_cols}) s ON {on} "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
-        f"WHEN NOT MATCHED THEN INSERT ({cols}) "
-        f"VALUES ({', '.join('s.' + c for c in columns)})"
-    )
+# (the placeholder-based build_upsert_sql helper was removed: the live
+# upsert path is build_merge_sql via jdbc_upsert_foreach_batch, and a
+# maintained-but-unreachable second dialect generator is exactly the
+# partial-application drift hazard this module avoids elsewhere)

@@ -31,8 +31,11 @@ class SqlCommand(Enum):
     CREATE_VIEW = r"(create\s+(temporary\s+)?view.*)"
     CREATE_DATABASE = r"(create\s+database.*)"
     CREATE_CATALOG = r"(create\s+catalog.*)"
-    USE_CATALOG = r"(use\s+catalog.*)"
-    USE = r"(use\s+(?!catalog).*)"
+    # `\s` after catalog: a DATABASE named catalog_db must route to
+    # USE, not to a catalog switch (the reference's own regexes have
+    # this bug — SqlCommand.java:41-48; we fix rather than mirror it)
+    USE_CATALOG = r"(use\s+catalog\s+.*)"
+    USE = r"(use\s+(?!catalog\s).*)"
     DROP_TABLE = r"(drop\s+table.*)"
     DROP_DATABASE = r"(drop\s+database.*)"
     DROP_VIEW = r"(drop\s+view.*)"

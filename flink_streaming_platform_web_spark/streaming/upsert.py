@@ -10,7 +10,7 @@ so the MERGE workload is bounded by update rate, not table size. The
 in-process store below serves tests and console-style sinks; at scale
 the same ``foreach_batch_upsert`` callback body becomes a Delta
 ``MERGE INTO`` or a JDBC batched upsert (see
-sources/registry.build_upsert_sql) — the streaming-side contract is
+sources/registry.build_merge_sql) — the streaming-side contract is
 identical.
 """
 
@@ -108,7 +108,7 @@ class CombiningStore(KeyedStore):
     retraction would need the full changelog path (streaming/cdc.py).
     At scale the identical fold runs server-side: SUM → `UPDATE SET x
     = x + EXCLUDED.x`, MIN/MAX → `LEAST/GREATEST(x, EXCLUDED.x)` in
-    the jdbc MERGE (sources/registry.build_upsert_sql's shape)."""
+    the jdbc MERGE (sources/registry.build_merge_sql's shape)."""
 
     #: combiner ops: new = op(old, delta); COUNT combines as "sum"
     OPS = ("sum", "min", "max")

@@ -8,7 +8,6 @@ import pytest
 from flink_streaming_platform_web_spark.sources.ddl import parse_create_table
 from flink_streaming_platform_web_spark.sources.registry import (
     apply_schema_decorations,
-    build_upsert_sql,
     filesystem_batch,
     filesystem_stream,
     jdbc_reader_options,
@@ -43,21 +42,6 @@ def test_jdbc_option_mapping():
         "user": "u",
         "password": "p",
     }
-
-
-def test_upsert_sql_mysql():
-    sql = build_upsert_sql("sync_test_1", ["day_time", "total_gmv"],
-                           ["day_time"])
-    assert sql == (
-        "INSERT INTO sync_test_1 (day_time, total_gmv) VALUES (?, ?) "
-        "ON DUPLICATE KEY UPDATE total_gmv=VALUES(total_gmv)"
-    )
-
-
-def test_upsert_sql_ansi_merge():
-    sql = build_upsert_sql("t", ["k", "v"], ["k"], dialect="ansi")
-    assert sql.startswith("MERGE INTO t t USING")
-    assert "WHEN MATCHED THEN UPDATE SET v = s.v" in sql
 
 
 def test_filesystem_roundtrip_batch(spark, tmp_path):
@@ -135,3 +119,60 @@ def test_lenient_json_decode(spark):
     assert (rows[0]["id"], rows[0]["amnount"]) == (7, 20)
     assert rows[1]["id"] is None  # malformed → null row, stream alive
     assert rows[2]["id"] is None  # type mismatch → null field
+
+
+def test_kafka_timestamp_startup_maps_to_starting_timestamp():
+    """scan.startup.mode='timestamp' must map to Spark's
+    startingTimestamp (mapping it to 'latest' silently skipped every
+    record between the requested time and job start); the millis
+    option is required."""
+    t = parse_create_table(
+        """CREATE TABLE k (id BIGINT) WITH (
+          'connector'='kafka', 'topic'='t',
+          'properties.bootstrap.servers'='b:9092',
+          'scan.startup.mode'='timestamp',
+          'scan.startup.timestamp-millis'='1700000000000',
+          'format'='json')"""
+    )
+    opts = kafka_reader_options(t)
+    assert opts["startingTimestamp"] == "1700000000000"
+    assert "startingOffsets" not in opts
+
+    t2 = parse_create_table(
+        """CREATE TABLE k2 (id BIGINT) WITH (
+          'connector'='kafka', 'topic'='t',
+          'properties.bootstrap.servers'='b:9092',
+          'scan.startup.mode'='timestamp', 'format'='json')"""
+    )
+    with pytest.raises(ValueError, match="timestamp-millis"):
+        kafka_reader_options(t2)
+
+
+def test_filesystem_stream_csv_header(spark, tmp_path):
+    """A streaming CSV source with csv.include-header must not ingest
+    the header row as data (the batch reader already skipped it)."""
+    src = tmp_path / "csvstream"
+    src.mkdir()
+    (src / "p0.csv").write_text("k,v\n1,10\n2,20\n")
+    t = parse_create_table(
+        f"""CREATE TABLE c (k BIGINT, v BIGINT) WITH (
+          'connector'='filesystem', 'path'='{src}', 'format'='csv',
+          'csv.include-header'='true')"""
+    )
+    df = filesystem_stream(spark, t)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("csv_hdr_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r["k"], r["v"])
+            for r in spark.table("csv_hdr_out").collect()
+        }
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert rows == {(1, 10), (2, 20)}, rows

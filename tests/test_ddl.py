@@ -199,3 +199,72 @@ def test_looks_like_connector_ddl():
     assert not looks_like_connector_ddl(
         "CREATE TABLE t (a INT) USING parquet"
     )
+
+
+def test_column_level_primary_key_registers():
+    """`user_id VARCHAR(20) PRIMARY KEY NOT ENFORCED` must register
+    the PK (previously the type prefix-match silently swallowed it,
+    demoting the sink to append mode)."""
+    from flink_streaming_platform_web_spark.sources.ddl import (
+        parse_create_table,
+    )
+
+    t = parse_create_table(
+        """CREATE TABLE u (
+          user_id VARCHAR(20) PRIMARY KEY NOT ENFORCED,
+          v BIGINT
+        ) WITH ('connector'='memory')"""
+    )
+    assert t.primary_key == ["user_id"]
+    assert t.columns[0].spark_type == "STRING"
+
+
+def test_named_pk_constraint_parses():
+    from flink_streaming_platform_web_spark.sources.ddl import (
+        parse_create_table,
+    )
+
+    t = parse_create_table(
+        """CREATE TABLE o (
+          id BIGINT, v DOUBLE,
+          CONSTRAINT pk_id PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('connector'='memory')"""
+    )
+    assert t.primary_key == ["id"]
+
+
+def test_metadata_column_rejected_loudly():
+    import pytest
+
+    from flink_streaming_platform_web_spark.sources.ddl import (
+        DDLParseError,
+        parse_create_table,
+    )
+
+    with pytest.raises(DDLParseError, match="METADATA"):
+        parse_create_table(
+            """CREATE TABLE k (
+              id BIGINT,
+              ts TIMESTAMP(3) METADATA FROM 'timestamp'
+            ) WITH ('connector'='kafka')"""
+        )
+
+
+def test_type_trailing_garbage_rejected():
+    import pytest
+
+    from flink_streaming_platform_web_spark.sources.ddl import (
+        DDLParseError,
+        _map_type,
+    )
+
+    assert _map_type("TIMESTAMP(3)") == "TIMESTAMP"
+    assert _map_type("VARCHAR(20)") == "STRING"
+    assert _map_type("DECIMAL(18,2)") == "DECIMAL(18,2)"
+    for bad in (
+        "VARCHAR(20) SOMETHING",
+        "TIMESTAMP(3) BOGUS",
+        "DECIMAL(18,2) X",
+    ):
+        with pytest.raises(DDLParseError):
+            _map_type(bad)

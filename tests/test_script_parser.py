@@ -153,3 +153,13 @@ def test_variable_unresolved_raises():
 
     with _pytest.raises(SqlParseError, match="unresolved"):
         substitute_variables("SELECT ${nope_not_set_anywhere}")
+
+
+def test_use_database_named_catalog_prefix_routes_to_use():
+    """A database named catalog_db must classify as USE, not
+    USE_CATALOG (the reference's own regexes misroute this —
+    SqlCommand.java:41-48; we fix it)."""
+    from flink_streaming_platform_web_spark.sql.script import classify
+
+    assert classify("USE catalog_db").command.name == "USE"
+    assert classify("USE CATALOG hive").command.name == "USE_CATALOG"
