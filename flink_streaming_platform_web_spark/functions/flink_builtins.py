@@ -22,9 +22,13 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     # Flink SPLIT_INDEX(str, sep, i): 0-based, literal separator, NULL
     # out of range. Spark's split() takes a regex → \Q..\E quoting;
     # try_element_at gives the NULL-on-out-of-range contract under ANSI.
+    # negative i guard: Flink returns NULL for ANY negative index;
+    # bare i+1 would make -1 throw INVALID_INDEX_OF_ZERO and i<=-2
+    # silently return Spark's from-the-end element
     "split_index": (
         "(s STRING, sep STRING, i INT) RETURNS STRING",
-        r"try_element_at(split(s, concat('\\Q', sep, '\\E')), i + 1)",
+        r"CASE WHEN i < 0 THEN CAST(NULL AS STRING) ELSE "
+        r"try_element_at(split(s, concat('\\Q', sep, '\\E')), i + 1) END",
     ),
     # Flink TRUNCATE(numeric, d): truncate toward zero to d decimals.
     # floor/ceil on the scaled product keeps it all-double (the same

@@ -296,15 +296,42 @@ def register_function(spark: SparkSession, statement: str) -> str:
     name = m.group("name").strip("`").split(".")[-1]
     impl = m.group("impl")
     lang = (m.group("lang") or "").lower()
-    fn = _resolve_python(impl) if (lang == "python" or ":" in impl) else None
+    if lang == "python":
+        # explicit language: resolution failures surface as the real
+        # Python import error, never a baffling JVM classname error
+        fn = _resolve_python(impl, must=True)
+    elif ":" in impl:
+        fn = _resolve_python(impl)
+    else:
+        fn = None
     if fn is not None:
-        spark.udf.register(name, fn)
+        spark.udf.register(name, fn, _python_return_type(fn))
     else:
         spark.udf.registerJavaFunction(name, impl)
     return name
 
 
-def _resolve_python(impl: str) -> Callable | None:
+def _python_return_type(fn: Callable):
+    """Return type for a registered Python UDF from the callable's
+    annotation — spark.udf.register's default is StringType for
+    EVERYTHING, which makes an int-returning bucket function sort
+    lexicographically ('10' < '9') and bool results compare as
+    strings. Unannotated callables keep the string default (documented
+    Spark behavior)."""
+    import typing
+
+    from pyspark.sql import types as T
+
+    hints = typing.get_type_hints(fn) if callable(fn) else {}
+    return {
+        int: T.LongType(),
+        float: T.DoubleType(),
+        bool: T.BooleanType(),
+        str: T.StringType(),
+    }.get(hints.get("return"), T.StringType())
+
+
+def _resolve_python(impl: str, must: bool = False) -> Callable | None:
     """Resolve 'pkg.mod:fn' (or dotted fallback) to a callable."""
     mod_name, _, attr = impl.partition(":")
     if not attr:
@@ -312,4 +339,6 @@ def _resolve_python(impl: str) -> Callable | None:
     try:
         return getattr(importlib.import_module(mod_name), attr)
     except (ImportError, AttributeError):
+        if must:
+            raise
         return None

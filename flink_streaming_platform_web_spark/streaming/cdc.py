@@ -188,19 +188,26 @@ def cdc_incremental_agg(
                     for c in sum_cols
                 ],
             ).schema
-        for row in deltas.toLocalIterator():
-            key = tuple(row[g] for g in group_cols)
-            cur = store.rows.get(key)
-            n = (cur["n"] if cur else 0) + row["__d_cnt"]
-            if n <= 0:
-                store.rows.pop(key, None)
-                continue
-            merged = {g: row[g] for g in group_cols}
-            merged["n"] = n
-            for c in sum_cols:
-                prev = cur[f"sum_{c}"] if cur else 0.0
-                merged[f"sum_{c}"] = prev + float(row[f"__d_{c}"])
-            store.rows[key] = merged
+        # drain the deltas BEFORE taking the lock (a Spark action
+        # under a lock risks deadlock with listeners), then fold under
+        # it — every other store accessor honors _lock, and a
+        # concurrent to_df() snapshot must never see a torn mix of
+        # pre/post-batch groups
+        delta_rows = list(deltas.toLocalIterator())
+        with store._lock:
+            for row in delta_rows:
+                key = tuple(row[g] for g in group_cols)
+                cur = store.rows.get(key)
+                n = (cur["n"] if cur else 0) + row["__d_cnt"]
+                if n <= 0:
+                    store.rows.pop(key, None)
+                    continue
+                merged = {g: row[g] for g in group_cols}
+                merged["n"] = n
+                for c in sum_cols:
+                    prev = cur[f"sum_{c}"] if cur else 0.0
+                    merged[f"sum_{c}"] = prev + float(row[f"__d_{c}"])
+                store.rows[key] = merged
 
     return apply
 

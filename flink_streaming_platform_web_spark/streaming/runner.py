@@ -132,6 +132,10 @@ class JobRunner:
         self._read_once = False
         # lookup dims with TTL caches (lookup_cache.DimCache by name)
         self.dim_caches: dict = {}
+        # accumulated rows for memory sinks fed per micro-batch by the
+        # fan-out/replan foreachBatch paths (append semantics parity
+        # with the default path's format("memory") sink)
+        self._memory_rows: dict[str, list] = {}
         # Flink catalog name → Spark catalog name (CREATE CATALOG maps
         # 'hive' catalogs onto the session's hive-enabled spark_catalog;
         # Spark catalogs are session-static plugins, not DDL-creatable)
@@ -311,10 +315,24 @@ class JobRunner:
             elif cmd == SqlCommand.CREATE_VIEW:
                 for ref in self._referenced_tables(stmt):
                     self._materialize_source(ref)
+                # IF NOT EXISTS is valid Flink DDL but cannot combine
+                # with OR REPLACE / temp views in Spark: honor it by
+                # skipping when the view already exists, then strip it
+                ine = re.match(
+                    r"create\s+(?:temporary\s+)?view\s+if\s+not\s+exists"
+                    r"\s+(`?[\w.]+`?)",
+                    stmt,
+                    re.IGNORECASE,
+                )
+                if ine:
+                    vname = ine.group(1).strip("`")
+                    if self.spark.catalog.tableExists(vname):
+                        continue
                 self.spark.sql(
                     translate_expr(
                         re.sub(
-                            r"^create\s+(temporary\s+)?view",
+                            r"^create\s+(temporary\s+)?view"
+                            r"(\s+if\s+not\s+exists)?",
                             "CREATE OR REPLACE TEMPORARY VIEW",
                             stmt,
                             flags=re.IGNORECASE,
@@ -394,6 +412,10 @@ class JobRunner:
         no cross-batch state) and all reference the same single
         streaming source. Returns False to fall back to per-query
         reads (the documented default divergence)."""
+        if any(j.overwrite for j in inserts):
+            # streaming INSERT OVERWRITE is rejected (Flink parity) —
+            # fall through to the per-query path, which raises clearly
+            return False
         sources: set[str] = set()
         for job in inserts:
             refs = self._referenced_tables(job.query_sql)
@@ -456,16 +478,21 @@ class JobRunner:
                 elif c == "blackhole":
                     out.write.format("noop").mode("overwrite").save()
                 elif c == "filesystem":
+                    # streaming overwrite was rejected upstream —
+                    # every micro-batch appends
                     w = out.write.format(
                         sink.options.get("format", "parquet")
                     )
                     if sink.partitioned_by:
                         w = w.partitionBy(*sink.partitioned_by)
-                    w.mode("overwrite" if overwrite else "append").save(
-                        sink.options["path"]
-                    )
+                    w.mode("append").save(sink.options["path"])
                 elif c == "memory":
-                    self._register_memory_result(out, sink)
+                    # accumulate: replacing the view per batch kept
+                    # only the LAST micro-batch, diverging from the
+                    # default path's append-mode memory sink
+                    self._register_memory_result(
+                        out, sink, accumulate=True
+                    )
                 else:
                     raise ValueError(
                         f"sink {sink.name!r} ({c!r}) unsupported in"
@@ -475,7 +502,16 @@ class JobRunner:
         writer = stream_df.writeStream.foreachBatch(fanout).outputMode(
             "append"
         )
-        if self.checkpoint.checkpoint_dir:
+        # checkpoint ONLY when every sink is durable-external
+        # (filesystem append): with an in-process store or memory view
+        # in the set, a checkpointed restart would resume the source
+        # past batches whose state died with the process (the same
+        # invariant the default PK path enforces)
+        durable = all(
+            s.connector == "filesystem" and not s.primary_key
+            for s in sinks
+        )
+        if self.checkpoint.checkpoint_dir and durable:
             writer = writer.option(
                 "checkpointLocation",
                 f"{self.checkpoint.checkpoint_dir}/fanout_{src}",
@@ -554,7 +590,9 @@ class JobRunner:
         stream_refs = [
             r for r in refs if self._materialized.get(r) == "stream"
         ]
-        if len(stream_refs) != 1:
+        if len(stream_refs) != 1 or job.overwrite:
+            # (overwrite: streaming INSERT OVERWRITE is rejected —
+            # fall through to the per-query path's clear error)
             return False
         if _is_aggregated(plan_df):
             # aggregating TTL-dim queries: incremental per-batch delta
@@ -584,7 +622,6 @@ class JobRunner:
         if sink.primary_key:
             self._replace_store(sink.name, sink.primary_key)
         stores = self.upsert_stores
-        overwrite = job.overwrite
 
         def apply(batch: DataFrame, epoch_id: int) -> None:
             sess = batch.sparkSession
@@ -599,21 +636,24 @@ class JobRunner:
             elif sink.connector == "blackhole":
                 out.write.format("noop").mode("overwrite").save()
             elif sink.connector == "filesystem":
+                # streaming overwrite rejected upstream — append only
                 w = out.write.format(sink.options.get("format", "parquet"))
                 if sink.partitioned_by:
                     w = w.partitionBy(*sink.partitioned_by)
-                w.mode("overwrite" if overwrite else "append").save(
-                    sink.options["path"]
-                )
+                w.mode("append").save(sink.options["path"])
             elif sink.connector == "memory":
-                self._register_memory_result(out, sink)
+                self._register_memory_result(out, sink, accumulate=True)
 
         writer = (
             self.spark.table(src)
             .writeStream.foreachBatch(apply)
             .outputMode("append")
         )
-        if self.checkpoint.checkpoint_dir:
+        # checkpoint only for the durable-external sink (filesystem
+        # append) — in-process stores/views must replay from scratch
+        if self.checkpoint.checkpoint_dir and (
+            sink.connector == "filesystem" and not sink.primary_key
+        ):
             writer = writer.option(
                 "checkpointLocation",
                 f"{self.checkpoint.checkpoint_dir}/q{idx}_{sink.name}",
@@ -791,7 +831,10 @@ class JobRunner:
         dims = {
             d.strip("`").lower()
             for d in re.findall(
-                r"join\s+([\w.`]+)(?:\s+\w+)?\s+for\s+system_time\s+as\s+of",
+                # alias forms: bare (`dim d`) or AS (`dim AS d`) —
+                # both are valid Flink before FOR SYSTEM_TIME
+                r"join\s+([\w.`]+)(?:\s+(?:as\s+)?\w+)?"
+                r"\s+for\s+system_time\s+as\s+of",
                 job.query_sql,
                 re.IGNORECASE,
             )
@@ -838,16 +881,31 @@ class JobRunner:
         if self.mode == "batch" or not df.isStreaming:
             self._write_batch(df, sink, job, result)
             return
+        if job.overwrite:
+            # Flink rejects INSERT OVERWRITE for streaming queries
+            # (batch-only sink mode); the previous behaviors here were
+            # worse than an error — the default path silently appended
+            # and the fan-out path re-overwrote per micro-batch,
+            # keeping only the last batch
+            raise ValueError(
+                f"INSERT OVERWRITE {job.target}: streaming queries"
+                " cannot overwrite (batch-only, as in Flink)"
+            )
         try:
             self._write_stream(df, sink, idx, result)
         except Exception as e:
             # Spark rejects stream-stream joins under update/complete
             # output (UnsupportedOperationChecker at query start).
             # Parity re-plan (SURVEY §7.3): keep the FIRST stream in
-            # query order streaming, demote the rest to per-micro-batch
-            # snapshots — each trigger then joins against the
-            # co-stream's current contents, which is Flink's
-            # processing-time join contract for demo_2-style scripts.
+            # query order streaming, demote the rest to batch
+            # snapshots. Caveat (deliberate): the static side's FILE
+            # LISTING pins at query start — listed files are re-read
+            # per trigger, but files landing in the co-stream
+            # directory AFTER start are not discovered (the same
+            # pinned-listing behavior the lookup-replan path exists to
+            # fix for dims; co-streams wanting live pickup should
+            # bound the join with time predicates so the native
+            # watermarked stream-stream join applies instead).
             if "streaming" not in str(e).lower():
                 raise
             lowered = job.query_sql.lower()
@@ -870,12 +928,23 @@ class JobRunner:
                 result,
             )
 
-    def _register_memory_result(self, out: DataFrame, sink: TableDef) -> None:
+    def _register_memory_result(
+        self, out: DataFrame, sink: TableDef, accumulate: bool = False
+    ) -> None:
         """foreachBatch runs in a CLONED session whose temp views the
         driver session can't see — copy the batch result onto the
-        driver session so `spark.table(sink)` works after the run."""
+        driver session so `spark.table(sink)` works after the run.
+        accumulate=True (the per-micro-batch fan-out/replan callers)
+        APPENDS across batches like the default path's
+        format("memory") sink — replacing per batch kept only the
+        last micro-batch's rows."""
+        rows = out.collect()
+        if accumulate:
+            acc = self._memory_rows.setdefault(sink.name, [])
+            acc.extend(rows)
+            rows = acc
         self.spark.createDataFrame(
-            out.collect(), out.schema
+            rows, out.schema
         ).createOrReplaceTempView(sink.name)
 
     def _replace_store(self, name: str, key_cols) -> KeyedStore:

@@ -71,9 +71,13 @@ def running_counts_v2(
     running (count, sum) emitted on every update; with ``ttl_ms`` set,
     a key idle past the TTL restarts from zero (state expiry — the
     TTL-dedup primitive)."""
+    # state TTL is only legal under a time mode — NoTime +
+    # getValueState(ttl) raises CANNOT_ASSIGN_TTL_IN_NO_TIME_MODE at
+    # query start, which made the ttl_ms feature unreachable
+    time_mode = "ProcessingTime" if ttl_ms is not None else "None"
     return df.groupBy(key_col).transformWithStateInPandas(
         RunningCountProcessor(value_col, ttl_ms),
         OUTPUT_SCHEMA,
         "Update",
-        "None",
+        time_mode,
     )

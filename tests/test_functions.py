@@ -36,7 +36,9 @@ def test_register_python_function(spark):
                   json_has_key('{"k": 1}', 'z') AS b,
                   json_has_key('not json', 'k') AS c"""
     ).collect()[0]
-    assert (row["a"], row["b"], row["c"]) == ("true", "false", "false")
+    # a bool-annotated Python UDF returns real BOOLEANs — the old
+    # no-returnType registration stringified every result ('true')
+    assert (row["a"], row["b"], row["c"]) == (True, False, False)
 
 
 def test_json_has_key_pure():
@@ -290,3 +292,23 @@ def test_window_tvf_named_args_resolve_by_name():
             "SELECT 1 FROM TABLE(HOP(TABLE s, DESCRIPTOR(ts), "
             "INTERVAL '1' MINUTE, SIZE => INTERVAL '2' MINUTE))"
         )
+
+
+def test_split_index_negative_returns_null(spark):
+    """Flink SPLIT_INDEX returns NULL for ANY negative index; bare
+    i+1 made -1 throw INVALID_INDEX_OF_ZERO and -2 silently return
+    Spark's from-the-end element."""
+    from flink_streaming_platform_web_spark.functions.flink_builtins import (
+        install,
+    )
+
+    install(spark)
+    row = spark.sql(
+        "SELECT split_index('a,b,c', ',', 1) AS ok,"
+        "       split_index('a,b,c', ',', -1) AS neg1,"
+        "       split_index('a,b,c', ',', -2) AS neg2,"
+        "       split_index('a,b,c', ',', 9) AS oob"
+    ).collect()[0]
+    assert row["ok"] == "b"
+    assert row["neg1"] is None and row["neg2"] is None
+    assert row["oob"] is None

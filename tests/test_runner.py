@@ -430,3 +430,69 @@ def test_window_tvf_streaming_update_mode(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_create_view_if_not_exists(spark):
+    """Valid Flink DDL: the first CREATE VIEW IF NOT EXISTS creates,
+    the second silently keeps the existing view (Spark can't combine
+    OR REPLACE/temp views with IF NOT EXISTS — previously crashed)."""
+    runner = JobRunner(spark, mode="batch")
+    r = runner.execute_script(
+        """
+        CREATE VIEW IF NOT EXISTS v_ine AS SELECT 1 AS a;
+        CREATE VIEW IF NOT EXISTS v_ine AS SELECT 2 AS a;
+        SELECT a FROM v_ine;
+        """
+    )
+    assert r.select_results[0].collect()[0]["a"] == 1
+
+
+def test_streaming_insert_overwrite_rejected(spark, sf_dir, tmp_path):
+    """Flink rejects INSERT OVERWRITE for streaming queries; so do we
+    (the alternatives were silent append or keep-last-batch-only)."""
+    src = f"{tmp_path}/ow_src"
+    load(spark, sf_dir, "events").limit(10).write.parquet(src)
+    runner = JobRunner(spark, mode="streaming")
+    with pytest.raises(ValueError, match="cannot overwrite"):
+        runner.execute_script(
+            f"""
+            CREATE TABLE s (event_id BIGINT, ts TIMESTAMP,
+              user_id BIGINT, event_type STRING, value DOUBLE,
+              props STRING)
+              WITH ('connector'='filesystem', 'path'='{src}',
+                    'format'='parquet');
+            CREATE TABLE out_ow (event_id BIGINT)
+              WITH ('connector'='filesystem',
+                    'path'='{tmp_path}/ow_out', 'format'='parquet');
+            INSERT OVERWRITE out_ow SELECT event_id FROM s;
+            """
+        )
+
+
+def test_read_once_memory_sink_accumulates_batches(spark, tmp_path):
+    """Memory sinks in the read-once fan-out must keep EVERY
+    micro-batch's rows (replacing the view per batch silently kept
+    only the last one)."""
+    src = f"{tmp_path}/acc_src"
+    spark.createDataFrame([(1,), (2,)], "k BIGINT").repartition(
+        2
+    ).write.parquet(src)
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        SET graft.statement-set.read-once = 'true';
+        CREATE TABLE s (k BIGINT) WITH ('connector'='filesystem',
+          'path'='{src}', 'format'='parquet',
+          'source.max-files-per-trigger'='1');
+        CREATE TABLE m_acc (k BIGINT) WITH ('connector'='memory');
+        BEGIN STATEMENT SET;
+        INSERT INTO m_acc SELECT k FROM s;
+        END;
+        """
+    )
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+    got = sorted(r["k"] for r in spark.table("m_acc").collect())
+    assert got == [1, 2], got
