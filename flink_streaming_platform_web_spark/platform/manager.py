@@ -67,6 +67,13 @@ class JobManager:
     # LOCAL_PROCESS working dir for job sql files + child logs
     # (reference: <web_home>/sql/job_sql_<id>.sql); tempdir if unset
     work_dir: str | None = None
+    # one auto-created tempdir per manager when work_dir is unset —
+    # per-start mkdtemp leaked a directory every (re)start
+    _auto_work_dir: str | None = None
+    # status RPC adapter (platform/rpc.py) for cluster-mode jobs:
+    # lets stop() actually KILL a tracked remote application instead
+    # of only flipping the store row
+    rpc_adapter: object | None = None
     # serializes lifecycle transitions: the REST facade's request
     # threads and the scheduler daemon share this manager, and
     # check-then-act on `running` would otherwise race (ADVICE r01)
@@ -75,17 +82,18 @@ class JobManager:
     # -- lifecycle (JobConfigApiController verb parity) ---------------------
 
     def start(self, job_id: int, restore_savepoint: int | None = None) -> ExecutionResult:
+        # quick checks under the lock; the BLOCKING submission (script
+        # execution, child handshake) runs OUTSIDE it — holding the
+        # manager lock for a job's whole submit froze every other verb
+        # and the scheduler for minutes. The cross-thread claim is the
+        # STARTING flip's optimistic version check inside each path: a
+        # concurrent second start loses the version race and errors.
         with self._lock:
-            return self._start_locked(job_id, restore_savepoint)
-
-    def _start_locked(
-        self, job_id: int, restore_savepoint: int | None = None
-    ) -> ExecutionResult:
-        job = self.store.get_job(job_id)
-        if not job.is_open:
-            raise RuntimeError(f"job {job_id} is closed")
-        if job_id in self.running:
-            raise RuntimeError(f"job {job_id} already running")
+            job = self.store.get_job(job_id)
+            if not job.is_open:
+                raise RuntimeError(f"job {job_id} is closed")
+            if job_id in self.running:
+                raise RuntimeError(f"job {job_id} already running")
         if job.job_type == "app":
             return self._start_app(job)
         v = validate_script(job.sql_script, self.spark, job.job_type)
@@ -93,6 +101,12 @@ class JobManager:
             raise ValueError(f"validation failed: {v.errors}")
         if job.deploy_mode == "LOCAL_PROCESS":
             return self._start_process(job, restore_savepoint)
+        return self._start_inprocess(job, restore_savepoint)
+
+    def _start_inprocess(
+        self, job, restore_savepoint: int | None = None
+    ) -> ExecutionResult:
+        job_id = job.id
         if not self.store.set_status(job_id, "STARTING", job.version):
             # optimistic-lock conflict (reference: "任务状态已变更")
             raise RuntimeError(f"job {job_id} status changed concurrently")
@@ -124,10 +138,20 @@ class JobManager:
             raise
         terminal = "SUCCESS" if job.job_type == "batch" else "RUN"
         self.store.set_status(job_id, terminal)
-        self.store.log_run(job_id, terminal, result.query_ids)
+        # ONE tracked run row: the terminal row carries the query ids
+        # and is CLOSED when the run actually ends (stop/reconcile) —
+        # previously it stayed open forever for every stopped job
+        run2 = self.store.log_run(job_id, terminal, result.query_ids)
         self.store.finish_run(run_id, terminal)
         if result.streaming_queries:
-            self.running[job_id] = RunningJob(runner, result, run_id)
+            with self._lock:
+                self.running[job_id] = RunningJob(runner, result, run2)
+            # a stop() that raced the unlocked submission flipped the
+            # store to STOP before we registered — honor it
+            if self.store.get_job(job_id).status_name == "STOP":
+                self.stop(job_id)
+        else:
+            self.store.finish_run(run2, terminal)
         return result
 
     def _start_app(self, job) -> ExecutionResult:
@@ -152,10 +176,13 @@ class JobManager:
             self._alarm(job.id, f"app job {job.job_name} failed: {e}")
             raise
         self.store.set_status(job.id, "RUN")
-        self.store.log_run(job.id, "RUN", [f"pid:{proc.pid}"])
+        run2 = self.store.log_run(job.id, "RUN", [f"pid:{proc.pid}"])
         self.store.finish_run(run_id, "RUN")
         result = ExecutionResult()
-        self.running[job.id] = RunningJob(None, result, run_id, proc=proc)
+        with self._lock:
+            self.running[job.id] = RunningJob(None, result, run2, proc=proc)
+        if self.store.get_job(job.id).status_name == "STOP":
+            self.stop(job.id)
         return result
 
     def _start_process(self, job, restore_savepoint: int | None = None):
@@ -192,7 +219,12 @@ class JobManager:
                         f" {restore_savepoint}; known: {sorted(by_id)}"
                     )
                 ckpt_dir = by_id[restore_savepoint]
-            work = Path(self.work_dir or tempfile.mkdtemp(prefix="sspw-"))
+            if self.work_dir:
+                work = Path(self.work_dir)
+            else:
+                if self._auto_work_dir is None:
+                    self._auto_work_dir = tempfile.mkdtemp(prefix="sspw-")
+                work = Path(self._auto_work_dir)
             (work / "sql").mkdir(parents=True, exist_ok=True)
             (work / "logs").mkdir(parents=True, exist_ok=True)
             sql_file = work / "sql" / f"job_sql_{job.id}.sql"
@@ -224,10 +256,13 @@ class JobManager:
             raise
         qids = [str(q) for q in handshake.get("queries", [])]
         self.store.set_status(job.id, "RUN")
-        self.store.log_run(job.id, "RUN", qids + [f"pid:{proc.pid}"])
+        run2 = self.store.log_run(job.id, "RUN", qids + [f"pid:{proc.pid}"])
         self.store.finish_run(run_id, "RUN")
         result = ExecutionResult(remote_query_ids=qids)
-        self.running[job.id] = RunningJob(None, result, run_id, proc=proc)
+        with self._lock:
+            self.running[job.id] = RunningJob(None, result, run2, proc=proc)
+        if self.store.get_job(job.id).status_name == "STOP":
+            self.stop(job.id)
         return result
 
     @staticmethod
@@ -255,6 +290,10 @@ class JobManager:
             remaining = deadline - _time.monotonic()
             if remaining <= 0:
                 proc.kill()
+                try:  # reap — an unwaited kill leaves a zombie
+                    proc.wait(10)
+                except Exception:
+                    pass
                 raise RuntimeError(
                     f"no submit handshake within {timeout:.0f}s"
                 )
@@ -278,38 +317,80 @@ class JobManager:
                 return obj
 
     def stop(self, job_id: int) -> None:
+        # claim under the lock; the BLOCKING teardown (savepoint,
+        # query stops with 60s waits, child terminate) runs outside it
+        # — holding the manager lock through multi-minute waits froze
+        # every other lifecycle verb and the scheduler behind one stop
         with self._lock:
             rj = self.running.pop(job_id, None)
-            if rj is not None:
-                # savepoint-before-stop (reference :94-98)
-                self.savepoint(job_id)
-                for q in rj.result.streaming_queries:
-                    # a query that already DIED re-raises its failure
-                    # from awaitTermination — that must not abort the
-                    # stop (siblings would leak and the store would
-                    # stay RUN forever); the operator's stop wins
+            remote_app = self.remote_apps.pop(job_id, None)
+        if rj is not None:
+            # savepoint-before-stop (reference :94-98)
+            self.savepoint(job_id)
+            for q in rj.result.streaming_queries:
+                # a query that already DIED re-raises its failure
+                # from awaitTermination — that must not abort the
+                # stop (siblings would leak and the store would
+                # stay RUN forever); the operator's stop wins
+                try:
+                    q.stop()
+                    q.awaitTermination(60)
+                except Exception:
+                    pass
+            if rj.proc is not None and rj.proc.poll() is None:
+                rj.proc.terminate()
+                try:
+                    rj.proc.wait(30)
+                except subprocess.TimeoutExpired:
+                    rj.proc.kill()
+            self.store.set_status(job_id, "STOP")
+            self.store.finish_run(rj.run_id, "STOP")
+            return
+        if remote_app is not None:
+            # a tracked cluster application must actually be KILLED —
+            # flipping the store row while the app keeps running burns
+            # the cluster and desynchronizes state forever
+            if self.rpc_adapter is None:
+                # re-track: refusing loudly beats lying in the store
+                with self._lock:
+                    self.remote_apps.setdefault(job_id, remote_app)
+                raise RuntimeError(
+                    f"job {job_id} is a cluster application"
+                    f" ({remote_app}) and no rpc_adapter is configured"
+                    " to kill it"
+                )
+            self.rpc_adapter.kill(remote_app)
+            self.store.set_status(job_id, "STOP")
+            return
+        # not tracked as running: only stoppable states transition
+        # to STOP — never erase a FAIL record with a late stop()
+        # (reference stops only RUNNING/RESTARTING,
+        # JobStandaloneServerAOImpl.java:108; ADVICE r01)
+        if self.store.get_job(job_id).status_name in (
+            "RUN",
+            "STARTING",
+        ):
+            self._kill_orphan_child(job_id)
+            self.store.set_status(job_id, "STOP")
+
+    def _kill_orphan_child(self, job_id: int) -> None:
+        """Best-effort SIGTERM of a LOCAL_PROCESS/app child recorded in
+        the run log by ANOTHER process sharing this store (cli stop vs
+        REST-server-started child): without it, stop() flips the store
+        row while the child keeps writing to the sink forever."""
+        import json as _json
+        import signal
+
+        for _id, _status, query_ids, _msg in reversed(
+            self.store.runs(job_id)
+        ):
+            for entry in _json.loads(query_ids or "[]"):
+                if isinstance(entry, str) and entry.startswith("pid:"):
                     try:
-                        q.stop()
-                        q.awaitTermination(60)
-                    except Exception:
+                        os.kill(int(entry[4:]), signal.SIGTERM)
+                    except (ProcessLookupError, ValueError, PermissionError):
                         pass
-                if rj.proc is not None and rj.proc.poll() is None:
-                    rj.proc.terminate()
-                    try:
-                        rj.proc.wait(30)
-                    except subprocess.TimeoutExpired:
-                        rj.proc.kill()
-                self.store.set_status(job_id, "STOP")
-                return
-            # not tracked as running: only stoppable states transition
-            # to STOP — never erase a FAIL record with a late stop()
-            # (reference stops only RUNNING/RESTARTING,
-            # JobStandaloneServerAOImpl.java:108; ADVICE r01)
-            if self.store.get_job(job_id).status_name in (
-                "RUN",
-                "STARTING",
-            ):
-                self.store.set_status(job_id, "STOP")
+                    return  # newest recorded pid only
 
     # -- config verbs (open/close/delete/copy — JobConfigApiController) ----
 
@@ -326,6 +407,11 @@ class JobManager:
         with self._lock:
             if job_id in self.running:
                 raise RuntimeError(f"job {job_id} is running; stop it first")
+            if job_id in self.remote_apps:
+                raise RuntimeError(
+                    f"job {job_id} has a tracked cluster application"
+                    f" ({self.remote_apps[job_id]}); stop it first"
+                )
             self.store.delete_job(job_id)
 
     def copy_job(self, job_id: int, new_name: str | None = None) -> int:
@@ -432,21 +518,26 @@ class JobManager:
                 claimed.append(rj)
                 affected.append(job_id)
                 job = self.store.get_job(job_id)
-                # a batch child that exited 0 COMPLETED — SUCCESS, no
-                # alarm, no restart (JobConfigStatus.SUCCESS(3); the
-                # reference's batch jobs land there the same way)
-                clean_batch = (
-                    exc is None
-                    and rj.proc is not None
-                    and job.job_type == "batch"
-                )
-                self.store.set_status(
-                    job_id,
+                # ANY child that exited 0 COMPLETED — SUCCESS, no
+                # alarm, no restart. LOCAL_PROCESS streaming children
+                # run in drain mode, so a clean exit is their DESIGNED
+                # completion: alarming it produced false "job down"
+                # pages and auto-restart loops (each restart drained
+                # and "died" again).
+                clean_exit = exc is None and rj.proc is not None
+                final = (
                     "FAIL"
                     if exc
-                    else ("SUCCESS" if clean_batch else "STOP"),
+                    else ("SUCCESS" if clean_exit else "STOP")
                 )
-                if clean_batch:
+                self.store.set_status(job_id, final)
+                # close the tracked run row with the actual outcome —
+                # it previously stayed open (status RUN, no finish
+                # time) forever for every died/stopped job
+                self.store.finish_run(
+                    rj.run_id, final, str(exc) if exc else ""
+                )
+                if clean_exit:
                     continue
                 alarms_due.append(
                     (
@@ -526,15 +617,26 @@ class JobManager:
                     continue
                 self.remote_apps.pop(job_id)
             affected.append(job_id)
-            job = self.store.get_job(job_id)
-            self.store.set_status(job_id, status)
-            self._alarm(
-                job_id,
-                f"cluster job {job.job_name} ({app_id}) is {status}",
-            )
-            cfg = self._channels(job_id)
-            if cfg and cfg.auto_restart and status != "SUCCESS":
-                restarts_due.append(job_id)
+            # per-job isolation: a deleted job (store row gone) or a
+            # failing alarm webhook must not abort the rest of the
+            # sweep (the same discipline reconcile() documents)
+            try:
+                job = self.store.get_job(job_id)
+                self.store.set_status(job_id, status)
+                self._alarm(
+                    job_id,
+                    f"cluster job {job.job_name} ({app_id}) is {status}",
+                )
+                cfg = self._channels(job_id)
+                if cfg and cfg.auto_restart and status != "SUCCESS":
+                    restarts_due.append(job_id)
+            except Exception as e:
+                import contextlib
+
+                with contextlib.suppress(Exception):
+                    self.store.log_alarm(
+                        job_id, "RECONCILE_REMOTE_FAIL", str(e)
+                    )
         for job_id in restarts_due:
             # AUTO_START_JOB parity for cluster jobs (alermAndAutoJob):
             # restart through the same lifecycle (in LOCAL that is an

@@ -41,15 +41,6 @@ _YARN_STATE = {
     "KILLED": "STOP",
 }
 
-# Spark REST attempt state (completed flag + attempt info)
-_SPARK_STATE = {
-    "RUNNING": "RUN",
-    "COMPLETED": "SUCCESS",
-    "FAILED": "FAIL",
-    "KILLED": "STOP",
-}
-
-
 def _http_json(
     url: str, method: str = "GET", body: dict | None = None,
     timeout: float = 10.0,

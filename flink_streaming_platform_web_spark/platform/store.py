@@ -400,10 +400,19 @@ class JobStore:
         if not rows:
             raise PermissionError("bad credentials")
         salt, digest = rows[0]
-        if hashlib.sha256((salt + password).encode()).hexdigest() != digest:
+        import hmac
+
+        if not hmac.compare_digest(
+            hashlib.sha256((salt + password).encode()).hexdigest(), digest
+        ):
             raise PermissionError("bad credentials")
         token = secrets.token_hex(16)
         with self._lock:
+            # one live token per user: re-login rotates, which bounds
+            # the token dict AND invalidates a previously-leaked token
+            self._tokens = {
+                t: u for t, u in self._tokens.items() if u != username
+            }
             self._tokens[token] = username
         return token
 

@@ -54,6 +54,10 @@ def build_submit_command(
     append (CommandUtil.java:42-47) to ``--jars``, and ``py_files``
     ships Python connector plugins (sources/registry.py plugin
     registry) to the executors."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
     extra = list(extra_args or [])
     check_run_config(extra)
     cmd = [
@@ -63,19 +67,26 @@ def build_submit_command(
     ]
     if ext_jars:
         cmd += ["--jars", ",".join(ext_jars)]
-    if py_files:
-        cmd += ["--py-files", ",".join(py_files)]
-    # spark-submit's primary resource must be a FILE (it has no -m
-    # module flag — the option parser rejects '-m' outright); the
-    # packaged launcher delegates to the CLI on the cluster driver
-    from pathlib import Path
-
+    # cluster deploy-mode runs the driver on a cluster node: BOTH the
+    # engine package and the SQL script must ship with the submission
+    # — without them the launcher dies with ModuleNotFoundError /
+    # FileNotFoundError on any non-shared-filesystem cluster. The
+    # package ships as a zip on --py-files; the script ships via
+    # --files and is referenced by basename (YARN localizes it into
+    # the driver's working directory).
+    pkg_dir = Path(__file__).resolve().parents[1]
+    pkg_zip = str(
+        Path(tempfile.gettempdir()) / f"{pkg_dir.name}_submit"
+    )
+    pkg_zip = shutil.make_archive(pkg_zip, "zip", pkg_dir.parent, pkg_dir.name)
+    cmd += ["--py-files", ",".join([pkg_zip, *(py_files or [])])]
+    cmd += ["--files", sql_file]
     launcher = str(Path(__file__).resolve().parent / "launcher.py")
     cmd += [
         *extra,
         launcher,
         "run",
-        "--sql-file", sql_file,
+        "--sql-file", Path(sql_file).name,
         "--job-type", job_type,
     ]
     ckpt = restore_checkpoint or checkpoint_dir

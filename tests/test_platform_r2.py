@@ -700,3 +700,71 @@ def test_validation_accepts_parameterized_scripts(spark):
         script, spark, "batch", variables={"rows": "5", "min_a": "1"}
     )
     assert r.ok, r.errors
+
+
+def test_stop_kills_tracked_remote_app(spark):
+    """stop() of a cluster-tracked job must actually KILL the remote
+    application (flipping only the store row left the cluster burning
+    resources forever); with no adapter configured it refuses loudly
+    and keeps tracking."""
+    killed = []
+
+    class FakeAdapter:
+        def kill(self, app_id):
+            killed.append(app_id)
+
+    store = JobStore()
+    jid = store.add_job("remote1", "INSERT INTO x SELECT 1;")
+    mgr = JobManager(spark, store)
+    mgr.track_remote(jid, "app_42")
+    with pytest.raises(RuntimeError, match="no rpc_adapter"):
+        mgr.stop(jid)
+    assert mgr.remote_apps.get(jid) == "app_42"  # still tracked
+    mgr.rpc_adapter = FakeAdapter()
+    mgr.stop(jid)
+    assert killed == ["app_42"]
+    assert mgr.status(jid) == "STOP"
+    assert jid not in mgr.remote_apps
+
+
+def test_delete_refuses_tracked_remote_job(spark):
+    store = JobStore()
+    jid = store.add_job("remote2", "INSERT INTO x SELECT 1;")
+    mgr = JobManager(spark, store)
+    mgr.track_remote(jid, "app_43")
+    with pytest.raises(RuntimeError, match="cluster application"):
+        mgr.delete_job(jid)
+
+
+def test_login_rotates_tokens_per_user():
+    """Re-login invalidates the user's previous bearer token (bounds
+    the token store and cuts off a leaked token at next login)."""
+    store = JobStore()
+    store.add_user("u1", "pw")
+    t1 = store.login("u1", "pw")
+    assert store.check_token(t1) == "u1"
+    t2 = store.login("u1", "pw")
+    assert store.check_token(t2) == "u1"
+    assert store.check_token(t1) is None  # rotated out
+
+
+def test_cluster_submit_ships_package_and_sql(tmp_path):
+    """Cluster deploy-mode runs the driver on a cluster node: the
+    engine package must ship via --py-files and the SQL file via
+    --files (referenced by localized basename)."""
+    from flink_streaming_platform_web_spark.platform.submit import (
+        build_submit_command,
+    )
+
+    sql = tmp_path / "job.sql"
+    sql.write_text("INSERT INTO t SELECT 1;")
+    cmd = build_submit_command(str(sql), master="yarn")
+    joined = " ".join(cmd)
+    assert "--files" in cmd and str(sql) in cmd
+    i = cmd.index("--py-files")
+    assert "flink_streaming_platform_web_spark" in cmd[i + 1]
+    assert cmd[i + 1].endswith(".zip") or ".zip," in cmd[i + 1]
+    # the launcher references the LOCALIZED basename, not the
+    # submit-host absolute path
+    assert cmd[cmd.index("--sql-file") + 1] == "job.sql"
+    assert "--deploy-mode cluster" in joined

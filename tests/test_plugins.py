@@ -129,4 +129,7 @@ def test_submit_builder_ext_jars():
     )
     i = cmd.index("--jars")
     assert cmd[i + 1] == "http://repo/conn.jar,/opt/x.jar"
-    assert cmd[cmd.index("--py-files") + 1] == "plug.py"
+    # the engine package zip now always ships first on --py-files
+    # (cluster drivers need it); user plugins append after it
+    pyf = cmd[cmd.index("--py-files") + 1]
+    assert pyf.endswith(",plug.py") and "_submit.zip" in pyf

@@ -108,10 +108,12 @@ def test_local_process_batch_submit_run_success(spark, sf_dir, tmp_path):
     assert (tmp_path / "work" / "sql" / f"job_sql_{jid}.sql").exists()
 
 
-def test_local_process_streaming_drain_to_stop(spark, sf_dir, tmp_path):
+def test_local_process_streaming_drain_to_success(spark, sf_dir, tmp_path):
     """A streaming job in the child: handshake reports the streaming
-    query ids; --await drains, child exits 0 → reconcile → STOP (not
-    SUCCESS, not FAIL, no restart)."""
+    query ids; --await drains, child exits 0 → reconcile → SUCCESS
+    with NO alarm and no restart: the drain is the child's DESIGNED
+    completion — treating it as "job down" (the old STOP+alarm) paged
+    operators falsely and auto-restart-looped the job."""
     src = f"{tmp_path}/src"
     sink = f"{tmp_path}/sink"
     ckpt = f"{tmp_path}/ckpt"
@@ -146,6 +148,7 @@ def test_local_process_streaming_drain_to_stop(spark, sf_dir, tmp_path):
     rj = mgr.running[jid]
     assert rj.proc.wait(timeout=300) == 0
     mgr.reconcile()
-    assert mgr.status(jid) == "STOP"
+    assert mgr.status(jid) == "SUCCESS"
+    assert not store.alarms(jid)
     n = spark.read.parquet(sink).count()
     assert n == spark.read.parquet(src).filter("o_totalprice > 0").count()
