@@ -36,7 +36,10 @@ def _cache_clear() -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:  # 'sf' mid-path (e.g. /mnt/sfdata/run1)
+        sf = -1.0
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -65,7 +68,14 @@ def main() -> None:
                 pass  # warmup is best-effort; timing runs will surface it
         _cache_clear()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # ONE timed run per query. The first run is the honest end-to-end
+    # cost: a second run of the same query mostly re-counts its own
+    # memoized persisted result, so min-over-runs reported warm-cache
+    # numbers. Cross-QUERY upstream sharing (shingles → dd02/dd03/...)
+    # stays, as documented: that is the pipeline's compute-once shape,
+    # not a timing artifact. SPARK_GRAFT_BENCH_RUNS>1 opts into
+    # min-over-repeats for noise studies — explicitly warm, stated.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
     timings: dict[str, float] = {}
     for name, fn in batch_queries.items():
         best, n = float("inf"), 0

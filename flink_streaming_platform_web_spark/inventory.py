@@ -152,5 +152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _MODULES:
+        overlap = out.keys() & mod.ORACLES.keys()
+        if overlap:
+            # same guard as queries(): a colliding oracle name would
+            # silently hash-compare a query against the WRONG SQL
+            raise ValueError(f"duplicate oracle names: {overlap}")
         out.update(mod.ORACLES)
     return out

@@ -22,6 +22,28 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def _split_depth0(text: str) -> list[str]:
+    """Split on commas OUTSIDE (), [] and <> — a filter like
+    `In(event_type, [click,view])` or a struct<a:int,b:int> column
+    must stay one item (bare split mangled both, making plan-gate
+    assertions mis-count)."""
+    parts, buf, depth = [], [], 0
+    for ch in text:
+        if ch in "([<":
+            depth += 1
+        elif ch in ")]>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters of every scan in the plan (flattened)."""
     out: list[str] = []
@@ -30,7 +52,7 @@ def pushed_filters(df: DataFrame) -> list[str]:
         if line.startswith("[") and line.endswith("]"):
             inner = line[1:-1].strip()
             if inner:
-                out.extend(p.strip() for p in inner.split(","))
+                out.extend(_split_depth0(inner))
     return out
 
 
@@ -40,7 +62,9 @@ def read_schema(df: DataFrame) -> list[str]:
     for chunk in formatted_plan(df).split("ReadSchema:")[1:]:
         line = chunk.split("\n")[0].strip()
         inner = line.split("<", 1)[-1].rsplit(">", 1)[0]
-        cols.extend(f.split(":")[0] for f in inner.split(",") if f)
+        cols.extend(
+            f.split(":")[0] for f in _split_depth0(inner) if f
+        )
     return cols
 
 

@@ -57,19 +57,34 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             str(spark.sparkContext.defaultParallelism),
         )
     # the driver (and any vanilla session) must see the Flink-compat
-    # builtins — q37 etc. call split_index/truncate/sha256 in plain SQL
-    if id(spark) not in _BUILTINS_INSTALLED:
+    # builtins — q37 etc. call split_index/truncate/sha256 in plain SQL.
+    # Key by (id, applicationId): a bare id() can be RECYCLED by a new
+    # session after the old one is GC'd, silently skipping the install
+    # (same hazard operators/_cache._session_key documents)
+    try:
+        skey = (id(spark), spark.sparkContext.applicationId)
+    except Exception:
+        skey = (id(spark), None)
+    if skey not in _BUILTINS_INSTALLED:
         from flink_streaming_platform_web_spark.functions import flink_builtins
 
         flink_builtins.install(spark)
-        _BUILTINS_INSTALLED.add(id(spark))
+        _BUILTINS_INSTALLED.add(skey)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # FLOOR division (ts - pmod keeps it all-integer): bare
+            # `div` truncates toward zero, which would round pre-epoch
+            # nanos the wrong way vs DuckDB's floor conversion
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_micros((ts - pmod(ts, 1000)) div 1000)"
+                ),
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -113,6 +113,13 @@ def main() -> int:
         )
     qs = inventory.queries()
     oracles = inventory.oracle_sql()
+    if only:
+        unknown = set(only) - qs.keys()
+        if unknown:
+            # a typo must not silently check NOTHING and print the
+            # gate's green verdict
+            print(f"unknown query names: {sorted(unknown)}")
+            sys.exit(2)
     failures = []
     for name, fn in sorted(qs.items()):
         if only and name not in only:

@@ -37,12 +37,23 @@ def main() -> None:
         .trigger(processingTime="1 second")
         .start()
     )
-    time.sleep(duration)
+    # drain progress DURING the run, deduped by batchId:
+    # q.recentProgress is capped (spark.sql.streaming.
+    # numRecentProgressUpdates = 100), so a single read at the end
+    # undercounts any run longer than ~100 triggers
     rows = 0
-    secs = 0.0
+    seen: set[int] = set()
+    deadline = time.time() + duration
+    while time.time() < deadline:
+        for p in q.recentProgress:
+            if p["batchId"] not in seen:
+                seen.add(p["batchId"])
+                rows += p["numInputRows"]
+        time.sleep(1.0)
     for p in q.recentProgress:
-        rows += p["numInputRows"]
-        secs += p["batchDuration"] / 1000.0
+        if p["batchId"] not in seen:
+            seen.add(p["batchId"])
+            rows += p["numInputRows"]
     q.stop()
     spark.stop()
     print(
