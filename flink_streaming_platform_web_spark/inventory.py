@@ -61,7 +61,6 @@ _CHECK_FIRST = (
     "q13_window_over",
     "q14_rollup",
     "q15_semi_anti",
-    "q18_conditional_pivot",
     "q20_json_extract",
     "q21_local_supplier_volume",
     "q22_tumble_window",
@@ -123,6 +122,9 @@ _CHECK_FIRST = (
     # q43 gates the CUMULATE TVF translation text itself — never
     # checked; takes q17's slot (r1-green, untouched plain agg shape)
     "q43_cumulate_tvf",
+    # st10 gates the incremental TTL-dim aggregation path — never
+    # checked; takes q18's slot (r1-green, untouched CASE pivot)
+    "st10_stream_ttl_incremental_agg",
     "mm02_decode_pipeline",
 )
 

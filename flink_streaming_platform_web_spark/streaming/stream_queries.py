@@ -565,8 +565,87 @@ GROUP BY 1, 2
 """
 
 
+def st10_stream_ttl_incremental_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental TTL-dim aggregation path end-to-end through the
+    runner: an aggregating lookup-join (`FOR SYSTEM_TIME AS OF` dim
+    with lookup.cache.ttl) whose algebraic aggregates fold per
+    micro-batch into a CombiningStore, each batch re-joining against
+    the dim's current snapshot. With a static dim the fold must equal
+    the batch join+GROUP BY exactly — which is what the oracle gates;
+    the dim-UPDATE freshness behavior is pinned separately by
+    tests/test_stream_joins.py. Raises if the runner fell back to the
+    in-plan join (the entry must prove the incremental path itself)."""
+    import tempfile
+
+    from flink_streaming_platform_web_spark.streaming.upsert import (
+        CombiningStore,
+    )
+    from flink_streaming_platform_web_spark.tables import load
+
+    path = _events_as_stream_source(spark, sf_dir, "st10")
+    dim = (
+        f"{tempfile.gettempdir()}/spark_graft_st10_dim_"
+        f"{int(time.time() * 1e6)}"
+    )
+    load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).write.parquet(dim)
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        f"""
+        CREATE TABLE st10_events (
+          event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+          event_type STRING, value DOUBLE, props STRING,
+          proctime AS PROCTIME()
+        ) WITH ('connector' = 'filesystem', 'path' = '{path}',
+                'format' = 'parquet',
+                'source.max-files-per-trigger' = '1');
+        CREATE TABLE st10_dim (n_nationkey BIGINT, n_name STRING)
+          WITH ('connector' = 'filesystem', 'path' = '{dim}',
+                'format' = 'parquet', 'lookup.cache.ttl' = '1h');
+        CREATE TABLE st10_sink (
+          n_name STRING, n_events BIGINT, sum_value DECIMAL(28,2),
+          max_value DOUBLE,
+          PRIMARY KEY (n_name) NOT ENFORCED
+        ) WITH ('connector' = 'jdbc');
+        INSERT INTO st10_sink
+        SELECT d.n_name, COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+               MAX(value) AS max_value
+        FROM st10_events
+        JOIN st10_dim FOR SYSTEM_TIME AS OF st10_events.proctime AS d
+          ON d.n_nationkey = st10_events.user_id % 25
+        GROUP BY d.n_name;
+        """,
+    )
+    store = runner.upsert_stores["st10_sink"]
+    if not isinstance(store, CombiningStore):
+        raise RuntimeError(
+            "st10 must run the INCREMENTAL ttl-agg path; the runner"
+            " fell back to the in-plan join"
+        )
+    for cache in runner.dim_caches.values():
+        cache.release()
+    return store.to_df(spark).select(
+        "n_name", "n_events", "sum_value", "max_value"
+    )
+
+
+ORACLE_ST10 = """
+SELECT n.n_name, COUNT(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+       MAX(value) AS max_value
+FROM events ev JOIN nation n ON n.n_nationkey = ev.user_id % 25
+GROUP BY n.n_name
+"""
+
+
 QUERIES = {
     "st01_stream_tumble_window": st01_stream_tumble_window,
+    "st10_stream_ttl_incremental_agg": st10_stream_ttl_incremental_agg,
     "st09_stream_window_tvf": st09_stream_window_tvf,
     "st08_stream_cdc_latest": st08_stream_cdc_latest,
     "st02_stream_upsert_agg": st02_stream_upsert_agg,
@@ -578,6 +657,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "st10_stream_ttl_incremental_agg": ORACLE_ST10,
     "st09_stream_window_tvf": ORACLE_ST09,
     "st08_stream_cdc_latest": ORACLE_ST08,
     "st07_stream_interval_join": ORACLE_ST07,
