@@ -344,7 +344,7 @@ SELECT o_orderkey,
        CAST(month(o_orderdate) AS INT) AS mo,
        CAST(day(o_orderdate) AS INT) AS dom,
        strftime(o_orderdate, '%Y-%m') AS ym,
-       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
        CAST(hour(o_orderdate) AS INT) AS hr
 FROM orders
 """

@@ -347,8 +347,6 @@ _HLL_W = 54  # value width: 60-bit portable hash minus 6 register bits
 
 
 def q38_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     events = load(spark, sf_dir, "events")
     hashed = events.select(
         "event_type",

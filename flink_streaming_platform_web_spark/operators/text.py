@@ -109,11 +109,15 @@ FROM scored
 ORACLE_TX01 = _oracle_langid()
 
 
-def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def _quality_scored(docs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """tx02's scoring over a docs DataFrame, optionally CARRYING extra
+    columns through (tx05 carries lang so its per-language roll-up is
+    one scan with no doc_id re-join — a second corpus scan + join at
+    100 TB just to re-attach a column the first scan had in hand)."""
     toks = ws_token_count()
     scored = docs.select(
         "doc_id",
+        *carry,
         F.length("text").alias("len_chars"),
         toks.alias("n_tokens"),
         F.regexp_count("text", F.lit(r"[.,!?;:]")).alias("n_punct"),
@@ -122,6 +126,7 @@ def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.select(
         "doc_id",
+        *carry,
         "len_chars",
         "n_tokens",
         "n_punct",
@@ -143,6 +148,10 @@ def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quality"),
     )
+
+
+def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quality_scored(load(spark, sf_dir, "documents"))
 
 
 ORACLE_TX02 = f"""
@@ -219,11 +228,11 @@ def tx05_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus roll-up over the quality metrics — the
     summary table a filtering pipeline reports after scoring: doc
     counts, token mass, mean quality, share kept at a threshold."""
-    scored = tx02_quality_score(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = _quality_scored(
+        load(spark, sf_dir, "documents"), carry=("lang",)
+    )
     return (
-        scored.join(docs, "doc_id")
-        .groupBy("lang")
+        scored.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
@@ -408,17 +417,28 @@ def stratified_keep(salt: str):
     return bucket, (bucket < rate)
 
 
-def stratified_keep_where(salt: str) -> str:
-    """DuckDB WHERE fragment mirroring :func:`stratified_keep`."""
+def oracle_stratified_bucket(salt: str) -> str:
+    """DuckDB bucket expression — ONE definition feeding both the
+    oracle's bucket output column and its WHERE clause, so a hash
+    input change (salt separator, cast, column) can never diverge the
+    oracle's bucket from its own keep decision."""
     from flink_streaming_platform_web_spark.operators._portable import (
         oracle_portable_hash,
     )
 
     h = oracle_portable_hash(f"'{salt}|' || CAST(doc_id AS VARCHAR)")
+    return f"{h} % 1000"
+
+
+def stratified_keep_where(salt: str) -> str:
+    """DuckDB WHERE fragment mirroring :func:`stratified_keep`."""
     cases = " ".join(
         f"WHEN '{lang}' THEN {p}" for lang, p in TX08_RATES.items()
     )
-    return f"{h} % 1000 < (CASE lang {cases} ELSE 0 END)"
+    return (
+        f"{oracle_stratified_bucket(salt)}"
+        f" < (CASE lang {cases} ELSE 0 END)"
+    )
 
 
 def tx08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,14 +457,10 @@ def tx08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_tx08() -> str:
-    from flink_streaming_platform_web_spark.operators._portable import (
-        oracle_portable_hash,
-    )
-
-    h = oracle_portable_hash("'tx08|' || CAST(doc_id AS VARCHAR)")
+    bucket = oracle_stratified_bucket("tx08")
     where = stratified_keep_where("tx08")
     return f"""
-SELECT doc_id, lang, source, {h} % 1000 AS bucket
+SELECT doc_id, lang, source, {bucket} AS bucket
 FROM documents
 WHERE {where}
 """

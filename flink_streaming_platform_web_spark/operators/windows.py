@@ -33,8 +33,11 @@ _OFMT = "%Y-%m-%d %H:%M:%S"
 
 # --------------------------------------------------------------------------
 # O8/O10 — tumbling window (demo_4.md), 1-hour buckets over events.ts.
-# Spark `window()` aligns buckets to the epoch origin, as does DuckDB's
-# time_bucket — the oracle relies on that shared alignment.
+# Spark `window()` aligns buckets to the EPOCH origin; DuckDB's
+# time_bucket defaults to a 2000-01-03 (Monday) origin — identical
+# only for widths dividing 24 h. Every oracle therefore passes the
+# epoch origin EXPLICITLY so a width change (e.g. '1 week') can't
+# silently misalign the two engines.
 # --------------------------------------------------------------------------
 
 
@@ -55,8 +58,8 @@ def q22_tumble_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q22 = f"""
-SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_OFMT}') AS window_start,
-       strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour',
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '1970-01-01'), '{_OFMT}') AS window_start,
+       strftime(time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '1970-01-01') + INTERVAL '1 hour',
                 '{_OFMT}') AS window_end,
        event_type, COUNT(*) AS n_events,
        {oracle_dsum('value', 'sum_value')}
@@ -90,7 +93,7 @@ def q23_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q23 = f"""
 WITH assigned AS (
-  SELECT time_bucket(INTERVAL '30 minutes', ts)
+  SELECT time_bucket(INTERVAL '30 minutes', ts, TIMESTAMP '1970-01-01')
            - o.off * INTERVAL '30 minutes' AS wstart,
          event_type, value
   FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
@@ -160,9 +163,13 @@ GROUP BY user_id, sess_id
 
 
 def q25_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load(spark, sf_dir, "events")
     from pyspark.sql.window import Window
 
+    from flink_streaming_platform_web_spark.operators._portable import (
+        ts_str,
+    )
+
+    events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
@@ -173,20 +180,30 @@ def q25_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             F.col("value").alias("latest_value"),
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("latest_ts"),
+            # shared portable formatter (q39 uses the same pair) — a
+            # hand-written format string here could drift from it
+            ts_str(F.col("ts")).alias("latest_ts"),
         )
     )
 
 
-ORACLE_Q25 = """
+def _oracle_q25() -> str:
+    from flink_streaming_platform_web_spark.operators._portable import (
+        oracle_ts_str,
+    )
+
+    return f"""
 SELECT user_id, event_type, latest_value, latest_ts FROM (
   SELECT user_id, event_type, value AS latest_value,
-         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS latest_ts,
+         {oracle_ts_str('ts')} AS latest_ts,
          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                             ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 ) WHERE rn = 1
 """
+
+
+ORACLE_Q25 = _oracle_q25()
 
 
 # --------------------------------------------------------------------------

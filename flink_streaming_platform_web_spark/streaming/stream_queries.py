@@ -92,7 +92,7 @@ def st01_stream_tumble_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ST01 = f"""
-SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '1970-01-01'),
                 '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, COUNT(*) AS n_events,
        {oracle_dsum('value', 'sum_value')}
@@ -216,7 +216,7 @@ def st05_stream_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event belongs to exactly the two slide buckets at offsets 0 and -1
 ORACLE_ST05 = f"""
 WITH assigned AS (
-  SELECT time_bucket(INTERVAL '30 minutes', ts)
+  SELECT time_bucket(INTERVAL '30 minutes', ts, TIMESTAMP '1970-01-01')
            - o.off * INTERVAL '30 minutes' AS wstart,
          event_type, value
   FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
@@ -556,7 +556,7 @@ def st09_stream_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ST09 = f"""
-SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '1970-01-01'),
                 '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, COUNT(*) AS n_events,
        {oracle_dsum('value', 'sum_value')}
