@@ -61,7 +61,6 @@ _CHECK_FIRST = (
     "q13_window_over",
     "q14_rollup",
     "q15_semi_anti",
-    "q20_json_extract",
     "q21_local_supplier_volume",
     "q22_tumble_window",
     "q23_hop_window",
@@ -125,6 +124,9 @@ _CHECK_FIRST = (
     # st10 gates the incremental TTL-dim aggregation path — never
     # checked; takes q18's slot (r1-green, untouched CASE pivot)
     "st10_stream_ttl_incremental_agg",
+    # q44 (Flink Window Top-N pattern) is new — takes q20's slot
+    # (r1-green, untouched json projection)
+    "q44_window_topn",
     "mm02_decode_pipeline",
 )
 

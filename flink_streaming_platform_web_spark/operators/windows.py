@@ -297,10 +297,60 @@ def q43_cumulate_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q43 = ORACLE_Q36
 
 
+def q44_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's documented Window Top-N pattern (docs: queries/window-topn
+    — ROW_NUMBER over each window partition, filtered to rn <= N, on
+    top of a windowed aggregation): the top-3 event types per 1-hour
+    tumble by event count. Scale shape: the windowed agg is the only
+    corpus-sized stage (map-side combined, one exchange); the rank
+    window runs over |windows|×|types| aggregated rows — tiny."""
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events")
+    agg = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("window.start", _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("window_start", "rn", "event_type", "n_events", "sum_value")
+    )
+
+
+ORACLE_Q44 = f"""
+WITH agg AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts,
+                              TIMESTAMP '1970-01-01'), '{_OFMT}')
+           AS window_start,
+         event_type, COUNT(*) AS n_events,
+         {oracle_dsum('value', 'sum_value')}
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT window_start, rn, event_type, n_events, sum_value FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+              PARTITION BY window_start
+              ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rn
+  FROM agg
+) WHERE rn <= 3
+"""
+
+
 QUERIES = {
     "q22_tumble_window": q22_tumble_window,
     "q36_cumulate_window": q36_cumulate_window,
     "q43_cumulate_tvf": q43_cumulate_tvf,
+    "q44_window_topn": q44_window_topn,
     "q23_hop_window": q23_hop_window,
     "q24_session_window": q24_session_window,
     "q25_cdc_latest_state": q25_cdc_latest_state,
@@ -310,6 +360,7 @@ ORACLES = {
     "q22_tumble_window": ORACLE_Q22,
     "q36_cumulate_window": ORACLE_Q36,
     "q43_cumulate_tvf": ORACLE_Q43,
+    "q44_window_topn": ORACLE_Q44,
     "q23_hop_window": ORACLE_Q23,
     "q24_session_window": ORACLE_Q24,
     "q25_cdc_latest_state": ORACLE_Q25,
