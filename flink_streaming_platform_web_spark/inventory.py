@@ -55,7 +55,6 @@ _CHECK_FIRST = (
     # q09–q36: green rows date from r1; shared operator code refactored
     # since (commits 450e365, b23e900, _cache.py) — re-prove them.
     "q09_scalar_datetime",
-    "q10_string_functions",
     "q11_case_having",
     "q12_set_ops",
     "q13_window_over",
@@ -127,6 +126,9 @@ _CHECK_FIRST = (
     # q44 (Flink Window Top-N pattern) is new — takes q20's slot
     # (r1-green, untouched json projection)
     "q44_window_topn",
+    # dc02 (fuzzy decontamination over dd04's LSH product) is new —
+    # takes q10's slot (r1-green, untouched scalar projections)
+    "dc02_fuzzy_contamination",
     "mm02_decode_pipeline",
 )
 

@@ -94,5 +94,67 @@ SELECT doc_id,
 FROM hits
 """
 
-QUERIES = {"dc01_contamination": dc01_contamination}
-ORACLES = {"dc01_contamination": ORACLE_DC01}
+def dc02_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination: a train doc is contaminated when it is a
+    verified NEAR-DUPLICATE (exact Jaccard ≥ the dedup threshold,
+    discovered via MinHash-LSH banding) of any eval doc — the
+    paraphrase/near-copy leakage the exact n-gram check (dc01) misses.
+
+    Scale shape: REUSES dd04's discovery product wholesale (the same
+    session-shared MinHash signatures, band buckets, and
+    candidate-verify join the dedup pass already ran) and merely
+    splits the verified pair table by the eval predicate — zero new
+    corpus-sized stages; the cross-split roll-up is pair-table-sized.
+    This is exactly how production pipelines piggyback fuzzy
+    decontamination on the dedup pass's LSH index."""
+
+    def build() -> DataFrame:
+        from flink_streaming_platform_web_spark.operators.dedup import (
+            dd04_minhash_lsh_pairs,
+        )
+
+        pairs = dd04_minhash_lsh_pairs(spark, sf_dir)
+        a_eval = F.col("doc_a") % 20 == 7
+        b_eval = F.col("doc_b") % 20 == 7
+        cross = pairs.filter(a_eval != b_eval).select(
+            F.when(a_eval, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_id"),
+            "jaccard",
+        )
+        return cross.groupBy("doc_id").agg(
+            F.count("*").alias("n_eval_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+
+    return memo_df(spark, sf_dir, "dc02_fuzzy_contamination", build)
+
+
+def _oracle_dc02() -> str:
+    from flink_streaming_platform_web_spark.operators.dedup import (
+        ORACLE_DD04,
+    )
+
+    return f"""
+WITH pairs AS ({ORACLE_DD04}),
+crossed AS (
+  SELECT CASE WHEN doc_a % 20 = 7 THEN doc_b ELSE doc_a END AS doc_id,
+         jaccard
+  FROM pairs
+  WHERE (doc_a % 20 = 7) <> (doc_b % 20 = 7)
+)
+SELECT doc_id, COUNT(*) AS n_eval_matches, MAX(jaccard) AS max_jaccard
+FROM crossed GROUP BY doc_id
+"""
+
+
+ORACLE_DC02 = _oracle_dc02()
+
+QUERIES = {
+    "dc01_contamination": dc01_contamination,
+    "dc02_fuzzy_contamination": dc02_fuzzy_contamination,
+}
+ORACLES = {
+    "dc01_contamination": ORACLE_DC01,
+    "dc02_fuzzy_contamination": ORACLE_DC02,
+}
