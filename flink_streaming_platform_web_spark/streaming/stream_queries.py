@@ -566,7 +566,10 @@ GROUP BY 1, 2
 
 
 def st10_stream_ttl_incremental_agg(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    files: int = 2,
+    max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """The incremental TTL-dim aggregation path end-to-end through the
     runner: an aggregating lookup-join (`FOR SYSTEM_TIME AS OF` dim
@@ -584,7 +587,7 @@ def st10_stream_ttl_incremental_agg(
     )
     from flink_streaming_platform_web_spark.tables import load
 
-    path = _events_as_stream_source(spark, sf_dir, "st10")
+    path = _events_as_stream_source(spark, sf_dir, "st10", files=files)
     dim = (
         f"{tempfile.gettempdir()}/spark_graft_st10_dim_"
         f"{int(time.time() * 1e6)}"
@@ -602,7 +605,7 @@ def st10_stream_ttl_incremental_agg(
           proctime AS PROCTIME()
         ) WITH ('connector' = 'filesystem', 'path' = '{path}',
                 'format' = 'parquet',
-                'source.max-files-per-trigger' = '1');
+                'source.max-files-per-trigger' = '{max_files_per_trigger}');
         CREATE TABLE st10_dim (n_nationkey BIGINT, n_name STRING)
           WITH ('connector' = 'filesystem', 'path' = '{dim}',
                 'format' = 'parquet', 'lookup.cache.ttl' = '1h');
@@ -629,14 +632,36 @@ def st10_stream_ttl_incremental_agg(
         )
     for cache in runner.dim_caches.values():
         cache.release()
-    return store.to_df(spark).select(
-        "n_name", "n_events", "sum_value", "max_value"
+    out = store.to_df(spark).select(
+        "n_name",
+        "n_events",
+        # the fold is decimal-exact internally; the RESULT crosses the
+        # engine-compare boundary as DOUBLE like every other entry (the
+        # dsum carrier) — a raw decimal column is the one output shape
+        # nothing else in the inventory exercises, and decimal
+        # canonicalization drift in the compare harness is
+        # indistinguishable from a real value bug
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_value",
     )
+    # loud coverage check: the fold's COUNT(*) total must equal the
+    # source row count — a lost final micro-batch or a double-applied
+    # replay becomes an ERROR here, never a silent value drift
+    from flink_streaming_platform_web_spark.tables import load as _load
+
+    folded = sum(r["n_events"] for r in store.rows.values())
+    expected = _load(spark, sf_dir, "events").count()
+    if folded != expected:
+        raise RuntimeError(
+            f"st10 fold covered {folded} events but the source has "
+            f"{expected}; applied batches: {store.applied}"
+        )
+    return out
 
 
-ORACLE_ST10 = """
+ORACLE_ST10 = f"""
 SELECT n.n_name, COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+       {oracle_dsum('value', 'sum_value')},
        MAX(value) AS max_value
 FROM events ev JOIN nation n ON n.n_nationkey = ev.user_id % 25
 GROUP BY n.n_name

@@ -121,6 +121,10 @@ class CombiningStore(KeyedStore):
         if bad:
             raise ValueError(f"unknown combiner ops: {bad}")
         self.combiners = combiners
+        #: fold ledger — one (delta_row_count) entry per applied batch,
+        #: appended by merge_batch; diagnosing a lost/replayed
+        #: micro-batch needs to see what actually folded
+        self.applied: list[int] = []
 
     @staticmethod
     def _combine(op: str, old, new):
@@ -141,6 +145,7 @@ class CombiningStore(KeyedStore):
         # store untouched or the foreachBatch retry double-counts the
         # rows that had already folded
         deltas = [row.asDict() for row in batch.toLocalIterator()]
+        self.applied.append(len(deltas))
         with self._lock:
             for delta in deltas:
                 k = self._key(delta)

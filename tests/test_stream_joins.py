@@ -395,3 +395,30 @@ def test_replace_store_refuses_combining_conflict(spark):
     runner.upsert_stores["s"] = CombiningStore(["k"], {"n": "sum"})
     with _pytest.raises(ValueError, match="delta-fold"):
         runner._replace_store("s", ["k"])
+
+
+def test_st10_fold_is_batching_invariant(spark, sf_dir):
+    """VERDICT r03 item 1: the incremental TTL-agg fold must be
+    invariant to how the source splits into micro-batches. Run the
+    st10 entry with three different file/trigger layouts and assert
+    the final states are value-identical; the entry itself also
+    asserts full source coverage (fold COUNT(*) == source rows), so a
+    lost or replayed batch raises instead of drifting silently."""
+    from flink_streaming_platform_web_spark.streaming.stream_queries import (
+        st10_stream_ttl_incremental_agg,
+    )
+
+    def fingerprint(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(repr(r[c]) for c in cols) for r in df.collect()
+        )
+
+    runs = [
+        st10_stream_ttl_incremental_agg(spark, sf_dir, files=f, max_files_per_trigger=m)
+        for f, m in ((2, 1), (3, 1), (4, 2))
+    ]
+    fps = [fingerprint(df) for df in runs]
+    assert fps[0] == fps[1] == fps[2]
+    # sum_value crosses the compare boundary as DOUBLE (dsum carrier)
+    assert dict(runs[0].dtypes)["sum_value"] == "double"
