@@ -42,11 +42,14 @@ def _evict_dead_sessions(live: tuple) -> None:
     context) but without eviction they'd accumulate forever in a
     driver that cycles SparkSessions — each one holding plan objects
     and centroid matrices for a context that is gone. Sweep on insert:
-    any key whose session component differs from the live session is
-    unreachable and dropped (unpersist is a no-op/failure on a dead
-    context — ignored)."""
+    evict only keys whose APP id differs from the live context —
+    cloned sessions (spark.newSession()) share the app under a
+    different id(spark), and evicting on the session id made two live
+    clones unpersist each other's memoized upstreams on every insert
+    (ADVICE r03). The id(spark) component stays in the KEY only to
+    keep per-session entries distinct."""
     for cache in (_DF_CACHE, _OBJ_CACHE):
-        for key in [k for k in cache if k[:2] != live]:
+        for key in [k for k in cache if k[1] != live[1]]:
             val = cache.pop(key)
             if isinstance(val, DataFrame):
                 try:

@@ -54,7 +54,7 @@ MAX_DF = 64
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """doc_id → exploded DISTINCT word n-gram shingles with the doc's
     TRUE shingle-set size attached, all computed array-side per row —
-    no shuffle. Shingles are carried as 64-bit portable hashes so the
+    no shuffle. Shingles are carried as 60-bit portable hashes so the
     downstream joins shuffle 8-byte keys, not multi-word strings (the
     dominant cost at scale). Hash collisions are deterministic and
     mirrored by the oracle, so parity is unaffected. Declarative
@@ -928,8 +928,8 @@ WHERE ni / CAST(n_a + n_b - ni AS DOUBLE) >= {JACCARD_THRESHOLD}
 # self-join on (band, value), bit_count verify.
 # --------------------------------------------------------------------------
 
-SIMHASH64_BITS = 60  # full portable_hash width (15 hex chars)
-SIMHASH64_BANDS = 4  # 15-bit bands: Hamming<=3 ⇒ >=1 band equal
+SIMHASH60_BITS = 60  # full portable_hash width (15 hex chars)
+SIMHASH60_BANDS = 4  # 15-bit bands: Hamming<=3 ⇒ >=1 band equal
 
 
 def _simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,7 +937,7 @@ def _simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "simhash64_sigs",
-        lambda: _simhash_sigs_build(spark, sf_dir, SIMHASH64_BITS),
+        lambda: _simhash_sigs_build(spark, sf_dir, SIMHASH60_BITS),
     )
 
 
@@ -946,17 +946,17 @@ def dd12_simhash64_neardup_pairs(
 ) -> DataFrame:
     return _banded_hamming_pairs(
         _simhash64_sigs(spark, sf_dir),
-        SIMHASH64_BANDS,
-        SIMHASH64_BITS // SIMHASH64_BANDS,
+        SIMHASH60_BANDS,
+        SIMHASH60_BITS // SIMHASH60_BANDS,
     )
 
 
-_ORACLE_SIMHASH64_SIGS = _oracle_simhash_sigs(SIMHASH64_BITS)
+_ORACLE_SIMHASH60_SIGS = _oracle_simhash_sigs(SIMHASH60_BITS)
 
 ORACLE_DD12 = _oracle_banded_pairs(
-    _ORACLE_SIMHASH64_SIGS,
-    SIMHASH64_BANDS,
-    SIMHASH64_BITS // SIMHASH64_BANDS,
+    _ORACLE_SIMHASH60_SIGS,
+    SIMHASH60_BANDS,
+    SIMHASH60_BITS // SIMHASH60_BANDS,
 )
 
 

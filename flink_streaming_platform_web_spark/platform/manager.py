@@ -137,7 +137,19 @@ class JobManager:
             self._alarm(job_id, f"job {job.job_name} failed to start: {e}")
             raise
         terminal = "SUCCESS" if job.job_type == "batch" else "RUN"
-        self.store.set_status(job_id, terminal)
+        # terminal transition is a status-CAS: only STARTING promotes.
+        # A stop() acknowledged during the unlocked submission window
+        # already wrote STOP — honor it by tearing down what we just
+        # started instead of overwriting the store back to RUN
+        if not self.store.set_status_if(job_id, terminal, "STARTING"):
+            for q in result.streaming_queries:
+                try:
+                    q.stop()
+                    q.awaitTermination(60)
+                except Exception:
+                    pass
+            self.store.finish_run(run_id, "STOP")
+            return result
         # ONE tracked run row: the terminal row carries the query ids
         # and is CLOSED when the run actually ends (stop/reconcile) —
         # previously it stayed open forever for every stopped job
@@ -175,7 +187,12 @@ class JobManager:
             self.store.finish_run(run_id, "FAIL", str(e))
             self._alarm(job.id, f"app job {job.job_name} failed: {e}")
             raise
-        self.store.set_status(job.id, "RUN")
+        if not self.store.set_status_if(job.id, "RUN", "STARTING"):
+            # stop() raced the submission and wrote STOP — kill the
+            # child we just launched rather than resurrecting RUN
+            self._terminate_child(proc)
+            self.store.finish_run(run_id, "STOP")
+            return ExecutionResult()
         run2 = self.store.log_run(job.id, "RUN", [f"pid:{proc.pid}"])
         self.store.finish_run(run_id, "RUN")
         result = ExecutionResult()
@@ -255,7 +272,10 @@ class JobManager:
             self._alarm(job.id, f"job {job.job_name} failed to submit: {e}")
             raise
         qids = [str(q) for q in handshake.get("queries", [])]
-        self.store.set_status(job.id, "RUN")
+        if not self.store.set_status_if(job.id, "RUN", "STARTING"):
+            self._terminate_child(proc)
+            self.store.finish_run(run_id, "STOP")
+            return ExecutionResult(remote_query_ids=qids)
         run2 = self.store.log_run(job.id, "RUN", qids + [f"pid:{proc.pid}"])
         self.store.finish_run(run_id, "RUN")
         result = ExecutionResult(remote_query_ids=qids)
@@ -337,12 +357,7 @@ class JobManager:
                     q.awaitTermination(60)
                 except Exception:
                     pass
-            if rj.proc is not None and rj.proc.poll() is None:
-                rj.proc.terminate()
-                try:
-                    rj.proc.wait(30)
-                except subprocess.TimeoutExpired:
-                    rj.proc.kill()
+            self._terminate_child(rj.proc)
             self.store.set_status(job_id, "STOP")
             self.store.finish_run(rj.run_id, "STOP")
             return
@@ -372,6 +387,15 @@ class JobManager:
         ):
             self._kill_orphan_child(job_id)
             self.store.set_status(job_id, "STOP")
+
+    @staticmethod
+    def _terminate_child(proc) -> None:
+        if proc is not None and proc.poll() is None:
+            proc.terminate()
+            try:
+                proc.wait(30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
 
     def _kill_orphan_child(self, job_id: int) -> None:
         """Best-effort SIGTERM of a LOCAL_PROCESS/app child recorded in

@@ -247,6 +247,28 @@ class JobStore:
             )
         return cur.rowcount == 1
 
+    def set_status_if(
+        self, job_id: int, status: str, expect_status: str
+    ) -> bool:
+        """Compare-and-swap on the CURRENT status: the submission
+        window's terminal transition may only promote STARTING→
+        RUN/SUCCESS — a stop() acknowledged during the (possibly
+        minutes-long) submission wrote STOP, and overwriting it back
+        to RUN would keep an acknowledged-stopped job running forever
+        (ADVICE r03 medium). The version column can't carry this CAS
+        because versionless status writes don't bump it."""
+        cur = self._write(
+            "UPDATE job_config SET status=?, updated_at=?"
+            " WHERE id=? AND status=?",
+            (
+                STATUS[status],
+                time.time(),
+                job_id,
+                STATUS[expect_status],
+            ),
+        )
+        return cur.rowcount == 1
+
     def history(self, job_id: int) -> list[tuple[int, str]]:
         return self._read(
             "SELECT version, sql_script FROM job_config_history"

@@ -75,10 +75,15 @@ def build_submit_command(
     # --files and is referenced by basename (YARN localizes it into
     # the driver's working directory).
     pkg_dir = Path(__file__).resolve().parents[1]
-    pkg_zip = str(
-        Path(tempfile.gettempdir()) / f"{pkg_dir.name}_submit"
+    # unique per-call staging dir: a fixed shared-tempdir name let a
+    # concurrent submission overwrite the archive while another
+    # spark-submit was still shipping it (truncated --py-files
+    # payload), and a predictable /tmp path is tamperable on
+    # multi-user hosts (ADVICE r03)
+    stage = tempfile.mkdtemp(prefix="sspw_submit_")
+    pkg_zip = shutil.make_archive(
+        str(Path(stage) / pkg_dir.name), "zip", pkg_dir.parent, pkg_dir.name
     )
-    pkg_zip = shutil.make_archive(pkg_zip, "zip", pkg_dir.parent, pkg_dir.name)
     cmd += ["--py-files", ",".join([pkg_zip, *(py_files or [])])]
     cmd += ["--files", sql_file]
     launcher = str(Path(__file__).resolve().parent / "launcher.py")

@@ -578,10 +578,24 @@ def jdbc_upsert_foreach_batch(table: TableDef, replace_all: bool = False):
             return
         # an ANSI MERGE aborts when several source rows match one
         # target row, so duplicate keys within the batch must collapse
-        # first (Flink's jdbc upsert buffer keeps one row per key the
-        # same way); update-mode aggregates never emit duplicates —
-        # this only triggers for non-aggregated inserts
-        batch = batch.dropDuplicates(table.primary_key)
+        # first. Flink's jdbc upsert buffer keeps the LAST row per key
+        # (arrival order), so the collapse picks the row with the
+        # highest pre-shuffle position id — deterministic, and equal
+        # to Flink's winner whenever the source's partition order is
+        # the arrival order (dropDuplicates kept an ARBITRARY row —
+        # ADVICE r03). Update-mode aggregates never emit duplicates;
+        # this only triggers for non-aggregated inserts.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*table.primary_key).orderBy(
+            F.col("__arrival").desc()
+        )
+        batch = (
+            batch.withColumn("__arrival", F.monotonically_increasing_id())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__arrival", "__rn")
+        )
         spark = batch.sparkSession
         _jdbc_writer_opts(opts, stage)(batch.write, batch).mode(
             "overwrite"

@@ -363,4 +363,6 @@ def test_jdbc_upsert_duplicate_keys_in_one_batch(spark, tmp_path):
         r["k"]: r["v"] for r in _read_table(spark, url, "dup_t").collect()
     }
     assert set(rows) == {1, 2} and rows[2] == 20
-    assert rows[1] in (10, 11)  # one of the duplicates, not a crash
+    # LAST row per key wins, like Flink's jdbc upsert buffer
+    # (deterministic via pre-shuffle position id — ADVICE r03)
+    assert rows[1] == 11
