@@ -682,7 +682,11 @@ FROM per_doc GROUP BY token
 # token — the integer-exact core of tf-idf ranking (for fixed tf,
 # idf ordering IS ascending-df ordering, so no transcendental enters
 # the comparison). Shape: the (doc, token) tf agg is the corpus-sized
-# shuffle; the df table is vocabulary-sized and broadcast back; the
+# shuffle; the df-table join back is SIZE-GATED by AQE, not pinned —
+# a test-corpus vocabulary broadcasts at runtime, but a 100 TB web
+# corpus has a billions-row vocabulary where a forced broadcast dies
+# (VERDICT r03), so over the threshold the plan falls back to a
+# shuffle join of two already-reduced (token-keyed) sides; the
 # per-doc top-k window runs on already-reduced rows.
 # --------------------------------------------------------------------------
 
@@ -699,8 +703,12 @@ def tx12_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("token")
     )
+    # no F.broadcast hint: AQE decides from df_tbl's RUNTIME size
+    # (post-agg), which neither the driver nor the author can know
+    # cheaply up front — both join branches are plan-pinned in
+    # tests/test_plans.py
     return (
-        tf.join(F.broadcast(df_tbl), "token")
+        tf.join(df_tbl, "token")
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tf", "df", "rnk")

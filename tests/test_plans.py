@@ -365,3 +365,38 @@ def test_vec04_gram_single_tiny_exchange(spark, sf_dir):
     plan = _physical(vec04_gram_matrix(spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tx12_vocab_join_is_size_gated(spark, sf_dir):
+    """VERDICT r03 item 3: the df (vocabulary) side of tx12's join
+    must not be PINNED to a broadcast — at 100 TB the token vocabulary
+    is billions of rows and a forced broadcast dies. The strategy is
+    AQE's runtime size decision: a small vocab still broadcasts (no
+    perf regression at test scale), and over the threshold the plan
+    falls back to a shuffle join of two already-reduced sides."""
+    from flink_streaming_platform_web_spark.operators.text import (
+        tx12_doc_top_terms,
+    )
+
+    # small-vocab branch: AQE converts to broadcast at runtime
+    df = tx12_doc_top_terms(spark, sf_dir)
+    df.count()
+    assert "BroadcastHashJoin" in _physical(df)
+
+    # big-vocab branch: with the broadcast threshold off (what a
+    # billions-row vocabulary effectively does), the join must
+    # degrade to a shuffle join, not fail or re-pin a broadcast
+    for key in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        spark.conf.set(key, "-1")
+    try:
+        df2 = tx12_doc_top_terms(spark, sf_dir)
+        df2.count()
+        plan = _physical(df2)
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
