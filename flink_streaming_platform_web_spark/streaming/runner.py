@@ -201,14 +201,39 @@ class JobRunner:
                 else registry.filesystem_batch(self.spark, t)
             )
         elif c == "kafka":
-            # batch jobs get a BOUNDED kafka scan (earliest→latest);
-            # recording a streaming DF as 'batch' would silently break
-            # the batch write path downstream (ADVICE r01)
-            df = (
-                registry.kafka_stream(self.spark, t)
-                if streaming
-                else registry.kafka_batch(self.spark, t)
-            )
+            if t.options.get("format") == "debezium-json":
+                # a debezium-json kafka table IS a changelog source
+                # (Flink's kafka + debezium-json = upsert/retract
+                # rows): route it through the same keyed changelog
+                # apply as mysql-cdc, never expose the raw envelope
+                # columns as a row view
+                if streaming:
+                    self._cdc_streams[name] = registry.kafka_stream(
+                        self.spark, t
+                    )
+                    self._materialized[name] = "cdc"
+                    return
+                from flink_streaming_platform_web_spark.streaming.cdc import (
+                    materialize_latest,
+                )
+
+                if not t.primary_key:
+                    raise ValueError(
+                        f"debezium-json table {name!r} needs PRIMARY KEY"
+                    )
+                df = materialize_latest(
+                    registry.kafka_batch(self.spark, t), t.primary_key
+                )
+            else:
+                # batch jobs get a BOUNDED kafka scan (earliest→
+                # latest); recording a streaming DF as 'batch' would
+                # silently break the batch write path downstream
+                # (ADVICE r01)
+                df = (
+                    registry.kafka_stream(self.spark, t)
+                    if streaming
+                    else registry.kafka_batch(self.spark, t)
+                )
         elif c == "mysql-cdc":
             if streaming:
                 # the decoded changelog is NOT a plain row view — the

@@ -40,25 +40,30 @@ def test_hello_world_runs(spark):
 
 
 def test_demo1_runs(spark, tmp_path):
-    rows = [
-        {"id": 7, "day_time": "20201009", "amnount": 20},
-        {"id": 8, "day_time": "20201009", "amnount": 30},
-        {"id": 9, "day_time": "20201010", "amnount": 5},
-    ]
-    src = tmp_path / "simple_orders"
-    src.mkdir()
-    (src / "part-0.json").write_text(
-        "\n".join(json.dumps(r) for r in rows)
+    """demo_1.md's kafka DDL runs VERBATIM: the reference's exact
+    message shape produced into the file-transport broker, consumed
+    through the real readStream path."""
+    from flink_streaming_platform_web_spark.sources.kafka_file import (
+        FileBroker,
     )
+
+    broker = FileBroker(tmp_path / "broker")
+    broker.create_topic("flink_test", partitions=2)
+    for msg in (
+        {"day_time": "20201009", "id": 7, "amnount": 20},
+        {"day_time": "20201009", "id": 8, "amnount": 30},
+        {"day_time": "20201010", "id": 9, "amnount": 5},
+    ):
+        broker.produce("flink_test", json.dumps(msg))
     runner = JobRunner(spark, mode="streaming")
     result = runner.execute_script(
         (EXAMPLES / "demo_1_daily_gmv.sql").read_text(),
-        variables={"data_dir": str(tmp_path)},
+        variables={"kafka_servers": f"file://{broker.path}"},
     )
     _drain(result)
     got = {
         r["day_time"]: r["total_gmv"]
-        for r in runner.upsert_stores["sink_table"].to_df(spark).collect()
+        for r in runner.upsert_stores["sync_test_1"].to_df(spark).collect()
     }
     assert got == {"20201009": 50, "20201010": 5}
 

