@@ -15,7 +15,9 @@ Keyed by (session id, sf_dir, product name); `clear` drops the cache
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
+from itertools import count as _count
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +25,20 @@ from pyspark.storagelevel import StorageLevel
 
 _DF_CACHE: dict[tuple, DataFrame] = {}
 _OBJ_CACHE: dict[tuple, Any] = {}
+#: id(spark) → weakref to the session, so eviction can tell a live
+#: clone from a session object that has been garbage-collected
+_SESSION_REFS: dict[int, weakref.ref] = {}
+#: id(spark) → last-touch tick; bounds same-app session churn
+_SESSION_LRU: dict[int, int] = {}
+_TICK = _count()
+#: max distinct same-app sessions allowed to hold memo entries. A
+#: driver that cycles spark.newSession() within one long-lived
+#: SparkContext never triggers the app-id sweep, and the cached
+#: DataFrames themselves strongly pin their (dead-to-the-user)
+#: session objects, so GC/weakref alone can't reclaim them — the LRU
+#: cap is the hard bound (ADVICE r04). Evicting a still-live clone
+#: is safe: the memo just rebuilds on next use.
+_MAX_SESSIONS = 4
 
 
 def _session_key(spark: SparkSession) -> tuple:
@@ -34,6 +50,11 @@ def _session_key(spark: SparkSession) -> tuple:
         app_id = spark.sparkContext.applicationId
     except Exception:  # stopped context: never match a cache entry
         app_id = object()
+    try:
+        _SESSION_REFS[id(spark)] = weakref.ref(spark)
+    except TypeError:
+        pass
+    _SESSION_LRU[id(spark)] = next(_TICK)
     return (id(spark), app_id)
 
 
@@ -48,14 +69,41 @@ def _evict_dead_sessions(live: tuple) -> None:
     clones unpersist each other's memoized upstreams on every insert
     (ADVICE r03). The id(spark) component stays in the KEY only to
     keep per-session entries distinct."""
-    for cache in (_DF_CACHE, _OBJ_CACHE):
-        for key in [k for k in cache if k[1] != live[1]]:
+    def _drop(cache: dict, keys: list) -> None:
+        for key in keys:
             val = cache.pop(key)
             if isinstance(val, DataFrame):
                 try:
                     val.unpersist()
                 except Exception:
                     pass
+
+    for cache in (_DF_CACHE, _OBJ_CACHE):
+        _drop(cache, [k for k in cache if k[1] != live[1]])
+        # same-app keys whose session object is gone (weakref dead —
+        # catches _OBJ_CACHE entries and any DF already unpersisted)
+        _drop(
+            cache,
+            [
+                k
+                for k in cache
+                if k[0] != live[0]
+                and (r := _SESSION_REFS.get(k[0])) is not None
+                and r() is None
+            ],
+        )
+    # cached DataFrames strongly pin their session, so a cycled
+    # session's weakref may never die — enforce the LRU cap on
+    # distinct same-app session ids as the hard bound
+    sids = {k[0] for c in (_DF_CACHE, _OBJ_CACHE) for k in c}
+    sids.discard(live[0])
+    if len(sids) + 1 > _MAX_SESSIONS:
+        stale = sorted(sids, key=lambda s: _SESSION_LRU.get(s, -1))
+        for sid in stale[: len(sids) + 1 - _MAX_SESSIONS]:
+            for cache in (_DF_CACHE, _OBJ_CACHE):
+                _drop(cache, [k for k in cache if k[0] == sid])
+            _SESSION_REFS.pop(sid, None)
+            _SESSION_LRU.pop(sid, None)
 
 
 def memo_df(
@@ -96,3 +144,5 @@ def clear() -> None:
             pass
     _DF_CACHE.clear()
     _OBJ_CACHE.clear()
+    _SESSION_REFS.clear()
+    _SESSION_LRU.clear()

@@ -18,6 +18,7 @@ reference's 5-minute polling scheduler, SchedulerTask.java:66-78) with
 
 from __future__ import annotations
 
+import os
 import shlex
 import subprocess
 import sys
@@ -396,6 +397,12 @@ class JobManager:
                 proc.wait(30)
             except subprocess.TimeoutExpired:
                 proc.kill()
+                # reap: without the follow-up wait the SIGKILLed child
+                # stays a zombie until the manager process exits
+                try:
+                    proc.wait(10)
+                except subprocess.TimeoutExpired:
+                    pass
 
     def _kill_orphan_child(self, job_id: int) -> None:
         """Best-effort SIGTERM of a LOCAL_PROCESS/app child recorded in
@@ -607,6 +614,16 @@ class JobManager:
                 with self._lock:
                     if job_id in self.running:
                         self.running[job_id].restarts = rj.restarts + 1
+        # submit staging dirs (--py-files zips) are only needed until
+        # the spark-submit child has launched; sweep them once any
+        # child has exited so a long-lived manager doesn't grow /tmp
+        # without bound (ADVICE r04)
+        if any(rj.proc is not None for rj in claimed):
+            from flink_streaming_platform_web_spark.platform.submit import (
+                cleanup_staging,
+            )
+
+            cleanup_staging(min_age_seconds=300)
         return affected
 
     # -- cluster-mode sweep (YARN/Spark REST; TaskServiceAO.checkYarn) --

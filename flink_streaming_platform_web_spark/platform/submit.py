@@ -11,7 +11,45 @@ reference's CLI whitelist idea applied to spark-submit flags
 
 from __future__ import annotations
 
+import atexit
 import shlex
+import shutil as _shutil
+
+# staging dirs created by build_submit_command, awaiting cleanup.
+# spark-submit copies --py-files payloads into its own staging area
+# at launch, so the dir is only needed until the child process has
+# started; a long-lived manager calls cleanup_staging() after each
+# child exits (ADVICE r04), and atexit sweeps whatever remains.
+_STAGING_DIRS: list[str] = []
+
+
+def cleanup_staging(min_age_seconds: float = 0.0) -> int:
+    """Delete staging dirs older than ``min_age_seconds``; returns the
+    count removed. The age guard lets a reconcile sweep run safely
+    while another job's spark-submit child is still shipping its
+    freshly-staged zip."""
+    import os
+    import time
+
+    n = 0
+    keep: list[str] = []
+    while _STAGING_DIRS:
+        d = _STAGING_DIRS.pop()
+        try:
+            age = time.time() - os.path.getmtime(d)
+        except OSError:
+            n += 1  # already gone
+            continue
+        if age >= min_age_seconds:
+            _shutil.rmtree(d, ignore_errors=True)
+            n += 1
+        else:
+            keep.append(d)
+    _STAGING_DIRS.extend(keep)
+    return n
+
+
+atexit.register(cleanup_staging)
 
 # spark-submit analog of the reference's -p/-yjm/-ytm/-ys/-yqu/-yD
 # whitelist (CliConfigUtil.java:138-150)
@@ -81,6 +119,7 @@ def build_submit_command(
     # payload), and a predictable /tmp path is tamperable on
     # multi-user hosts (ADVICE r03)
     stage = tempfile.mkdtemp(prefix="sspw_submit_")
+    _STAGING_DIRS.append(stage)
     pkg_zip = shutil.make_archive(
         str(Path(stage) / pkg_dir.name), "zip", pkg_dir.parent, pkg_dir.name
     )

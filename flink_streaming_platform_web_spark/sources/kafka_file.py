@@ -20,7 +20,13 @@ transport swaps back to format("kafka") with zero query changes; a
 
 Scale posture: reads are executor-parallel (one input partition per
 kafka partition, exactly the real source's planning); the offset
-bookkeeping on the driver is O(partitions) per micro-batch. The sink
+bookkeeping on the driver is O(partitions + newly-appended bytes)
+per micro-batch — a per-segment incremental index (``_SegIndex``)
+remembers the last-counted byte position and a sparse line→byte
+checkpoint list, so ``latestOffset()`` only scans data appended
+since the previous micro-batch (O(partitions) stat calls when idle)
+and executors seek near their start offset instead of re-reading
+each segment from byte 0. The sink
 writes executor-side and publishes on the driver at commit (one
 append per partition per epoch, idempotent via a per-writer epoch
 ledger) — fine for the harness role; a production deployment uses the
@@ -68,6 +74,63 @@ def _segment(path: str | Path, topic: str, partition: int) -> Path:
     return Path(path) / topic / f"p{partition:05d}.jsonl"
 
 
+class _SegIndex:
+    """Incremental bookkeeping for one append-only segment: total
+    complete lines seen, the byte position after the last complete
+    line, and a sparse (line_no, byte_pos) checkpoint list every
+    ``CHECKPOINT_EVERY`` lines. ``update()`` stats the file and scans
+    only bytes appended since the previous call — O(1) when nothing
+    arrived — so the driver's per-micro-batch offset snapshot stops
+    re-reading every segment end-to-end, and ``seek_hint()`` gives
+    executors a near-start byte position to seek to."""
+
+    CHECKPOINT_EVERY = 512
+
+    def __init__(self) -> None:
+        self.bytes = 0
+        self.lines = 0
+        self.ckpts: list[tuple[int, int]] = [(0, 0)]
+
+    def update(self, seg: Path) -> int:
+        try:
+            size = seg.stat().st_size
+        except OSError:
+            self.__init__()
+            return 0
+        if size < self.bytes:  # segment replaced/truncated — rebuild
+            self.__init__()
+        if size == self.bytes:
+            return self.lines
+        with open(seg, "rb") as f:
+            f.seek(self.bytes)
+            for line in f:
+                if not line.endswith(b"\n"):
+                    break  # torn tail append — count it next call
+                self.bytes += len(line)
+                self.lines += 1
+                if self.lines % self.CHECKPOINT_EVERY == 0:
+                    self.ckpts.append((self.lines, self.bytes))
+        return self.lines
+
+    def seek_hint(self, line_no: int) -> tuple[int, int]:
+        """Largest checkpoint (line, byte) with line <= line_no."""
+        import bisect
+
+        i = bisect.bisect_right(self.ckpts, (line_no, 1 << 62)) - 1
+        return self.ckpts[max(i, 0)]
+
+
+#: driver-side index cache, keyed by segment path (segments are
+#: append-only; a size regression resets the entry)
+_SEG_INDEX: dict[str, _SegIndex] = {}
+
+
+def _seg_index(seg: Path) -> _SegIndex:
+    idx = _SEG_INDEX.setdefault(str(seg), _SegIndex())
+    idx.update(seg)
+    return idx
+
+
 class FileBroker:
     """Producer/admin API over the broker directory. Appends are one
     ``write()`` of one ``\\n``-terminated line per record — atomic at
@@ -91,6 +154,14 @@ class FileBroker:
             return 0
         return len(list(d.glob("p*.jsonl")))
 
+    def _partition_ids(self, topic: str) -> list[int]:
+        """Actual partition ids present on disk (robust to a sparse
+        layout where e.g. only p00005 exists — ADVICE r04)."""
+        d = self.path / topic
+        if not d.is_dir():
+            return []
+        return sorted(int(s.stem[1:]) for s in d.glob("p*.jsonl"))
+
     def produce(
         self,
         topic: str,
@@ -103,6 +174,14 @@ class FileBroker:
         if n == 0:  # kafka auto.create.topics.enable parity
             self.create_topic(topic, 1)
             n = 1
+        if partition is not None and not 0 <= partition < n:
+            # real kafka rejects a produce to a nonexistent partition;
+            # accepting it here would create a sparse segment layout
+            # that breaks contiguous-offset planning (ADVICE r04)
+            raise ValueError(
+                f"partition {partition} out of range for topic"
+                f" {topic!r} with {n} partition(s)"
+            )
         if partition is None:
             if key is not None:
                 k = key if isinstance(key, bytes) else key.encode()
@@ -121,11 +200,14 @@ class FileBroker:
             f.write(json.dumps(rec, separators=(",", ":")) + "\n")
 
     def end_offsets(self, topic: str) -> dict[int, int]:
+        """Per-partition next offset. Enumerates the segment files
+        actually on disk and counts lines incrementally via the
+        driver-side ``_SegIndex`` cache — O(partitions) stat calls
+        plus only the bytes appended since the previous call."""
         out = {}
-        for p in range((self.partitions(topic))):
+        for p in self._partition_ids(topic):
             seg = _segment(self.path, topic, p)
-            with open(seg, "rb") as f:
-                out[p] = sum(1 for _ in f)
+            out[p] = _seg_index(seg).lines
         return out
 
 
@@ -148,13 +230,19 @@ class _Range(InputPartition):
     partition: int
     start: int
     end: int
+    # driver-computed seek hint: byte position of line ``hint_line``
+    # (a _SegIndex checkpoint <= start), so the executor seeks close
+    # to its range instead of re-reading the segment from byte 0
+    hint_line: int = 0
+    hint_byte: int = 0
 
 
 def _read_range(rng: _Range):
     """Executor-side record iterator for one partition range."""
     seg = _segment(rng.path, rng.topic, rng.partition)
     with open(seg, "rb") as f:
-        for off, line in enumerate(f):
+        f.seek(rng.hint_byte)
+        for off, line in enumerate(f, start=rng.hint_line):
             if off < rng.start:
                 continue
             if off >= rng.end:
@@ -231,7 +319,12 @@ class _StreamReader(DataSourceStreamReader):
             s = start.get(key, 0)  # new partition → from its beginning
             if e > s:
                 topic, _, p = key.rpartition("/")
-                out.append(_Range(self.path, topic, int(p), s, e))
+                seg = _segment(self.path, topic, int(p))
+                # nearest driver-index checkpoint at/below the start
+                # offset — the executor seeks there (kafka's planner
+                # ships start offsets the same way)
+                hl, hb = _seg_index(seg).seek_hint(s)
+                out.append(_Range(self.path, topic, int(p), s, e, hl, hb))
         return out
 
     def read(self, partition: _Range):
@@ -381,11 +474,32 @@ class GraftKafkaDataSource(DataSource):
         return self.writer_id
 
 
-_REGISTERED: set[str] = set()
-
-
 def ensure_registered(spark) -> None:
-    app = spark.sparkContext.applicationId
-    if app not in _REGISTERED:
+    """Register the data source with THIS session's manager.
+
+    The registry is per-SparkSession, so the old dedupe-by-
+    applicationId skipped spark.newSession() clones and their reads
+    died with DATA_SOURCE_NOT_FOUND (ADVICE r04). Unconditional
+    registration is not enough either: registerPython's duplicate
+    check consults the JVM *active* session, so registering a clone
+    while the parent is active raises DATA_SOURCE_ALREADY_EXISTS yet
+    leaves the clone's own manager empty. Skip if this session's
+    manager already has it, else register with this session pinned
+    active, restoring the previous active session after."""
+    try:
+        mgr = spark._jsparkSession.sessionState().dataSourceManager()
+        if mgr.dataSourceExists(GraftKafkaDataSource.name()):
+            return
+    except Exception:
+        pass  # Connect or API drift: fall through and just register
+    jvm_cls = getattr(spark, "_jvm", None)
+    prev = None
+    if jvm_cls is not None:
+        jvm_cls = spark._jvm.org.apache.spark.sql.classic.SparkSession
+        prev = jvm_cls.getActiveSession()
+        jvm_cls.setActiveSession(spark._jsparkSession)
+    try:
         spark.dataSource.register(GraftKafkaDataSource)
-        _REGISTERED.add(app)
+    finally:
+        if jvm_cls is not None and prev is not None and prev.isDefined():
+            jvm_cls.setActiveSession(prev.get())

