@@ -45,91 +45,72 @@ _MODULES = (
 # The driver's correctness gate walks queries() in dict insertion order
 # and checks the first 50 entries per round. Rotate per round so the
 # union of rounds gives every entry a green row dated after its last
-# operator rewrite. Round-3 rotation (per VERDICT r02 item 3): the 34
-# entries whose only green row dates from round 1 (q09–q36, ann01,
-# ann04, dd01–dd04 — operators/_cache.py and parity refactors landed
-# after their snapshot), plus everything rewritten since the round-2
-# snapshot (text.py → all tx* and pp01; multimodal.py/imagecodec.py →
-# mm01–mm03). Exactly 50.
+# operator rewrite. Round-5 rotation (per VERDICT r04 item 2): the 46
+# entries whose latest green row predates round 4 — the 6 r1-dated
+# stragglers (q10, q16–q20), tx08/tx09/tx11/tx12 (text.py rewritten in
+# r4 after their r2 rows — tx12's AQE size gate, commit 0b1d892),
+# st01–st08 (runner.py changed in r3/r4 after their r2 rows), and the
+# remaining 28 r2-dated batch entries — plus 4 round-4-green entries of
+# the memoized dedup/decontam chain, which operators/_cache.py's r5
+# eviction rewrite touches (weakref + LRU bound). Exactly 50.
 _CHECK_FIRST = (
-    # q09–q36: green rows date from r1; shared operator code refactored
-    # since (commits 450e365, b23e900, _cache.py) — re-prove them.
-    "q09_scalar_datetime",
-    "q11_case_having",
-    "q12_set_ops",
-    "q13_window_over",
-    "q14_rollup",
-    "q15_semi_anti",
-    "q21_local_supplier_volume",
-    "q22_tumble_window",
-    "q23_hop_window",
-    "q24_session_window",
-    "q25_cdc_latest_state",
-    "q26_asof_join",
-    "q27_grouping_sets",
-    "q28_interval_join",
-    "q29_percentiles",
-    "q30_explode_tokens",
-    "q31_topk_per_group",
-    "q32_embedding_centroids",
-    "q33_flink_datetime_compat",
-    "q34_udf_json_bucket",
-    "q35_pivot_api",
-    "q36_cumulate_window",
-    # dedup/ANN entries whose latest row is r1:
-    "dd01_dedup_exact",
-    "dd02_ngram_jaccard_pairs",
+    # r1-dated stragglers — three rounds stale (VERDICT r04 item 2a)
+    "q10_string_functions",
+    "q16_values_inline",
+    "q17_distinct_agg",
+    "q18_conditional_pivot",
+    "q19_minmax",
+    "q20_json_extract",
+    # text.py changed in r4 (tx12 AQE gate) after these r2 rows
+    "tx08_stratified_sample",
+    "tx09_redact_denylist",
+    "tx11_idf_table",
+    "tx12_doc_top_terms",
+    # runner.py/stream_queries changed in r3/r4 after these r2 rows
+    "st01_stream_tumble_window",
+    "st02_stream_upsert_agg",
+    "st03_stream_session_window",
+    "st04_stream_session_custom",
+    "st05_stream_hop_window",
+    "st06_stream_dedup",
+    "st07_stream_interval_join",
+    "st08_stream_cdc_latest",
+    # remaining r2-dated batch entries, oldest coverage first
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_computed_columns",
+    "q04_daily_gmv",
+    "q05_gmv_join_coupon",
+    "q06_lookup_join",
+    "q07_enriched_orders",
+    "q08_cte_topk",
+    "q37_flink_builtin_suite",
+    "q38_approx_distinct_hll",
+    "q39_dedup_latest",
+    "q40_salted_join_agg",
+    "q41_correlated_subquery",
+    "q42_exists_semijoin",
+    "dd05_simhash_signatures",
+    "dd06_dup_clusters",
+    "dd07_embed_neardup_docs",
+    "dd08_simhash_neardup_pairs",
+    "dd09_chunk_dedup",
+    "dd10_minhash_est_jaccard",
+    "ann02_embed_neardup_pairs",
+    "ann03_lsh_bucketed_neardup",
+    "ann05_ivf_multiprobe",
+    "vec01_kmeans",
+    "vec02_quantize_int8",
+    "vec03_dim_stats",
+    "mm01_binary_meta",
+    "mm03_frame_sample",
+    # r4-green but downstream of operators/_cache.py, whose eviction
+    # logic was rewritten THIS round (weakref + LRU session bound) —
+    # re-prove the memoized chain under the new cache
     "dd03_minhash_signatures",
     "dd04_minhash_lsh_pairs",
-    "ann01_brute_topk",
-    "ann04_ivf_search",
-    # rewritten after the round-2 snapshot (cd9e361): tx07/tx10 went
-    # zero-shuffle (86f0296) and pp01 composes them; the text helpers
-    # are shared across the whole tx suite; mm* gained a real codec
-    # (db36e1).
-    "tx07_bigram_repetition",
-    "tx10_quality_filter",
-    "pp01_training_mix",
-    "tx01_langid",
-    "tx02_quality_score",
-    "tx03_token_count",
-    "tx04_fingerprint",
-    "tx05_corpus_stats_by_lang",
-    "tx06_topk_vocab",
-    # dd11/dd12 are new this round (never driver-checked) — they take
-    # tx08/tx09's slots; both tx entries are zero-shuffle scan shapes
-    # pinned by plan tests
-    "dd11_embed_neardup_kmeans",
-    "dd12_simhash64_neardup_pairs",
-    "dd13_jaccard_prefix_filter",
-    # dc01/pp02 are new this session (never driver-checked) — they
-    # take q16/q19's slots: both displaced entries are trivial inline
-    # shapes (VALUES literal, min/max agg) with no dependence on the
-    # refactored shared operator code.
-    "dc01_contamination",
-    "pp02_shard_packing",
-    # pp03/vec04 are also new (never driver-checked) — they take
-    # tx12/mm01's slots: both displaced entries have r2-dated green
-    # rows and their code paths were untouched since.
-    "pp03_prep_pipeline",
-    "vec04_gram_matrix",
-    # st09 is new (streaming windowing-TVF) — takes mm03's slot
-    # (mm03 is r2-green; its byte-chunking path is pinned by
-    # tests/test_imagecodec.py and untouched since).
-    "st09_stream_window_tvf",
-    # q43 gates the CUMULATE TVF translation text itself — never
-    # checked; takes q17's slot (r1-green, untouched plain agg shape)
-    "q43_cumulate_tvf",
-    # st10 gates the incremental TTL-dim aggregation path — never
-    # checked; takes q18's slot (r1-green, untouched CASE pivot)
-    "st10_stream_ttl_incremental_agg",
-    # q44 (Flink Window Top-N pattern) is new — takes q20's slot
-    # (r1-green, untouched json projection)
-    "q44_window_topn",
-    # dc02 (fuzzy decontamination over dd04's LSH product) is new —
-    # takes q10's slot (r1-green, untouched scalar projections)
     "dc02_fuzzy_contamination",
-    "mm02_decode_pipeline",
+    "dd11_embed_neardup_kmeans",
 )
 
 
