@@ -3,7 +3,9 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+     "queries": {"q01_...": sec, ...}, "sf": 0.1,
+     "floor_sec": <median do-nothing-job cost>,
+     "floor_total_sec": <floor_sec * n_queries>}
 
 Timing is end-to-end per query: plan construction + execution to a
 driver-side count-style action (collect of the final, already-reduced
@@ -76,6 +78,20 @@ def main() -> None:
     # not a timing artifact. SPARK_GRAFT_BENCH_RUNS>1 opts into
     # min-over-repeats for noise studies — explicitly warm, stated.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+
+    # measured per-query scheduling floor (VERDICT r03/r04): the cost
+    # of one do-nothing Spark job on this session — driver planning +
+    # scheduler + one task round-trip. Sub-second queries are floor-
+    # dominated, so ratios against an in-process engine need this
+    # stated, not hand-waved. Median of 11 trivial jobs, measured
+    # AFTER warmup so it prices the steady state the timed runs see.
+    floor_samples = []
+    for _ in range(11):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        floor_samples.append(time.perf_counter() - t0)
+    floor = round(sorted(floor_samples)[len(floor_samples) // 2], 4)
+
     timings: dict[str, float] = {}
     for name, fn in batch_queries.items():
         best, n = float("inf"), 0
@@ -96,6 +112,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # median cost of a do-nothing job on this session:
+                # subtract from any per-query time before comparing
+                # against an in-process engine (floor_total_sec =
+                # floor_sec * n_queries is the aggregate overhead)
+                "floor_sec": floor,
+                "floor_total_sec": round(floor * len(timings), 4),
             }
         )
     )
@@ -111,6 +133,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf,
+                "floor_sec": floor,
             }
         )
     )

@@ -149,6 +149,16 @@ def main(argv: list[str] | None = None) -> int:
             for q in result.streaming_queries:
                 q.processAllAvailable()
                 q.stop()
+        elif result.streaming_queries:
+            # production-shaped long-running child (manager launched
+            # with drain=False): block until a query dies or the
+            # manager's stop() SIGTERMs this process — exiting here
+            # would silently kill the queries right after the
+            # handshake promised RUN
+            try:
+                spark.streams.awaitAnyTermination()
+            except KeyboardInterrupt:
+                pass
         print(json.dumps({"queries": result.query_ids,
                           "batch_results": result.batch_results}))
         return 0

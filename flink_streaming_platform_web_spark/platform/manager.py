@@ -75,6 +75,12 @@ class JobManager:
     # lets stop() actually KILL a tracked remote application instead
     # of only flipping the store row
     rpc_adapter: object | None = None
+    # LOCAL_PROCESS children launch with --await (drain available
+    # input, exit 0) by default — the deterministic-test mode. Set
+    # False (or pass drain=False to start()) for production-shaped
+    # long-running children that block on awaitAnyTermination until
+    # stop() terminates them (BACKLOG: no-await launch knob)
+    drain_children: bool = True
     # serializes lifecycle transitions: the REST facade's request
     # threads and the scheduler daemon share this manager, and
     # check-then-act on `running` would otherwise race (ADVICE r01)
@@ -82,7 +88,12 @@ class JobManager:
 
     # -- lifecycle (JobConfigApiController verb parity) ---------------------
 
-    def start(self, job_id: int, restore_savepoint: int | None = None) -> ExecutionResult:
+    def start(
+        self,
+        job_id: int,
+        restore_savepoint: int | None = None,
+        drain: bool | None = None,
+    ) -> ExecutionResult:
         # quick checks under the lock; the BLOCKING submission (script
         # execution, child handshake) runs OUTSIDE it — holding the
         # manager lock for a job's whole submit froze every other verb
@@ -101,7 +112,7 @@ class JobManager:
         if not v.ok:
             raise ValueError(f"validation failed: {v.errors}")
         if job.deploy_mode == "LOCAL_PROCESS":
-            return self._start_process(job, restore_savepoint)
+            return self._start_process(job, restore_savepoint, drain)
         return self._start_inprocess(job, restore_savepoint)
 
     def _start_inprocess(
@@ -203,7 +214,12 @@ class JobManager:
             self.stop(job.id)
         return result
 
-    def _start_process(self, job, restore_savepoint: int | None = None):
+    def _start_process(
+        self,
+        job,
+        restore_savepoint: int | None = None,
+        drain: bool | None = None,
+    ):
         """LOCAL deploy that still execs a real ``spark-submit`` child
         — the reference's LOCAL mode also shells out (``flink run``
         via Runtime.exec, CommandUtil.java:29-68 builds the argv,
@@ -248,7 +264,10 @@ class JobManager:
             sql_file = work / "sql" / f"job_sql_{job.id}.sql"
             sql_file.write_text(job.sql_script)
             cmd = build_local_submit_command(
-                str(sql_file), job.job_type, checkpoint_dir=ckpt_dir
+                str(sql_file),
+                job.job_type,
+                checkpoint_dir=ckpt_dir,
+                drain=self.drain_children if drain is None else drain,
             )
             env = dict(os.environ)
             pkg_root = str(Path(__file__).resolve().parents[2])

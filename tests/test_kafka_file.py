@@ -395,3 +395,55 @@ def test_cloned_session_can_use_graft_kafka(spark, broker):
     )
     vals = [json.loads(bytes(r["value"]))["x"] for r in df.collect()]
     assert vals == [41]
+
+
+def test_kafka_option_spelling_parity_between_transports():
+    """The format('kafka') reader options and the file-transport
+    options must derive from the SAME DDL with identical spellings
+    for the shared keys (subscribe / startingOffsets /
+    startingTimestamp), so a jar-present deployment can't drift from
+    the harness contract (VERDICT r04 item 7)."""
+    from flink_streaming_platform_web_spark.sources.ddl import (
+        parse_create_table,
+    )
+    from flink_streaming_platform_web_spark.sources.registry import (
+        _file_kafka_options,
+        kafka_reader_options,
+    )
+
+    def ddl(extra: str) -> str:
+        return f"""CREATE TABLE t (x BIGINT) WITH (
+            'connector'='kafka', 'topic'='flink_test_6',
+            'properties.bootstrap.servers'='file:///tmp/broker',
+            'properties.group.id'='g1', 'format'='json'{extra})"""
+
+    for extra, key in (
+        ("", "startingOffsets"),
+        (", 'scan.startup.mode'='earliest-offset'", "startingOffsets"),
+        (", 'scan.startup.mode'='latest-offset'", "startingOffsets"),
+        (
+            ", 'scan.startup.mode'='timestamp',"
+            " 'scan.startup.timestamp-millis'='1700000000000'",
+            "startingTimestamp",
+        ),
+    ):
+        t = parse_create_table(ddl(extra))
+        jvm = kafka_reader_options(t)
+        file = _file_kafka_options(t, "/tmp/broker")
+        # shared keys: spelled identically, valued identically
+        assert file["subscribe"] == jvm["subscribe"] == "flink_test_6"
+        assert key in jvm and key in file and file[key] == jvm[key]
+        # exactly one starting-position key on each transport
+        assert ("startingOffsets" in jvm) != ("startingTimestamp" in jvm)
+        assert ("startingOffsets" in file) != (
+            "startingTimestamp" in file
+        )
+        # transport-address key: kafka.bootstrap.servers vs path —
+        # everything else shared must match key-for-key
+        shared_jvm = {
+            k: v
+            for k, v in jvm.items()
+            if k not in ("kafka.bootstrap.servers", "kafka.group.id")
+        }
+        shared_file = {k: v for k, v in file.items() if k != "path"}
+        assert shared_jvm == shared_file

@@ -152,3 +152,58 @@ def test_local_process_streaming_drain_to_success(spark, sf_dir, tmp_path):
     assert not store.alarms(jid)
     n = spark.read.parquet(sink).count()
     assert n == spark.read.parquet(src).filter("o_totalprice > 0").count()
+
+
+def test_local_process_no_await_long_running_child(spark, sf_dir, tmp_path):
+    """BACKLOG / VERDICT r04 item 8: drain=False launches a
+    production-shaped LOCAL_PROCESS child that OUTLIVES the start call
+    (blocks on awaitAnyTermination after the handshake). stop() must
+    terminate it and mark STOP; a child that dies on its own must be
+    mapped by reconcile() to FAIL with an alarm."""
+    import os
+    import signal
+    import time
+
+    src = f"{tmp_path}/src"
+    ckpt = f"{tmp_path}/ckpt"
+    load(spark, sf_dir, "orders").limit(100).select(
+        "o_orderkey", "o_totalprice"
+    ).write.parquet(src)
+    script = f"""
+    CREATE TABLE src_orders (o_orderkey BIGINT, o_totalprice DOUBLE)
+    WITH ('connector'='filesystem', 'path'='{src}',
+          'format'='parquet');
+    CREATE TABLE snk (o_orderkey BIGINT, o_totalprice DOUBLE)
+    WITH ('connector'='blackhole');
+    INSERT INTO snk SELECT o_orderkey, o_totalprice FROM src_orders;
+    """
+    store = JobStore()
+    jid = store.add_job(
+        "proc-noawait", script,
+        job_type="streaming", deploy_mode="LOCAL_PROCESS",
+        checkpoint_dir=ckpt,
+    )
+    mgr = JobManager(
+        spark, store, work_dir=str(tmp_path / "work"),
+        drain_children=False,
+    )
+    # phase A: the child stays up after the handshake; stop() ends it
+    result = mgr.start(jid)
+    assert mgr.status(jid) == "RUN"
+    assert len(result.query_ids) == 1
+    proc = mgr.running[jid].proc
+    time.sleep(3)  # a drain-mode child would have exited by now
+    assert proc.poll() is None, "no-await child exited prematurely"
+    mgr.stop(jid)
+    assert proc.poll() is not None, "stop() did not end the child"
+    assert mgr.status(jid) == "STOP"
+
+    # phase B: an externally-killed child reconciles to FAIL + alarm
+    mgr.start(jid)
+    proc = mgr.running[jid].proc
+    os.kill(proc.pid, signal.SIGKILL)
+    proc.wait(30)
+    affected = mgr.reconcile()
+    assert jid in affected
+    assert mgr.status(jid) == "FAIL"
+    assert [a for a in store.alarms(jid) if "no longer running" in str(a)]

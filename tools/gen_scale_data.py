@@ -13,15 +13,25 @@ itself rather than inventing new distributions:
   scaled key spaces (sequential PKs, uniform FKs — measured: the
   driver's own FKs are uniform and l_shipdate is independent of
   o_orderdate, diff stddev ~= 2400d/sqrt(6)).
-- documents: regenerated from the measured process — 31-word vocab,
-  uniform token draws, token count uniform in [10, 100], lang from
-  the measured frequency vector, 20 sources. The driver corpus PLANTS
-  duplicates (measured at sf0.01: 25 near-dup pairs per 500 docs with
-  3-shingle Jaccard 0.95-0.99 — consistent with copies of an earlier
-  doc truncated by 1-3 trailing tokens — plus ~0.16% exact copies at
-  sf0.1); we plant at the same per-doc rates so the dedup family has
-  the same work density at every SF and pair counts stay ~linear in
-  corpus size, as they are in the driver's own corpus.
+- documents: token count uniform in [10, 100], lang from the measured
+  frequency vector, 20 sources, and duplicates PLANTED at the driver's
+  measured per-doc rates (sf0.01: 25 near-dup pairs per 500 docs with
+  3-shingle Jaccard 0.95-0.99 — copies of an earlier doc truncated by
+  1-3 trailing tokens — plus ~0.16% exact copies at sf0.1), so the
+  dedup family has the same work density at every SF and pair counts
+  stay ~linear in corpus size. The token DISTRIBUTION deliberately
+  departs from the driver's (31 words, uniform): that tiny vocabulary
+  saturates the 3-shingle space above ~5k docs (31^3 ≈ 30k distinct
+  shingles, so at sf>=1 every shingle exceeds the MAX_DF stop-shingle
+  cap and shingle-based recall collapses to 0 — the vacuous dd02
+  curves VERDICT r03/r04 flagged). Real corpora don't do that: their
+  Zipfian vocabularies keep most shingles rare at any corpus size. We
+  draw tokens from a 50k-word Zipf-Mandelbrot distribution
+  (p_i ∝ 1/(i+2.7)^1.07, the classic English fit), with the driver's
+  31 words occupying the top ranks so small-SF text statistics stay
+  familiar. Under this vocabulary the planted near-dup pairs are the
+  ONLY systematic shingle collisions, so dd02/dd04 pair counts track
+  the planted density linearly at every SF.
 - embeddings: fresh unit-normalized N(0,1)^64 float32 vectors with
   uniform labels (measured: within-label cosine 0.0016 vs 0.0003
   cross — labels carry no geometry).
@@ -55,6 +65,26 @@ VOCAB = (
     "hash join key line merge order part query row scan slow small sort "
     "spark stream table the value vector window"
 ).split()
+
+VOCAB_SIZE = 50_000
+
+
+def _zipf_vocab(rng: np.random.Generator):
+    """50k-word vocabulary with Zipf-Mandelbrot probabilities. The
+    driver's 31 words take the top ranks; the tail is deterministic
+    pseudo-words (letters only, 3-9 chars) so language-ID and
+    tokenizer heuristics see word-shaped tokens."""
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    words = list(VOCAB)
+    seen = set(words)
+    while len(words) < VOCAB_SIZE:
+        w = "".join(rng.choice(letters, int(rng.integers(3, 10))))
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    p = 1.0 / (ranks + 2.7) ** 1.07
+    return np.array(words), p / p.sum()
 # Measured lang frequencies in the driver corpus (sf0.1, n=5000).
 LANGS = ["en", "zh", "es", "fr", "de"]
 LANG_P = [2059 / 5000, 753 / 5000, 744 / 5000, 742 / 5000, 702 / 5000]
@@ -164,8 +194,12 @@ def gen(sf: float, outdir: Path) -> None:
 
     nd = n["documents"]
     ntok = rng.integers(10, 101, nd)
-    flat = rng.integers(0, len(VOCAB), int(ntok.sum()))
-    vocab = np.array(VOCAB)
+    vocab, vocab_p = _zipf_vocab(rng)
+    # inverse-CDF sampling: rng.choice with p re-sorts per call; one
+    # searchsorted over the precomputed CDF handles 15M+ draws fast
+    cdf = np.cumsum(vocab_p)
+    flat = np.searchsorted(cdf, rng.random(int(ntok.sum())), side="right")
+    flat = np.minimum(flat, len(vocab) - 1)
     offs = np.concatenate(([0], np.cumsum(ntok)))
     texts = [" ".join(vocab[flat[offs[i]:offs[i + 1]]]) for i in range(nd)]
     # planted duplication at the driver's measured density: ~5% of
