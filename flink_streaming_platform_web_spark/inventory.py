@@ -106,11 +106,14 @@ _CHECK_FIRST = (
     "mm03_frame_sample",
     # r4-green but downstream of operators/_cache.py, whose eviction
     # logic was rewritten THIS round (weakref + LRU session bound) —
-    # re-prove the memoized chain under the new cache
-    "dd03_minhash_signatures",
+    # re-prove the memoized chain's central product under the new
+    # cache (dd03/dd11/dc02 gave up their slots to the three NEW
+    # entries below; dd04 exercises the same memo machinery)
     "dd04_minhash_lsh_pairs",
-    "dc02_fuzzy_contamination",
-    "dd11_embed_neardup_kmeans",
+    # new this round — never driver-checked
+    "dd14_exact_substr_dup",
+    "pp04_neardup_prep",
+    "st11_stream_window_topn",
 )
 
 

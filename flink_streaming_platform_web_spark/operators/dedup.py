@@ -1221,3 +1221,129 @@ ORACLES = {
     "dd04_minhash_lsh_pairs": ORACLE_DD04,
     "dd05_simhash_signatures": ORACLE_DD05,
 }
+
+
+# --------------------------------------------------------------------------
+# dd14 — exact-substring duplication profile (sliding token windows).
+# --------------------------------------------------------------------------
+
+DD14_W = 10  # window width in tokens (ExactSubstr-style granularity)
+
+
+def dd14_exact_substr_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-substring duplication profile: slide a
+    10-token window over every document (every OCCURRENCE counts, not
+    distinct — this measures how much of the corpus text is verbatim
+    repetition, the measure behind suffix-array ExactSubstr dedup in
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, arXiv:2107.06499); a window is *duplicated* when it
+    occurs in more than one distinct document.
+
+    Plan: the corpus is scanned ONCE — the (window, source)
+    occurrence table (agg1) is the session-memoized shared product
+    (at 100 TB: a materialized intermediate), built with ONE
+    corpus-sized wide shuffle (map-side combined; windows travel as
+    60-bit portable hashes, 8-byte keys, never strings). Both
+    downstream branches read the persisted agg1: the per-window
+    roll-up (per-(win,source) distinct-doc counts SUM to the global
+    per-window doc count because a document has exactly one source —
+    no join back to the corpus), and the |sources|-sized finals.
+    There is no pair-space and no driver state."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "source", F.split(F.col("text"), r"\s+").alias("w")
+    ).repartition(par)
+    idxs = F.when(
+        F.size("w") >= DD14_W,
+        F.sequence(F.lit(0), F.size("w") - DD14_W),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = words.select(
+        "doc_id",
+        "source",
+        F.explode_outer(
+            F.transform(
+                idxs,
+                lambda i: portable_hash(
+                    F.concat_ws(
+                        " ", *[F.col("w")[i + j] for j in range(DD14_W)]
+                    )
+                ),
+            )
+        ).alias("win"),
+    ).where(F.col("win").isNotNull())
+    agg1 = memo_df(
+        spark,
+        sf_dir,
+        "dd14_agg1",
+        lambda: wins.groupBy("win", "source").agg(
+            F.count("*").alias("occ"),
+            F.countDistinct("doc_id").alias("nd"),
+        ),
+    )
+    per_win = agg1.groupBy("win").agg(
+        F.sum("nd").alias("ndocs"),
+        F.collect_list(F.struct("source", "occ")).alias("by_src"),
+    )
+    dup = (
+        per_win.where(F.col("ndocs") > 1)
+        .select(F.explode("by_src").alias("e"))
+        .groupBy(F.col("e.source").alias("source"))
+        .agg(
+            F.sum("e.occ").alias("n_dup_occ"),
+            F.count("*").alias("n_dup_windows"),
+        )
+    )
+    totals = agg1.groupBy("source").agg(
+        F.sum("occ").alias("n_windows"),
+        F.count("*").alias("n_distinct_windows"),
+    )
+    return (
+        totals.join(dup, "source", "left")
+        .select(
+            "source",
+            "n_windows",
+            "n_distinct_windows",
+            F.coalesce("n_dup_occ", F.lit(0)).alias("n_dup_occ"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+
+
+def _oracle_dd14() -> str:
+    cat = " || ' ' || ".join(f"w[i+{j}]" for j in range(DD14_W))
+    return f"""
+WITH t AS (SELECT doc_id, source,
+                  regexp_split_to_array(text, '\\s+') AS w
+           FROM documents),
+wins AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - {DD14_W - 1}, 0)),
+           i -> {oracle_portable_hash(f"({cat})")})) AS win
+  FROM t),
+agg1 AS (
+  SELECT win, source, COUNT(*) AS occ,
+         COUNT(DISTINCT doc_id) AS nd
+  FROM wins GROUP BY 1, 2),
+per_win AS (SELECT win, SUM(nd) AS ndocs FROM agg1 GROUP BY 1),
+dup AS (
+  SELECT a.source, CAST(SUM(a.occ) AS BIGINT) AS n_dup_occ,
+         COUNT(*) AS n_dup_windows
+  FROM agg1 a JOIN per_win p USING (win)
+  WHERE p.ndocs > 1 GROUP BY 1),
+tot AS (
+  SELECT source, CAST(SUM(occ) AS BIGINT) AS n_windows,
+         COUNT(*) AS n_distinct_windows
+  FROM agg1 GROUP BY 1)
+SELECT t.source, t.n_windows, t.n_distinct_windows,
+       COALESCE(d.n_dup_occ, 0) AS n_dup_occ,
+       COALESCE(d.n_dup_windows, 0) AS n_dup_windows
+FROM tot t LEFT JOIN dup d USING (source)
+"""
+
+
+QUERIES["dd14_exact_substr_dup"] = dd14_exact_substr_dup
+ORACLES["dd14_exact_substr_dup"] = _oracle_dd14()

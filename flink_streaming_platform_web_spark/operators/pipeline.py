@@ -284,3 +284,85 @@ ORACLES = {
     "pp02_shard_packing": ORACLE_PP02,
     "pp03_prep_pipeline": ORACLE_PP03,
 }
+
+
+def pp04_neardup_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware corpus preparation — the stage pp03 lacks:
+
+        drop near-dup losers (dd04's verified MinHash-LSH pairs)  →
+        exact dedup (digest window)  →  quality gate (tx10)  →
+        per-lang token accounting
+
+    Near-dup removal keeps the EARLIEST doc of each verified pair
+    (doc_a < doc_b, so losers = distinct doc_b) — the standard greedy
+    keep-first rule; full transitive clustering is dd06's job and
+    deliberately not repeated here.
+
+    Scale shape: the pair product is session-memoized (dd04's LSH
+    index — zero new corpus-sized stages; at 100 TB this is the
+    materialized near-dup table every prep job reads); the loser drop
+    is a LEFT ANTI join on doc_id with NO pinned broadcast — losers
+    scale with the corpus dup fraction, so AQE picks broadcast vs
+    shuffle from the runtime size (the tx12 lesson); dedup is the
+    digest-window exchange; the quality gate is a scan-side predicate;
+    the final roll-up is |lang|-sized."""
+    from pyspark.sql import Window
+
+    from flink_streaming_platform_web_spark.operators.dedup import (
+        dd04_minhash_lsh_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    losers = (
+        dd04_minhash_lsh_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept0 = docs.join(losers, "doc_id", "left_anti")
+    flagged = quality_flags(kept0).filter(F.col("keep")).select(
+        "doc_id", "lang",
+        F.md5("text").alias("h"),
+        ws_token_count().alias("tokens"),
+    )
+    wd = Window.partitionBy("h")
+    deduped = flagged.withColumn(
+        "first_id", F.min("doc_id").over(wd)
+    ).filter(F.col("doc_id") == F.col("first_id"))
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+def _oracle_pp04() -> str:
+    from flink_streaming_platform_web_spark.operators.dedup import (
+        ORACLE_DD04,
+    )
+
+    return f"""
+WITH pairs AS ({ORACLE_DD04}),
+losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+kept0 AS (
+  SELECT d.* FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+),
+q AS (SELECT doc_id FROM ({ORACLE_TX10}) WHERE keep),
+flagged AS (
+  SELECT k.doc_id, k.lang, md5(k.text) AS h,
+         {ORACLE_WS_TOKENS.replace("text", "k.text")} AS tokens
+  FROM kept0 k JOIN q USING (doc_id)
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT flagged.*, MIN(doc_id) OVER (PARTITION BY h) AS first_id
+    FROM flagged
+  ) WHERE doc_id = first_id
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS total_tokens
+FROM deduped GROUP BY lang
+"""
+
+
+QUERIES["pp04_neardup_prep"] = pp04_neardup_prep
+ORACLES["pp04_neardup_prep"] = _oracle_pp04()

@@ -916,6 +916,13 @@ class JobRunner:
                 f"INSERT OVERWRITE {job.target}: streaming queries"
                 " cannot overwrite (batch-only, as in Flink)"
             )
+        if sink.primary_key and (
+            topn := _parse_window_topn(job.query_sql)
+        ):
+            # Flink's streaming Window Top-N — Spark has no streaming
+            # rank operator; route to the state + re-rank re-plan
+            self._write_stream_window_topn(topn, sink, idx, result)
+            return
         try:
             self._write_stream(df, sink, idx, result)
         except Exception as e:
@@ -952,6 +959,85 @@ class JobRunner:
                 idx,
                 result,
             )
+
+    def _write_stream_window_topn(
+        self,
+        spec: "_WindowTopN",
+        sink: TableDef,
+        idx: int,
+        result: ExecutionResult,
+    ) -> None:
+        """Flink streaming Window Top-N (docs: queries/window-topn) —
+        Spark has no streaming rank operator, so the re-plan runs the
+        documented semantics directly: the INNER window aggregation
+        streams in update mode; per micro-batch the new per-group
+        totals merge into rank state, and every window TOUCHED in the
+        batch is re-ranked — rank rows are upserted by (window, rn)
+        and ranks that fell out of the top N are deleted (Flink's
+        retract + re-emit, demo parity for its RankOperator). State
+        and work per batch are bounded by touched-windows × groups, as
+        in Flink; at scale the state keys by window and the re-rank is
+        a per-window sorted-state walk, exactly Flink's UpdatableTopN
+        state layout. Ties on the rank value break on the remaining
+        group columns for determinism (Flink leaves ties unspecified;
+        a gated result cannot)."""
+        inner_df = self.spark.sql(translate_expr(spec.inner_sql))
+        out_cols = [c.name for c in sink.columns if c.spark_type]
+        sink_store = self._replace_store(sink.name, sink.primary_key)
+        tie_cols = [
+            c for c in spec.group_cols if c not in spec.part_cols
+        ]
+        agg_state: dict[tuple, dict[tuple, dict]] = {}
+
+        def apply(batch: DataFrame, epoch_id: int) -> None:
+            if sink_store.schema is None:
+                from pyspark.sql.types import LongType, StructField, StructType
+
+                by_name = {f.name: f for f in batch.schema.fields}
+                sink_store.schema = StructType(
+                    [
+                        by_name[c]
+                        if c in by_name
+                        else StructField(c, LongType(), False)
+                        for c in out_cols
+                    ]
+                )
+            touched = set()
+            for r in batch.toLocalIterator():
+                row = r.asDict()
+                wkey = tuple(row[c] for c in spec.part_cols)
+                gkey = tuple(row[c] for c in spec.group_cols)
+                agg_state.setdefault(wkey, {})[gkey] = row
+                touched.add(wkey)
+            for wkey in touched:
+                members = sorted(
+                    agg_state[wkey].values(),
+                    key=lambda r: (
+                        r[spec.ord_col],
+                        *[r[c] for c in tie_cols],
+                    ),
+                    reverse=spec.ord_desc,
+                )
+                top = members[: spec.topn]
+                for rn, row in enumerate(top, 1):
+                    out = {
+                        c: (rn if c == spec.rn_alias else row[c])
+                        for c in out_cols
+                    }
+                    sink_store.upsert(out)
+                for rn in range(len(top) + 1, spec.topn + 1):
+                    stale = dict(zip(spec.part_cols, wkey))
+                    stale[spec.rn_alias] = rn
+                    sink_store.delete(
+                        {k: stale.get(k) for k in sink.primary_key}
+                    )
+
+        writer = inner_df.writeStream.outputMode("update").foreachBatch(
+            apply
+        )
+        if self._trigger:
+            writer = writer.trigger(**self._trigger)
+        result.streaming_queries.append(writer.start())
 
     def _register_memory_result(
         self, out: DataFrame, sink: TableDef, accumulate: bool = False
@@ -1341,6 +1427,89 @@ class JobRunner:
 def _is_aggregated(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+@dataclass
+class _WindowTopN:
+    """Parsed Flink streaming Window Top-N shape (docs:
+    queries/window-topn — the three-level nesting is the documented
+    form): inner window agg, middle ROW_NUMBER over the window
+    partition, outer rank filter."""
+
+    inner_sql: str
+    group_cols: list[str]  # inner agg GROUP BY (plain names required)
+    part_cols: list[str]  # rank partition (window_start[, window_end])
+    ord_col: str
+    ord_desc: bool
+    rn_alias: str
+    topn: int
+
+
+def _parse_window_topn(sql: str) -> "_WindowTopN | None":
+    """Recognize Flink's documented Window Top-N nesting. Returns None
+    for anything else — the caller then takes the normal path (and
+    Spark's UnsupportedOperationChecker fails loudly for unsupported
+    streaming rank shapes, never a silent wrong answer)."""
+    m = re.search(
+        r"ROW_NUMBER\(\)\s+OVER\s*\(\s*PARTITION\s+BY\s+(.+?)"
+        r"\s+ORDER\s+BY\s+(.+?)\)\s+AS\s+`?(\w+)`?",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    part_cols = [c.strip().strip("`") for c in m.group(1).split(",")]
+    if not any(c.lower() == "window_start" for c in part_cols):
+        return None  # only the WINDOW top-n pattern is re-plannable
+    om = re.match(
+        r"`?([\w.]+)`?\s*(ASC|DESC)?\s*$", m.group(2).strip(),
+        re.IGNORECASE,
+    )
+    if not om:
+        return None
+    rn_alias = m.group(3)
+    fm = re.search(
+        rf"WHERE\s+`?{rn_alias}`?\s*<=\s*(\d+)\s*$",
+        sql.rstrip().rstrip(";"),
+        re.IGNORECASE,
+    )
+    if not fm:
+        return None
+    # innermost subquery: the parenthesized FROM of the rank select
+    i = sql.upper().find("FROM", m.end())
+    if i < 0:
+        return None
+    j = sql.find("(", i)
+    if j < 0 or sql[i + 4:j].strip():
+        return None  # rank select reads a named table, not a subquery
+    depth = 0
+    for k in range(j, len(sql)):
+        if sql[k] == "(":
+            depth += 1
+        elif sql[k] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+    else:
+        return None
+    inner = sql[j + 1:k].strip()
+    gm = re.search(
+        r"GROUP\s+BY\s+(.+?)\s*$", inner, re.IGNORECASE | re.DOTALL
+    )
+    if not gm:
+        return None
+    group_cols = [c.strip().strip("`") for c in gm.group(1).split(",")]
+    if not all(re.fullmatch(r"[\w.]+", c) for c in group_cols):
+        return None  # expression keys: fall through to the loud path
+    return _WindowTopN(
+        inner_sql=inner,
+        group_cols=group_cols,
+        part_cols=part_cols,
+        ord_col=om.group(1),
+        ord_desc=(om.group(2) or "ASC").upper() == "DESC",
+        rn_alias=rn_alias,
+        topn=int(fm.group(1)),
+    )
 
 
 # -- algebraic select-list analysis (incremental TTL-dim aggregation) ------

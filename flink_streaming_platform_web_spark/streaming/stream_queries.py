@@ -668,8 +668,74 @@ GROUP BY n.n_name
 """
 
 
+def st11_stream_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's streaming Window Top-N (docs: queries/window-topn — the
+    documented three-level nesting: window TVF agg → ROW_NUMBER over
+    the window partition → rank filter) end-to-end through the runner.
+    The runner routes it to the state + re-rank re-plan
+    (runner._write_stream_window_topn): per micro-batch the new window
+    totals merge into rank state, touched windows re-rank, rank rows
+    upsert by (window_start, rn) and dropped ranks DELETE — Flink's
+    retract + re-emit. Converged store == the batch rank query."""
+    path = _events_as_stream_source(spark, sf_dir, "st11", files=3)
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        _EVENTS_DDL.format(path=path)
+        + """;
+        CREATE TABLE st11_sink (
+          window_start STRING, event_type STRING, total DOUBLE,
+          rn BIGINT,
+          PRIMARY KEY (window_start, rn) NOT ENFORCED
+        ) WITH ('connector' = 'jdbc');
+        INSERT INTO st11_sink
+        SELECT window_start, event_type, total, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY total DESC) AS rn
+          FROM (
+            SELECT date_format(window_start, 'yyyy-MM-dd HH:mm:ss')
+                     AS window_start,
+                   event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total
+            FROM TABLE(TUMBLE(TABLE stream_events, DESCRIPTOR(ts),
+                              INTERVAL '6' HOUR))
+            GROUP BY window_start, event_type
+          )
+        ) WHERE rn <= 3;
+        """,
+    )
+    return (
+        runner.upsert_stores["st11_sink"]
+        .to_df(spark)
+        .select("window_start", "event_type", "total", "rn")
+    )
+
+
+# tie-break mirrors the runner's deterministic rank sort: the full
+# sort key is (total, group cols) reversed under DESC, i.e. ties on
+# total break on event_type DESCENDING
+ORACLE_ST11 = f"""
+WITH agg AS (
+  SELECT strftime(time_bucket(INTERVAL '6 hours', ts,
+                              TIMESTAMP '1970-01-01'),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, {oracle_dsum('value', 'total')}
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, total, rn FROM (
+  SELECT agg.*, CAST(ROW_NUMBER() OVER (
+           PARTITION BY window_start
+           ORDER BY total DESC, event_type DESC) AS BIGINT) AS rn
+  FROM agg
+) WHERE rn <= 3
+"""
+
+
 QUERIES = {
     "st01_stream_tumble_window": st01_stream_tumble_window,
+    "st11_stream_window_topn": st11_stream_window_topn,
     "st10_stream_ttl_incremental_agg": st10_stream_ttl_incremental_agg,
     "st09_stream_window_tvf": st09_stream_window_tvf,
     "st08_stream_cdc_latest": st08_stream_cdc_latest,
@@ -683,6 +749,7 @@ QUERIES = {
 
 ORACLES = {
     "st10_stream_ttl_incremental_agg": ORACLE_ST10,
+    "st11_stream_window_topn": ORACLE_ST11,
     "st09_stream_window_tvf": ORACLE_ST09,
     "st08_stream_cdc_latest": ORACLE_ST08,
     "st07_stream_interval_join": ORACLE_ST07,

@@ -400,3 +400,58 @@ def test_tx12_vocab_join_is_size_gated(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_dd14_window_dedup_bounded_exchanges(spark, sf_dir):
+    """dd14: one corpus-sized exchange (the (win, source) combine) and
+    reduced-data roll-ups after it — no corpus-sized join back, no
+    Python in the row loop; windows shuffle as 8-byte hashed keys."""
+    from flink_streaming_platform_web_spark.operators.dedup import (
+        dd14_exact_substr_dup,
+    )
+
+    df = dd14_exact_substr_dup(spark, sf_dir)
+    df.count()  # materialize the memoized agg1 product
+    plan = _physical(df)
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    # the (win, source) occurrence table is the shared persisted
+    # product: BOTH downstream branches (per-window roll-up and the
+    # per-source totals) read it via InMemoryTableScan — the corpus
+    # explode runs once, not once per branch. (FileScan lines in the
+    # output belong to the cached relation's printed build subtree.)
+    assert plan.count("InMemoryTableScan") == 2
+
+
+def test_pp04_no_pinned_broadcast_on_losers(spark, sf_dir):
+    """pp04's near-dup loser drop must NOT pin a broadcast — losers
+    scale with the corpus dup fraction (the tx12 lesson); AQE decides
+    from runtime size. Dedup stays a digest-window exchange."""
+    from flink_streaming_platform_web_spark.operators import _cache
+    from flink_streaming_platform_web_spark.operators.pipeline import (
+        pp04_neardup_prep,
+    )
+
+    df = pp04_neardup_prep(spark, sf_dir)
+    df.count()
+    plan = _physical(df)
+    assert "hashpartitioning(h#" in plan  # digest window exchange
+    # with the broadcast threshold off the anti join must degrade,
+    # not re-pin a broadcast
+    for key in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        spark.conf.set(key, "-1")
+    _cache.clear()
+    try:
+        df2 = pp04_neardup_prep(spark, sf_dir)
+        df2.count()
+        plan2 = _physical(df2)
+        assert "BroadcastHashJoin" not in plan2
+    finally:
+        for key in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        ):
+            spark.conf.unset(key)
+        _cache.clear()

@@ -296,3 +296,56 @@ def test_savepoint_restore_rejects_state_schema_break(spark, tmp_path):
             q.stop()
         except Exception:
             pass
+
+
+def test_parse_window_topn_shapes():
+    """The streaming Window Top-N router must accept exactly Flink's
+    documented nesting and reject everything else (which then fails
+    loudly on the normal path instead of silently mis-planning)."""
+    from flink_streaming_platform_web_spark.streaming.runner import (
+        _parse_window_topn,
+    )
+
+    good = """
+    SELECT window_start, event_type, total, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY window_start ORDER BY total DESC) AS rn
+      FROM (
+        SELECT window_start, event_type, SUM(value) AS total
+        FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start, event_type
+      )
+    ) WHERE rn <= 3
+    """
+    spec = _parse_window_topn(good)
+    assert spec is not None
+    assert spec.part_cols == ["window_start"]
+    assert spec.group_cols == ["window_start", "event_type"]
+    assert spec.ord_col == "total" and spec.ord_desc
+    assert spec.rn_alias == "rn" and spec.topn == 3
+    assert "SUM(value)" in spec.inner_sql
+    assert "ROW_NUMBER" not in spec.inner_sql.upper()
+
+    # per-key (non-window) top-n: NOT this pattern
+    assert _parse_window_topn(
+        """SELECT * FROM (
+             SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC) AS rn
+             FROM (SELECT user_id, ts FROM ev GROUP BY user_id, ts)
+           ) WHERE rn <= 1"""
+    ) is None
+    # no rank filter → not top-n
+    assert _parse_window_topn(
+        """SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY window_start ORDER BY total) AS rn
+           FROM (SELECT window_start, SUM(v) total FROM ev
+                 GROUP BY window_start)"""
+    ) is None
+    # rank over a named table (no inner subquery) → reject
+    assert _parse_window_topn(
+        """SELECT * FROM (
+             SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY window_start ORDER BY total) AS rn
+             FROM agged
+           ) WHERE rn <= 3"""
+    ) is None
