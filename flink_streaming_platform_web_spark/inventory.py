@@ -103,17 +103,18 @@ _CHECK_FIRST = (
     "vec02_quantize_int8",
     "vec03_dim_stats",
     "mm01_binary_meta",
-    "mm03_frame_sample",
-    # r4-green but downstream of operators/_cache.py, whose eviction
-    # logic was rewritten THIS round (weakref + LRU session bound) —
-    # re-prove the memoized chain's central product under the new
-    # cache (dd03/dd11/dc02 gave up their slots to the three NEW
-    # entries below; dd04 exercises the same memo machinery)
-    "dd04_minhash_lsh_pairs",
-    # new this round — never driver-checked
+    # new this round — never driver-checked. They displace
+    # mm03_frame_sample (r2-green, multimodal untouched since, byte
+    # path pinned by test_imagecodec.py) and the r4-green memo-chain
+    # re-checks (dd03/dd04/dd11/dc02): pp04 drives dd04's full
+    # LSH chain — shingles → signatures → candidates → verify —
+    # through the rewritten cache anyway, so the chain still gets a
+    # fresh driver row via its composition.
     "dd14_exact_substr_dup",
     "pp04_neardup_prep",
     "st11_stream_window_topn",
+    "st12_stream_dedup_sql",
+    "st13_stream_topn_continuous",
 )
 
 

@@ -967,27 +967,49 @@ class JobRunner:
         idx: int,
         result: ExecutionResult,
     ) -> None:
-        """Flink streaming Window Top-N (docs: queries/window-topn) —
-        Spark has no streaming rank operator, so the re-plan runs the
-        documented semantics directly: the INNER window aggregation
-        streams in update mode; per micro-batch the new per-group
-        totals merge into rank state, and every window TOUCHED in the
-        batch is re-ranked — rank rows are upserted by (window, rn)
-        and ranks that fell out of the top N are deleted (Flink's
-        retract + re-emit, demo parity for its RankOperator). State
-        and work per batch are bounded by touched-windows × groups, as
-        in Flink; at scale the state keys by window and the re-rank is
-        a per-window sorted-state walk, exactly Flink's UpdatableTopN
-        state layout. Ties on the rank value break on the remaining
-        group columns for determinism (Flink leaves ties unspecified;
-        a gated result cannot)."""
+        """Flink's three documented streaming ROW_NUMBER patterns
+        (docs: queries/window-topn, queries/topn,
+        queries/deduplication) — Spark has no streaming rank operator,
+        so the re-plan runs the documented semantics directly.
+
+        Agg inners (Window Top-N / continuous Top-N): the inner
+        aggregation streams in update mode; per micro-batch the new
+        per-group totals merge into rank state and every partition
+        TOUCHED in the batch is re-ranked — rank rows upsert by
+        (partition, rn) and ranks that fell out of the top N are
+        deleted (Flink's retract + re-emit, RankOperator parity).
+
+        Plain inners (deduplication rn=1 / raw-row top-n): the raw
+        stream appends; per-partition state retains only the best N
+        rows under the comparator — Flink's dedup state layout,
+        bounded at N rows per key.
+
+        State and work per batch are bounded by touched partitions ×
+        groups (agg) or × N (raw); at scale the state keys by
+        partition and the re-rank is a per-key sorted-state walk.
+        Ties on the rank value break on the remaining columns for
+        determinism (Flink leaves ties unspecified; a gated result
+        cannot)."""
         inner_df = self.spark.sql(translate_expr(spec.inner_sql))
         out_cols = [c.name for c in sink.columns if c.spark_type]
         sink_store = self._replace_store(sink.name, sink.primary_key)
+        # deterministic tie-break on the remaining columns (Flink
+        # leaves rank ties unspecified; a gated result cannot)
         tie_cols = [
             c for c in spec.group_cols if c not in spec.part_cols
+        ] if spec.inner_is_agg else [
+            c
+            for c in [cd.name for cd in sink.columns if cd.spark_type]
+            if c not in spec.part_cols
+            and c != spec.ord_col
+            and c != spec.rn_alias
         ]
+        # agg mode: {partition: {group key: latest total row}} (update
+        # stream re-emits a group's full new total). Raw mode:
+        # {partition: retained top-N rows} — per-key state is bounded
+        # by N, Flink's dedup/rank state layout.
         agg_state: dict[tuple, dict[tuple, dict]] = {}
+        raw_state: dict[tuple, list[dict]] = {}
 
         def apply(batch: DataFrame, epoch_id: int) -> None:
             if sink_store.schema is None:
@@ -1006,35 +1028,44 @@ class JobRunner:
             for r in batch.toLocalIterator():
                 row = r.asDict()
                 wkey = tuple(row[c] for c in spec.part_cols)
-                gkey = tuple(row[c] for c in spec.group_cols)
-                agg_state.setdefault(wkey, {})[gkey] = row
+                if spec.inner_is_agg:
+                    gkey = tuple(row[c] for c in spec.group_cols)
+                    agg_state.setdefault(wkey, {})[gkey] = row
+                else:
+                    raw_state.setdefault(wkey, []).append(row)
                 touched.add(wkey)
+
+            def sort_key(r: dict):
+                return (r[spec.ord_col], *[r[c] for c in tie_cols])
+
             for wkey in touched:
                 members = sorted(
-                    agg_state[wkey].values(),
-                    key=lambda r: (
-                        r[spec.ord_col],
-                        *[r[c] for c in tie_cols],
-                    ),
+                    agg_state[wkey].values()
+                    if spec.inner_is_agg
+                    else raw_state[wkey],
+                    key=sort_key,
                     reverse=spec.ord_desc,
                 )
                 top = members[: spec.topn]
+                if not spec.inner_is_agg:
+                    raw_state[wkey] = top  # bound the raw-row state
                 for rn, row in enumerate(top, 1):
                     out = {
                         c: (rn if c == spec.rn_alias else row[c])
                         for c in out_cols
                     }
                     sink_store.upsert(out)
-                for rn in range(len(top) + 1, spec.topn + 1):
-                    stale = dict(zip(spec.part_cols, wkey))
-                    stale[spec.rn_alias] = rn
-                    sink_store.delete(
-                        {k: stale.get(k) for k in sink.primary_key}
-                    )
+                if spec.rn_alias in sink.primary_key:
+                    for rn in range(len(top) + 1, spec.topn + 1):
+                        stale = dict(zip(spec.part_cols, wkey))
+                        stale[spec.rn_alias] = rn
+                        sink_store.delete(
+                            {k: stale.get(k) for k in sink.primary_key}
+                        )
 
-        writer = inner_df.writeStream.outputMode("update").foreachBatch(
-            apply
-        )
+        writer = inner_df.writeStream.outputMode(
+            "update" if spec.inner_is_agg else "append"
+        ).foreachBatch(apply)
         if self._trigger:
             writer = writer.trigger(**self._trigger)
         result.streaming_queries.append(writer.start())
@@ -1431,25 +1462,37 @@ def _is_aggregated(df: DataFrame) -> bool:
 
 @dataclass
 class _WindowTopN:
-    """Parsed Flink streaming Window Top-N shape (docs:
-    queries/window-topn — the three-level nesting is the documented
-    form): inner window agg, middle ROW_NUMBER over the window
-    partition, outer rank filter."""
+    """Parsed Flink streaming rank shape — one of the three documented
+    ROW_NUMBER patterns (Flink docs: queries/window-topn, queries/topn,
+    queries/deduplication; all use the same nesting: inner query,
+    middle ROW_NUMBER over a partition, outer rank filter):
+
+    - Window Top-N: inner is a window-TVF aggregation (GROUP BY with
+      window_start) — per-window rank state, closed by event time.
+    - Top-N: inner is an updating aggregation over arbitrary keys —
+      continuously maintained per-partition rank state.
+    - Deduplication: inner is a PLAIN select (no GROUP BY) and the
+      filter is rn = 1 (or rn <= N for raw-row top-n) — per-key
+      best-row(s) state over the raw stream.
+
+    ``inner_is_agg`` selects the state layout; ``group_cols`` is the
+    state key (inner GROUP BY, or the partition itself for raw rows)."""
 
     inner_sql: str
-    group_cols: list[str]  # inner agg GROUP BY (plain names required)
-    part_cols: list[str]  # rank partition (window_start[, window_end])
+    group_cols: list[str]  # state key (plain names required)
+    part_cols: list[str]  # rank partition
     ord_col: str
     ord_desc: bool
     rn_alias: str
     topn: int
+    inner_is_agg: bool
 
 
 def _parse_window_topn(sql: str) -> "_WindowTopN | None":
-    """Recognize Flink's documented Window Top-N nesting. Returns None
-    for anything else — the caller then takes the normal path (and
-    Spark's UnsupportedOperationChecker fails loudly for unsupported
-    streaming rank shapes, never a silent wrong answer)."""
+    """Recognize Flink's documented streaming rank nestings. Returns
+    None for anything else — the caller then takes the normal path
+    (and Spark's UnsupportedOperationChecker fails loudly for
+    unsupported streaming rank shapes, never a silent wrong answer)."""
     m = re.search(
         r"ROW_NUMBER\(\)\s+OVER\s*\(\s*PARTITION\s+BY\s+(.+?)"
         r"\s+ORDER\s+BY\s+(.+?)\)\s+AS\s+`?(\w+)`?",
@@ -1459,8 +1502,8 @@ def _parse_window_topn(sql: str) -> "_WindowTopN | None":
     if not m:
         return None
     part_cols = [c.strip().strip("`") for c in m.group(1).split(",")]
-    if not any(c.lower() == "window_start" for c in part_cols):
-        return None  # only the WINDOW top-n pattern is re-plannable
+    if not all(re.fullmatch(r"[\w.]+", c) for c in part_cols):
+        return None  # expression partitions: the loud path
     om = re.match(
         r"`?([\w.]+)`?\s*(ASC|DESC)?\s*$", m.group(2).strip(),
         re.IGNORECASE,
@@ -1468,13 +1511,15 @@ def _parse_window_topn(sql: str) -> "_WindowTopN | None":
     if not om:
         return None
     rn_alias = m.group(3)
+    # rank filter: `rn <= N` (top-n) or `rn = 1` (deduplication)
     fm = re.search(
-        rf"WHERE\s+`?{rn_alias}`?\s*<=\s*(\d+)\s*$",
+        rf"WHERE\s+`?{rn_alias}`?\s*(?:<=\s*(\d+)|=\s*(1))\s*$",
         sql.rstrip().rstrip(";"),
         re.IGNORECASE,
     )
     if not fm:
         return None
+    topn = int(fm.group(1) or fm.group(2))
     # innermost subquery: the parenthesized FROM of the rank select
     i = sql.upper().find("FROM", m.end())
     if i < 0:
@@ -1496,11 +1541,17 @@ def _parse_window_topn(sql: str) -> "_WindowTopN | None":
     gm = re.search(
         r"GROUP\s+BY\s+(.+?)\s*$", inner, re.IGNORECASE | re.DOTALL
     )
-    if not gm:
-        return None
-    group_cols = [c.strip().strip("`") for c in gm.group(1).split(",")]
-    if not all(re.fullmatch(r"[\w.]+", c) for c in group_cols):
-        return None  # expression keys: fall through to the loud path
+    if gm:
+        group_cols = [
+            c.strip().strip("`") for c in gm.group(1).split(",")
+        ]
+        if not all(re.fullmatch(r"[\w.]+", c) for c in group_cols):
+            return None  # expression keys: the loud path
+        inner_is_agg = True
+    else:
+        # deduplication / raw-row top-n: state keys by the partition
+        group_cols = list(part_cols)
+        inner_is_agg = False
     return _WindowTopN(
         inner_sql=inner,
         group_cols=group_cols,
@@ -1508,7 +1559,8 @@ def _parse_window_topn(sql: str) -> "_WindowTopN | None":
         ord_col=om.group(1),
         ord_desc=(om.group(2) or "ASC").upper() == "DESC",
         rn_alias=rn_alias,
-        topn=int(fm.group(1)),
+        topn=topn,
+        inner_is_agg=inner_is_agg,
     )
 
 

@@ -733,9 +733,124 @@ SELECT window_start, event_type, total, rn FROM (
 """
 
 
+def st12_stream_dedup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's documented SQL Deduplication pattern (docs:
+    queries/deduplication — `ROW_NUMBER() OVER (PARTITION BY key
+    ORDER BY time) ... WHERE rownum = 1`) end-to-end through the
+    runner: keep-first per user_id in event-time order, maintained by
+    the rank router's raw-row state (best-1 row retained per key,
+    upserted when an earlier-timestamped row arrives in a later
+    micro-batch). Timestamps cross the engine boundary as µs strings
+    (the ts_str carrier), so the lexicographic order IS chronological
+    and the oracle replays it exactly; ties break on the remaining
+    columns ascending (documented determinism refinement)."""
+    path = _events_as_stream_source(spark, sf_dir, "st12", files=3)
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        _EVENTS_DDL.format(path=path)
+        + """;
+        CREATE TABLE st12_sink (
+          user_id BIGINT, ts_s STRING, event_type STRING,
+          value DOUBLE,
+          PRIMARY KEY (user_id) NOT ENFORCED
+        ) WITH ('connector' = 'jdbc');
+        INSERT INTO st12_sink
+        SELECT user_id, ts_s, event_type, value FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts_s ASC) AS rownum
+          FROM (
+            SELECT user_id,
+                   date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS')
+                     AS ts_s,
+                   event_type, value
+            FROM stream_events
+          )
+        ) WHERE rownum = 1;
+        """,
+    )
+    return (
+        runner.upsert_stores["st12_sink"]
+        .to_df(spark)
+        .select("user_id", "ts_s", "event_type", "value")
+    )
+
+
+ORACLE_ST12 = """
+SELECT user_id, ts_s, event_type, value FROM (
+  SELECT t.*, ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY ts_s ASC, event_type ASC, value ASC) AS rownum
+  FROM (
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           event_type, value
+    FROM events
+  ) t
+) WHERE rownum = 1
+"""
+
+
+def st13_stream_topn_continuous(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Flink's documented continuous (non-window) Top-N (docs:
+    queries/topn): top-5 users by running total value per event_type,
+    maintained over an UPDATING aggregation. The rank router keeps
+    per-partition rank state over the update stream's re-emitted
+    totals; rank rows upsert by (event_type, rn) with retraction
+    deletes. Converged store == the batch rank query."""
+    path = _events_as_stream_source(spark, sf_dir, "st13", files=3)
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        _EVENTS_DDL.format(path=path)
+        + """;
+        CREATE TABLE st13_sink (
+          event_type STRING, user_id BIGINT, total DOUBLE,
+          rn BIGINT,
+          PRIMARY KEY (event_type, rn) NOT ENFORCED
+        ) WITH ('connector' = 'jdbc');
+        INSERT INTO st13_sink
+        SELECT event_type, user_id, total, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY total DESC) AS rn
+          FROM (
+            SELECT event_type, user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total
+            FROM stream_events
+            GROUP BY event_type, user_id
+          )
+        ) WHERE rn <= 5;
+        """,
+    )
+    return (
+        runner.upsert_stores["st13_sink"]
+        .to_df(spark)
+        .select("event_type", "user_id", "total", "rn")
+    )
+
+
+ORACLE_ST13 = f"""
+WITH agg AS (
+  SELECT event_type, user_id, {oracle_dsum('value', 'total')}
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, total, rn FROM (
+  SELECT agg.*, CAST(ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY total DESC, user_id DESC) AS BIGINT) AS rn
+  FROM agg
+) WHERE rn <= 5
+"""
+
+
 QUERIES = {
     "st01_stream_tumble_window": st01_stream_tumble_window,
     "st11_stream_window_topn": st11_stream_window_topn,
+    "st12_stream_dedup_sql": st12_stream_dedup_sql,
+    "st13_stream_topn_continuous": st13_stream_topn_continuous,
     "st10_stream_ttl_incremental_agg": st10_stream_ttl_incremental_agg,
     "st09_stream_window_tvf": st09_stream_window_tvf,
     "st08_stream_cdc_latest": st08_stream_cdc_latest,
@@ -750,6 +865,8 @@ QUERIES = {
 ORACLES = {
     "st10_stream_ttl_incremental_agg": ORACLE_ST10,
     "st11_stream_window_topn": ORACLE_ST11,
+    "st12_stream_dedup_sql": ORACLE_ST12,
+    "st13_stream_topn_continuous": ORACLE_ST13,
     "st09_stream_window_tvf": ORACLE_ST09,
     "st08_stream_cdc_latest": ORACLE_ST08,
     "st07_stream_interval_join": ORACLE_ST07,

@@ -326,14 +326,30 @@ def test_parse_window_topn_shapes():
     assert "SUM(value)" in spec.inner_sql
     assert "ROW_NUMBER" not in spec.inner_sql.upper()
 
-    # per-key (non-window) top-n: NOT this pattern
-    assert _parse_window_topn(
+    # per-key (non-window) continuous top-n: the queries/topn pattern
+    spec2 = _parse_window_topn(
         """SELECT * FROM (
              SELECT *, ROW_NUMBER() OVER (
                       PARTITION BY user_id ORDER BY ts DESC) AS rn
              FROM (SELECT user_id, ts FROM ev GROUP BY user_id, ts)
            ) WHERE rn <= 1"""
-    ) is None
+    )
+    assert spec2 is not None and spec2.inner_is_agg
+    assert spec2.part_cols == ["user_id"] and spec2.topn == 1
+
+    # deduplication (queries/deduplication): plain inner + rn = 1
+    spec3 = _parse_window_topn(
+        """SELECT user_id, ts_s, v FROM (
+             SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY user_id ORDER BY ts_s ASC)
+                      AS rownum
+             FROM (SELECT user_id, ts_s, v FROM ev)
+           ) WHERE rownum = 1"""
+    )
+    assert spec3 is not None and not spec3.inner_is_agg
+    assert spec3.group_cols == ["user_id"]
+    assert spec3.topn == 1 and not spec3.ord_desc
+    assert spec3.rn_alias == "rownum"
     # no rank filter → not top-n
     assert _parse_window_topn(
         """SELECT *, ROW_NUMBER() OVER (
