@@ -21,6 +21,12 @@ Routes (JSON in/out, reference verb names kept):
     POST /api/setAlarmConfig   {id, types: ["DINGDING", ...]}
     POST /api/login            {username, password} → {token}
     POST /api/logout           {}
+    POST /api/addUser          {username, password}
+    GET  /                     the admin console (webui.py — the
+                               reference Vue front's task/alarm/log/
+                               user management as one static page)
+    GET  /api/runLog?id=N      job_run_log rows (log-manage)
+    GET  /api/alarmLog?id=N    alart_log rows (alarm-manage)
     GET  /api/status?id=N
     GET  /api/metrics?id=N   (per-query lastProgress — job-detail metrics)
     GET  /api/savepoints?id=N (savepoint ids for /api/start restore)
@@ -83,6 +89,21 @@ class _Handler(BaseHTTPRequestHandler):
         mgr = self.manager
         url = urlparse(self.path)
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        if url.path in ("/", "/index.html", "/ui"):
+            # the admin console (webui.py) — static shell, no auth:
+            # every API call it makes carries the token header and is
+            # authorized per-route like any other client
+            from flink_streaming_platform_web_spark.platform.webui import (
+                CONSOLE_HTML,
+            )
+
+            body = CONSOLE_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         if not self._authorized(url.path):
             self._reply(_envelope(None, 401, "login required"), 401)
             return
@@ -119,6 +140,25 @@ class _Handler(BaseHTTPRequestHandler):
                 data = [
                     {"version": v, "sql": s}
                     for v, s in mgr.store.history(int(q["id"]))
+                ]
+            elif url.path == "/api/runLog":
+                # log-manage parity (LogController / job_run_log)
+                data = [
+                    {
+                        "run_id": rid,
+                        "status": status,
+                        "query_ids": qids,
+                        "message": message,
+                    }
+                    for rid, status, qids, message in mgr.store.runs(
+                        int(q["id"])
+                    )
+                ]
+            elif url.path == "/api/alarmLog":
+                # alarm-manage parity (alart_log)
+                data = [
+                    {"alarm_type": t, "message": m}
+                    for t, m in mgr.store.alarms(int(q["id"]))
                 ]
             else:
                 self._reply(_envelope(None, 404, "not found"), 404)
@@ -188,6 +228,15 @@ class _Handler(BaseHTTPRequestHandler):
                 data = None
             elif path == "/api/savepoint":
                 data = {"checkpoint_dir": mgr.savepoint(int(b["id"]))}
+            elif path == "/api/addUser":
+                # user-manage parity (UserController.add): open only
+                # until the first user exists, then token-gated like
+                # every other verb
+                data = {
+                    "id": mgr.store.add_user(
+                        b["username"], b["password"]
+                    )
+                }
             elif path == "/api/checkfSql":
                 v = validate_script(
                     b["sql"], mgr.spark, b.get("job_type", "streaming")

@@ -254,3 +254,77 @@ def test_memo_cache_bounds_cycled_sessions(spark):
         assert len(sids) <= _cache._MAX_SESSIONS
     finally:
         _cache.clear()
+
+
+def test_web_console_and_log_user_routes(spark, tmp_path):
+    """The admin console (webui.py — the reference Vue front's
+    task/alarm/log/user management as one static page) is served at
+    `/`, and the routes it relies on work: runLog / alarmLog rows,
+    addUser + token gating (401 once a user exists, token unlocks)."""
+    import urllib.request
+
+    from flink_streaming_platform_web_spark.platform.manager import (
+        JobManager,
+    )
+    from flink_streaming_platform_web_spark.platform.rest import serve
+    from flink_streaming_platform_web_spark.platform.store import JobStore
+
+    store = JobStore()
+    mgr = JobManager(spark, store)
+    jid = store.add_job("ui1", "SELECT 1")
+    store.log_run(jid, "RUN", ["q-1"])
+    store.log_alarm(jid, "DINGDING", "job down")
+    server, _ = serve(mgr)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    def get(path, token=None, expect=200):
+        req = urllib.request.Request(
+            base + path, headers={"token": token} if token else {}
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, r.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    def post(path, body, token=None):
+        req = urllib.request.Request(
+            base + path,
+            data=json.dumps(body).encode(),
+            headers={"token": token} if token else {},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return json.loads(e.read())
+
+    try:
+        status, html = get("/")
+        assert status == 200 and b"<!DOCTYPE html>" in html
+        # the console shell carries the management panels the
+        # reference front ships as Vue views
+        for frag in (b"listTask", b"runLog", b"alarmLog",
+                     b"setAlarmConfig", b"checkfSql", b"login"):
+            assert frag in html, frag
+        status, body = get(f"/api/runLog?id={jid}")
+        runs = json.loads(body)["data"]
+        assert runs and runs[0]["status"] == "RUN"
+        status, body = get(f"/api/alarmLog?id={jid}")
+        alarms = json.loads(body)["data"]
+        assert alarms == [
+            {"alarm_type": "DINGDING", "message": "job down"}
+        ]
+        # user-manage: after the first user, the API locks
+        assert post("/api/addUser", {"username": "a", "password": "pw"})[
+            "code"
+        ] == 200
+        assert get(f"/api/runLog?id={jid}")[0] == 401
+        # but the console shell itself still serves (login screen)
+        assert get("/")[0] == 200
+        tok = post(
+            "/api/login", {"username": "a", "password": "pw"}
+        )["data"]["token"]
+        assert get(f"/api/runLog?id={jid}", token=tok)[0] == 200
+    finally:
+        server.shutdown()
