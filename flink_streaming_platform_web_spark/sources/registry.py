@@ -153,6 +153,21 @@ def _datagen_field(table: TableDef, name: str, spark_type: str) -> F.Column:
     return (F.lit(fmin) + u * (fmax - fmin)).cast(spark_type)
 
 
+def _datagen_sequence_span(table: TableDef) -> int | None:
+    """Rows until the tightest bounded sequence field is exhausted —
+    demo_datagen.md: 'if any field is sequence-generated (bounded),
+    the program exits when the sequence ends'."""
+    spans = []
+    for c in table.columns:
+        if table.options.get(f"fields.{c.name}.kind") == "sequence":
+            start = int(table.options.get(f"fields.{c.name}.start", 1))
+            end = int(
+                table.options.get(f"fields.{c.name}.end", 1 << 30)
+            )
+            spans.append(max(end - start + 1, 1))
+    return min(spans) if spans else None
+
+
 def datagen_stream(spark: SparkSession, table: TableDef) -> DataFrame:
     rate = (
         spark.readStream.format("rate")
@@ -160,6 +175,12 @@ def datagen_stream(spark: SparkSession, table: TableDef) -> DataFrame:
         .load()
         .withColumnRenamed("value", "__seq")
     )
+    span = _datagen_sequence_span(table)
+    if span is not None:
+        # bounded sequence: emit exactly the span, then idle (a rate
+        # stream can't self-terminate; Flink exits — closest parity
+        # without fabricating extra rows)
+        rate = rate.where(F.col("__seq") < span)
     cols = [
         _datagen_field(table, c.name, c.spark_type).alias(c.name)
         for c in table.columns
@@ -170,6 +191,11 @@ def datagen_stream(spark: SparkSession, table: TableDef) -> DataFrame:
 
 def datagen_batch(spark: SparkSession, table: TableDef) -> DataFrame:
     n = int(table.options.get("number-of-rows", 1000))
+    span = _datagen_sequence_span(table)
+    if span is not None:
+        # the bounded sequence ends the job (demo_datagen.md); an
+        # explicit number-of-rows can only shorten it further
+        n = span if "number-of-rows" not in table.options else min(n, span)
     base = spark.range(n).withColumnRenamed("id", "__seq")
     cols = [
         _datagen_field(table, c.name, c.spark_type).alias(c.name)

@@ -335,3 +335,78 @@ def test_demo7_window_tvfs_runs(spark, tmp_path):
     assert cum[("2020-04-15 08:00:00", "2020-04-15 08:08:00")] == 2
     assert cum[("2020-04-15 08:00:00", "2020-04-15 08:10:00")] == 2
     assert cum[("2020-04-15 08:10:00", "2020-04-15 08:14:00")] == 1
+
+
+def test_demo8_datagen_runs(spark):
+    """demo_datagen.md §2.1: bounded sequence field ends the job;
+    random fields respect their bounds; computed ts accepted."""
+    runner = JobRunner(spark, mode="batch")
+    runner.execute_script(
+        (EXAMPLES / "demo_8_datagen.sql").read_text()
+    )
+    rows = spark.table("datagen_out").collect()
+    assert sorted(r["f_sequence"] for r in rows) == list(range(1, 51))
+    assert all(1 <= r["f_random"] <= 100 for r in rows)
+    assert all(len(r["f_random_str"]) == 10 for r in rows)
+
+
+def test_demo9_stream_rank_runs(spark, tmp_path):
+    """The streaming rank script: Window Top-N state and keep-first
+    dedup maintained across micro-batches, hand-checked."""
+    src = tmp_path / "rank_clicks"
+    src.mkdir()
+
+    def click(user, url, hhmmss):
+        return json.dumps(
+            {"username": user, "click_url": url,
+             "ts": f"2020-04-15 {hhmmss}"}
+        )
+
+    (src / "a.json").write_text(
+        "\n".join(
+            [
+                click("alice", "/u1", "08:00:01"),
+                click("alice", "/u1", "08:00:05"),
+                click("bob", "/u1", "08:00:10"),
+                click("alice", "/u2", "08:00:20"),
+            ]
+        )
+    )
+    (src / "b.json").write_text(
+        "\n".join(
+            [
+                click("bob", "/u2", "08:00:30"),
+                click("bob", "/u3", "08:00:40"),
+                click("carol", "/u3", "08:01:10"),
+                click("carol", "/u3", "08:01:20"),
+                click("alice", "/u2", "08:01:30"),
+            ]
+        )
+    )
+    import os
+    import time
+
+    os.utime(src / "b.json", (time.time() + 2, time.time() + 2))
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        (EXAMPLES / "demo_9_stream_rank.sql").read_text(),
+        variables={"data_dir": str(tmp_path)},
+    )
+    _drain(result)
+    top = {
+        (r["window_start"], r["rn"]): (r["click_url"], r["clicks"])
+        for r in runner.upsert_stores["top_urls"].to_df(spark).collect()
+    }
+    # minute 08:00 — /u1×3, /u2×2, /u3×1 → top2 = /u1, /u2
+    assert top[("2020-04-15 08:00:00", 1)] == ("/u1", 3)
+    assert top[("2020-04-15 08:00:00", 2)] == ("/u2", 2)
+    # minute 08:01 — /u3×2, /u2×1
+    assert top[("2020-04-15 08:01:00", 1)] == ("/u3", 2)
+    assert top[("2020-04-15 08:01:00", 2)] == ("/u2", 1)
+    first = {
+        r["username"]: r["click_url"]
+        for r in runner.upsert_stores["first_click"]
+        .to_df(spark)
+        .collect()
+    }
+    assert first == {"alice": "/u1", "bob": "/u1", "carol": "/u3"}
