@@ -339,6 +339,20 @@ def _kafka_decode(raw: DataFrame, table: TableDef) -> DataFrame:
             raw.select(F.col("value").cast("string").alias("value")),
             table.schema_ddl(),
         )
+    if fmt == "raw":
+        # Flink's raw format (docs: formats/raw): the record value
+        # passes through as-is into the table's SINGLE physical
+        # column — BYTES keeps the bytes, STRING/numeric casts
+        phys = [c for c in table.columns if c.spark_type]
+        if len(phys) != 1:
+            raise ValueError(
+                "format 'raw' requires exactly one physical column,"
+                f" got {[c.name for c in phys]}"
+            )
+        col = phys[0]
+        return raw.select(
+            F.col("value").cast(col.spark_type).alias(col.name)
+        )
     raise ValueError(f"unsupported kafka format: {fmt!r}")
 
 
