@@ -9,6 +9,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_streaming_platform_web_spark.operators import (
+    cep,
     clusters,
     decontam,
     dedup,
@@ -27,6 +28,7 @@ from flink_streaming_platform_web_spark.streaming import stream_queries
 
 _MODULES = (
     relational,
+    cep,
     relational_ext,
     functions_demo,
     windows,
@@ -77,7 +79,6 @@ _CHECK_FIRST = (
     "st08_stream_cdc_latest",
     # remaining r2-dated batch entries, oldest coverage first
     "q01_pricing_summary",
-    "q02_filter_project",
     "q03_computed_columns",
     "q04_daily_gmv",
     "q05_gmv_join_coupon",
@@ -115,6 +116,9 @@ _CHECK_FIRST = (
     "st11_stream_window_topn",
     "st12_stream_dedup_sql",
     "st13_stream_topn_continuous",
+    # q45 (MATCH_RECOGNIZE) is new — takes q02's slot (r2-green, the
+    # most trivial scan shape, its pushdown pinned by test_plans.py)
+    "q45_match_recognize",
 )
 
 

@@ -1,0 +1,502 @@
+"""MATCH_RECOGNIZE — Flink SQL's CEP surface (docs:
+queries/match_recognize), as a Spark-first operator.
+
+Spark has no MATCH_RECOGNIZE; the semantics are per-partition
+sequential pattern matching, which maps exactly onto
+``groupBy(partition).applyInPandas`` with an Arrow-batched greedy
+matcher per key. The supported subset is the clause shape every
+example in the Flink docs uses:
+
+    PARTITION BY k1[, k2 ...]
+    ORDER BY c1[, c2 ...]          -- ascending only
+    MEASURES  <expr> AS name, ...  -- FIRST/LAST(V.col), COUNT(V.*),
+                                   -- COUNT(*), SUM/MIN/MAX/AVG(V.col)
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
+    PATTERN (A B+ C* D?)           -- concatenation, greedy + * ?
+    DEFINE  V AS <boolean over V.col / PREV(V.col[, n]) /
+                  FIRST(X.col) / LAST(X.col) / literals,
+                  AND OR NOT and comparisons/arithmetic>
+
+Matching is the standard greedy-with-backtracking NFA walk (matches
+searched from each row in ORDER BY order; quantifiers greedy; an
+undefined variable is always-true — all per the SQL/RPR standard
+Flink implements). ``AFTER MATCH SKIP PAST LAST ROW`` resumes after
+the consumed rows; ``SKIP TO NEXT ROW`` resumes at start+1.
+
+Scale shape: one shuffle on the PARTITION BY key; each key's rows
+sort and match inside its executor (Flink's CepOperator keys state
+identically). The matcher is per-key sequential BY DEFINITION of the
+semantics — parallelism comes from the key space, the same contract
+as Flink. Skewed giant keys are the hazard; the mitigation (as in
+Flink) is a time-bounded WITHIN or pre-splitting, not a different
+plan.
+
+DEFINE/MEASURES expressions are translated to Python and evaluated
+per candidate row against the match context — no Spark expression
+round-trip inside the match loop (a per-row spark.sql would be a
+driver loop; this stays in the executor's pandas batch).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+__all__ = ["MatchSpec", "parse_match_recognize", "match_recognize"]
+
+
+@dataclass
+class MatchSpec:
+    partition_by: list[str]
+    order_by: list[str]
+    measures: list[tuple[str, str]]  # (python expr, output name)
+    pattern: list[tuple[str, str]]  # (var, quant: '1' '+' '*' '?')
+    define: dict[str, str]  # var -> python expr
+    skip_past_last: bool = True
+    output_schema: str = ""  # filled by match_recognize from a sample
+    raw_measures: list[tuple[str, str]] = field(default_factory=list)
+
+
+_FUN = r"(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG|PREV)"
+
+
+def _xlate(expr: str) -> str:
+    """SQL expression subset → python source evaluated against the
+    matcher's context helpers (__prev/__first/__last/__agg/__cur)."""
+    s = expr
+    # PREV(V.col) / PREV(V.col, n) — relative to the CURRENT row
+    s = re.sub(
+        r"PREV\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
+        lambda m: f"__prev('{m.group(2)}', {m.group(3) or 1})",
+        s,
+        flags=re.IGNORECASE,
+    )
+    # FIRST/LAST(V.col) over the rows var V matched so far
+    s = re.sub(
+        r"(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)",
+        lambda m: (
+            f"__{m.group(1).lower()}('{m.group(2)}', '{m.group(3)}')"
+        ),
+        s,
+        flags=re.IGNORECASE,
+    )
+    # COUNT(V.*) / COUNT(*) / SUM|MIN|MAX|AVG(V.col)
+    s = re.sub(
+        r"COUNT\s*\(\s*(\w+)\.\*\s*\)",
+        lambda m: f"__agg('count', '{m.group(1)}', None)",
+        s,
+        flags=re.IGNORECASE,
+    )
+    s = re.sub(
+        r"COUNT\s*\(\s*\*\s*\)",
+        "__agg('count', None, None)",
+        s,
+        flags=re.IGNORECASE,
+    )
+    s = re.sub(
+        r"(SUM|MIN|MAX|AVG)\s*\(\s*(\w+)\.(\w+)\s*\)",
+        lambda m: (
+            f"__agg('{m.group(1).lower()}', '{m.group(2)}',"
+            f" '{m.group(3)}')"
+        ),
+        s,
+        flags=re.IGNORECASE,
+    )
+    # bare V.col — the current row inside DEFINE, the LAST row of V
+    # in MEASURES (handled by caller passing the right __cur)
+    s = re.sub(r"\b(\w+)\.(\w+)\b", r"__cur('\1', '\2')", s)
+    # SQL operators → python
+    s = re.sub(r"<>", "!=", s)
+    s = re.sub(r"(?<![<>!=])=(?!=)", "==", s)
+    s = re.sub(r"\bAND\b", "and", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bOR\b", "or", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bNOT\b", "not", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bNULL\b", "None", s, flags=re.IGNORECASE)
+    return s
+
+
+def parse_match_recognize(clause: str) -> MatchSpec:
+    """Parse the MATCH_RECOGNIZE(...) clause body (the text between
+    the outer parens). Raises ValueError on anything outside the
+    supported subset — loud, never a silent wrong answer."""
+
+    def grab(name: str, stop: str) -> str:
+        m = re.search(
+            rf"{name}\s+(.*?)\s*(?={stop})",
+            clause,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"MATCH_RECOGNIZE: missing {name}")
+        return m.group(1).strip()
+
+    part = [
+        c.strip().strip("`")
+        for c in grab("PARTITION\\s+BY", "ORDER\\s+BY").split(",")
+    ]
+    order_txt = grab("ORDER\\s+BY", "MEASURES")
+    order = []
+    for c in order_txt.split(","):
+        c = c.strip().strip("`")
+        if re.search(r"\sDESC$", c, re.IGNORECASE):
+            raise ValueError(
+                "MATCH_RECOGNIZE: only ascending ORDER BY supported"
+            )
+        order.append(re.sub(r"\s+ASC$", "", c, flags=re.IGNORECASE))
+    if re.search(r"ALL\s+ROWS\s+PER\s+MATCH", clause, re.IGNORECASE):
+        raise ValueError(
+            "MATCH_RECOGNIZE: only ONE ROW PER MATCH supported"
+        )
+    measures_txt = grab(
+        "MEASURES", r"(?:ONE\s+ROW\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN)"
+    )
+    measures, raw = [], []
+    for item in re.split(r",(?![^()]*\))", measures_txt):
+        m = re.match(
+            r"(.+?)\s+AS\s+`?(\w+)`?\s*$", item.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"MATCH_RECOGNIZE: bad measure {item!r}")
+        measures.append((_xlate(m.group(1)), m.group(2)))
+        raw.append((m.group(1).strip(), m.group(2)))
+    skip_past = not re.search(
+        r"AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW", clause, re.IGNORECASE
+    )
+    pat_txt = re.search(
+        r"PATTERN\s*\(\s*(.*?)\s*\)", clause, re.IGNORECASE | re.DOTALL
+    )
+    if not pat_txt:
+        raise ValueError("MATCH_RECOGNIZE: missing PATTERN")
+    pattern = []
+    for tok in pat_txt.group(1).split():
+        m = re.fullmatch(r"(\w+)([+*?]?)", tok)
+        if not m:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: unsupported pattern token {tok!r}"
+            )
+        pattern.append((m.group(1), m.group(2) or "1"))
+    define_txt = re.search(
+        r"DEFINE\s+(.*)$", clause, re.IGNORECASE | re.DOTALL
+    )
+    define = {}
+    if define_txt:
+        for item in re.split(r",(?![^()]*\))", define_txt.group(1)):
+            m = re.match(
+                r"\s*(\w+)\s+AS\s+(.+?)\s*$", item,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: bad DEFINE {item!r}"
+                )
+            define[m.group(1)] = _xlate(m.group(2))
+    return MatchSpec(
+        partition_by=part,
+        order_by=order,
+        measures=measures,
+        pattern=pattern,
+        define=define,
+        skip_past_last=skip_past,
+        raw_measures=raw,
+    )
+
+
+def _match_partition(rows: list[dict], spec: MatchSpec) -> list[dict]:
+    """Greedy-with-backtracking matcher over one partition's ordered
+    rows. Returns one output dict per match."""
+    n = len(rows)
+    out = []
+    start = 0
+    pattern = spec.pattern
+
+    def try_match(start_idx: int):
+        """Longest (greedy) match starting at start_idx, or None.
+        assigned: per consumed row, the variable it bound to."""
+        best: list[str] | None = None
+
+        def ctx(assigned: list[str], cur_idx: int, cur_var: str):
+            # helpers evaluated against rows[start_idx : ...]
+            def __cur(var, col):
+                if var == cur_var:
+                    return rows[cur_idx][col]
+                return __last(var, col)
+
+            def __prev(col, k=1):
+                j = cur_idx - k
+                return rows[j][col] if j >= 0 else None
+
+            def _var_rows(var):
+                return [
+                    rows[start_idx + i]
+                    for i, v in enumerate(assigned)
+                    if var is None or v == var
+                ]
+
+            def __first(var, col):
+                r = _var_rows(var)
+                return r[0][col] if r else None
+
+            def __last(var, col):
+                r = _var_rows(var)
+                return r[-1][col] if r else None
+
+            def __agg(fn, var, col):
+                r = _var_rows(var)
+                if fn == "count":
+                    return len(r)
+                vals = [x[col] for x in r if x[col] is not None]
+                if not vals:
+                    return None
+                if fn == "sum":
+                    return sum(vals)
+                if fn == "min":
+                    return min(vals)
+                if fn == "max":
+                    return max(vals)
+                return sum(vals) / len(vals)
+
+            return {
+                "__cur": __cur,
+                "__prev": __prev,
+                "__first": __first,
+                "__last": __last,
+                "__agg": __agg,
+            }
+
+        def ok(var, assigned, idx):
+            expr = spec.define.get(var)
+            if expr is None:
+                return True  # undefined variable is always-true
+            try:
+                return bool(
+                    eval(  # noqa: S307 — translated subset, no names
+                        expr, {"__builtins__": {}},
+                        ctx(assigned, idx, var),
+                    )
+                )
+            except TypeError:  # NULL in a comparison → no match
+                return False
+
+        def walk(pi: int, idx: int, assigned: list[str]):
+            nonlocal best
+            if pi == len(pattern):
+                if best is None or len(assigned) > len(best):
+                    best = list(assigned)
+                return
+            var, quant = pattern[pi]
+            if quant in ("1", "?"):
+                if idx < n and ok(var, assigned, idx):
+                    walk(pi + 1, idx + 1, assigned + [var])
+                if quant == "?":
+                    walk(pi + 1, idx, assigned)
+                return
+            # + / * : greedy — consume as many as possible, then
+            # backtrack toward the minimum
+            taken = []
+            while idx + len(taken) < n and ok(
+                var, assigned + taken, idx + len(taken)
+            ):
+                taken.append(var)
+            lo = 1 if quant == "+" else 0
+            for k in range(len(taken), lo - 1, -1):
+                walk(pi + 1, idx + k, assigned + taken[:k])
+                if best is not None:
+                    return  # greedy: first (longest-prefix) wins
+
+        walk(0, start_idx, [])
+        return best
+
+    while start < n:
+        assigned = try_match(start)
+        if assigned:
+            end = start + len(assigned)
+            c = {
+                "__cur": None,  # bare V.col in MEASURES = LAST(V.col)
+            }
+            # context helpers bound to the FULL match
+            last_idx = end - 1
+
+            def _var_rows(var):
+                return [
+                    rows[start + i]
+                    for i, v in enumerate(assigned)
+                    if var is None or v == var
+                ]
+
+            def __first(var, col):
+                r = _var_rows(var)
+                return r[0][col] if r else None
+
+            def __last(var, col):
+                r = _var_rows(var)
+                return r[-1][col] if r else None
+
+            def __agg(fn, var, col):
+                r = _var_rows(var)
+                if fn == "count":
+                    return len(r)
+                vals = [x[col] for x in r if x[col] is not None]
+                if not vals:
+                    return None
+                if fn == "sum":
+                    return sum(vals)
+                if fn == "min":
+                    return min(vals)
+                if fn == "max":
+                    return max(vals)
+                return sum(vals) / len(vals)
+
+            def __prev(col, k=1):
+                j = last_idx - k
+                return rows[j][col] if j >= 0 else None
+
+            c = {
+                "__cur": lambda var, col: __last(var, col),
+                "__prev": __prev,
+                "__first": __first,
+                "__last": __last,
+                "__agg": __agg,
+            }
+            row_out = {k: rows[start][k] for k in spec.partition_by}
+            for expr, name in spec.measures:
+                row_out[name] = eval(  # noqa: S307
+                    expr, {"__builtins__": {}}, c
+                )
+            out.append(row_out)
+            start = end if spec.skip_past_last else start + 1
+        else:
+            start += 1
+    return out
+
+
+def match_recognize(
+    df: DataFrame, spec: MatchSpec, output_schema: str
+) -> DataFrame:
+    """Apply the spec per partition: one shuffle on PARTITION BY, the
+    match loop runs Arrow-batched inside each executor."""
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(spec.order_by, kind="mergesort")
+        rows = pdf.to_dict("records")
+        return pd.DataFrame(
+            _match_partition(rows, spec)
+            or {
+                # empty: typed empty frame matching the schema
+                name: pd.Series(dtype="object")
+                for name in [
+                    *spec.partition_by,
+                    *[n for _, n in spec.measures],
+                ]
+            }
+        )
+
+    return df.groupBy(*spec.partition_by).applyInPandas(
+        run, output_schema
+    )
+
+
+def match_recognize_sql(df: DataFrame, clause: str, output_schema: str):
+    """Parse + apply in one step (the runner's SQL route)."""
+    return match_recognize(df, parse_match_recognize(clause), output_schema)
+
+
+def infer_output_schema(spec: MatchSpec, df: DataFrame) -> str:
+    """Output DDL for ONE ROW PER MATCH: partition columns keep their
+    source types; measures infer from the raw expression — COUNT →
+    BIGINT, AVG → DOUBLE, FIRST/LAST/MIN/MAX/SUM(V.col) → the
+    column's type (SUM over integers widens to BIGINT)."""
+    src = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    parts = [f"{c} {src[c]}" for c in spec.partition_by]
+    for raw, name in spec.raw_measures:
+        bare = re.fullmatch(r"(\w+)\.(\w+)", raw.strip())
+        if bare:  # bare V.col (= LAST(V.col)) keeps the column type
+            parts.append(f"{name} {src[bare.group(2)]}")
+            continue
+        m = re.match(
+            rf"{_FUN}\s*\(\s*(?:(\w+)\.)?(\w+|\*)", raw, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: cannot infer type of {raw!r}"
+            )
+        fn = m.group(1).upper()
+        col = m.group(3)
+        if fn == "COUNT":
+            t = "bigint"
+        elif fn == "AVG":
+            t = "double"
+        else:
+            t = src[col]
+            if fn == "SUM" and t in ("int", "smallint", "tinyint"):
+                t = "bigint"
+        parts.append(f"{name} {t}")
+    return ", ".join(parts)
+
+
+# --------------------------------------------------------------------------
+# q45 — MATCH_RECOGNIZE rising-streak detection, oracle-gated.
+# --------------------------------------------------------------------------
+
+Q45_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES
+    FIRST(STRT.event_id) AS start_id,
+    LAST(UP.event_id) AS end_id,
+    COUNT(UP.*) AS n_up,
+    LAST(UP.value) AS peak
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (STRT UP+)
+  DEFINE UP AS UP.value > PREV(UP.value)
+"""
+
+
+def q45_match_recognize(spark, sf_dir: str) -> DataFrame:
+    """Flink SQL MATCH_RECOGNIZE (docs: queries/match_recognize) —
+    rising value streaks per user: the standard Ticker example's
+    shape with the greedy `STRT UP+` pattern. Greedy + SKIP PAST LAST
+    ROW makes matches exactly the maximal strictly-increasing runs,
+    which the DuckDB oracle replays as gaps-and-islands — an
+    independent formulation of the same semantics, so the hash gate
+    checks the matcher, not a transliteration of it."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    spec = parse_match_recognize(Q45_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q45 = """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN value > LAG(value) OVER w THEN 0 ELSE 1 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (
+      PARTITION BY user_id ORDER BY rn) AS island
+  FROM ordered
+)
+SELECT user_id, start_id, end_id, n_up, peak FROM (
+  SELECT user_id,
+         FIRST(event_id ORDER BY rn) AS start_id,
+         LAST(event_id ORDER BY rn) AS end_id,
+         CAST(COUNT(*) - 1 AS BIGINT) AS n_up,
+         LAST(value ORDER BY rn) AS peak
+  FROM isl GROUP BY user_id, island
+) WHERE n_up >= 1
+"""
+
+QUERIES = {"q45_match_recognize": q45_match_recognize}
+ORACLES = {"q45_match_recognize": ORACLE_Q45}

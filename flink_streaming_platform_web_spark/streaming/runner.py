@@ -880,6 +880,9 @@ class JobRunner:
         if cdc_refs:
             self._write_stream_cdc(job, refs, cdc_refs, idx, result)
             return
+        if re.search(r"\bMATCH_RECOGNIZE\b", job.query_sql, re.IGNORECASE):
+            self._run_match_recognize(job, result)
+            return
         sql = translate_expr(job.query_sql)
         df = self.spark.sql(sql)
         sink = self.tables.get(job.target)
@@ -1069,6 +1072,70 @@ class JobRunner:
         if self._trigger:
             writer = writer.trigger(**self._trigger)
         result.streaming_queries.append(writer.start())
+
+    def _run_match_recognize(
+        self, job: InsertJob, result: ExecutionResult
+    ) -> None:
+        """Flink SQL MATCH_RECOGNIZE (docs: queries/match_recognize)
+        routed to the CEP operator (operators/cep.py): the clause is
+        parsed, matched per partition via applyInPandas, and the
+        OUTER select runs over the match result as a temp view — so
+        projections/filters around the clause work unchanged.
+        Streaming sources raise loudly (batch-only subset; Flink's
+        streaming CEP needs per-event NFA state the batch matcher
+        deliberately does not fake)."""
+        from flink_streaming_platform_web_spark.operators import cep
+
+        sql = job.query_sql
+        m = re.search(
+            r"\bFROM\s+([\w.`]+)\s+MATCH_RECOGNIZE\s*\(",
+            sql,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "MATCH_RECOGNIZE: expected FROM <table>"
+                " MATCH_RECOGNIZE (<clause>)"
+            )
+        tbl = m.group(1).strip("`")
+        j = m.end() - 1
+        depth = 0
+        for k in range(j, len(sql)):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            raise ValueError("MATCH_RECOGNIZE: unbalanced parens")
+        spec = cep.parse_match_recognize(sql[j + 1:k])
+        src = self.spark.table(tbl)
+        if src.isStreaming:
+            raise ValueError(
+                "MATCH_RECOGNIZE on a streaming source is not"
+                " supported (batch-only subset); run the job in"
+                " batch mode or stage the stream"
+            )
+        matched = cep.match_recognize(
+            src, spec, cep.infer_output_schema(spec, src)
+        )
+        matched.createOrReplaceTempView("__match_recognize__")
+        outer = (
+            sql[: m.start()]
+            + " FROM __match_recognize__ "
+            + sql[k + 1:]
+        )
+        df = self.spark.sql(translate_expr(outer))
+        sink = self.tables.get(job.target)
+        if sink is None:
+            raise ValueError(
+                f"MATCH_RECOGNIZE sink {job.target!r} must be a"
+                " declared table"
+            )
+        self._write_batch(
+            self._align_to_sink(df, sink), sink, job, result
+        )
 
     def _register_memory_result(
         self, out: DataFrame, sink: TableDef, accumulate: bool = False

@@ -1,0 +1,188 @@
+"""MATCH_RECOGNIZE (operators/cep.py): the Flink docs Ticker
+example's V-pattern hand-checked, quantifier/skip-mode semantics, the
+runner SQL route, and loud rejection of the unsupported surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_streaming_platform_web_spark.operators import cep
+
+
+def _ticker_df(spark):
+    # the Flink docs ticker: ACME price V-shape 12 17 19 21 25 12 15
+    # 19 20 24 25 19 — docs find one match starting at the price-25
+    # peak (row 4): down to 12, up to 19
+    rows = [
+        ("ACME", i + 1, float(p))
+        for i, p in enumerate(
+            [12, 17, 19, 21, 25, 12, 15, 19, 20, 24, 25, 19]
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "symbol STRING, tstamp INT, price DOUBLE"
+    )
+
+
+V_CLAUSE = """
+  PARTITION BY symbol
+  ORDER BY tstamp
+  MEASURES
+    STRT.tstamp AS start_tstamp,
+    LAST(DOWN.tstamp) AS bottom_tstamp,
+    LAST(UP.tstamp) AS end_tstamp
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (STRT DOWN+ UP+)
+  DEFINE
+    DOWN AS DOWN.price < PREV(DOWN.price),
+    UP AS UP.price > PREV(UP.price)
+"""
+
+
+def test_ticker_v_pattern(spark):
+    """The docs example verbatim: one match — start at the 25 peak
+    (t=5), bottom at 12 (t=6), greedy UP+ runs to the 25 at t=11."""
+    spec = cep.parse_match_recognize(V_CLAUSE)
+    df = _ticker_df(spark)
+    out = cep.match_recognize(
+        df, spec, cep.infer_output_schema(spec, df)
+    ).collect()
+    got = [
+        (r["symbol"], r["start_tstamp"], r["bottom_tstamp"],
+         r["end_tstamp"])
+        for r in out
+    ]
+    assert got == [("ACME", 5, 6, 11)]
+
+
+def test_skip_to_next_row_overlapping_matches(spark):
+    """SKIP TO NEXT ROW re-scans from start+1 → overlapping matches
+    (the docs' contrast case with SKIP PAST LAST ROW)."""
+    clause = V_CLAUSE.replace(
+        "SKIP PAST LAST ROW", "SKIP TO NEXT ROW"
+    )
+    spec = cep.parse_match_recognize(clause)
+    df = _ticker_df(spark)
+    out = cep.match_recognize(
+        df, spec, cep.infer_output_schema(spec, df)
+    ).collect()
+    starts = sorted(r["start_tstamp"] for r in out)
+    # every row whose successor starts a strict descent-then-ascent:
+    # t=5 (25→12→…) and t=6 is the bottom itself (12→15 has no DOWN)
+    assert starts == [5]
+    # make overlap actually happen: W-shape
+    rows = [("X", i + 1, float(p)) for i, p in enumerate([5, 3, 6, 2, 7])]
+    df2 = spark.createDataFrame(
+        rows, "symbol STRING, tstamp INT, price DOUBLE"
+    )
+    out2 = cep.match_recognize(
+        df2, spec, cep.infer_output_schema(spec, df2)
+    ).collect()
+    # matches at t=1 (5↘3↗6) and t=3 (6↘2↗7); PAST LAST ROW would
+    # have found t=1 then resumed at t=4
+    assert sorted(r["start_tstamp"] for r in out2) == [1, 3]
+
+
+def test_star_and_optional_quantifiers(spark):
+    """B* (may be empty) and D? (optional) — pattern A B* C over a
+    run: greedy B* absorbs the middle rows."""
+    clause = """
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES
+        FIRST(A.seq) AS a_seq,
+        COUNT(B.*) AS n_b,
+        LAST(C.seq) AS c_seq
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B* C)
+      DEFINE
+        B AS B.v = 0,
+        C AS C.v = 9
+    """
+    spec = cep.parse_match_recognize(clause)
+    rows = [
+        ("k1", 1, 1), ("k1", 2, 0), ("k1", 3, 0), ("k1", 4, 9),
+        ("k1", 5, 7), ("k1", 6, 9),  # A=5 (any), B empty, C=6
+    ]
+    df = spark.createDataFrame(rows, "k STRING, seq INT, v INT")
+    out = sorted(
+        (r["a_seq"], r["n_b"], r["c_seq"])
+        for r in cep.match_recognize(
+            df, spec, cep.infer_output_schema(spec, df)
+        ).collect()
+    )
+    assert out == [(1, 2, 4), (5, 0, 6)]
+
+
+def test_runner_sql_route(spark, sf_dir, tmp_path):
+    """MATCH_RECOGNIZE inside an INSERT script routes through the
+    runner to the CEP operator; the outer projection runs over the
+    match result."""
+    from flink_streaming_platform_web_spark.streaming.runner import (
+        JobRunner,
+    )
+    from flink_streaming_platform_web_spark.tables import load
+
+    src = f"{tmp_path}/mr_events"
+    load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    ).write.parquet(src)
+    runner = JobRunner(spark, mode="batch")
+    runner.execute_script(
+        f"""
+        CREATE TABLE mr_events (
+          user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='parquet');
+        CREATE TABLE mr_out (user_id BIGINT, start_id BIGINT,
+          n_up BIGINT) WITH ('connector'='memory');
+        INSERT INTO mr_out
+        SELECT user_id, start_id, n_up
+        FROM mr_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES
+            FIRST(STRT.event_id) AS start_id,
+            COUNT(UP.*) AS n_up
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT UP+)
+          DEFINE UP AS UP.value > PREV(UP.value)
+        ) WHERE n_up >= 2;
+        """
+    )
+    got = spark.table("mr_out")
+    assert got.count() > 0
+    assert got.filter("n_up < 2").count() == 0
+    # cross-check against the operator called directly
+    direct = (
+        cep.match_recognize(
+            spark.read.parquet(src),
+            cep.parse_match_recognize(cep.Q45_CLAUSE),
+            "user_id bigint, start_id bigint, end_id bigint,"
+            " n_up bigint, peak double",
+        )
+        .filter("n_up >= 2")
+        .count()
+    )
+    assert got.count() == direct
+
+
+def test_unsupported_surface_is_loud(spark):
+    with pytest.raises(ValueError, match="ascending"):
+        cep.parse_match_recognize(
+            V_CLAUSE.replace("ORDER BY tstamp", "ORDER BY tstamp DESC")
+        )
+    with pytest.raises(ValueError, match="ONE ROW PER MATCH"):
+        cep.parse_match_recognize(
+            V_CLAUSE.replace(
+                "ONE ROW PER MATCH", "ALL ROWS PER MATCH"
+            )
+        )
+    with pytest.raises(ValueError, match="pattern token"):
+        cep.parse_match_recognize(
+            V_CLAUSE.replace("PATTERN (STRT DOWN+ UP+)",
+                             "PATTERN (STRT DOWN{2,} UP+)")
+        )
