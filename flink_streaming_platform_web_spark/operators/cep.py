@@ -58,6 +58,10 @@ class MatchSpec:
     skip_past_last: bool = True
     output_schema: str = ""  # filled by match_recognize from a sample
     raw_measures: list[tuple[str, str]] = field(default_factory=list)
+    # PATTERN (...) WITHIN INTERVAL 'n' unit — max seconds between a
+    # match's first and last row (Flink's state-bounding time window);
+    # None = unbounded
+    within_seconds: float | None = None
 
 
 _FUN = r"(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG|PREV)"
@@ -106,8 +110,12 @@ def _xlate(expr: str) -> str:
         flags=re.IGNORECASE,
     )
     # bare V.col — the current row inside DEFINE, the LAST row of V
-    # in MEASURES (handled by caller passing the right __cur)
-    s = re.sub(r"\b(\w+)\.(\w+)\b", r"__cur('\1', '\2')", s)
+    # in MEASURES (handled by caller passing the right __cur).
+    # Identifiers only: \w.\w would also rewrite float literals
+    # (1.5 → __cur('1','5'))
+    s = re.sub(
+        r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", r"__cur('\1', '\2')", s
+    )
     # SQL operators → python
     s = re.sub(r"<>", "!=", s)
     s = re.sub(r"(?<![<>!=])=(?!=)", "==", s)
@@ -171,6 +179,21 @@ def parse_match_recognize(clause: str) -> MatchSpec:
     )
     if not pat_txt:
         raise ValueError("MATCH_RECOGNIZE: missing PATTERN")
+    within = None
+    wm = re.search(
+        r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)", clause, re.IGNORECASE
+    )
+    if wm:
+        unit = {
+            "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+        }.get(wm.group(2).lower())
+        if unit is None:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: unsupported WITHIN unit"
+                f" {wm.group(2)!r}"
+            )
+        within = int(wm.group(1)) * unit
     pattern = []
     for tok in pat_txt.group(1).split():
         m = re.fullmatch(r"(\w+)([+*?]?)", tok)
@@ -202,6 +225,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         define=define,
         skip_past_last=skip_past,
         raw_measures=raw,
+        within_seconds=within,
     )
 
 
@@ -278,6 +302,18 @@ def _match_partition(rows: list[dict], spec: MatchSpec) -> list[dict]:
             }
 
         def ok(var, assigned, idx):
+            if spec.within_seconds is not None:
+                # WITHIN bound: a row outside the time window from the
+                # match's first row can never extend the match
+                # (Flink's state-bounding semantics)
+                a = rows[start_idx][spec.order_by[0]]
+                b = rows[idx][spec.order_by[0]]
+                try:
+                    elapsed = (b - a).total_seconds()
+                except AttributeError:
+                    elapsed = float(b - a)
+                if elapsed > spec.within_seconds:
+                    return False
             code = define_code.get(var)
             if code is None:
                 return True  # undefined variable is always-true

@@ -186,3 +186,66 @@ def test_unsupported_surface_is_loud(spark):
             V_CLAUSE.replace("PATTERN (STRT DOWN+ UP+)",
                              "PATTERN (STRT DOWN{2,} UP+)")
         )
+
+
+def test_define_with_literals(spark):
+    """Float and string literals inside DEFINE must survive the SQL→
+    python translation (a \\w.\\w rewrite would corrupt 1.5 into a
+    column access; '=' inside the comparison becomes '==' without
+    touching the quoted string)."""
+    clause = """
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES COUNT(H.*) AS n_high, LAST(H.v) AS last_v
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (S H+)
+      DEFINE H AS H.v > 1.5 AND H.tag = 'hot'
+    """
+    spec = cep.parse_match_recognize(clause)
+    rows = [
+        ("a", 1, 0.5, "hot"),
+        ("a", 2, 2.5, "hot"),
+        ("a", 3, 3.5, "hot"),
+        ("a", 4, 9.9, "cold"),  # tag breaks the run
+        ("a", 5, 2.0, "hot"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k STRING, seq INT, v DOUBLE, tag STRING"
+    )
+    out = sorted(
+        (r["n_high"], r["last_v"])
+        for r in cep.match_recognize(
+            df, spec, cep.infer_output_schema(spec, df)
+        ).collect()
+    )
+    # S=row1, H=rows2-3 (row4 fails tag); then S=row4, H=row5
+    assert out == [(1, 2.0), (2, 3.5)]
+
+
+def test_within_bounds_matches(spark):
+    """PATTERN (...) WITHIN INTERVAL bounds the first→last row span
+    (Flink's state-bounding clause): rows outside the window cannot
+    extend a match, so a long streak splits at the time bound."""
+    clause = """
+      PARTITION BY k
+      ORDER BY t
+      MEASURES FIRST(S.t) AS start_t, COUNT(U.*) AS n_up
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (S U+) WITHIN INTERVAL '10' SECOND
+      DEFINE U AS U.v > PREV(U.v)
+    """
+    spec = cep.parse_match_recognize(clause)
+    assert spec.within_seconds == 10
+    rows = [("a", float(t), float(t)) for t in [0, 4, 8, 12, 16, 20]]
+    df = spark.createDataFrame(rows, "k STRING, t DOUBLE, v DOUBLE")
+    out = sorted(
+        (r["start_t"], r["n_up"])
+        for r in cep.match_recognize(
+            df, spec, cep.infer_output_schema(spec, df)
+        ).collect()
+    )
+    # unbounded this would be ONE match of 5 ups; WITHIN 10s splits:
+    # [0,4,8], then [12,16,20]
+    assert out == [(0.0, 2), (12.0, 2)]
