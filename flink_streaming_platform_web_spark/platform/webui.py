@@ -88,6 +88,8 @@ CONSOLE_HTML = """<!DOCTYPE html>
 </main>
 <script>
 const $=id=>document.getElementById(id);
+const esc=s=>String(s).replace(/[&<>"']/g,
+  c=>({"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;","'":"&#39;"}[c]));
 const tok=()=>localStorage.getItem("token")||"";
 async function api(path,body){
   const opt=body!==undefined
@@ -114,8 +116,8 @@ async function refresh(){
     const tb=$("jobs").querySelector("tbody");tb.innerHTML="";
     for(const j of jobs){
       const tr=document.createElement("tr");
-      tr.innerHTML=`<td>${j.id}</td><td>${j.job_name}</td>
-        <td>${j.job_type}</td>
+      tr.innerHTML=`<td>${j.id}</td><td>${esc(j.job_name)}</td>
+        <td>${esc(j.job_type)}</td>
         <td class="st-${j.status}">${j.status}</td>
         <td>
          <button onclick="act('start',${j.id})">start</button>
@@ -125,8 +127,10 @@ async function refresh(){
          <button onclick="act('close',${j.id})">close</button>
          <button onclick="act('copyConfig',${j.id})">copy</button>
          <button onclick="act('delete',${j.id})">delete</button>
-         <button onclick="detail(${j.id},'${j.job_name}')">detail</button>
+         <button data-id="${j.id}" class="btn-detail">detail</button>
         </td>`;
+      tr.querySelector(".btn-detail").onclick=
+        ()=>detail(j.id, j.job_name);
       tb.appendChild(tr);
     }
     say("",true);
