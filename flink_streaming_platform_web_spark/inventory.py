@@ -79,7 +79,6 @@ _CHECK_FIRST = (
     "st08_stream_cdc_latest",
     # remaining r2-dated batch entries, oldest coverage first
     "q01_pricing_summary",
-    "q03_computed_columns",
     "q04_daily_gmv",
     "q05_gmv_join_coupon",
     "q06_lookup_join",
@@ -119,6 +118,10 @@ _CHECK_FIRST = (
     # q45 (MATCH_RECOGNIZE) is new — takes q02's slot (r2-green, the
     # most trivial scan shape, its pushdown pinned by test_plans.py)
     "q45_match_recognize",
+    # st14 (STREAMING MATCH_RECOGNIZE) is new — takes q03's slot
+    # (r2-green, a computed-column scan pinned by test_examples and
+    # the DDL tests)
+    "st14_stream_match_recognize",
 )
 
 

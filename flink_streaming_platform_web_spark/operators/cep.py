@@ -229,11 +229,23 @@ def parse_match_recognize(clause: str) -> MatchSpec:
     )
 
 
-def _match_partition(rows: list[dict], spec: MatchSpec) -> list[dict]:
-    """Greedy-with-backtracking matcher over one partition's ordered
-    rows. Returns one output dict per match."""
+def _run_matcher(
+    rows: list[dict], spec: MatchSpec
+) -> tuple[list[tuple[int, int, dict]], int | None]:
+    """Sequential greedy-with-backtracking scan over one partition's
+    ordered rows. Returns (matches, earliest_viable):
+
+    - matches: (start, end, output_row) per match, in scan order
+      (end exclusive);
+    - earliest_viable: the smallest NON-consumed start index whose
+      attempt ran out of rows mid-pattern (it could still become a
+      match if more rows arrive) — None if every failure was
+      definitive. The streaming wrapper uses it as the emission
+      frontier; the batch wrapper ignores it (EOF closes everything).
+    """
     n = len(rows)
-    out = []
+    matches: list[tuple[int, int, dict]] = []
+    earliest_viable: int | None = None
     start = 0
     pattern = spec.pattern
     # pre-compile every expression once per partition — eval of a
@@ -248,9 +260,9 @@ def _match_partition(rows: list[dict], spec: MatchSpec) -> list[dict]:
     ]
 
     def try_match(start_idx: int):
-        """Longest (greedy) match starting at start_idx, or None.
-        assigned: per consumed row, the variable it bound to."""
+        """(longest greedy assignment or None, ran_out_of_rows)."""
         best: list[str] | None = None
+        ran_out = False
 
         def ctx(assigned: list[str], cur_idx: int, cur_var: str):
             # helpers evaluated against rows[start_idx : ...]
@@ -328,14 +340,16 @@ def _match_partition(rows: list[dict], spec: MatchSpec) -> list[dict]:
                 return False
 
         def walk(pi: int, idx: int, assigned: list[str]):
-            nonlocal best
+            nonlocal best, ran_out
             if pi == len(pattern):
                 if best is None or len(assigned) > len(best):
                     best = list(assigned)
                 return
             var, quant = pattern[pi]
             if quant in ("1", "?"):
-                if idx < n and ok(var, assigned, idx):
+                if idx >= n:
+                    ran_out = True  # more rows could complete this
+                elif ok(var, assigned, idx):
                     walk(pi + 1, idx + 1, assigned + [var])
                 if quant == "?":
                     walk(pi + 1, idx, assigned)
@@ -347,6 +361,8 @@ def _match_partition(rows: list[dict], spec: MatchSpec) -> list[dict]:
                 var, assigned + taken, idx + len(taken)
             ):
                 taken.append(var)
+            if idx + len(taken) >= n:
+                ran_out = True  # the greedy run hit the buffer end
             lo = 1 if quant == "+" else 0
             for k in range(len(taken), lo - 1, -1):
                 walk(pi + 1, idx + k, assigned + taken[:k])
@@ -354,21 +370,18 @@ def _match_partition(rows: list[dict], spec: MatchSpec) -> list[dict]:
                     return  # greedy: first (longest-prefix) wins
 
         walk(0, start_idx, [])
-        return best
+        return best, ran_out
 
     while start < n:
-        assigned = try_match(start)
+        assigned, ran_out = try_match(start)
         if assigned:
             end = start + len(assigned)
-            c = {
-                "__cur": None,  # bare V.col in MEASURES = LAST(V.col)
-            }
-            # context helpers bound to the FULL match
             last_idx = end - 1
+            s0 = start
 
-            def _var_rows(var):
+            def _var_rows(var, s0=s0, assigned=assigned):
                 return [
-                    rows[start + i]
+                    rows[s0 + i]
                     for i, v in enumerate(assigned)
                     if var is None or v == var
                 ]
@@ -396,7 +409,7 @@ def _match_partition(rows: list[dict], spec: MatchSpec) -> list[dict]:
                     return max(vals)
                 return sum(vals) / len(vals)
 
-            def __prev(col, k=1):
+            def __prev(col, k=1, last_idx=last_idx):
                 j = last_idx - k
                 return rows[j][col] if j >= 0 else None
 
@@ -412,12 +425,18 @@ def _match_partition(rows: list[dict], spec: MatchSpec) -> list[dict]:
                 row_out[name] = eval(  # noqa: S307
                     code, {"__builtins__": {}}, c
                 )
-            out.append(row_out)
+            matches.append((start, end, row_out))
             start = end if spec.skip_past_last else start + 1
         else:
+            if ran_out and earliest_viable is None:
+                earliest_viable = start
             start += 1
-    return out
+    return matches, earliest_viable
 
+
+def _match_partition(rows: list[dict], spec: MatchSpec) -> list[dict]:
+    """Batch semantics: EOF closes everything — emit every match."""
+    return [out for _, _, out in _run_matcher(rows, spec)[0]]
 
 def match_recognize(
     df: DataFrame, spec: MatchSpec, output_schema: str
@@ -555,3 +574,83 @@ SELECT user_id, start_id, end_id, n_up, peak FROM (
 
 QUERIES = {"q45_match_recognize": q45_match_recognize}
 ORACLES = {"q45_match_recognize": ORACLE_Q45}
+
+
+def stream_match_recognize(
+    df: DataFrame, spec: MatchSpec, output_schema: str
+) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE over an event-time-ordered ingest —
+    per-key NFA state via ``applyInPandasWithState`` (Flink's
+    CepOperator shape: keyed state, matches spanning micro-batches).
+
+    Emission frontier: a match is emitted only once it is CLOSED —
+    i.e. it ends before the first *viable pending* position (a
+    non-consumed start whose attempt ran out of rows: it could still
+    become, or grow into, a match when more rows arrive). State per
+    key retains exactly the buffer suffix from that frontier — for
+    run-shaped patterns that is the active tail, not the history.
+
+    Ingest-order contract (checked, loud): rows must arrive
+    per-key-ordered on the first ORDER BY column across micro-batches
+    — the analog of Flink CEP's watermark-sorted input. A production
+    port buffers by watermark instead of asserting; the assertion
+    keeps this honest at harness scale. SKIP TO NEXT ROW would emit
+    overlapping matches whose later occurrences can still change, so
+    only SKIP PAST LAST ROW is supported here."""
+    import pickle
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    if not spec.skip_past_last:
+        raise ValueError(
+            "stream_match_recognize supports AFTER MATCH SKIP PAST"
+            " LAST ROW only"
+        )
+    ord0 = spec.order_by[0]
+    out_names = [*spec.partition_by, *[n for _, n in spec.measures]]
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        tail: list[dict] = (
+            pickle.loads(state.get[0]) if state.exists else []
+        )
+        new = pd.concat(list(batches))
+        new = new.sort_values(spec.order_by, kind="mergesort")
+        rows = new.to_dict("records")
+        if tail and rows and rows[0][ord0] < tail[-1][ord0]:
+            raise RuntimeError(
+                "stream_match_recognize: out-of-order ingest —"
+                f" batch starts at {rows[0][ord0]} before buffered"
+                f" {tail[-1][ord0]}; stage the stream event-time-"
+                "ordered (or add watermark buffering upstream)"
+            )
+        buf = tail + rows
+        matches, viable = _run_matcher(buf, spec)
+        frontier = len(buf)
+        if viable is not None:
+            frontier = min(frontier, viable)
+        pending = [s for s, e, _ in matches if e == len(buf)]
+        if pending:
+            frontier = min(frontier, pending[0])
+        emit = [out for s, e, out in matches if e <= frontier]
+        keep = buf[frontier:]
+        state.update((pickle.dumps(keep),))
+        if emit:
+            yield pd.DataFrame(emit, columns=out_names)
+
+    return df.groupBy(*spec.partition_by).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType="tail binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -846,11 +846,109 @@ SELECT event_type, user_id, total, rn FROM (
 """
 
 
+def st14_stream_match_recognize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE (cep.stream_match_recognize):
+    per-key NFA state via applyInPandasWithState, matches spanning
+    micro-batches. The events stream is staged event-time-ordered
+    (3 sequential ts-range files — the analog of Flink CEP's
+    watermark-sorted input) plus one closing file with a per-user
+    sentinel row whose value can never extend a rising streak, so
+    every pending match is closed exactly as batch EOF would close
+    it — which is why the converged append output equals q45's batch
+    oracle over the plain events table."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_streaming_platform_web_spark.operators import cep
+    from flink_streaming_platform_web_spark.tables import load
+
+    path = (
+        f"{tempfile.gettempdir()}/spark_graft_st14_"
+        f"{int(_time.time() * 1e6)}"
+    )
+    os.makedirs(path)
+    pdf = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    now = _time.time()
+
+    def _write(frame, f):
+        # pandas datetime64[ns] would land as TIMESTAMP(NANOS), which
+        # Spark's reader rejects — cast to µs (the events gotcha)
+        tbl = pa.Table.from_pandas(frame, preserve_index=False)
+        i_ts = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(
+            i_ts, "ts", tbl.column("ts").cast(pa.timestamp("us"))
+        )
+        pq.write_table(tbl, f)
+
+    for i in range(3):
+        chunk = pdf.iloc[cuts[i]:cuts[i + 1]]
+        f = f"{path}/c{i}.parquet"
+        _write(chunk, f)
+        os.utime(f, (now + i, now + i))
+    sentinels = (
+        pdf.groupby("user_id", as_index=False)
+        .agg(ts=("ts", "max"), event_id=("event_id", "max"))
+    )
+    sentinels["ts"] = sentinels["ts"] + __import__(
+        "pandas"
+    ).Timedelta(seconds=1)
+    sentinels["event_id"] = -sentinels["event_id"] - 1
+    sentinels["value"] = -1e300  # can never satisfy UP
+    f = f"{path}/c3.parquet"
+    _write(sentinels[["user_id", "event_id", "ts", "value"]], f)
+    os.utime(f, (now + 3, now + 3))
+    stream = (
+        spark.readStream.schema(
+            "user_id BIGINT, event_id BIGINT, ts TIMESTAMP,"
+            " value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    spec = cep.parse_match_recognize(cep.Q45_CLAUSE)
+    out = cep.stream_match_recognize(
+        stream,
+        spec,
+        "user_id bigint, start_id bigint, end_id bigint,"
+        " n_up bigint, peak double",
+    )
+    qname = f"st14_out_{int(_time.time() * 1e6)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    return spark.table(qname).select(
+        "user_id", "start_id", "end_id", "n_up", "peak"
+    )
+
+
 QUERIES = {
     "st01_stream_tumble_window": st01_stream_tumble_window,
     "st11_stream_window_topn": st11_stream_window_topn,
     "st12_stream_dedup_sql": st12_stream_dedup_sql,
     "st13_stream_topn_continuous": st13_stream_topn_continuous,
+    "st14_stream_match_recognize": st14_stream_match_recognize,
     "st10_stream_ttl_incremental_agg": st10_stream_ttl_incremental_agg,
     "st09_stream_window_tvf": st09_stream_window_tvf,
     "st08_stream_cdc_latest": st08_stream_cdc_latest,
@@ -867,6 +965,14 @@ ORACLES = {
     "st11_stream_window_topn": ORACLE_ST11,
     "st12_stream_dedup_sql": ORACLE_ST12,
     "st13_stream_topn_continuous": ORACLE_ST13,
+    # st14 converges to exactly the batch MATCH_RECOGNIZE result —
+    # the q45 gaps-and-islands oracle verbatim (sentinels close
+    # pending matches the way batch EOF does; they never appear in
+    # any match)
+    "st14_stream_match_recognize": __import__(
+        "flink_streaming_platform_web_spark.operators.cep",
+        fromlist=["ORACLE_Q45"],
+    ).ORACLE_Q45,
     "st09_stream_window_tvf": ORACLE_ST09,
     "st08_stream_cdc_latest": ORACLE_ST08,
     "st07_stream_interval_join": ORACLE_ST07,

@@ -249,3 +249,141 @@ def test_within_bounds_matches(spark):
     # unbounded this would be ONE match of 5 ups; WITHIN 10s splits:
     # [0,4,8], then [12,16,20]
     assert out == [(0.0, 2), (12.0, 2)]
+
+
+def test_stream_match_recognize_spans_batches(spark, tmp_path):
+    """A match whose rows span micro-batches must be assembled from
+    keyed state: batch 1 ends mid-streak (pending, nothing emitted
+    for it), batch 2 continues then breaks the streak — only then is
+    the match closed and emitted."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "mr_stream"
+    d.mkdir()
+
+    def write(rows, name, mt):
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows]),
+                "t": pa.array([r[1] for r in rows], type=pa.int64()),
+                "v": pa.array([r[2] for r in rows], type=pa.float64()),
+            }
+        )
+        f = str(d / name)
+        pq.write_table(tbl, f)
+        os.utime(f, (mt, mt))
+
+    now = time.time()
+    write([("a", 1, 1.0), ("a", 2, 2.0)], "f1.parquet", now)
+    write(
+        [("a", 3, 3.0), ("a", 4, 0.5), ("a", 5, 9.0)],
+        "f2.parquet",
+        now + 2,
+    )
+    clause = """
+      PARTITION BY k
+      ORDER BY t
+      MEASURES FIRST(S.t) AS start_t, LAST(U.t) AS end_t,
+               COUNT(U.*) AS n_up
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (S U+)
+      DEFINE U AS U.v > PREV(U.v)
+    """
+    spec = cep.parse_match_recognize(clause)
+    stream = (
+        spark.readStream.schema("k STRING, t BIGINT, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = cep.stream_match_recognize(
+        stream, spec, "k string, start_t bigint, end_t bigint,"
+        " n_up bigint"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mr_span")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    got = sorted(
+        (r["start_t"], r["end_t"], r["n_up"])
+        for r in spark.table("mr_span").collect()
+    )
+    # streak 1..3 spans the file boundary and closes at t=4; the
+    # trailing 4↗5 streak stays PENDING (no closing row) — exactly
+    # the streaming semantics (batch EOF would have emitted it)
+    assert got == [(1, 3, 2)]
+
+
+def test_stream_match_recognize_rejects_out_of_order(spark, tmp_path):
+    """The ordered-ingest contract is asserted, not assumed: a batch
+    starting before the buffered tail fails the query loudly."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "mr_ooo"
+    d.mkdir()
+
+    def write(rows, name, mt):
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows]),
+                "t": pa.array([r[1] for r in rows], type=pa.int64()),
+                "v": pa.array([r[2] for r in rows], type=pa.float64()),
+            }
+        )
+        f = str(d / name)
+        pq.write_table(tbl, f)
+        os.utime(f, (mt, mt))
+
+    now = time.time()
+    write([("a", 10, 1.0), ("a", 11, 2.0)], "f1.parquet", now)
+    write([("a", 3, 3.0)], "f2.parquet", now + 2)  # late row
+    spec = cep.parse_match_recognize(
+        """PARTITION BY k
+           ORDER BY t
+           MEASURES FIRST(S.t) AS start_t
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (S U+)
+           DEFINE U AS U.v > PREV(U.v)"""
+    )
+    out = cep.stream_match_recognize(
+        stream := spark.readStream.schema(
+            "k STRING, t BIGINT, v DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d)),
+        spec,
+        "k string, start_t bigint",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mr_ooo")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="out-of-order"):
+            q.processAllAvailable()
+            if q.exception() is not None:
+                raise q.exception()
+    finally:
+        try:  # stop() re-raises the query failure — already asserted
+            q.stop()
+            q.awaitTermination(60)
+        except Exception:
+            pass
