@@ -79,7 +79,6 @@ _CHECK_FIRST = (
     "st08_stream_cdc_latest",
     # remaining r2-dated batch entries, oldest coverage first
     "q01_pricing_summary",
-    "q04_daily_gmv",
     "q05_gmv_join_coupon",
     "q06_lookup_join",
     "q07_enriched_orders",
@@ -122,6 +121,13 @@ _CHECK_FIRST = (
     # (r2-green, a computed-column scan pinned by test_examples and
     # the DDL tests)
     "st14_stream_match_recognize",
+    # pp05 (mixture re-weighting) is new — takes q04's slot (r2-green
+    # daily agg, the demo_1 example e2e covers the same shape).
+    # Displacement policy this round: never-driver-checked entries
+    # outrank stale-but-green trivial shapes; the four r2-dated
+    # entries that lost slots (q02/q03/q04/mm03) are all pinned by
+    # module tests and front the r6 rotation.
+    "pp05_mixture_weights",
 )
 
 

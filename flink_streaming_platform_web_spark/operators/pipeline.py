@@ -366,3 +366,82 @@ FROM deduped GROUP BY lang
 
 QUERIES["pp04_neardup_prep"] = pp04_neardup_prep
 ORACLES["pp04_neardup_prep"] = _oracle_pp04()
+
+
+# Uniform target mixture in ppm — production passes the trainer's
+# declared mixture; the math is share-agnostic.
+PP05_TARGET_PPM = 200_000  # 5 languages → 20% each
+
+
+def pp05_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture design: per-language sampling weights that
+    steer the corpus toward a target mixture (the re-weighting step
+    between corpus prep and tokenization — upsample rare languages,
+    downsample dominant ones, cap at availability).
+
+    weight = target_share / actual_share (shares carried as integer
+    ppm so the cross-engine compare is exact; the weight itself is a
+    single IEEE division); planned_tokens caps the plan at
+    availability: floor(lang_tokens * min(1, weight)).
+
+    Scale shape: one map-side-combined aggregation over the scan, a
+    broadcast of the 1-row total, and a |lang|-sized result — the
+    canonical mixture-accounting job at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("lang", ws_token_count().alias("tokens"))
+    agg = toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("lang_tokens"),
+    )
+    total = agg.agg(
+        F.sum("lang_tokens").cast("bigint").alias("total_tokens")
+    )
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .withColumn(
+            "actual_ppm",
+            F.expr("lang_tokens * 1000000 DIV total_tokens"),
+        )
+        .withColumn(
+            "weight",
+            F.lit(float(PP05_TARGET_PPM))
+            / F.col("actual_ppm").cast("double"),
+        )
+        .withColumn(
+            "planned_tokens",
+            F.floor(
+                F.col("lang_tokens").cast("double")
+                * F.least(F.lit(1.0), F.col("weight"))
+            ).cast("bigint"),
+        )
+        .select(
+            "lang", "n_docs", "lang_tokens", "actual_ppm",
+            "weight", "planned_tokens",
+        )
+    )
+
+
+ORACLE_PP05 = f"""
+WITH toks AS (
+  SELECT lang, {ORACLE_WS_TOKENS} AS tokens FROM documents
+),
+agg AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(tokens) AS BIGINT) AS lang_tokens
+  FROM toks GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM agg)
+SELECT lang, n_docs, lang_tokens,
+       lang_tokens * 1000000 // total_tokens AS actual_ppm,
+       CAST({PP05_TARGET_PPM} AS DOUBLE)
+         / CAST(lang_tokens * 1000000 // total_tokens AS DOUBLE)
+         AS weight,
+       CAST(FLOOR(CAST(lang_tokens AS DOUBLE) * LEAST(1.0,
+         CAST({PP05_TARGET_PPM} AS DOUBLE)
+           / CAST(lang_tokens * 1000000 // total_tokens AS DOUBLE)))
+         AS BIGINT) AS planned_tokens
+FROM agg CROSS JOIN tot
+"""
+
+QUERIES["pp05_mixture_weights"] = pp05_mixture_weights
+ORACLES["pp05_mixture_weights"] = ORACLE_PP05
