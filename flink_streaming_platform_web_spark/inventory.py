@@ -47,14 +47,17 @@ _MODULES = (
 # The driver's correctness gate walks queries() in dict insertion order
 # and checks the first 50 entries per round. Rotate per round so the
 # union of rounds gives every entry a green row dated after its last
-# operator rewrite. Round-5 rotation (per VERDICT r04 item 2): the 46
-# entries whose latest green row predates round 4 — the 6 r1-dated
-# stragglers (q10, q16–q20), tx08/tx09/tx11/tx12 (text.py rewritten in
-# r4 after their r2 rows — tx12's AQE size gate, commit 0b1d892),
-# st01–st08 (runner.py changed in r3/r4 after their r2 rows), and the
-# remaining 28 r2-dated batch entries — plus 4 round-4-green entries of
-# the memoized dedup/decontam chain, which operators/_cache.py's r5
-# eviction rewrite touches (weakref + LRU bound). Exactly 50.
+# operator rewrite. Round-5 rotation (per VERDICT r04 item 2): 42 of
+# the 46 entries whose latest green row predates round 4 — the 6
+# r1-dated stragglers (q10, q16–q20), tx08/tx09/tx11/tx12 (text.py
+# rewritten in r4 after their r2 rows), st01–st08 (runner.py changed
+# in r3/r4 after their r2 rows), and 24 more r2-dated batch entries —
+# plus the 8 entries NEW this round (never driver-checked: dd14, pp04,
+# pp05, q45, st11–st14). Never-checked outranks stale-but-green: the
+# four r2-dated entries that lost slots (q02/q03/q04/mm03, all trivial
+# shapes pinned by module tests) front the r6 rotation, as do the
+# r4-green memoized-chain entries (pp04 re-proves dd04's full chain
+# under this round's _cache rewrite either way). Exactly 50.
 _CHECK_FIRST = (
     # r1-dated stragglers — three rounds stale (VERDICT r04 item 2a)
     "q10_string_functions",

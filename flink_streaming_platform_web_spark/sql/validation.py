@@ -113,6 +113,34 @@ def _spark_parse(spark: SparkSession | None, stmt: str) -> None:
     validate exactly as they execute."""
     if spark is None:
         return
+    import re as _re
+
+    if _re.search(r"\bMATCH_RECOGNIZE\b", stmt, _re.IGNORECASE):
+        # Spark's parser doesn't know MATCH_RECOGNIZE; validate the
+        # clause with the CEP parser instead (it raises on anything
+        # outside the supported subset — the runner's exact contract)
+        from flink_streaming_platform_web_spark.operators.cep import (
+            parse_match_recognize,
+        )
+
+        m = _re.search(
+            r"MATCH_RECOGNIZE\s*\(", stmt, _re.IGNORECASE
+        )
+        j = m.end() - 1
+        depth = 0
+        for k in range(j, len(stmt)):
+            if stmt[k] == "(":
+                depth += 1
+            elif stmt[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            raise SqlParseError(
+                "MATCH_RECOGNIZE: unbalanced parentheses"
+            )
+        parse_match_recognize(stmt[j + 1:k])
+        return
     from flink_streaming_platform_web_spark.functions.flink_compat import (
         translate_expr,
     )

@@ -410,3 +410,30 @@ def test_demo9_stream_rank_runs(spark, tmp_path):
         .collect()
     }
     assert first == {"alice": "/u1", "bob": "/u1", "carol": "/u3"}
+
+
+def test_demo10_match_recognize_runs(spark, tmp_path):
+    """The Flink docs Ticker V-pattern as a script through the
+    runner — batch MATCH_RECOGNIZE end-to-end."""
+    src = tmp_path / "ticker"
+    src.mkdir()
+    prices = [12, 17, 19, 21, 25, 12, 15, 19, 20, 24, 25, 19]
+    (src / "t.json").write_text(
+        "\n".join(
+            json.dumps(
+                {"symbol": "ACME", "tstamp": i + 1, "price": float(p)}
+            )
+            for i, p in enumerate(prices)
+        )
+    )
+    runner = JobRunner(spark, mode="batch")
+    runner.execute_script(
+        (EXAMPLES / "demo_10_match_recognize.sql").read_text(),
+        variables={"data_dir": str(tmp_path)},
+    )
+    got = [
+        (r["symbol"], r["start_tstamp"], r["bottom_tstamp"],
+         r["end_tstamp"])
+        for r in spark.table("dips").collect()
+    ]
+    assert got == [("ACME", 5, 6, 11)]
