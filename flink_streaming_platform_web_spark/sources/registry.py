@@ -11,7 +11,7 @@ Implements the reference's connector surface (SURVEY §2.2):
 | kafka (demo_1.md)                | spark kafka source/sink + JSON codec |
 | upsert-kafka                     | kafka + PK upsert semantics |
 | jdbc (demo_1.md sink, demo_3.md lookup) | spark.read.jdbc / foreachBatch upsert |
-| mysql-cdc (demo_6.md)            | debezium-JSON over kafka/file → streaming.cdc |
+| mysql-cdc (demo_6.md)            | debezium-JSON / canal-JSON over kafka/file → streaming.cdc |
 | memory (ours, tests)             | memory sink / temp view |
 
 Kafka needs a broker + the spark-sql-kafka jar that this container
@@ -330,12 +330,15 @@ def _kafka_decode(raw: DataFrame, table: TableDef) -> DataFrame:
                 F.col("value").cast("string"), table.schema_ddl()
             ).alias("v")
         ).select("v.*")
-    if fmt == "debezium-json":
-        from flink_streaming_platform_web_spark.streaming.cdc import (
-            decode_debezium,
-        )
+    if fmt in ("debezium-json", "canal-json"):
+        from flink_streaming_platform_web_spark.streaming import cdc
 
-        return decode_debezium(
+        decode = (
+            cdc.decode_debezium
+            if fmt == "debezium-json"
+            else cdc.decode_canal
+        )
+        return decode(
             raw.select(F.col("value").cast("string").alias("value")),
             table.schema_ddl(),
         )
@@ -365,17 +368,20 @@ def cdc_changelog_stream(spark: SparkSession, table: TableDef) -> DataFrame:
     deployment would carry — swap this source for kafka_stream with
     'format'='debezium-json' there). Declaring mysql-cdc without a
     changelog path raises instead of silently producing nothing."""
-    from flink_streaming_platform_web_spark.streaming.cdc import (
-        decode_debezium,
-    )
+    from flink_streaming_platform_web_spark.streaming import cdc
 
+    decode_debezium = (
+        cdc.decode_canal
+        if table.options.get("format") == "canal-json"
+        else cdc.decode_debezium
+    )
     path = table.options.get("graft.changelog-path")
     if not path:
         raise ConnectorUnavailable(
             "mysql-cdc needs a binlog client (none in this container);"
-            " supply 'graft.changelog-path' with debezium-JSON lines,"
-            " or route the feed through kafka with"
-            " 'format'='debezium-json'"
+            " supply 'graft.changelog-path' with debezium-JSON (or"
+            " canal-JSON, 'format'='canal-json') lines, or route the"
+            " feed through kafka with the matching 'format'"
         )
     raw = (
         spark.readStream.format("text")
@@ -391,8 +397,12 @@ def cdc_changelog_stream(spark: SparkSession, table: TableDef) -> DataFrame:
 def cdc_changelog_batch(spark: SparkSession, table: TableDef) -> DataFrame:
     """Bounded mysql-cdc read: the decoded changelog of everything in
     the feed so far (a batch job then materializes its final state)."""
-    from flink_streaming_platform_web_spark.streaming.cdc import (
-        decode_debezium,
+    from flink_streaming_platform_web_spark.streaming import cdc
+
+    decode_debezium = (
+        cdc.decode_canal
+        if table.options.get("format") == "canal-json"
+        else cdc.decode_debezium
     )
 
     path = table.options.get("graft.changelog-path")

@@ -77,6 +77,85 @@ def decode_debezium(raw: DataFrame, row_schema_ddl: str) -> DataFrame:
     return env.select(*cols)
 
 
+def canal_envelope_schema(row_schema_ddl: str) -> str:
+    s = _ddl_to_struct(row_schema_ddl)
+    return (
+        f"data ARRAY<STRUCT<{s}>>, old ARRAY<STRUCT<{s}>>, "
+        "type STRING, ts BIGINT"
+    )
+
+
+def _ddl_col_names(ddl: str) -> list[str]:
+    from flink_streaming_platform_web_spark.sources.ddl import (
+        _split_top_level,
+    )
+
+    return [p.strip().split(None, 1)[0] for p in _split_top_level(ddl)]
+
+
+def decode_canal(raw: DataFrame, row_schema_ddl: str) -> DataFrame:
+    """Canal-JSON (Flink docs: formats/canal) → the SAME
+    (__op, __ts_ms, __before, __after) changelog contract
+    decode_debezium emits, so every downstream stage (dedup, keyed
+    apply, multiway re-join, sinks) is shared.
+
+    Canal envelopes batch rows: ``data`` is an ARRAY of (new) rows,
+    ``old`` carries the pre-images of CHANGED columns only for
+    UPDATEs. The full before-image overlays old onto the new row —
+    the same reconstruction Flink's canal-json format performs; a
+    NULL→value change is indistinguishable from unchanged (inherent
+    to canal's encoding). type maps INSERT→c, UPDATE→u, DELETE→d
+    (DELETE's removed rows ride in ``data``)."""
+    names = _ddl_col_names(row_schema_ddl)
+    env = raw.select(
+        F.from_json("value", canal_envelope_schema(row_schema_ddl)).alias(
+            "e"
+        )
+    )
+    # pair each data row with its old pre-image by position
+    # (try_element_at: NULL for INSERT/DELETE where old is absent)
+    zipped = F.expr(
+        "transform(e.data, (d, i) ->"
+        " struct(d AS data, try_element_at(e.old, i + 1) AS old))"
+    )
+    ex = env.select(
+        F.col("e.type").alias("__type"),
+        F.col("e.ts").alias("__ts_ms"),
+        F.posexplode(zipped).alias("__pos", "__z"),
+    )
+    overlay = F.struct(
+        *[
+            F.coalesce(
+                F.col(f"__z.old.{c}"), F.col(f"__z.data.{c}")
+            ).alias(c)
+            for c in names
+        ]
+    )
+    out_cols = [
+        F.when(F.col("__type") == "INSERT", F.lit("c"))
+        .when(F.col("__type") == "UPDATE", F.lit("u"))
+        .when(F.col("__type") == "DELETE", F.lit("d"))
+        .otherwise(F.lit("r"))
+        .alias("__op"),
+        F.col("__ts_ms"),
+        F.when(F.col("__type") == "UPDATE", overlay)
+        .when(F.col("__type") == "DELETE", F.col("__z.data"))
+        .alias("__before"),
+        F.when(
+            F.col("__type") != "DELETE", F.col("__z.data")
+        ).alias("__after"),
+    ]
+    if not raw.isStreaming:
+        # envelope order refined by the position inside the envelope:
+        # explode preserves row order within a partition, so a fresh
+        # monotonic id over the exploded rows is consistent
+        ex = ex.select(*out_cols)
+        return ex.withColumn(
+            "__seq", F.monotonically_increasing_id()
+        )
+    return ex.select(*out_cols)
+
+
 def changelog_dedup(changelog: DataFrame, key_cols: list[str]) -> DataFrame:
     """Last-row-wins within a batch — the
     `table.exec.source.cdc-events-duplicate` analog (demo_6.md §2.2.1).

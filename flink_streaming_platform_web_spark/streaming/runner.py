@@ -201,12 +201,13 @@ class JobRunner:
                 else registry.filesystem_batch(self.spark, t)
             )
         elif c == "kafka":
-            if t.options.get("format") == "debezium-json":
-                # a debezium-json kafka table IS a changelog source
-                # (Flink's kafka + debezium-json = upsert/retract
-                # rows): route it through the same keyed changelog
-                # apply as mysql-cdc, never expose the raw envelope
-                # columns as a row view
+            if t.options.get("format") in ("debezium-json", "canal-json"):
+                # a changelog-formatted kafka table (debezium-json or
+                # canal-json — Flink docs formats/canal) IS a
+                # changelog source (upsert/retract rows): route it
+                # through the same keyed changelog apply as
+                # mysql-cdc, never expose the raw envelope columns as
+                # a row view
                 if streaming:
                     self._cdc_streams[name] = registry.kafka_stream(
                         self.spark, t
@@ -219,7 +220,8 @@ class JobRunner:
 
                 if not t.primary_key:
                     raise ValueError(
-                        f"debezium-json table {name!r} needs PRIMARY KEY"
+                        f"changelog-format table {name!r} needs"
+                        " PRIMARY KEY"
                     )
                 df = materialize_latest(
                     registry.kafka_batch(self.spark, t), t.primary_key
