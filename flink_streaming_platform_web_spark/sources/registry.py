@@ -330,14 +330,14 @@ def _kafka_decode(raw: DataFrame, table: TableDef) -> DataFrame:
                 F.col("value").cast("string"), table.schema_ddl()
             ).alias("v")
         ).select("v.*")
-    if fmt in ("debezium-json", "canal-json"):
+    if fmt in ("debezium-json", "canal-json", "maxwell-json"):
         from flink_streaming_platform_web_spark.streaming import cdc
 
-        decode = (
-            cdc.decode_debezium
-            if fmt == "debezium-json"
-            else cdc.decode_canal
-        )
+        decode = {
+            "debezium-json": cdc.decode_debezium,
+            "canal-json": cdc.decode_canal,
+            "maxwell-json": cdc.decode_maxwell,
+        }[fmt]
         return decode(
             raw.select(F.col("value").cast("string").alias("value")),
             table.schema_ddl(),
@@ -370,11 +370,10 @@ def cdc_changelog_stream(spark: SparkSession, table: TableDef) -> DataFrame:
     changelog path raises instead of silently producing nothing."""
     from flink_streaming_platform_web_spark.streaming import cdc
 
-    decode_debezium = (
-        cdc.decode_canal
-        if table.options.get("format") == "canal-json"
-        else cdc.decode_debezium
-    )
+    decode_debezium = {
+        "canal-json": cdc.decode_canal,
+        "maxwell-json": cdc.decode_maxwell,
+    }.get(table.options.get("format"), cdc.decode_debezium)
     path = table.options.get("graft.changelog-path")
     if not path:
         raise ConnectorUnavailable(
@@ -399,11 +398,10 @@ def cdc_changelog_batch(spark: SparkSession, table: TableDef) -> DataFrame:
     the feed so far (a batch job then materializes its final state)."""
     from flink_streaming_platform_web_spark.streaming import cdc
 
-    decode_debezium = (
-        cdc.decode_canal
-        if table.options.get("format") == "canal-json"
-        else cdc.decode_debezium
-    )
+    decode_debezium = {
+        "canal-json": cdc.decode_canal,
+        "maxwell-json": cdc.decode_maxwell,
+    }.get(table.options.get("format"), cdc.decode_debezium)
 
     path = table.options.get("graft.changelog-path")
     if not path:

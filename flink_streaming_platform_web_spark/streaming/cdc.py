@@ -156,6 +156,59 @@ def decode_canal(raw: DataFrame, row_schema_ddl: str) -> DataFrame:
     return ex.select(*out_cols)
 
 
+def maxwell_envelope_schema(row_schema_ddl: str) -> str:
+    s = _ddl_to_struct(row_schema_ddl)
+    return (
+        f"data STRUCT<{s}>, old STRUCT<{s}>, type STRING, ts BIGINT"
+    )
+
+
+def decode_maxwell(raw: DataFrame, row_schema_ddl: str) -> DataFrame:
+    """Maxwell-JSON (Flink docs: formats/maxwell) → the shared
+    (__op, __ts_ms, __before, __after) changelog contract. Maxwell
+    envelopes carry ONE row per record — ``data`` is the new row,
+    ``old`` the pre-images of changed columns for updates (overlaid
+    like canal); type maps insert→c, update→u, delete→d (the deleted
+    row rides in ``data``). Maxwell's ts is SECONDS — normalized to
+    ms for the shared contract."""
+    names = _ddl_col_names(row_schema_ddl)
+    env = raw.select(
+        F.from_json(
+            "value", maxwell_envelope_schema(row_schema_ddl)
+        ).alias("e"),
+        *(
+            []
+            if raw.isStreaming
+            else [F.monotonically_increasing_id().alias("__seq")]
+        ),
+    )
+    overlay = F.struct(
+        *[
+            F.coalesce(
+                F.col(f"e.old.{c}"), F.col(f"e.data.{c}")
+            ).alias(c)
+            for c in names
+        ]
+    )
+    cols = [
+        F.when(F.col("e.type") == "insert", F.lit("c"))
+        .when(F.col("e.type") == "update", F.lit("u"))
+        .when(F.col("e.type") == "delete", F.lit("d"))
+        .otherwise(F.lit("r"))
+        .alias("__op"),
+        (F.col("e.ts") * 1000).alias("__ts_ms"),
+        F.when(F.col("e.type") == "update", overlay)
+        .when(F.col("e.type") == "delete", F.col("e.data"))
+        .alias("__before"),
+        F.when(F.col("e.type") != "delete", F.col("e.data")).alias(
+            "__after"
+        ),
+    ]
+    if "__seq" in env.columns:
+        cols.append(F.col("__seq"))
+    return env.select(*cols)
+
+
 def changelog_dedup(changelog: DataFrame, key_cols: list[str]) -> DataFrame:
     """Last-row-wins within a batch — the
     `table.exec.source.cdc-events-duplicate` analog (demo_6.md §2.2.1).

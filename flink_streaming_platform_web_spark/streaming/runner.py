@@ -201,7 +201,9 @@ class JobRunner:
                 else registry.filesystem_batch(self.spark, t)
             )
         elif c == "kafka":
-            if t.options.get("format") in ("debezium-json", "canal-json"):
+            if t.options.get("format") in (
+                "debezium-json", "canal-json", "maxwell-json",
+            ):
                 # a changelog-formatted kafka table (debezium-json or
                 # canal-json — Flink docs formats/canal) IS a
                 # changelog source (upsert/retract rows): route it

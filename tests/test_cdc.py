@@ -215,3 +215,73 @@ def test_kafka_canal_stream_latest_state(spark, tmp_path):
         for r in runner.upsert_stores["snap_c"].to_df(spark).collect()
     }
     assert got == {1: "a2"}
+
+
+def test_kafka_maxwell_stream_latest_state(spark, tmp_path):
+    """maxwell-json (Flink docs formats/maxwell) over the
+    file-transport broker: single-row envelopes, seconds-resolution
+    ts, old-overlay update before-images — converges like the
+    debezium and canal paths."""
+    import json
+
+    from flink_streaming_platform_web_spark.sources.kafka_file import (
+        FileBroker,
+    )
+    from flink_streaming_platform_web_spark.streaming.cdc import (
+        decode_maxwell,
+    )
+    from flink_streaming_platform_web_spark.streaming.runner import (
+        JobRunner,
+    )
+
+    # decode unit: update before-image overlay + ts seconds→ms
+    raw = spark.createDataFrame(
+        [
+            (json.dumps({"data": {"id": 1, "v": "a2"},
+                         "old": {"v": "a"}, "type": "update",
+                         "ts": 7}),),
+        ],
+        "value STRING",
+    )
+    r = decode_maxwell(raw, "id BIGINT, v STRING").collect()[0]
+    assert r["__op"] == "u" and r["__ts_ms"] == 7000
+    assert r["__before"].asDict() == {"id": 1, "v": "a"}
+    assert r["__after"].asDict() == {"id": 1, "v": "a2"}
+
+    broker = FileBroker(tmp_path / "broker")
+    broker.create_topic("mx_t", partitions=1)
+
+    def env(type_, data, old=None):
+        return json.dumps(
+            {"data": data, "old": old, "type": type_, "ts": 0}
+        )
+
+    broker.produce("mx_t", env("insert", {"id": 1, "v": "a"}))
+    broker.produce("mx_t", env("insert", {"id": 2, "v": "b"}))
+    broker.produce(
+        "mx_t", env("update", {"id": 1, "v": "a2"}, {"v": "a"})
+    )
+    broker.produce("mx_t", env("delete", {"id": 2, "v": "b"}))
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        CREATE TABLE src_mx (id BIGINT, v STRING,
+          PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('connector'='kafka', 'topic'='mx_t',
+              'properties.bootstrap.servers'='file://{broker.path}',
+              'scan.startup.mode'='earliest-offset',
+              'format'='maxwell-json');
+        CREATE TABLE snap_mx (id BIGINT, v STRING,
+          PRIMARY KEY (id) NOT ENFORCED) WITH ('connector'='jdbc');
+        INSERT INTO snap_mx SELECT id, v FROM src_mx;
+        """
+    )
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+    got = {
+        r["id"]: r["v"]
+        for r in runner.upsert_stores["snap_mx"].to_df(spark).collect()
+    }
+    assert got == {1: "a2"}
