@@ -96,6 +96,14 @@ def _evict_dead_sessions(live: tuple) -> None:
     # session's weakref may never die — enforce the LRU cap on
     # distinct same-app session ids as the hard bound
     sids = {k[0] for c in (_DF_CACHE, _OBJ_CACHE) for k in c}
+    # prune bookkeeping for sessions with no cache entries left (the
+    # app-id / weakref sweeps above drop keys without touching these
+    # dicts — they'd grow forever in a session-churning driver,
+    # code-review r5)
+    for sid in list(_SESSION_REFS):
+        if sid not in sids and sid != live[0]:
+            _SESSION_REFS.pop(sid, None)
+            _SESSION_LRU.pop(sid, None)
     sids.discard(live[0])
     if len(sids) + 1 > _MAX_SESSIONS:
         stale = sorted(sids, key=lambda s: _SESSION_LRU.get(s, -1))

@@ -229,22 +229,88 @@ def parse_match_recognize(clause: str) -> MatchSpec:
     )
 
 
+def _match_ctx(
+    rows: list[dict],
+    start_idx: int,
+    assigned: list[str],
+    cur_idx: int | None = None,
+    cur_var: str | None = None,
+) -> dict:
+    """Evaluation context shared by DEFINE (cur_idx/cur_var set: the
+    candidate row under test) and MEASURES (cur unset: bare V.col
+    means LAST(V.col), PREV is relative to the match's last row)."""
+
+    def _var_rows(var):
+        return [
+            rows[start_idx + i]
+            for i, v in enumerate(assigned)
+            if var is None or v == var
+        ]
+
+    def __first(var, col):
+        r = _var_rows(var)
+        return r[0][col] if r else None
+
+    def __last(var, col):
+        r = _var_rows(var)
+        return r[-1][col] if r else None
+
+    def __agg(fn, var, col):
+        r = _var_rows(var)
+        if fn == "count":
+            return len(r)
+        vals = [x[col] for x in r if x[col] is not None]
+        if not vals:
+            return None
+        if fn == "sum":
+            return sum(vals)
+        if fn == "min":
+            return min(vals)
+        if fn == "max":
+            return max(vals)
+        return sum(vals) / len(vals)
+
+    anchor = (
+        cur_idx if cur_idx is not None else start_idx + len(assigned) - 1
+    )
+
+    def __prev(col, k=1):
+        j = anchor - k
+        return rows[j][col] if j >= 0 else None
+
+    def __cur(var, col):
+        if cur_var is not None and var == cur_var:
+            return rows[cur_idx][col]
+        return __last(var, col)
+
+    return {
+        "__cur": __cur,
+        "__prev": __prev,
+        "__first": __first,
+        "__last": __last,
+        "__agg": __agg,
+    }
+
+
 def _run_matcher(
     rows: list[dict], spec: MatchSpec
-) -> tuple[list[tuple[int, int, dict]], int | None]:
+) -> tuple[list[tuple[int, int, dict, bool]], int | None]:
     """Sequential greedy-with-backtracking scan over one partition's
     ordered rows. Returns (matches, earliest_viable):
 
-    - matches: (start, end, output_row) per match, in scan order
-      (end exclusive);
+    - matches: (start, end, output_row, ran_out) per match, in scan
+      order (end exclusive). ran_out means the attempt touched the
+      buffer end during the search — the match COULD still grow or
+      change if more rows arrive (e.g. a greedy A+ hit the end, then
+      backtracked into a shorter complete match); batch callers
+      ignore it (EOF is final), the streaming wrapper must treat such
+      a match as pending, not closed;
     - earliest_viable: the smallest NON-consumed start index whose
-      attempt ran out of rows mid-pattern (it could still become a
-      match if more rows arrive) — None if every failure was
-      definitive. The streaming wrapper uses it as the emission
-      frontier; the batch wrapper ignores it (EOF closes everything).
+      attempt ran out of rows mid-pattern without matching — None if
+      every failure was definitive.
     """
     n = len(rows)
-    matches: list[tuple[int, int, dict]] = []
+    matches: list[tuple[int, int, dict, bool]] = []
     earliest_viable: int | None = None
     start = 0
     pattern = spec.pattern
@@ -263,55 +329,6 @@ def _run_matcher(
         """(longest greedy assignment or None, ran_out_of_rows)."""
         best: list[str] | None = None
         ran_out = False
-
-        def ctx(assigned: list[str], cur_idx: int, cur_var: str):
-            # helpers evaluated against rows[start_idx : ...]
-            def __cur(var, col):
-                if var == cur_var:
-                    return rows[cur_idx][col]
-                return __last(var, col)
-
-            def __prev(col, k=1):
-                j = cur_idx - k
-                return rows[j][col] if j >= 0 else None
-
-            def _var_rows(var):
-                return [
-                    rows[start_idx + i]
-                    for i, v in enumerate(assigned)
-                    if var is None or v == var
-                ]
-
-            def __first(var, col):
-                r = _var_rows(var)
-                return r[0][col] if r else None
-
-            def __last(var, col):
-                r = _var_rows(var)
-                return r[-1][col] if r else None
-
-            def __agg(fn, var, col):
-                r = _var_rows(var)
-                if fn == "count":
-                    return len(r)
-                vals = [x[col] for x in r if x[col] is not None]
-                if not vals:
-                    return None
-                if fn == "sum":
-                    return sum(vals)
-                if fn == "min":
-                    return min(vals)
-                if fn == "max":
-                    return max(vals)
-                return sum(vals) / len(vals)
-
-            return {
-                "__cur": __cur,
-                "__prev": __prev,
-                "__first": __first,
-                "__last": __last,
-                "__agg": __agg,
-            }
 
         def ok(var, assigned, idx):
             if spec.within_seconds is not None:
@@ -333,7 +350,7 @@ def _run_matcher(
                 return bool(
                     eval(  # noqa: S307 — translated subset, no names
                         code, {"__builtins__": {}},
-                        ctx(assigned, idx, var),
+                        _match_ctx(rows, start_idx, assigned, idx, var),
                     )
                 )
             except TypeError:  # NULL in a comparison → no match
@@ -376,56 +393,13 @@ def _run_matcher(
         assigned, ran_out = try_match(start)
         if assigned:
             end = start + len(assigned)
-            last_idx = end - 1
-            s0 = start
-
-            def _var_rows(var, s0=s0, assigned=assigned):
-                return [
-                    rows[s0 + i]
-                    for i, v in enumerate(assigned)
-                    if var is None or v == var
-                ]
-
-            def __first(var, col):
-                r = _var_rows(var)
-                return r[0][col] if r else None
-
-            def __last(var, col):
-                r = _var_rows(var)
-                return r[-1][col] if r else None
-
-            def __agg(fn, var, col):
-                r = _var_rows(var)
-                if fn == "count":
-                    return len(r)
-                vals = [x[col] for x in r if x[col] is not None]
-                if not vals:
-                    return None
-                if fn == "sum":
-                    return sum(vals)
-                if fn == "min":
-                    return min(vals)
-                if fn == "max":
-                    return max(vals)
-                return sum(vals) / len(vals)
-
-            def __prev(col, k=1, last_idx=last_idx):
-                j = last_idx - k
-                return rows[j][col] if j >= 0 else None
-
-            c = {
-                "__cur": lambda var, col: __last(var, col),
-                "__prev": __prev,
-                "__first": __first,
-                "__last": __last,
-                "__agg": __agg,
-            }
+            c = _match_ctx(rows, start, assigned)
             row_out = {k: rows[start][k] for k in spec.partition_by}
             for code, name in measure_code:
                 row_out[name] = eval(  # noqa: S307
                     code, {"__builtins__": {}}, c
                 )
-            matches.append((start, end, row_out))
+            matches.append((start, end, row_out, ran_out))
             start = end if spec.skip_past_last else start + 1
         else:
             if ran_out and earliest_viable is None:
@@ -433,10 +407,9 @@ def _run_matcher(
             start += 1
     return matches, earliest_viable
 
-
 def _match_partition(rows: list[dict], spec: MatchSpec) -> list[dict]:
     """Batch semantics: EOF closes everything — emit every match."""
-    return [out for _, _, out in _run_matcher(rows, spec)[0]]
+    return [out for _, _, out, _ in _run_matcher(rows, spec)[0]]
 
 def match_recognize(
     df: DataFrame, spec: MatchSpec, output_schema: str
@@ -638,10 +611,19 @@ def stream_match_recognize(
         frontier = len(buf)
         if viable is not None:
             frontier = min(frontier, viable)
-        pending = [s for s, e, _ in matches if e == len(buf)]
+        # a match is pending (can still grow/change) when it ends at
+        # the buffer end OR its search touched the end at all — a
+        # greedy quantifier that hit the end and then backtracked
+        # into a shorter complete match would extend with more rows,
+        # so emitting it now would diverge from batch semantics
+        pending = [
+            s
+            for s, e, _, ran_out in matches
+            if e == len(buf) or ran_out
+        ]
         if pending:
             frontier = min(frontier, pending[0])
-        emit = [out for s, e, out in matches if e <= frontier]
+        emit = [out for s, e, out, _ in matches if e <= frontier]
         keep = buf[frontier:]
         state.update((pickle.dumps(keep),))
         if emit:

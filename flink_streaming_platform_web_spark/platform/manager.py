@@ -642,7 +642,13 @@ class JobManager:
                 cleanup_staging,
             )
 
-            cleanup_staging(min_age_seconds=300)
+            # generous age guard: every registered staging dir is a
+            # CLUSTER submission's --py-files payload, and a busy
+            # queue can keep one in flight for many minutes — only
+            # sweep dirs old enough that any consumer is done
+            # (code-review r5); the atexit sweep still catches the
+            # rest at shutdown
+            cleanup_staging(min_age_seconds=3600)
         return affected
 
     # -- cluster-mode sweep (YARN/Spark REST; TaskServiceAO.checkYarn) --

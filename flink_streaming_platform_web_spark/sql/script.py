@@ -180,3 +180,21 @@ def parse_set(statement: str) -> tuple[str, str] | None:
     if val.startswith("'") and val.endswith("'"):
         val = val[1:-1]
     return key, val
+
+
+def find_balanced(text: str, open_idx: int) -> int:
+    """Index of the ')' matching the '(' at ``open_idx`` (depth-
+    counting over the raw text). Raises SqlParseError when
+    unbalanced. One shared walker instead of a hand-rolled loop per
+    caller (code-review r5)."""
+    if open_idx < 0 or text[open_idx] != "(":
+        raise SqlParseError("expected '(' to balance")
+    depth = 0
+    for k in range(open_idx, len(text)):
+        if text[k] == "(":
+            depth += 1
+        elif text[k] == ")":
+            depth -= 1
+            if depth == 0:
+                return k
+    raise SqlParseError("unbalanced parentheses")

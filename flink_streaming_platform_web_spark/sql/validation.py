@@ -115,31 +115,26 @@ def _spark_parse(spark: SparkSession | None, stmt: str) -> None:
         return
     import re as _re
 
-    if _re.search(r"\bMATCH_RECOGNIZE\b", stmt, _re.IGNORECASE):
+    m = _re.search(
+        r"\bFROM\s+[\w.`]+\s+MATCH_RECOGNIZE\s*\(",
+        stmt,
+        _re.IGNORECASE,
+    )
+    if m:
         # Spark's parser doesn't know MATCH_RECOGNIZE; validate the
         # clause with the CEP parser instead (it raises on anything
-        # outside the supported subset — the runner's exact contract)
+        # outside the supported subset — the runner's exact
+        # contract). Structural trigger only: the bare word in a
+        # string literal stays on the Spark-parse path.
         from flink_streaming_platform_web_spark.operators.cep import (
             parse_match_recognize,
         )
-
-        m = _re.search(
-            r"MATCH_RECOGNIZE\s*\(", stmt, _re.IGNORECASE
+        from flink_streaming_platform_web_spark.sql.script import (
+            find_balanced,
         )
-        j = m.end() - 1
-        depth = 0
-        for k in range(j, len(stmt)):
-            if stmt[k] == "(":
-                depth += 1
-            elif stmt[k] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        else:
-            raise SqlParseError(
-                "MATCH_RECOGNIZE: unbalanced parentheses"
-            )
-        parse_match_recognize(stmt[j + 1:k])
+
+        j = stmt.index("(", m.end() - 1)
+        parse_match_recognize(stmt[j + 1:find_balanced(stmt, j)])
         return
     from flink_streaming_platform_web_spark.functions.flink_compat import (
         translate_expr,

@@ -884,7 +884,14 @@ class JobRunner:
         if cdc_refs:
             self._write_stream_cdc(job, refs, cdc_refs, idx, result)
             return
-        if re.search(r"\bMATCH_RECOGNIZE\b", job.query_sql, re.IGNORECASE):
+        if re.search(
+            r"\bFROM\s+[\w.`]+\s+MATCH_RECOGNIZE\s*\(",
+            job.query_sql,
+            re.IGNORECASE,
+        ):
+            # structural trigger, not the bare word: the literal
+            # string 'MATCH_RECOGNIZE' inside a WHERE clause must
+            # keep taking the normal Spark path (code-review r5)
             self._run_match_recognize(job, result)
             return
         sql = translate_expr(job.query_sql)
@@ -1102,17 +1109,12 @@ class JobRunner:
                 " MATCH_RECOGNIZE (<clause>)"
             )
         tbl = m.group(1).strip("`")
-        j = m.end() - 1
-        depth = 0
-        for k in range(j, len(sql)):
-            if sql[k] == "(":
-                depth += 1
-            elif sql[k] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-        else:
-            raise ValueError("MATCH_RECOGNIZE: unbalanced parens")
+        from flink_streaming_platform_web_spark.sql.script import (
+            find_balanced,
+        )
+
+        j = sql.index("(", m.end() - 1)
+        k = find_balanced(sql, j)
         spec = cep.parse_match_recognize(sql[j + 1:k])
         src = self.spark.table(tbl)
         if src.isStreaming:
@@ -1124,12 +1126,14 @@ class JobRunner:
         matched = cep.match_recognize(
             src, spec, cep.infer_output_schema(spec, src)
         )
-        matched.createOrReplaceTempView("__match_recognize__")
-        outer = (
-            sql[: m.start()]
-            + " FROM __match_recognize__ "
-            + sql[k + 1:]
-        )
+        # unique per-call view name: a fixed name raced concurrent
+        # MATCH_RECOGNIZE jobs on the shared session — one job could
+        # read the other's matches (code-review r5)
+        import uuid as _uuid
+
+        view = f"__match_recognize_{_uuid.uuid4().hex[:12]}__"
+        matched.createOrReplaceTempView(view)
+        outer = sql[: m.start()] + f" FROM {view} " + sql[k + 1:]
         df = self.spark.sql(translate_expr(outer))
         sink = self.tables.get(job.target)
         if sink is None:
@@ -1137,9 +1141,12 @@ class JobRunner:
                 f"MATCH_RECOGNIZE sink {job.target!r} must be a"
                 " declared table"
             )
-        self._write_batch(
-            self._align_to_sink(df, sink), sink, job, result
-        )
+        try:
+            self._write_batch(
+                self._align_to_sink(df, sink), sink, job, result
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     def _register_memory_result(
         self, out: DataFrame, sink: TableDef, accumulate: bool = False
@@ -1572,11 +1579,29 @@ def _parse_window_topn(sql: str) -> "_WindowTopN | None":
     )
     if not m:
         return None
+    # the rank select must be exactly `SELECT *, ROW_NUMBER() ...` and
+    # the OUTER select a plain column list — any expression computed
+    # in either would be silently dropped by the state re-plan, which
+    # builds sink rows from the INNER query's columns (code-review r5)
+    sel = sql.upper().rfind("SELECT", 0, m.start())
+    if sel < 0 or not re.fullmatch(
+        r"\s*\*\s*,\s*", sql[sel + 6:m.start()]
+    ):
+        return None
+    outer_items = _split_select_list(sql)
+    if outer_items is None or not all(
+        re.fullmatch(r"\*|[A-Za-z_]\w*", i.strip().strip("`"))
+        for i in outer_items
+    ):
+        return None
     part_cols = [c.strip().strip("`") for c in m.group(1).split(",")]
-    if not all(re.fullmatch(r"[\w.]+", c) for c in part_cols):
-        return None  # expression partitions: the loud path
+    # bare identifiers only: the state code looks rows up by name, so
+    # a qualified t.col would KeyError mid-stream instead of failing
+    # loudly up front (code-review r5)
+    if not all(re.fullmatch(r"[A-Za-z_]\w*", c) for c in part_cols):
+        return None  # expression/qualified partitions: the loud path
     om = re.match(
-        r"`?([\w.]+)`?\s*(ASC|DESC)?\s*$", m.group(2).strip(),
+        r"`?([A-Za-z_]\w*)`?\s*(ASC|DESC)?\s*$", m.group(2).strip(),
         re.IGNORECASE,
     )
     if not om:
@@ -1598,15 +1623,14 @@ def _parse_window_topn(sql: str) -> "_WindowTopN | None":
     j = sql.find("(", i)
     if j < 0 or sql[i + 4:j].strip():
         return None  # rank select reads a named table, not a subquery
-    depth = 0
-    for k in range(j, len(sql)):
-        if sql[k] == "(":
-            depth += 1
-        elif sql[k] == ")":
-            depth -= 1
-            if depth == 0:
-                break
-    else:
+    from flink_streaming_platform_web_spark.sql.script import (
+        SqlParseError,
+        find_balanced,
+    )
+
+    try:
+        k = find_balanced(sql, j)
+    except SqlParseError:
         return None
     inner = sql[j + 1:k].strip()
     gm = re.search(
@@ -1616,7 +1640,9 @@ def _parse_window_topn(sql: str) -> "_WindowTopN | None":
         group_cols = [
             c.strip().strip("`") for c in gm.group(1).split(",")
         ]
-        if not all(re.fullmatch(r"[\w.]+", c) for c in group_cols):
+        if not all(
+            re.fullmatch(r"[A-Za-z_]\w*", c) for c in group_cols
+        ):
             return None  # expression keys: the loud path
         inner_is_agg = True
     else:

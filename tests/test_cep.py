@@ -387,3 +387,72 @@ def test_stream_match_recognize_rejects_out_of_order(spark, tmp_path):
             q.awaitTermination(60)
         except Exception:
             pass
+
+
+def test_stream_backtracked_match_stays_pending(spark, tmp_path):
+    """A match found by BACKTRACKING after a greedy quantifier hit the
+    buffer end could still grow with future rows — it must stay
+    pending, not emit early (code-review r5 finding): pattern (A+ B)
+    over v=[1,5,1 | 1,5 | -1] has exactly ONE batch-semantics match
+    (A=rows0-3, B=row4); a premature batch-1 emission would have
+    produced A=[row0], B=row1."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "mr_grow"
+    d.mkdir()
+
+    def write(rows, name, mt):
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows]),
+                "t": pa.array([r[1] for r in rows], type=pa.int64()),
+                "v": pa.array([r[2] for r in rows], type=pa.float64()),
+            }
+        )
+        f = str(d / name)
+        pq.write_table(tbl, f)
+        os.utime(f, (mt, mt))
+
+    now = time.time()
+    write([("a", 1, 1.0), ("a", 2, 5.0), ("a", 3, 1.0)], "f1.parquet", now)
+    write([("a", 4, 1.0), ("a", 5, 5.0)], "f2.parquet", now + 2)
+    write([("a", 6, -1.0)], "f3.parquet", now + 4)
+    spec = cep.parse_match_recognize(
+        """PARTITION BY k
+           ORDER BY t
+           MEASURES FIRST(A.t) AS start_t, COUNT(A.*) AS n_a,
+                    LAST(B.t) AS b_t
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (A+ B)
+           DEFINE A AS A.v > 0, B AS B.v = 5"""
+    )
+    stream = (
+        spark.readStream.schema("k STRING, t BIGINT, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = cep.stream_match_recognize(
+        stream, spec,
+        "k string, start_t bigint, n_a bigint, b_t bigint",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mr_grow")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    got = [
+        (r["start_t"], r["n_a"], r["b_t"])
+        for r in spark.table("mr_grow").collect()
+    ]
+    assert got == [(1, 4, 5)]

@@ -365,3 +365,71 @@ def test_parse_window_topn_shapes():
              FROM agged
            ) WHERE rn <= 3"""
     ) is None
+
+
+def test_parse_window_topn_rejects_dropped_projections():
+    """Code-review r5: shapes whose middle/outer selects compute
+    expressions (which the state re-plan would silently drop) and
+    qualified column names (which would KeyError mid-stream) must be
+    REJECTED to the loud path."""
+    from flink_streaming_platform_web_spark.streaming.runner import (
+        _parse_window_topn,
+    )
+
+    base = """
+    SELECT {outer} FROM (
+      SELECT {mid}ROW_NUMBER() OVER (
+               PARTITION BY {part} ORDER BY {ord}) AS rn
+      FROM (
+        SELECT window_start, event_type, SUM(v) AS total
+        FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start, event_type
+      )
+    ) WHERE rn <= 3
+    """
+
+    def q(outer="window_start, event_type, total, rn", mid="*, ",
+          part="window_start", ord="total DESC"):
+        return base.format(outer=outer, mid=mid, part=part, ord=ord)
+
+    assert _parse_window_topn(q()) is not None
+    # middle select computes an expression → dropped silently → reject
+    assert _parse_window_topn(q(mid="window_start, total / 100 AS total, ")) is None
+    # outer select computes an expression → reject
+    assert _parse_window_topn(q(outer="window_start, total * 2, rn")) is None
+    # qualified partition/order columns → reject
+    assert _parse_window_topn(q(part="t.window_start")) is None
+    assert _parse_window_topn(q(ord="t.total DESC")) is None
+
+
+def test_match_recognize_word_in_literal_not_routed(spark, tmp_path):
+    """The literal string 'MATCH_RECOGNIZE' inside a WHERE clause must
+    take the normal Spark path, not the CEP route (code-review r5)."""
+    from flink_streaming_platform_web_spark.sql.validation import (
+        validate_script,
+    )
+    from flink_streaming_platform_web_spark.streaming.runner import (
+        JobRunner,
+    )
+
+    script = f"""
+    CREATE TABLE lit_src (note STRING)
+    WITH ('connector'='filesystem','path'='{tmp_path}/lit',
+          'format'='json');
+    CREATE TABLE lit_out (note STRING) WITH ('connector'='memory');
+    INSERT INTO lit_out SELECT note FROM lit_src
+    WHERE note <> 'MATCH_RECOGNIZE';
+    """
+    assert validate_script(script, spark, "batch").ok
+    import json as _json
+
+    (tmp_path / "lit").mkdir()
+    (tmp_path / "lit" / "a.json").write_text(
+        "\n".join(
+            _json.dumps({"note": n})
+            for n in ["keep", "MATCH_RECOGNIZE", "also"]
+        )
+    )
+    JobRunner(spark, mode="batch").execute_script(script)
+    got = sorted(r["note"] for r in spark.table("lit_out").collect())
+    assert got == ["also", "keep"]
