@@ -456,3 +456,25 @@ def test_stream_backtracked_match_stays_pending(spark, tmp_path):
         for r in spark.table("mr_grow").collect()
     ]
     assert got == [(1, 4, 5)]
+
+
+def test_measure_arithmetic_composes(spark):
+    """MEASURES may combine navigation/aggregate calls with
+    arithmetic — LAST(UP.price) - FIRST(DOWN.price) style (the
+    Flink docs use such measures); the translator composes the
+    helpers inside one expression."""
+    clause = V_CLAUSE.replace(
+        "LAST(UP.tstamp) AS end_tstamp",
+        "LAST(UP.price) - FIRST(DOWN.price) AS recovery",
+    )
+    spec = cep.parse_match_recognize(clause)
+    df = _ticker_df(spark)
+    out = cep.match_recognize(
+        df, spec,
+        "symbol string, start_tstamp int, bottom_tstamp int,"
+        " recovery double",
+    ).collect()
+    # match: bottom 12 (t=6) recovering to 25 (t=11) → 25 - 12 = 13
+    assert [(r["symbol"], r["recovery"]) for r in out] == [
+        ("ACME", 13.0)
+    ]
