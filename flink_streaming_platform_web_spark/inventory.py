@@ -47,17 +47,19 @@ _MODULES = (
 # The driver's correctness gate walks queries() in dict insertion order
 # and checks the first 50 entries per round. Rotate per round so the
 # union of rounds gives every entry a green row dated after its last
-# operator rewrite. Round-5 rotation (per VERDICT r04 item 2): 42 of
+# operator rewrite. Round-5 rotation (per VERDICT r04 item 2): 40 of
 # the 46 entries whose latest green row predates round 4 — the 6
 # r1-dated stragglers (q10, q16–q20), tx08/tx09/tx11/tx12 (text.py
 # rewritten in r4 after their r2 rows), st01–st08 (runner.py changed
-# in r3/r4 after their r2 rows), and 24 more r2-dated batch entries —
-# plus the 8 entries NEW this round (never driver-checked: dd14, pp04,
-# pp05, q45, st11–st14). Never-checked outranks stale-but-green: the
-# four r2-dated entries that lost slots (q02/q03/q04/mm03, all trivial
-# shapes pinned by module tests) front the r6 rotation, as do the
-# r4-green memoized-chain entries (pp04 re-proves dd04's full chain
-# under this round's _cache rewrite either way). Exactly 50.
+# in r3/r4 after their r2 rows), and 22 more r2-dated batch entries —
+# plus the 10 entries NEW this round (never driver-checked: dd14,
+# pp04, pp05, q45, q46, st11–st15). Never-checked outranks
+# stale-but-green: the six r2-dated entries that lost slots
+# (q01/q02/q03/q04/mm01/mm03, all trivial shapes pinned by module
+# tests — q01 additionally re-runs in the driver's entry() smoke
+# every round) front the r6 rotation, as do the r4-green
+# memoized-chain entries (pp04 re-proves dd04's full chain under this
+# round's _cache rewrite either way). Exactly 50.
 _CHECK_FIRST = (
     # r1-dated stragglers — three rounds stale (VERDICT r04 item 2a)
     "q10_string_functions",
@@ -81,7 +83,6 @@ _CHECK_FIRST = (
     "st07_stream_interval_join",
     "st08_stream_cdc_latest",
     # remaining r2-dated batch entries, oldest coverage first
-    "q01_pricing_summary",
     "q05_gmv_join_coupon",
     "q06_lookup_join",
     "q07_enriched_orders",
@@ -104,7 +105,6 @@ _CHECK_FIRST = (
     "vec01_kmeans",
     "vec02_quantize_int8",
     "vec03_dim_stats",
-    "mm01_binary_meta",
     # new this round — never driver-checked. They displace
     # mm03_frame_sample (r2-green, multimodal untouched since, byte
     # path pinned by test_imagecodec.py) and the r4-green memo-chain
@@ -126,11 +126,18 @@ _CHECK_FIRST = (
     "st14_stream_match_recognize",
     # pp05 (mixture re-weighting) is new — takes q04's slot (r2-green
     # daily agg, the demo_1 example e2e covers the same shape).
-    # Displacement policy this round: never-driver-checked entries
-    # outrank stale-but-green trivial shapes; the four r2-dated
-    # entries that lost slots (q02/q03/q04/mm03) are all pinned by
-    # module tests and front the r6 rotation.
     "pp05_mixture_weights",
+    # q46/st15 (Flink Window Join, batch + true stream-stream chained
+    # stateful ops) are new — they take q01's slot (r2-green; the
+    # driver's entry() smoke re-runs q01 every round anyway) and
+    # mm01's (r2-green, multimodal untouched since r2, pinned by
+    # test_multimodal). Displacement policy this round:
+    # never-driver-checked entries outrank stale-but-green trivial
+    # shapes; the six r2-dated entries that lost slots
+    # (q01/q02/q03/q04/mm01/mm03) are all pinned by module tests and
+    # front the r6 rotation.
+    "q46_window_join",
+    "st15_stream_window_join",
 )
 
 

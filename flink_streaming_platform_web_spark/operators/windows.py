@@ -365,3 +365,67 @@ ORACLES = {
     "q24_session_window": ORACLE_Q24,
     "q25_cdc_latest_state": ORACLE_Q25,
 }
+
+
+def q46_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's Window Join (docs: queries/window-join): two windowed
+    streams joined on identical windows plus a key — here clicks and
+    purchases per (1-hour window, user), a FULL OUTER join so
+    click-only and purchase-only windows both survive (the docs'
+    headline variant). Window-aligned joins are the scale-safe
+    stream-stream shape: both sides pre-aggregate per (window, key)
+    before the join, so the join input is reduced data keyed
+    identically — one exchange per side, no pair-space."""
+    events = load(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == event_type)
+            .groupBy(w, "user_id")
+            .agg(F.count("*").alias(alias))
+            .select(
+                F.date_format("window.start", _FMT).alias(
+                    "window_start"
+                ),
+                "user_id",
+                alias,
+            )
+        )
+
+    clicks = side("click", "n_clicks")
+    buys = side("purchase", "n_purchases")
+    return (
+        clicks.join(buys, ["window_start", "user_id"], "full_outer")
+        .select(
+            "window_start",
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
+ORACLE_Q46 = f"""
+WITH clicks AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts,
+                  TIMESTAMP '1970-01-01'), '{_OFMT}') AS window_start,
+         user_id, COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+buys AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts,
+                  TIMESTAMP '1970-01-01'), '{_OFMT}') AS window_start,
+         user_id, COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT COALESCE(c.window_start, b.window_start) AS window_start,
+       COALESCE(c.user_id, b.user_id) AS user_id,
+       COALESCE(c.n_clicks, 0) AS n_clicks,
+       COALESCE(b.n_purchases, 0) AS n_purchases
+FROM clicks c FULL OUTER JOIN buys b
+  ON c.window_start = b.window_start AND c.user_id = b.user_id
+"""
+
+QUERIES["q46_window_join"] = q46_window_join
+ORACLES["q46_window_join"] = ORACLE_Q46

@@ -943,12 +943,106 @@ def st14_stream_match_recognize(
     )
 
 
+def st15_stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's Window Join (docs: queries/window-join) as a REAL
+    stream-stream join: two watermarked windowed aggregations (clicks
+    and purchases per 1-hour window and user) joined on the window +
+    key in append mode — Spark's chained-stateful-operators path (two
+    window aggs feeding a join, multiple stateful ops in one query).
+    A far-future sentinel pair advances the watermark so every real
+    window flushes; the sentinel's own window never emits (nothing
+    advances past it) and its user never appears in the oracle's
+    events, so the converged output equals the batch inner window
+    join exactly."""
+    import datetime
+    import tempfile
+
+    from flink_streaming_platform_web_spark.tables import load
+
+    path = (
+        f"{tempfile.gettempdir()}/spark_graft_st15_"
+        f"{int(time.time() * 1e6)}"
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type"
+    )
+    ev.repartition(2).write.parquet(path)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    spark.createDataFrame(
+        [
+            (mx + datetime.timedelta(hours=2), -1, "click"),
+            (mx + datetime.timedelta(hours=2), -1, "purchase"),
+        ],
+        "ts TIMESTAMP, user_id BIGINT, event_type STRING",
+    ).coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(
+            "ts TIMESTAMP, user_id BIGINT, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        return (
+            stream.filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 hour"), "user_id")
+            .agg(F.count("*").alias(alias))
+        )
+
+    joined = side("click", "n_clicks").join(
+        side("purchase", "n_purchases"), ["window", "user_id"]
+    )
+    qname = f"st15_out_{int(time.time() * 1e6)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    return spark.table(qname).select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "user_id",
+        "n_clicks",
+        "n_purchases",
+    )
+
+
+ORACLE_ST15 = """
+WITH clicks AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts,
+                  TIMESTAMP '1970-01-01'),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         user_id, COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+buys AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts,
+                  TIMESTAMP '1970-01-01'),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         user_id, COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT window_start, user_id, n_clicks, n_purchases
+FROM clicks JOIN buys USING (window_start, user_id)
+"""
+
+
 QUERIES = {
     "st01_stream_tumble_window": st01_stream_tumble_window,
     "st11_stream_window_topn": st11_stream_window_topn,
     "st12_stream_dedup_sql": st12_stream_dedup_sql,
     "st13_stream_topn_continuous": st13_stream_topn_continuous,
     "st14_stream_match_recognize": st14_stream_match_recognize,
+    "st15_stream_window_join": st15_stream_window_join,
     "st10_stream_ttl_incremental_agg": st10_stream_ttl_incremental_agg,
     "st09_stream_window_tvf": st09_stream_window_tvf,
     "st08_stream_cdc_latest": st08_stream_cdc_latest,
@@ -965,6 +1059,7 @@ ORACLES = {
     "st11_stream_window_topn": ORACLE_ST11,
     "st12_stream_dedup_sql": ORACLE_ST12,
     "st13_stream_topn_continuous": ORACLE_ST13,
+    "st15_stream_window_join": ORACLE_ST15,
     # st14 converges to exactly the batch MATCH_RECOGNIZE result —
     # the q45 gaps-and-islands oracle verbatim (sentinels close
     # pending matches the way batch EOF does; they never appear in

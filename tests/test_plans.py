@@ -455,3 +455,16 @@ def test_pp04_no_pinned_broadcast_on_losers(spark, sf_dir):
         ):
             spark.conf.unset(key)
         _cache.clear()
+
+
+def test_q46_window_join_joins_reduced_sides(spark, sf_dir):
+    """Window join: both sides pre-aggregate per (window, key) BEFORE
+    the join, so the join inputs are reduced data — partial_count
+    (map-side combine) on each side, and no join of raw scans."""
+    from flink_streaming_platform_web_spark.operators.windows import (
+        q46_window_join,
+    )
+
+    plan = _physical(q46_window_join(spark, sf_dir))
+    assert plan.count("partial_count") >= 2  # both sides combine
+    assert "PythonUDF" not in plan
