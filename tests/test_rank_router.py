@@ -1,0 +1,205 @@
+"""Round-6 rank router: executor-side state (VERDICT r5 finding 1).
+
+The three Flink streaming ROW_NUMBER patterns (docs: queries/topn,
+queries/window-topn, queries/deduplication) previously held their
+cross-batch state in driver dicts fed by ``toLocalIterator``. These
+tests pin the rewritten contract: raw-mode state in Spark's state
+store (``applyInPandasWithState``), agg-mode state in an executor-side
+StateTable, TTL eviction per rank partition, and checkpoint restore
+of the raw-mode operator state.
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+
+from flink_streaming_platform_web_spark.streaming import runner as runner_mod
+from flink_streaming_platform_web_spark.streaming.checkpoints import (
+    CheckPointParam,
+)
+from flink_streaming_platform_web_spark.streaming.runner import JobRunner
+from flink_streaming_platform_web_spark.streaming import stateful
+
+
+_DDL = """
+CREATE TABLE ev (
+  user_id BIGINT, ts_s STRING, value DOUBLE
+) WITH ('connector' = 'filesystem', 'path' = '{path}',
+        'format' = 'json', 'source.max-files-per-trigger' = '1');
+"""
+
+_DEDUP_SQL = """
+INSERT INTO dedup_sink
+SELECT user_id, ts_s, value FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts_s ASC) AS rownum
+  FROM (SELECT user_id, ts_s, value FROM ev)
+) WHERE rownum = 1;
+"""
+
+_DEDUP_SINK = """
+CREATE TABLE dedup_sink (
+  user_id BIGINT, ts_s STRING, value DOUBLE,
+  PRIMARY KEY (user_id) NOT ENFORCED
+) WITH ('connector' = 'jdbc');
+"""
+
+
+def _write_json(path: str, name: str, rows: list[dict]) -> None:
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run(runner: JobRunner, script: str) -> None:
+    result = runner.execute_script(script)
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(120)
+
+
+def test_no_driver_row_iteration_in_rank_path():
+    """The rank router must never iterate micro-batch rows on the
+    driver: no toLocalIterator anywhere, and the only collect() sites
+    are the bounded sink/metadata channels (touched × N rank rows,
+    expired-partition keys)."""
+    src = (
+        inspect.getsource(runner_mod.JobRunner._write_stream_window_topn)
+        + inspect.getsource(runner_mod.JobRunner._rank_raw_stream)
+        + inspect.getsource(runner_mod.JobRunner._rank_agg_stream)
+        + inspect.getsource(stateful.retained_topn)
+    )
+    assert "toLocalIterator" not in src
+    agg = inspect.getsource(runner_mod.JobRunner._rank_agg_stream)
+    # collect() only on the rank result / expired parts (documented
+    # bounded channels) — the raw path and stateful operator have none
+    assert "collect" not in inspect.getsource(
+        runner_mod.JobRunner._rank_raw_stream
+    )
+    assert "collect" not in inspect.getsource(stateful.retained_topn)
+    assert agg.count(".collect()") == 2
+
+
+def test_raw_rank_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill + restart mid-stream resumes from the operator's state
+    store: a row retained before the restart still wins the dedup
+    after it, even though the restarted runner never saw its batch."""
+    src_path = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_json(
+        src_path,
+        "f1.json",
+        [
+            {"user_id": 1, "ts_s": "2024-01-01 00:00:01", "value": 1.0},
+            {"user_id": 2, "ts_s": "2024-01-01 00:00:05", "value": 5.0},
+        ],
+    )
+    script = _DDL.format(path=src_path) + _DEDUP_SINK + _DEDUP_SQL
+    r1 = JobRunner(
+        spark,
+        mode="streaming",
+        checkpoint=CheckPointParam(checkpoint_dir=ckpt),
+    )
+    _run(r1, script)
+    got = {
+        r["user_id"]: r["ts_s"]
+        for r in r1.upsert_stores["dedup_sink"].to_df(spark).collect()
+    }
+    assert got == {1: "2024-01-01 00:00:01", 2: "2024-01-01 00:00:05"}
+
+    # phase 2: a LATER row for user 1 (must lose against restored
+    # state) and a first row for user 3
+    _write_json(
+        src_path,
+        "f2.json",
+        [
+            {"user_id": 1, "ts_s": "2024-01-01 00:00:09", "value": 9.0},
+            {"user_id": 3, "ts_s": "2024-01-01 00:00:03", "value": 3.0},
+        ],
+    )
+    r2 = JobRunner(
+        spark,
+        mode="streaming",
+        checkpoint=CheckPointParam(checkpoint_dir=ckpt),
+    )
+    _run(r2, script)
+    store2 = r2.upsert_stores["dedup_sink"]
+    got2 = {
+        r["user_id"]: r["ts_s"] for r in store2.to_df(spark).collect()
+    }
+    # user 1 emitted its RESTORED best row (f1's ts), not f2's later
+    # one — driver-dict state could not have survived the restart
+    assert got2[1] == "2024-01-01 00:00:01"
+    assert got2[3] == "2024-01-01 00:00:03"
+
+
+def test_agg_rank_ttl_evicts_stale_partitions(spark, tmp_path):
+    """`SET graft.topn.state-ttl-batches`: a rank partition untouched
+    for more than N batches drops out of the executor-side state; a
+    still-touched partition keeps its quiet groups (they remain rank
+    members)."""
+    src_path = str(tmp_path / "src")
+    # batch 1: window A (groups x,y) ; batches 2..4: window B only
+    _write_json(
+        src_path,
+        "f1.json",
+        [
+            {"user_id": 1, "ts_s": "A", "value": 10.0},
+            {"user_id": 2, "ts_s": "A", "value": 20.0},
+        ],
+    )
+    for i, v in [(2, 1.0), (3, 2.0), (4, 3.0)]:
+        _write_json(
+            src_path,
+            f"f{i}.json",
+            [{"user_id": 9, "ts_s": "B", "value": v}],
+        )
+    script = (
+        _DDL.format(path=src_path)
+        + """
+        SET graft.topn.state-ttl-batches=1;
+        CREATE TABLE topn_sink (
+          ts_s STRING, user_id BIGINT, total DOUBLE, rn BIGINT,
+          PRIMARY KEY (ts_s, rn) NOT ENFORCED
+        ) WITH ('connector' = 'jdbc');
+        INSERT INTO topn_sink
+        SELECT ts_s, user_id, total, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY ts_s ORDER BY total DESC) AS rn
+          FROM (
+            SELECT ts_s, user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total
+            FROM ev GROUP BY ts_s, user_id
+          )
+        ) WHERE rn <= 2;
+        """
+    )
+    runner = JobRunner(spark, mode="streaming")
+    _run(runner, script)
+    # sink still holds window A's final ranks (eviction drops STATE,
+    # not emitted results — Flink's window-state GC contract)
+    rows = runner.upsert_stores["topn_sink"].to_df(spark).collect()
+    by_win = {}
+    for r in rows:
+        by_win.setdefault(r["ts_s"], []).append(r)
+    assert len(by_win["A"]) == 2
+    assert len(by_win["B"]) == 1
+    assert by_win["B"][0]["total"] == 6.0  # all batches folded
+    # the executor-side state table dropped partition A
+    state_dirs = [
+        d
+        for d in os.listdir(runner._state_root)
+        if d.startswith("rank_topn_sink") and not d.endswith("_parts")
+    ]
+    assert len(state_dirs) == 1
+    held = spark.read.parquet(
+        os.path.join(runner._state_root, state_dirs[0])
+    )
+    held_windows = {r["ts_s"] for r in held.select("ts_s").collect()}
+    assert held_windows == {"B"}

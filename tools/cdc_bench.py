@@ -95,6 +95,34 @@ def main() -> None:
         apply_agg(b, i)
     agg_s = time.perf_counter() - t0
 
+    # path 4 (round 6): executor-side StateTable merge — the runner's
+    # production materialize path (keyed changelog MERGE per batch,
+    # bucket-pruned state rewrite; scales with cores, unlike path 3)
+    import tempfile
+
+    from flink_streaming_platform_web_spark.streaming.cdc import (
+        foreach_batch_merge_changelog,
+    )
+    from flink_streaming_platform_web_spark.streaming.state_table import (
+        StateTable,
+    )
+
+    st = StateTable(
+        spark,
+        tempfile.mkdtemp(prefix="graft_cdcbench_"),
+        ["id"],
+        spark.createDataFrame(
+            [], "id BIGINT, grp BIGINT, amount DOUBLE"
+        ).schema,
+    )
+    apply_merge = foreach_batch_merge_changelog(st, ["id"])
+    t0 = time.perf_counter()
+    for i, b in enumerate(batches):
+        apply_merge(b, i)
+    merge_s = time.perf_counter() - t0
+    merge_final = st.view().count()
+    st.destroy()
+
     # path 3: ordered per-row KeyedStore apply (mock-store channel) —
     # measured on a slice: it is driver-side by design and priced
     # accordingly
@@ -116,6 +144,8 @@ def main() -> None:
                 "materialize_final_rows": final_rows,
                 "incremental_agg_rows_per_sec": round(n / agg_s, 1),
                 "incremental_agg_batches": n_batches,
+                "state_table_merge_rows_per_sec": round(n / merge_s, 1),
+                "state_table_final_rows": merge_final,
                 "keyed_store_apply_rows_per_sec": round(
                     slice_n / rowapply_s, 1
                 ),

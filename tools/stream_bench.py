@@ -2,6 +2,14 @@
 window agg → noop sink. Prints one JSON line with rows/sec processed.
 
     python tools/stream_bench.py [seconds] [rows_per_second]
+    python tools/stream_bench.py rank [seconds] [rows_per_second]
+
+``rank`` mode drives the round-6 executor-side rank operator
+(streaming/stateful.retained_topn — the raw-mode streaming ROW_NUMBER
+state) instead of the built-in window agg: per-key top-N state in
+Spark's state store, sharded across cores by the groupBy. The
+driver-dict router it replaced serialized every row through the
+driver, so its throughput could not scale with cores; this one does.
 """
 
 from __future__ import annotations
@@ -19,18 +27,48 @@ from flink_streaming_platform_web_spark.session import get_spark
 
 
 def main() -> None:
-    duration = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
-    rps = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    args = sys.argv[1:]
+    mode = "agg"
+    if args and args[0] == "rank":
+        mode = "rank"
+        args = args[1:]
+    duration = float(args[0]) if args else 20.0
+    rps = int(args[1]) if len(args) > 1 else 500_000
     spark = get_spark("stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    agg = (
+    src = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", str(rps))
         .load()
-        .withWatermark("timestamp", "10 seconds")
-        .groupBy(F.window("timestamp", "5 seconds"), F.col("value") % 100)
-        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
     )
+    if mode == "rank":
+        from flink_streaming_platform_web_spark.streaming.stateful import (
+            retained_topn,
+        )
+
+        keyed = src.select(
+            (F.col("value") % 1000).alias("k"),
+            F.col("value").alias("v"),
+            F.col("timestamp").cast("string").alias("ts_s"),
+        )
+        agg = retained_topn(
+            keyed,
+            part_cols=["k"],
+            ord_col="v",
+            ord_desc=True,
+            tie_cols=["ts_s"],
+            topn=3,
+            rn_alias="rn",
+            out_cols=["k", "v", "ts_s", "rn"],
+        )
+    else:
+        agg = (
+            src.withWatermark("timestamp", "10 seconds")
+            .groupBy(
+                F.window("timestamp", "5 seconds"), F.col("value") % 100
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        )
     q = (
         agg.writeStream.format("noop")
         .outputMode("update")
@@ -59,7 +97,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "rate_window_agg_throughput",
+                "metric": (
+                    "rate_rank_topn_throughput"
+                    if mode == "rank"
+                    else "rate_window_agg_throughput"
+                ),
                 "rows_processed": rows,
                 "wall_s": duration,
                 "rows_per_sec": round(rows / duration, 1),
