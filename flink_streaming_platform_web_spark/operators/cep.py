@@ -53,7 +53,11 @@ class MatchSpec:
     partition_by: list[str]
     order_by: list[str]
     measures: list[tuple[str, str]]  # (python expr, output name)
-    pattern: list[tuple[str, str]]  # (var, quant: '1' '+' '*' '?')
+    #: pattern elements: (alternatives, quant). A plain variable is a
+    #: 1-tuple of alternatives; `(A|B)` carries several (ordered
+    #: choice, leftmost preferred — SQL/RPR). quant ∈
+    #: {'1','?','+','*','??','+?','*?'} (two-char = reluctant).
+    pattern: list[tuple[tuple[str, ...], str]]
     define: dict[str, str]  # var -> python expr
     skip_past_last: bool = True
     output_schema: str = ""  # filled by match_recognize from a sample
@@ -62,6 +66,15 @@ class MatchSpec:
     # match's first and last row (Flink's state-bounding time window);
     # None = unbounded
     within_seconds: float | None = None
+    #: ALL ROWS PER MATCH — one output row per matched input row,
+    #: measures with RUNNING semantics (the SQL/RPR default Flink
+    #: implements); False = ONE ROW PER MATCH
+    all_rows: bool = False
+    #: AFTER MATCH SKIP mode: 'past_last' | 'to_next' | 'to_first' |
+    #: 'to_last'; the latter two resume at skip_var's first/last
+    #: matched row (error if that would not advance — SQL/RPR)
+    skip_mode: str = "past_last"
+    skip_var: str | None = None
 
 
 _FUN = r"(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG|PREV)"
@@ -154,12 +167,12 @@ def parse_match_recognize(clause: str) -> MatchSpec:
                 "MATCH_RECOGNIZE: only ascending ORDER BY supported"
             )
         order.append(re.sub(r"\s+ASC$", "", c, flags=re.IGNORECASE))
-    if re.search(r"ALL\s+ROWS\s+PER\s+MATCH", clause, re.IGNORECASE):
-        raise ValueError(
-            "MATCH_RECOGNIZE: only ONE ROW PER MATCH supported"
-        )
+    all_rows = bool(
+        re.search(r"ALL\s+ROWS\s+PER\s+MATCH", clause, re.IGNORECASE)
+    )
     measures_txt = grab(
-        "MEASURES", r"(?:ONE\s+ROW\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN)"
+        "MEASURES",
+        r"(?:(?:ONE|ALL)\s+ROWS?\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN)",
     )
     measures, raw = [], []
     for item in re.split(r",(?![^()]*\))", measures_txt):
@@ -171,14 +184,41 @@ def parse_match_recognize(clause: str) -> MatchSpec:
             raise ValueError(f"MATCH_RECOGNIZE: bad measure {item!r}")
         measures.append((_xlate(m.group(1)), m.group(2)))
         raw.append((m.group(1).strip(), m.group(2)))
-    skip_past = not re.search(
-        r"AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW", clause, re.IGNORECASE
+    skip_mode, skip_var = "past_last", None
+    am = re.search(
+        r"AFTER\s+MATCH\s+SKIP\s+(?:"
+        r"(PAST\s+LAST\s+ROW)|(TO\s+NEXT\s+ROW)"
+        r"|TO\s+(FIRST|LAST)\s+`?(\w+)`?)",
+        clause,
+        re.IGNORECASE,
     )
-    pat_txt = re.search(
-        r"PATTERN\s*\(\s*(.*?)\s*\)", clause, re.IGNORECASE | re.DOTALL
-    )
-    if not pat_txt:
+    if am:
+        if am.group(2):
+            skip_mode = "to_next"
+        elif am.group(3):
+            skip_mode = f"to_{am.group(3).lower()}"
+            skip_var = am.group(4)
+    elif re.search(r"AFTER\s+MATCH", clause, re.IGNORECASE):
+        raise ValueError(
+            "MATCH_RECOGNIZE: unsupported AFTER MATCH strategy"
+            " (supported: SKIP PAST LAST ROW, SKIP TO NEXT ROW,"
+            " SKIP TO FIRST/LAST <var>)"
+        )
+    # balanced-paren extraction: alternation groups nest parens inside
+    # PATTERN ( ... ), so a non-greedy regex would stop at the first ')'
+    pm = re.search(r"PATTERN\s*\(", clause, re.IGNORECASE)
+    if not pm:
         raise ValueError("MATCH_RECOGNIZE: missing PATTERN")
+    depth, i = 1, pm.end()
+    while i < len(clause) and depth:
+        if clause[i] == "(":
+            depth += 1
+        elif clause[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError("MATCH_RECOGNIZE: unbalanced PATTERN parens")
+    pat_body = clause[pm.end(): i - 1].strip()
     within = None
     wm = re.search(
         r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)", clause, re.IGNORECASE
@@ -194,14 +234,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
                 f" {wm.group(2)!r}"
             )
         within = int(wm.group(1)) * unit
-    pattern = []
-    for tok in pat_txt.group(1).split():
-        m = re.fullmatch(r"(\w+)([+*?]?)", tok)
-        if not m:
-            raise ValueError(
-                f"MATCH_RECOGNIZE: unsupported pattern token {tok!r}"
-            )
-        pattern.append((m.group(1), m.group(2) or "1"))
+    pattern = _parse_pattern(pat_body)
     define_txt = re.search(
         r"DEFINE\s+(.*)$", clause, re.IGNORECASE | re.DOTALL
     )
@@ -217,16 +250,63 @@ def parse_match_recognize(clause: str) -> MatchSpec:
                     f"MATCH_RECOGNIZE: bad DEFINE {item!r}"
                 )
             define[m.group(1)] = _xlate(m.group(2))
+    pat_vars = {v for alts, _ in pattern for v in alts}
+    if skip_var is not None and skip_var not in pat_vars:
+        raise ValueError(
+            f"MATCH_RECOGNIZE: AFTER MATCH SKIP TO {skip_var!r} — no"
+            " such pattern variable"
+        )
     return MatchSpec(
         partition_by=part,
         order_by=order,
         measures=measures,
         pattern=pattern,
         define=define,
-        skip_past_last=skip_past,
+        skip_past_last=(skip_mode == "past_last"),
         raw_measures=raw,
         within_seconds=within,
+        all_rows=all_rows,
+        skip_mode=skip_mode,
+        skip_var=skip_var,
     )
+
+
+_PAT_TOKEN = re.compile(
+    r"\s*(?:\(\s*(\w+(?:\s*\|\s*\w+)*)\s*\)|(\w+))"
+    r"(\+\?|\*\?|\?\?|[+*?])?"
+)
+
+
+def _parse_pattern(text: str) -> list[tuple[tuple[str, ...], str]]:
+    """PATTERN body → [(alternatives, quant)]: concatenation of plain
+    variables and flat alternation groups ``(A|B|C)``, each with an
+    optional greedy (`+ * ?`) or reluctant (`+? *? ??`) quantifier —
+    the Flink 1.13 pattern surface minus nested groups/permute, which
+    raise loudly."""
+    out: list[tuple[tuple[str, ...], str]] = []
+    i = 0
+    while i < len(text):
+        if text[i].isspace():
+            i += 1
+            continue
+        m = _PAT_TOKEN.match(text, i)
+        if not m or m.end() == i:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: unsupported pattern at"
+                f" {text[i:]!r} (supported: variables, flat (A|B)"
+                " groups, quantifiers + * ? +? *? ??)"
+            )
+        if m.group(1) is not None:
+            alts = tuple(
+                v.strip() for v in m.group(1).split("|")
+            )
+        else:
+            alts = (m.group(2),)
+        out.append((alts, m.group(3) or "1"))
+        i = m.end()
+    if not out:
+        raise ValueError("MATCH_RECOGNIZE: empty PATTERN")
+    return out
 
 
 def _match_ctx(
@@ -298,8 +378,10 @@ def _run_matcher(
     """Sequential greedy-with-backtracking scan over one partition's
     ordered rows. Returns (matches, earliest_viable):
 
-    - matches: (start, end, output_row, ran_out) per match, in scan
-      order (end exclusive). ran_out means the attempt touched the
+    - matches: (start, end, output_rows, ran_out) per match, in scan
+      order (end exclusive; output_rows has one dict for ONE ROW PER
+      MATCH, one per matched row for ALL ROWS PER MATCH). ran_out
+      means the attempt touched the
       buffer end during the search — the match COULD still grow or
       change if more rows arrive (e.g. a greedy A+ hit the end, then
       backtracked into a shorter complete match); batch callers
@@ -358,33 +440,89 @@ def _run_matcher(
 
         def walk(pi: int, idx: int, assigned: list[str]):
             nonlocal best, ran_out
+            if best is not None:
+                return
             if pi == len(pattern):
-                if best is None or len(assigned) > len(best):
-                    best = list(assigned)
+                best = list(assigned)
                 return
-            var, quant = pattern[pi]
-            if quant in ("1", "?"):
-                if idx >= n:
-                    ran_out = True  # more rows could complete this
-                elif ok(var, assigned, idx):
-                    walk(pi + 1, idx + 1, assigned + [var])
-                if quant == "?":
-                    walk(pi + 1, idx, assigned)
+            alts, quant = pattern[pi]
+            if len(alts) == 1 and quant in ("1", "?", "+", "*"):
+                # fast path (the common single-variable greedy shape):
+                # iterative consume, no per-row recursion
+                var = alts[0]
+                if quant in ("1", "?"):
+                    if idx >= n:
+                        ran_out = True  # more rows could complete this
+                    elif ok(var, assigned, idx):
+                        walk(pi + 1, idx + 1, assigned + [var])
+                    if quant == "?" and best is None:
+                        walk(pi + 1, idx, assigned)
+                    return
+                # + / * : greedy — consume as many as possible, then
+                # backtrack toward the minimum
+                taken = []
+                while idx + len(taken) < n and ok(
+                    var, assigned + taken, idx + len(taken)
+                ):
+                    taken.append(var)
+                if idx + len(taken) >= n:
+                    ran_out = True  # the greedy run hit the buffer end
+                lo = 1 if quant == "+" else 0
+                for k in range(len(taken), lo - 1, -1):
+                    walk(pi + 1, idx + k, assigned + taken[:k])
+                    if best is not None:
+                        return  # greedy: first (longest-prefix) wins
                 return
-            # + / * : greedy — consume as many as possible, then
-            # backtrack toward the minimum
-            taken = []
-            while idx + len(taken) < n and ok(
-                var, assigned + taken, idx + len(taken)
-            ):
-                taken.append(var)
-            if idx + len(taken) >= n:
-                ran_out = True  # the greedy run hit the buffer end
-            lo = 1 if quant == "+" else 0
-            for k in range(len(taken), lo - 1, -1):
-                walk(pi + 1, idx + k, assigned + taken[:k])
+            # general ordered-choice DFS: alternation groups (leftmost
+            # alternative preferred — SQL/RPR ordered choice) and
+            # reluctant quantifiers (prefer FEWER repetitions). Depth
+            # is bounded by the repetition count; a pathological run
+            # longer than Python's recursion limit surfaces as a loud
+            # error (mitigation, as in Flink: bound the match with
+            # WITHIN), never a silent wrong answer.
+            lo = 1 if quant[0] in ("1", "+") else 0
+            hi = 1 if quant[0] in ("1", "?") else None
+            reluctant = len(quant) == 2  # '+?', '*?', '??'
+
+            def rep(idx2: int, assigned2: list[str], count: int):
+                nonlocal ran_out
                 if best is not None:
-                    return  # greedy: first (longest-prefix) wins
+                    return
+
+                def more():
+                    nonlocal ran_out
+                    if hi is not None and count >= hi:
+                        return
+                    if idx2 >= n:
+                        ran_out = True
+                        return
+                    for v in alts:
+                        if ok(v, assigned2, idx2):
+                            rep(idx2 + 1, assigned2 + [v], count + 1)
+                            if best is not None:
+                                return
+
+                def move_on():
+                    if count >= lo:
+                        walk(pi + 1, idx2, assigned2)
+
+                if reluctant:
+                    move_on()
+                    if best is None:
+                        more()
+                else:
+                    more()
+                    if best is None:
+                        move_on()
+
+            try:
+                rep(idx, assigned, 0)
+            except RecursionError:
+                raise ValueError(
+                    "MATCH_RECOGNIZE: a quantified alternation"
+                    " matched a run longer than the supported depth;"
+                    " bound the pattern with WITHIN"
+                ) from None
 
         walk(0, start_idx, [])
         return best, ran_out
@@ -393,14 +531,58 @@ def _run_matcher(
         assigned, ran_out = try_match(start)
         if assigned:
             end = start + len(assigned)
-            c = _match_ctx(rows, start, assigned)
-            row_out = {k: rows[start][k] for k in spec.partition_by}
-            for code, name in measure_code:
-                row_out[name] = eval(  # noqa: S307
-                    code, {"__builtins__": {}}, c
+            if spec.all_rows:
+                # one output row per matched row, measures with
+                # RUNNING semantics (context sees the rows matched so
+                # far — the SQL/RPR default Flink implements)
+                outs = []
+                for off in range(len(assigned)):
+                    c = _match_ctx(rows, start, assigned[: off + 1])
+                    row_out = dict(rows[start + off])
+                    for code, name in measure_code:
+                        row_out[name] = eval(  # noqa: S307
+                            code, {"__builtins__": {}}, c
+                        )
+                    outs.append(row_out)
+            else:
+                c = _match_ctx(rows, start, assigned)
+                row_out = {
+                    k: rows[start][k] for k in spec.partition_by
+                }
+                for code, name in measure_code:
+                    row_out[name] = eval(  # noqa: S307
+                        code, {"__builtins__": {}}, c
+                    )
+                outs = [row_out]
+            matches.append((start, end, outs, ran_out))
+            if spec.skip_mode == "past_last":
+                start = end
+            elif spec.skip_mode == "to_next":
+                start += 1
+            else:  # to_first / to_last <var>
+                idxs = [
+                    start + i
+                    for i, v in enumerate(assigned)
+                    if v == spec.skip_var
+                ]
+                if not idxs:
+                    raise ValueError(
+                        f"MATCH_RECOGNIZE: AFTER MATCH SKIP TO"
+                        f" {spec.skip_var!r} — the variable matched"
+                        " no row in this match"
+                    )
+                tgt = (
+                    idxs[0]
+                    if spec.skip_mode == "to_first"
+                    else idxs[-1]
                 )
-            matches.append((start, end, row_out, ran_out))
-            start = end if spec.skip_past_last else start + 1
+                if tgt <= start:
+                    raise ValueError(
+                        f"MATCH_RECOGNIZE: AFTER MATCH SKIP TO"
+                        f" {spec.skip_var!r} resumes at the match's"
+                        " first row — infinite loop (SQL/RPR error)"
+                    )
+                start = tgt
         else:
             if ran_out and earliest_viable is None:
                 earliest_viable = start
@@ -409,7 +591,11 @@ def _run_matcher(
 
 def _match_partition(rows: list[dict], spec: MatchSpec) -> list[dict]:
     """Batch semantics: EOF closes everything — emit every match."""
-    return [out for _, _, out, _ in _run_matcher(rows, spec)[0]]
+    return [
+        out
+        for _, _, outs, _ in _run_matcher(rows, spec)[0]
+        for out in outs
+    ]
 
 def match_recognize(
     df: DataFrame, spec: MatchSpec, output_schema: str
@@ -422,13 +608,18 @@ def match_recognize(
 
         pdf = pdf.sort_values(spec.order_by, kind="mergesort")
         rows = pdf.to_dict("records")
+        base_cols = (
+            list(pdf.columns)
+            if spec.all_rows
+            else list(spec.partition_by)
+        )
         return pd.DataFrame(
             _match_partition(rows, spec)
             or {
                 # empty: typed empty frame matching the schema
                 name: pd.Series(dtype="object")
                 for name in [
-                    *spec.partition_by,
+                    *base_cols,
                     *[n for _, n in spec.measures],
                 ]
             }
@@ -454,12 +645,24 @@ def match_recognize_sql(df: DataFrame, clause: str, output_schema: str):
 
 
 def infer_output_schema(spec: MatchSpec, df: DataFrame) -> str:
-    """Output DDL for ONE ROW PER MATCH: partition columns keep their
-    source types; measures infer from the raw expression — COUNT →
-    BIGINT, AVG → DOUBLE, FIRST/LAST/MIN/MAX/SUM(V.col) → the
-    column's type (SUM over integers widens to BIGINT)."""
+    """Output DDL: ONE ROW PER MATCH keeps the partition columns; ALL
+    ROWS PER MATCH keeps EVERY input column (the SQL/RPR row-per-row
+    shape). Measures infer from the raw expression — COUNT → BIGINT,
+    AVG → DOUBLE, FIRST/LAST/MIN/MAX/SUM(V.col) → the column's type
+    (SUM over integers widens to BIGINT)."""
     src = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    parts = [f"{c} {src[c]}" for c in spec.partition_by]
+    base = (
+        [f.name for f in df.schema.fields]
+        if spec.all_rows
+        else spec.partition_by
+    )
+    clash = set(n for _, n in spec.raw_measures) & set(base)
+    if clash:
+        raise ValueError(
+            f"MATCH_RECOGNIZE: measure names collide with input"
+            f" columns: {sorted(clash)}"
+        )
+    parts = [f"{c} {src[c]}" for c in base]
     for raw, name in spec.raw_measures:
         bare = re.fullmatch(r"(\w+)\.(\w+)", raw.strip())
         if bare:  # bare V.col (= LAST(V.col)) keeps the column type
@@ -545,8 +748,162 @@ SELECT user_id, start_id, end_id, n_up, peak FROM (
 ) WHERE n_up >= 1
 """
 
-QUERIES = {"q45_match_recognize": q45_match_recognize}
-ORACLES = {"q45_match_recognize": ORACLE_Q45}
+# --------------------------------------------------------------------------
+# q47 — pattern ALTERNATION (A|B), oracle-gated (round 6).
+# --------------------------------------------------------------------------
+
+Q47_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES
+    FIRST(STRT.event_id) AS start_id,
+    FIRST(STRT.value) AS start_val,
+    COUNT(UPP.*) AS n_up,
+    COUNT(DWN.*) AS n_dn,
+    SUM(UPP.value) AS up_val,
+    SUM(DWN.value) AS dn_val
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (STRT (UPP|DWN))
+  DEFINE UPP AS UPP.value > PREV(UPP.value),
+         DWN AS DWN.value < PREV(DWN.value)
+"""
+
+
+def q47_match_alternation(spark, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE pattern alternation (Flink docs:
+    queries/match_recognize §Defining a Pattern — `(A|B)` ordered
+    choice): non-overlapping consecutive pairs where the second event
+    moved strictly up (UPP) or strictly down (DWN) from the first.
+    COUNT/SUM per alternative expose WHICH branch matched — the
+    per-variable row assignment under alternation. The DuckDB oracle
+    is an independent formulation: the greedy left-to-right pair scan
+    consumes rows in runs of 'pairable' positions, so matches are
+    exactly the odd offsets within each run (islands + parity), never
+    a transliteration of the matcher."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    spec = parse_match_recognize(Q47_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q47 = """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER w AS rn,
+         LEAD(value) OVER w AS nxt_v
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (
+  SELECT * FROM ordered
+  WHERE nxt_v IS NOT NULL AND nxt_v <> value
+),
+runs AS (
+  SELECT *, rn - ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY rn) AS grp
+  FROM p
+)
+SELECT user_id,
+       event_id AS start_id,
+       value AS start_val,
+       CAST(CASE WHEN nxt_v > value THEN 1 ELSE 0 END AS BIGINT)
+         AS n_up,
+       CAST(CASE WHEN nxt_v < value THEN 1 ELSE 0 END AS BIGINT)
+         AS n_dn,
+       CASE WHEN nxt_v > value THEN nxt_v END AS up_val,
+       CASE WHEN nxt_v < value THEN nxt_v END AS dn_val
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, grp ORDER BY rn) AS pos
+  FROM runs
+) WHERE pos % 2 = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q48 — ALL ROWS PER MATCH with running measures, oracle-gated (round 6).
+# --------------------------------------------------------------------------
+
+Q48_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts_s, event_id
+  MEASURES
+    COUNT(*) AS step_no,
+    FIRST(STRT.value) AS base_val,
+    LAST(UP.value) AS run_val
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (STRT UP+)
+  DEFINE UP AS UP.value > PREV(UP.value)
+"""
+
+
+def q48_match_all_rows(spark, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE ALL ROWS PER MATCH (Flink docs:
+    queries/match_recognize §Output Mode): every row of each rising
+    streak is emitted with RUNNING measures — step_no counts rows so
+    far, base_val pins the streak's first value, run_val is the
+    running LAST(UP.value) (NULL on the STRT row, where UP has
+    matched nothing yet). Timestamps cross the engine boundary as the
+    µs-string carrier so the lexicographic ORDER BY is chronological
+    on both engines; the oracle replays the same streaks as
+    gaps-and-islands with per-island window functions."""
+    from flink_streaming_platform_web_spark.operators._portable import (
+        ts_str,
+    )
+    from flink_streaming_platform_web_spark.tables import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        ts_str(F.col("ts")).alias("ts_s"),
+        "value",
+    )
+    spec = parse_match_recognize(Q48_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q48 = """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN value > LAG(value) OVER w THEN 0 ELSE 1 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (
+      PARTITION BY user_id ORDER BY rn) AS island
+  FROM ordered
+),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY user_id, island) AS isl_n
+  FROM isl
+)
+SELECT user_id, event_id, ts_s, value,
+       CAST(ROW_NUMBER() OVER wi AS BIGINT) AS step_no,
+       FIRST_VALUE(value) OVER wi AS base_val,
+       CASE WHEN ROW_NUMBER() OVER wi > 1 THEN value END AS run_val
+FROM sized WHERE isl_n >= 2
+WINDOW wi AS (PARTITION BY user_id, island ORDER BY rn)
+"""
+
+QUERIES = {
+    "q45_match_recognize": q45_match_recognize,
+    "q47_match_alternation": q47_match_alternation,
+    "q48_match_all_rows": q48_match_all_rows,
+}
+ORACLES = {
+    "q45_match_recognize": ORACLE_Q45,
+    "q47_match_alternation": ORACLE_Q47,
+    "q48_match_all_rows": ORACLE_Q48,
+}
 
 
 def stream_match_recognize(
@@ -586,7 +943,9 @@ def stream_match_recognize(
             " LAST ROW only"
         )
     ord0 = spec.order_by[0]
-    out_names = [*spec.partition_by, *[n for _, n in spec.measures]]
+    base_names = (
+        None if spec.all_rows else list(spec.partition_by)
+    )  # all_rows: resolved per batch from the pandas columns
 
     def update(
         key: tuple,
@@ -623,10 +982,18 @@ def stream_match_recognize(
         ]
         if pending:
             frontier = min(frontier, pending[0])
-        emit = [out for s, e, out, _ in matches if e <= frontier]
+        emit = [
+            out
+            for s, e, outs, _ in matches
+            if e <= frontier
+            for out in outs
+        ]
         keep = buf[frontier:]
         state.update((pickle.dumps(keep),))
         if emit:
+            out_names = (
+                base_names if base_names is not None else list(new.columns)
+            ) + [n for _, n in spec.measures]
             yield pd.DataFrame(emit, columns=out_names)
 
     return df.groupBy(*spec.partition_by).applyInPandasWithState(

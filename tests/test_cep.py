@@ -175,16 +175,26 @@ def test_unsupported_surface_is_loud(spark):
         cep.parse_match_recognize(
             V_CLAUSE.replace("ORDER BY tstamp", "ORDER BY tstamp DESC")
         )
-    with pytest.raises(ValueError, match="ONE ROW PER MATCH"):
-        cep.parse_match_recognize(
-            V_CLAUSE.replace(
-                "ONE ROW PER MATCH", "ALL ROWS PER MATCH"
-            )
-        )
-    with pytest.raises(ValueError, match="pattern token"):
+    with pytest.raises(ValueError, match="unsupported pattern"):
         cep.parse_match_recognize(
             V_CLAUSE.replace("PATTERN (STRT DOWN+ UP+)",
                              "PATTERN (STRT DOWN{2,} UP+)")
+        )
+    with pytest.raises(ValueError, match="unsupported pattern"):
+        # nested groups stay out of the subset (flat alternation only)
+        cep.parse_match_recognize(
+            V_CLAUSE.replace("PATTERN (STRT DOWN+ UP+)",
+                             "PATTERN (STRT (DOWN (UP))+)")
+        )
+    with pytest.raises(ValueError, match="AFTER MATCH"):
+        cep.parse_match_recognize(
+            V_CLAUSE.replace("AFTER MATCH SKIP PAST LAST ROW",
+                             "AFTER MATCH SKIP TO PREV ROW")
+        )
+    with pytest.raises(ValueError, match="no such pattern variable"):
+        cep.parse_match_recognize(
+            V_CLAUSE.replace("AFTER MATCH SKIP PAST LAST ROW",
+                             "AFTER MATCH SKIP TO LAST NOPE")
         )
 
 
@@ -477,4 +487,175 @@ def test_measure_arithmetic_composes(spark):
     # match: bottom 12 (t=6) recovering to 25 (t=11) → 25 - 12 = 13
     assert [(r["symbol"], r["recovery"]) for r in out] == [
         ("ACME", 13.0)
+    ]
+
+
+# -- round-6 clause surface: alternation, ALL ROWS, SKIP TO, reluctant ----
+
+def _matcher_rows(vals):
+    return [{"k": "a", "seq": i, "v": float(v)} for i, v in enumerate(vals)]
+
+
+def _v_spec(after_match: str) -> "cep.MatchSpec":
+    return cep.parse_match_recognize(f"""
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES FIRST(STRT.v) AS start_v, LAST(UP.v) AS top_v
+      ONE ROW PER MATCH
+      AFTER MATCH {after_match}
+      PATTERN (STRT DOWN+ UP)
+      DEFINE DOWN AS DOWN.v < PREV(DOWN.v),
+             UP AS UP.v > PREV(UP.v)
+    """)
+
+
+def test_skip_to_last_var_overlaps_on_shared_row():
+    """AFTER MATCH SKIP TO LAST UP (the Flink Ticker doc's strategy):
+    the next scan resumes AT the last UP row, so adjacent V-shapes
+    share their peak/start row — vs SKIP PAST LAST ROW, which
+    consumes it."""
+    vals = [12, 10, 8, 11, 9, 7, 10]
+    to_last, _ = cep._run_matcher(
+        _matcher_rows(vals), _v_spec("SKIP TO LAST UP")
+    )
+    assert [(o[0]["start_v"], o[0]["top_v"]) for _, _, o, _ in to_last] == [
+        (12.0, 11.0), (11.0, 10.0)
+    ]
+    past, _ = cep._run_matcher(
+        _matcher_rows(vals), _v_spec("SKIP PAST LAST ROW")
+    )
+    assert [(o[0]["start_v"], o[0]["top_v"]) for _, _, o, _ in past] == [
+        (12.0, 11.0), (9.0, 10.0)
+    ]
+
+
+def test_skip_to_first_var():
+    """SKIP TO FIRST DOWN resumes at the first descending row of the
+    previous match — every suffix V inside a long slide is found."""
+    vals = [12, 10, 8, 11, 9, 7, 10]
+    got, _ = cep._run_matcher(
+        _matcher_rows(vals), _v_spec("SKIP TO FIRST DOWN")
+    )
+    assert [o[0]["start_v"] for _, _, o, _ in got] == [
+        12.0, 10.0, 11.0, 9.0
+    ]
+
+
+def test_skip_to_first_of_match_start_is_loud():
+    """Resuming at the match's own first row would loop forever — the
+    SQL/RPR runtime error, raised eagerly."""
+    with pytest.raises(ValueError, match="infinite loop"):
+        cep._run_matcher(
+            _matcher_rows([12, 10, 8, 11]),
+            _v_spec("SKIP TO FIRST STRT"),
+        )
+
+
+def test_reluctant_plus_takes_fewest():
+    """B+? stops at the first position where the remainder matches
+    (vs greedy B+, which backtracks from the longest run)."""
+    clause_tpl = """
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES COUNT(B.*) AS n_b
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B{q} C)
+      DEFINE C AS C.v = 9
+    """
+    vals = [1, 2, 9, 3, 9]
+    greedy, _ = cep._run_matcher(
+        _matcher_rows(vals),
+        cep.parse_match_recognize(clause_tpl.format(q="+")),
+    )
+    assert [o[0]["n_b"] for _, _, o, _ in greedy] == [3]
+    reluctant, _ = cep._run_matcher(
+        _matcher_rows(vals),
+        cep.parse_match_recognize(clause_tpl.format(q="+?")),
+    )
+    # stops at the FIRST 9 (n_b=1); the remaining rows [3, 9] cannot
+    # fit A B+ C again, so one match either way — but with different
+    # extents (3 B-rows greedy vs 1 reluctant)
+    assert [o[0]["n_b"] for _, _, o, _ in reluctant] == [1]
+
+
+def test_reluctant_optional():
+    """B?? prefers zero repetitions; greedy B? prefers one."""
+    clause_tpl = """
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES COUNT(B.*) AS n_b, COUNT(*) AS n_rows
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B{q} C)
+      DEFINE C AS C.v = 9
+    """
+    vals = [1, 9, 9]
+    greedy, _ = cep._run_matcher(
+        _matcher_rows(vals),
+        cep.parse_match_recognize(clause_tpl.format(q="?")),
+    )
+    assert [(o[0]["n_b"], o[0]["n_rows"]) for _, _, o, _ in greedy] == [
+        (1, 3)
+    ]
+    reluctant, _ = cep._run_matcher(
+        _matcher_rows(vals),
+        cep.parse_match_recognize(clause_tpl.format(q="??")),
+    )
+    assert [(o[0]["n_b"], o[0]["n_rows"]) for _, _, o, _ in reluctant] == [
+        (0, 2)
+    ]
+
+
+def test_alternation_prefers_leftmost():
+    """(A|B) is ordered choice: when both alternatives admit the row,
+    the leftmost matches (SQL/RPR preferment)."""
+    spec = cep.parse_match_recognize("""
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES COUNT(X.*) AS n_x, COUNT(Y.*) AS n_y
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (S (X|Y))
+      DEFINE X AS X.v > 0, Y AS Y.v > 0
+    """)
+    got, _ = cep._run_matcher(_matcher_rows([1, 2]), spec)
+    assert [(o[0]["n_x"], o[0]["n_y"]) for _, _, o, _ in got] == [(1, 0)]
+
+
+def test_quantified_alternation_group():
+    """(U|D)+ consumes a mixed run, assigning each row to its own
+    alternative."""
+    spec = cep.parse_match_recognize("""
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES COUNT(U.*) AS n_u, COUNT(D.*) AS n_d
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (S (U|D)+)
+      DEFINE U AS U.v > PREV(U.v), D AS D.v < PREV(D.v)
+    """)
+    # 5 →8(U) →3(D) →9(U) →9(neither: run ends)
+    got, _ = cep._run_matcher(_matcher_rows([5, 8, 3, 9, 9]), spec)
+    assert [(o[0]["n_u"], o[0]["n_d"]) for _, _, o, _ in got] == [(2, 1)]
+
+
+def test_all_rows_per_match_running_measures():
+    """ALL ROWS PER MATCH emits every matched row with RUNNING
+    measures (count-so-far; LAST over a yet-unmatched variable is
+    NULL)."""
+    spec = cep.parse_match_recognize("""
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES COUNT(*) AS step_no, LAST(UP.v) AS run_v
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (STRT UP+)
+      DEFINE UP AS UP.v > PREV(UP.v)
+    """)
+    got, _ = cep._run_matcher(_matcher_rows([1, 4, 6, 2]), spec)
+    assert len(got) == 1
+    outs = got[0][2]
+    assert [(o["v"], o["step_no"], o["run_v"]) for o in outs] == [
+        (1.0, 1, None), (4.0, 2, 4.0), (6.0, 3, 6.0)
     ]
