@@ -950,6 +950,12 @@ class JobRunner:
             # rank operator; route to the state + re-rank re-plan
             self._write_stream_window_topn(topn, sink, idx, result)
             return
+        if (over := _parse_stream_over(job.query_sql)) is not None:
+            # Flink's streaming OVER aggregation (docs:
+            # queries/over-agg) — Spark rejects window functions on
+            # streams; route to the keyed stateful operator
+            self._write_stream_over(over, sink, idx, result)
+            return
         try:
             self._write_stream(df, sink, idx, result)
         except Exception as e:
@@ -1259,6 +1265,37 @@ class JobRunner:
         if self._trigger:
             writer = writer.trigger(**self._trigger)
         result.streaming_queries.append(writer.start())
+
+    def _write_stream_over(
+        self,
+        over: "_StreamOver",
+        sink: TableDef,
+        idx: int,
+        result: ExecutionResult,
+    ) -> None:
+        """Streaming OVER aggregation re-plan: the source stream keys
+        by the OVER partition and runs
+        ``stateful.streaming_over`` (per-key window state in the
+        state store, one appended row per input row) — Flink's
+        OverAggregate operator shape. The append output then takes
+        the normal streaming sink path."""
+        from flink_streaming_platform_web_spark.streaming.stateful import (
+            streaming_over,
+        )
+
+        src_df = self.spark.table(over.src)
+        out = streaming_over(
+            src_df,
+            over.part_cols,
+            over.ts_col,
+            over.mode,
+            over.size,
+            over.aggs,
+            over.out_cols,
+        )
+        self._write_stream(
+            self._align_to_sink(out, sink), sink, idx, result
+        )
 
     def _run_match_recognize(
         self, job: InsertJob, result: ExecutionResult
@@ -1871,6 +1908,155 @@ def _parse_window_topn(sql: str) -> "_WindowTopN | None":
         rn_alias=rn_alias,
         topn=topn,
         inner_is_agg=inner_is_agg,
+    )
+
+
+@dataclass
+class _StreamOver:
+    """Parsed streaming OVER aggregation (Flink docs:
+    queries/over-agg): every aggregate in the SELECT shares one
+    window (Flink's documented constraint) — time-range, row-count,
+    or unbounded-preceding, always ending at CURRENT ROW."""
+
+    src: str
+    part_cols: list[str]
+    ts_col: str
+    mode: str  # 'range' | 'rows' | 'unbounded'
+    size: float | int | None
+    aggs: list[tuple[str, str | None, int | None, str]]
+    out_cols: list[str]
+
+
+_OVER_SPEC_RE = re.compile(
+    r"PARTITION\s+BY\s+(.+?)\s+ORDER\s+BY\s+`?(\w+)`?\s+"
+    r"(RANGE|ROWS)\s+BETWEEN\s+"
+    r"(?:(UNBOUNDED)\s+PRECEDING|INTERVAL\s+'(\d+)'\s+(\w+)\s+PRECEDING"
+    r"|(\d+)\s+PRECEDING)"
+    r"\s+AND\s+CURRENT\s+ROW\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_OVER_ITEM_RE = re.compile(
+    r"^(?:CAST\s*\(\s*)?(SUM|COUNT|MIN|MAX)\s*\(\s*(.+?)\s*\)\s*"
+    r"OVER\s+(?:`?(\w+)`?|\(\s*(.+?)\s*\))\s*"
+    r"(?:AS\s+DOUBLE\s*\))?\s*AS\s+`?(\w+)`?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_OVER_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _parse_stream_over(sql: str) -> "_StreamOver | None":
+    """Recognize the streaming OVER shape: `SELECT plain-cols and
+    agg(x) OVER w/(spec) ... FROM <table> [WINDOW w AS (spec)]`.
+    Returns None for anything else (the normal path then lets Spark's
+    UnsupportedOperationChecker reject streaming window functions
+    loudly — never a silent wrong answer)."""
+    text = sql.strip().rstrip(";")
+    named = None
+    wm = re.search(
+        r"\bWINDOW\s+`?(\w+)`?\s+AS\s*\(\s*(.+?)\s*\)\s*$",
+        text,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if wm:
+        named = (wm.group(1), wm.group(2))
+        text = text[: wm.start()].rstrip()
+    fm = re.search(
+        r"\bFROM\s+([\w.`]+)\s*$", text, re.IGNORECASE
+    )
+    if not fm:
+        return None
+    items = _split_select_list(text)
+    if items is None:
+        return None
+    aggs: list[tuple[str, str | None, int | None, str]] = []
+    out_cols: list[str] = []
+    specs: set[str] = set()
+    for item in items:
+        item = item.strip()
+        pm = re.fullmatch(r"`?([A-Za-z_]\w*)`?", item)
+        if pm:
+            out_cols.append(pm.group(1))
+            continue
+        am = _OVER_ITEM_RE.match(item)
+        if not am:
+            return None
+        fn = am.group(1).lower()
+        arg = am.group(2).strip()
+        wref, inline, alias = am.group(3), am.group(4), am.group(5)
+        if wref is not None:
+            if named is None or wref.lower() != named[0].lower():
+                return None
+            specs.add(re.sub(r"\s+", " ", named[1]).lower())
+        else:
+            specs.add(re.sub(r"\s+", " ", inline).lower())
+        col: str | None
+        scale: int | None = None
+        if arg == "*":
+            if fn != "count":
+                return None
+            col = None
+        else:
+            cm = re.fullmatch(
+                r"CAST\s*\(\s*`?(\w+)`?\s+AS\s+DECIMAL\s*\(\s*\d+\s*,"
+                r"\s*(\d+)\s*\)\s*\)",
+                arg,
+                re.IGNORECASE,
+            )
+            if cm:
+                if fn != "sum":
+                    return None
+                col, scale = cm.group(1), int(cm.group(2))
+            elif re.fullmatch(r"`?\w+`?", arg):
+                col = arg.strip("`")
+            else:
+                return None
+        aggs.append((fn, col, scale, alias))
+        out_cols.append(alias)
+    if not aggs:
+        return None
+    if len(specs) != 1:
+        raise ValueError(
+            "streaming OVER: every aggregate must share one window"
+            " specification (Flink queries/over-agg constraint)"
+        )
+    sm = _OVER_SPEC_RE.match(specs.pop())
+    if not sm:
+        return None
+    part_cols = [c.strip().strip("`") for c in sm.group(1).split(",")]
+    if not all(re.fullmatch(r"[A-Za-z_]\w*", c) for c in part_cols):
+        return None
+    kind = sm.group(3).upper()
+    if sm.group(4):  # UNBOUNDED
+        mode, size = "unbounded", None
+        if kind == "ROWS":
+            # ROWS UNBOUNDED excludes following peers; the operator
+            # implements the RANGE peer contract — reject rather than
+            # silently diverge on ties
+            return None
+    elif sm.group(5):  # INTERVAL range
+        if kind != "RANGE":
+            return None
+        unit = _OVER_UNITS.get(sm.group(6).lower())
+        if unit is None:
+            return None
+        mode, size = "range", int(sm.group(5)) * unit
+    else:  # n PRECEDING
+        if kind != "ROWS":
+            return None
+        mode, size = "rows", int(sm.group(7))
+    return _StreamOver(
+        src=fm.group(1).strip("`"),
+        part_cols=part_cols,
+        ts_col=sm.group(2),
+        mode=mode,
+        size=size,
+        aggs=aggs,
+        out_cols=out_cols,
     )
 
 

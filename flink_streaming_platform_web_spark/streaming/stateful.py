@@ -154,6 +154,257 @@ def retained_topn(
     )
 
 
+def _dec_units(v, scale: int) -> int:
+    """Spark/DuckDB-parity double → DECIMAL(_, scale) cast, as exact
+    integer units: shortest round-trip repr + HALF_UP, the same
+    algorithm both engines apply (see test_portable_crossengine for
+    the documented midpoint caveat)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-scale)
+    return int(
+        Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP).scaleb(scale)
+    )
+
+
+def streaming_over(
+    df: DataFrame,
+    part_cols: list[str],
+    ts_col: str,
+    mode: str,  # 'range' | 'rows' | 'unbounded'
+    size: float | int | None,
+    aggs: list[tuple[str, str | None, int | None, str]],
+    out_cols: list[str],
+) -> DataFrame:
+    """Streaming OVER aggregation (Flink docs: queries/over-agg): for
+    every input row, aggregates over the per-key window ending at that
+    row — time-range (`RANGE INTERVAL 'n' unit PRECEDING`), row-count
+    (`ROWS n PRECEDING`), or `UNBOUNDED PRECEDING`. Spark has no
+    streaming window functions (non-time-based windows are rejected),
+    so the operator runs Flink's OverAggregate shape directly:
+    per-key state in the state store via ``applyInPandasWithState``,
+    emitting one appended row per input row.
+
+    State per key: the buffer suffix inside the window horizon (range:
+    rows newer than max_ts - range; rows-mode: the last n rows;
+    unbounded: O(1) accumulators — the incremental fold, never a
+    buffer). RANGE frames include equal-timestamp peers on both sides
+    (the SQL frame contract); rows arriving per-key time-ordered
+    across micro-batches is asserted loudly, the same ingest contract
+    as stream_match_recognize (Flink buffers by watermark here).
+
+    ``aggs``: (fn, col, dec_scale, alias). SUM over doubles must
+    declare a decimal scale (the cross-engine carrier — raw
+    double-sum drift is exactly what _portable.py exists to prevent);
+    integer SUM/COUNT stay exact; MIN/MAX compare raw values.
+    """
+    import pickle
+
+    agg_cols = sorted(
+        {c for _, c, _, _ in aggs if c is not None}
+    )
+    src_fields = {f.name: f for f in df.schema.fields}
+    int_types = {"bigint", "int", "smallint", "tinyint", "long", "integer"}
+
+    def out_schema() -> StructType:
+        alias_types = {}
+        for fn, col, scale, alias in aggs:
+            if fn == "count":
+                alias_types[alias] = StructField(alias, LongType(), False)
+            elif fn == "sum":
+                if scale is not None:
+                    from pyspark.sql.types import DoubleType
+
+                    alias_types[alias] = StructField(alias, DoubleType())
+                else:
+                    alias_types[alias] = StructField(alias, LongType())
+            else:  # min / max
+                alias_types[alias] = StructField(
+                    alias, src_fields[col].dataType
+                )
+        fields = []
+        for c in out_cols:
+            fields.append(
+                alias_types[c] if c in alias_types else src_fields[c]
+            )
+        return StructType(fields)
+
+    for fn, col, scale, alias in aggs:
+        if fn == "sum" and scale is None:
+            t = src_fields[col].dataType.simpleString()
+            if t not in int_types:
+                raise ValueError(
+                    f"streaming OVER: SUM({col}) over {t} needs a"
+                    " DECIMAL cast (SUM(CAST(col AS DECIMAL(p,s)))) —"
+                    " raw double sums are not cross-engine stable"
+                )
+
+    def prep(fn, col, scale, v):
+        if v is None:
+            return None
+        if fn == "sum" and scale is not None:
+            return _dec_units(v, scale)
+        return v
+
+    def compute(fn, col, scale, window_rows):
+        if fn == "count":
+            if col is None:
+                return len(window_rows)
+            return sum(1 for r in window_rows if r.get(col) is not None)
+        vals = [
+            prep(fn, col, scale, r.get(col))
+            for r in window_rows
+        ]
+        vals = [v for v in vals if v is not None]
+        if not vals:
+            return None
+        if fn == "sum":
+            s = sum(vals)
+            return s / (10 ** scale) if scale is not None else s
+        return min(vals) if fn == "min" else max(vals)
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        new = pd.concat(list(batches)).sort_values(
+            ts_col, kind="mergesort"
+        )
+        ts_us = (
+            pd.to_datetime(new[ts_col])
+            .values.astype("datetime64[us]")
+            .astype("int64")
+        )
+        # buffer rows carry only the agg inputs + timestamp
+        if agg_cols:
+            new_buf = [
+                {"__ts": int(t), **{c: r[c] for c in agg_cols}}
+                for t, r in zip(
+                    ts_us, new[agg_cols].to_dict("records")
+                )
+            ]
+        else:
+            new_buf = [{"__ts": int(t)} for t in ts_us]
+        if mode in ("range", "rows"):
+            buf: list[dict] = (
+                pickle.loads(state.get[0]) if state.exists else []
+            )
+            if buf and new_buf and new_buf[0]["__ts"] < buf[-1]["__ts"]:
+                raise RuntimeError(
+                    "streaming OVER: out-of-order ingest — batch"
+                    f" starts at {new_buf[0]['__ts']} before buffered"
+                    f" {buf[-1]['__ts']}; stage the stream"
+                    " event-time-ordered"
+                )
+            full = buf + new_buf
+            all_ts = [r["__ts"] for r in full]
+            import bisect
+
+            out_vals: dict[str, list] = {a: [] for _, _, _, a in aggs}
+            base = len(buf)
+            for i in range(len(new_buf)):
+                t = new_buf[i]["__ts"]
+                if mode == "range":
+                    lo = bisect.bisect_left(
+                        all_ts, t - int(size * 1_000_000)
+                    )
+                    hi = bisect.bisect_right(all_ts, t)
+                else:  # rows: current + size preceding, by position
+                    hi = base + i + 1
+                    lo = max(0, hi - (size + 1))
+                window_rows = full[lo:hi]
+                for fn, col, scale, alias in aggs:
+                    out_vals[alias].append(
+                        compute(fn, col, scale, window_rows)
+                    )
+            # evict: retain only the horizon suffix
+            if mode == "range":
+                horizon = all_ts[-1] - int(size * 1_000_000)
+                keep = [r for r in full if r["__ts"] > horizon]
+            else:
+                keep = full[-size:] if size else []
+            state.update((pickle.dumps(keep),))
+        else:  # unbounded: O(1)-ish accumulators, peers share values
+            accs = (
+                pickle.loads(state.get[0])
+                if state.exists
+                else {
+                    a: {"n": 0, "sum": 0, "min": None, "max": None}
+                    for _, _, _, a in aggs
+                }
+            )
+            out_vals = {a: [] for _, _, _, a in aggs}
+            i = 0
+            nrows = len(new_buf)
+            while i < nrows:
+                # peer group: rows sharing a timestamp fold together
+                # and share the same aggregate (RANGE frame contract)
+                j = i
+                while (
+                    j < nrows
+                    and new_buf[j]["__ts"] == new_buf[i]["__ts"]
+                ):
+                    j += 1
+                for fn, col, scale, alias in aggs:
+                    a = accs[alias]
+                    for r in new_buf[i:j]:
+                        if col is None:
+                            a["n"] += 1
+                            continue
+                        if r.get(col) is None:
+                            continue
+                        a["n"] += 1
+                        if fn == "sum":
+                            a["sum"] += prep(fn, col, scale, r[col])
+                        elif fn in ("min", "max"):
+                            v = r[col]
+                            a["min"] = (
+                                v
+                                if a["min"] is None
+                                else min(a["min"], v)
+                            )
+                            a["max"] = (
+                                v
+                                if a["max"] is None
+                                else max(a["max"], v)
+                            )
+                    if fn == "count":
+                        val = a["n"]
+                    elif fn == "sum":
+                        val = (
+                            a["sum"] / (10 ** scale)
+                            if scale is not None
+                            else a["sum"]
+                        ) if a["n"] else None
+                    elif fn == "min":
+                        val = a["min"]
+                    else:
+                        val = a["max"]
+                    out_vals[alias].extend([val] * (j - i))
+                i = j
+            state.update((pickle.dumps(accs),))
+        out = pd.DataFrame(
+            {
+                c: (
+                    out_vals[c]
+                    if c in out_vals
+                    else list(new[c])
+                )
+                for c in out_cols
+            }
+        )
+        yield out
+
+    return df.groupBy(*part_cols).applyInPandasWithState(
+        update,
+        out_schema(),
+        "buf binary",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 SESSION_OUTPUT_SCHEMA = (
     "key bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint"

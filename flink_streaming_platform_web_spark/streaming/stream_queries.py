@@ -1036,6 +1036,115 @@ FROM clicks JOIN buys USING (window_start, user_id)
 """
 
 
+def _events_ordered_stream(
+    spark: SparkSession, sf_dir: str, tag: str, files: int = 3
+) -> str:
+    """Events staged as ts-ORDERED sequential files (st14's staging
+    shape): the per-key time-ordered ingest the stateful operators
+    assert. Cuts land on DISTINCT ts boundaries so equal-timestamp
+    peers never straddle a micro-batch."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_streaming_platform_web_spark.tables import load
+
+    path = (
+        f"{tempfile.gettempdir()}/spark_graft_{tag}_"
+        f"{int(time.time() * 1e6)}"
+    )
+    os.makedirs(path)
+    pdf = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n = len(pdf)
+    cuts = [0]
+    for i in range(1, files):
+        c = i * n // files
+        # advance past equal-ts peers so they share a batch
+        while c < n and pdf["ts"].iloc[c] == pdf["ts"].iloc[c - 1]:
+            c += 1
+        cuts.append(c)
+    cuts.append(n)
+    now = time.time()
+    for i in range(files):
+        chunk = pdf.iloc[cuts[i]:cuts[i + 1]]
+        tbl = pa.Table.from_pandas(chunk, preserve_index=False)
+        i_ts = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(
+            i_ts, "ts", tbl.column("ts").cast(pa.timestamp("us"))
+        )
+        f = f"{path}/c{i}.parquet"
+        pq.write_table(tbl, f)
+        os.utime(f, (now + i, now + i))
+    return path
+
+
+def st16_stream_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's streaming OVER aggregation (docs: queries/over-agg)
+    end-to-end through the runner: time-range
+    `RANGE INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW` per user —
+    every input row appends one output row aggregating its trailing
+    10-minute window. The runner routes the shape to
+    stateful.streaming_over (per-key window-buffer state via
+    applyInPandasWithState; Spark rejects window functions on
+    streams). SUM rides the decimal carrier; the batch oracle is the
+    identical OVER query DuckDB runs natively."""
+    path = _events_ordered_stream(spark, sf_dir, "st16")
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        f"""
+        CREATE TABLE stream_events (
+          user_id BIGINT, event_id BIGINT, ts TIMESTAMP,
+          value DOUBLE,
+          ts_s AS date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS'),
+          WATERMARK FOR ts AS ts - INTERVAL '60' SECOND
+        ) WITH ('connector' = 'filesystem', 'path' = '{path}',
+                'format' = 'parquet',
+                'source.max-files-per-trigger' = '1');
+        CREATE TABLE st16_sink (
+          user_id BIGINT, ts_s STRING, value DOUBLE,
+          sum_10m DOUBLE, n_10m BIGINT, max_10m DOUBLE
+        ) WITH ('connector' = 'memory');
+        INSERT INTO st16_sink
+        SELECT user_id, ts_s, value,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w
+                    AS DOUBLE) AS sum_10m,
+               COUNT(*) OVER w AS n_10m,
+               MAX(value) OVER w AS max_10m
+        FROM stream_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING
+                     AND CURRENT ROW);
+        """,
+    )
+    return spark.table("st16_sink").select(
+        "user_id", "ts_s", "value", "sum_10m", "n_10m", "max_10m"
+    )
+
+
+ORACLE_ST16 = """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS sum_10m,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_10m,
+       MAX(value) OVER w AS max_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '10 minutes' PRECEDING
+             AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "st01_stream_tumble_window": st01_stream_tumble_window,
     "st11_stream_window_topn": st11_stream_window_topn,
@@ -1043,6 +1152,7 @@ QUERIES = {
     "st13_stream_topn_continuous": st13_stream_topn_continuous,
     "st14_stream_match_recognize": st14_stream_match_recognize,
     "st15_stream_window_join": st15_stream_window_join,
+    "st16_stream_over_agg": st16_stream_over_agg,
     "st10_stream_ttl_incremental_agg": st10_stream_ttl_incremental_agg,
     "st09_stream_window_tvf": st09_stream_window_tvf,
     "st08_stream_cdc_latest": st08_stream_cdc_latest,
@@ -1060,6 +1170,7 @@ ORACLES = {
     "st12_stream_dedup_sql": ORACLE_ST12,
     "st13_stream_topn_continuous": ORACLE_ST13,
     "st15_stream_window_join": ORACLE_ST15,
+    "st16_stream_over_agg": ORACLE_ST16,
     # st14 converges to exactly the batch MATCH_RECOGNIZE result —
     # the q45 gaps-and-islands oracle verbatim (sentinels close
     # pending matches the way batch EOF does; they never appear in
