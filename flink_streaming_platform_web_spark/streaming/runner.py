@@ -881,12 +881,29 @@ class JobRunner:
                 re.IGNORECASE,
             )
         }
+        # versioned tables (Flink queries/joins §Event Time Temporal
+        # Join): a FOR SYSTEM_TIME dim declaring BOTH a primary key
+        # and a watermark IS a versioned table by Flink's definition —
+        # it joins by event-time version, not as a proctime lookup
+        # snapshot
+        versioned = {
+            ref
+            for ref in refs
+            if ref.lower() in dims
+            and self.mode == "streaming"
+            and (vt := self.tables.get(ref)) is not None
+            and vt.primary_key
+            and vt.watermark is not None
+        }
         for ref in refs:
-            if ref.lower() in dims:
+            if ref.lower() in dims and ref not in versioned:
                 self._materialize_source(ref, force_batch=True)
                 self._maybe_cache_dim(ref)
             else:
                 self._materialize_source(ref)
+        if versioned:
+            self._write_stream_temporal(job, versioned, idx, result)
+            return
         ttl_dims = [
             r for r in refs
             if r.lower() in dims and r in self.dim_caches
@@ -1293,6 +1310,136 @@ class JobRunner:
             over.aggs,
             over.out_cols,
         )
+        self._write_stream(
+            self._align_to_sink(out, sink), sink, idx, result
+        )
+
+    _TEMPORAL_RE = re.compile(
+        r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+`?(?P<probe>\w+)`?"
+        r"\s+(?:AS\s+)?(?P<palias>\w+)\s+"
+        r"JOIN\s+`?(?P<dim>\w+)`?\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
+        r"(?P<asalias>\w+)\.`?(?P<ascol>\w+)`?\s+"
+        r"(?:AS\s+)?(?P<dalias>\w+)\s+ON\s+(?P<cond>.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _write_stream_temporal(
+        self,
+        job: InsertJob,
+        versioned: set,
+        idx: int,
+        result: ExecutionResult,
+    ) -> None:
+        """Event-time temporal join route (Flink queries/joins §Event
+        Time Temporal Join): probe stream against a versioned table —
+        per-key version history in executor state, each probe row
+        joined to the version valid AT its event time
+        (streaming/temporal.py). The supported shape is the
+        documented one (single versioned dim, equi-join keys, plain
+        qualified select items); anything else raises loudly."""
+        from flink_streaming_platform_web_spark.streaming.temporal import (
+            event_time_temporal_join,
+        )
+
+        m = self._TEMPORAL_RE.match(job.query_sql.strip())
+        if not m or len(versioned) != 1:
+            raise ValueError(
+                "event-time temporal join: supported shape is"
+                " SELECT <alias.col [AS name], ...> FROM probe p JOIN"
+                " dim FOR SYSTEM_TIME AS OF p.<event_time_col> d ON"
+                " p.k = d.k [AND ...] (one versioned dim)"
+            )
+        dim = versioned.pop()
+        probe, palias = m.group("probe"), m.group("palias")
+        dalias = m.group("dalias")
+        if m.group("dim") != dim:
+            raise ValueError(
+                f"event-time temporal join: dim {m.group('dim')!r}"
+                f" does not match versioned table {dim!r}"
+            )
+        if m.group("asalias").lower() != palias.lower():
+            raise ValueError(
+                "event-time temporal join: FOR SYSTEM_TIME AS OF must"
+                " reference the probe side's event-time column"
+            )
+        probe_keys, build_keys = [], []
+        for term in re.split(r"\bAND\b", m.group("cond"), flags=re.IGNORECASE):
+            tm = re.fullmatch(
+                r"\s*`?(\w+)`?\.`?(\w+)`?\s*=\s*`?(\w+)`?\.`?(\w+)`?\s*",
+                term,
+            )
+            if not tm:
+                raise ValueError(
+                    f"event-time temporal join: non-equi ON term"
+                    f" {term!r}"
+                )
+            sides = {tm.group(1).lower(): tm.group(2),
+                     tm.group(3).lower(): tm.group(4)}
+            if set(sides) != {palias.lower(), dalias.lower()}:
+                raise ValueError(
+                    f"event-time temporal join: ON term {term!r} must"
+                    " compare probe and dim columns"
+                )
+            probe_keys.append(sides[palias.lower()])
+            build_keys.append(sides[dalias.lower()])
+        probe_out: list[tuple[str, str]] = []
+        build_out: list[tuple[str, str]] = []
+        items = _split_select_list(job.query_sql.strip())
+        if items is None:
+            raise ValueError(
+                "event-time temporal join: cannot parse select list"
+            )
+        for item in items:
+            im = re.fullmatch(
+                r"\s*`?(\w+)`?\.`?(\w+)`?(?:\s+AS\s+`?(\w+)`?)?\s*",
+                item,
+                re.IGNORECASE,
+            )
+            if not im:
+                raise ValueError(
+                    f"event-time temporal join: select items must be"
+                    f" alias.col [AS name]; got {item!r}"
+                )
+            alias, col, name = im.group(1), im.group(2), im.group(3)
+            tgt = (
+                probe_out
+                if alias.lower() == palias.lower()
+                else build_out
+                if alias.lower() == dalias.lower()
+                else None
+            )
+            if tgt is None:
+                raise ValueError(
+                    f"event-time temporal join: unknown alias in"
+                    f" {item!r}"
+                )
+            tgt.append((col, name or col))
+        build_ts = self.tables[dim].watermark.column
+        out = event_time_temporal_join(
+            self.spark.table(probe),
+            self.spark.table(dim),
+            probe_keys,
+            build_keys,
+            m.group("ascol"),
+            build_ts,
+            probe_out,
+            build_out,
+        )
+        sink = self.tables.get(job.target)
+        if sink is None:
+            raise ValueError(
+                f"temporal join sink {job.target!r} must be declared"
+            )
+        # restore select-list column order (probe/build interleave)
+        order = []
+        for item in items:
+            im = re.fullmatch(
+                r"\s*`?(\w+)`?\.`?(\w+)`?(?:\s+AS\s+`?(\w+)`?)?\s*",
+                item,
+                re.IGNORECASE,
+            )
+            order.append(im.group(3) or im.group(2))
+        out = out.select(*order)
         self._write_stream(
             self._align_to_sink(out, sink), sink, idx, result
         )

@@ -1145,6 +1145,131 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def st17_stream_temporal_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event-time temporal join (Flink docs: queries/joins §Event
+    Time Temporal Join) end-to-end through the runner: a probe stream
+    joined `FOR SYSTEM_TIME AS OF p.ts` against a VERSIONED table
+    (primary key + watermark — Flink's versioned-table definition,
+    which is how the runner routes it) — every probe row joins the
+    rate version valid at its own event time, with per-key version
+    history held in executor state (streaming/temporal.py). Both
+    sides stage as files cut at the SAME event-time boundaries, so
+    lockstep triggers keep the keyed ingest time-ordered. The DuckDB
+    oracle is the native ASOF JOIN — an independent implementation of
+    the same semantics."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_streaming_platform_web_spark.tables import load
+
+    base = (
+        f"{tempfile.gettempdir()}/spark_graft_st17_"
+        f"{int(time.time() * 1e6)}"
+    )
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .toPandas()
+    )
+    rates = (
+        ev[ev.user_id % 50 == 0]
+        .groupby(["event_type", "ts"], as_index=False)
+        .agg(rate=("value", "max"))
+        .rename(columns={"ts": "rts"})
+        .sort_values(["rts", "event_type"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    probes = (
+        ev[ev.user_id % 50 != 0]
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    # shared event-time cut boundaries → lockstep micro-batches
+    all_ts = sorted(
+        set(probes["ts"].tolist()) | set(rates["rts"].tolist())
+    )
+    bounds = [
+        all_ts[len(all_ts) // 3],
+        all_ts[2 * len(all_ts) // 3],
+    ]
+    now = time.time()
+
+    def _stage(pdf, ts_col, sub):
+        path = f"{base}/{sub}"
+        os.makedirs(path)
+        lo = None
+        for i, hi in enumerate([*bounds, None]):
+            sel = pdf
+            if lo is not None:
+                sel = sel[sel[ts_col] >= lo]
+            if hi is not None:
+                sel = sel[sel[ts_col] < hi]
+            tbl = pa.Table.from_pandas(sel, preserve_index=False)
+            j = tbl.schema.get_field_index(ts_col)
+            tbl = tbl.set_column(
+                j, ts_col, tbl.column(ts_col).cast(pa.timestamp("us"))
+            )
+            f = f"{path}/c{i}.parquet"
+            pq.write_table(tbl, f)
+            os.utime(f, (now + i, now + i))
+            lo = hi
+        return path
+
+    p_path = _stage(probes, "ts", "probes")
+    r_path = _stage(rates, "rts", "rates")
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        f"""
+        CREATE TABLE probe_events (
+          event_id BIGINT, user_id BIGINT, event_type STRING,
+          ts TIMESTAMP, value DOUBLE,
+          WATERMARK FOR ts AS ts - INTERVAL '60' SECOND
+        ) WITH ('connector' = 'filesystem', 'path' = '{p_path}',
+                'format' = 'parquet',
+                'source.max-files-per-trigger' = '1');
+        CREATE TABLE rates (
+          event_type STRING, rts TIMESTAMP, rate DOUBLE,
+          PRIMARY KEY (event_type) NOT ENFORCED,
+          WATERMARK FOR rts AS rts - INTERVAL '60' SECOND
+        ) WITH ('connector' = 'filesystem', 'path' = '{r_path}',
+                'format' = 'parquet',
+                'source.max-files-per-trigger' = '1');
+        CREATE TABLE st17_sink (
+          event_id BIGINT, user_id BIGINT, value DOUBLE, rate DOUBLE
+        ) WITH ('connector' = 'memory');
+        INSERT INTO st17_sink
+        SELECT p.event_id, p.user_id, p.value, r.rate
+        FROM probe_events p
+        JOIN rates FOR SYSTEM_TIME AS OF p.ts r
+        ON p.event_type = r.event_type;
+        """,
+    )
+    return spark.table("st17_sink").select(
+        "event_id", "user_id", "value", "rate"
+    )
+
+
+ORACLE_ST17 = """
+WITH rates AS (
+  SELECT event_type, ts, MAX(value) AS rate
+  FROM events WHERE user_id % 50 = 0 GROUP BY event_type, ts
+),
+probes AS (
+  SELECT event_id, user_id, event_type, ts, value
+  FROM events WHERE user_id % 50 <> 0
+)
+SELECT p.event_id, p.user_id, p.value, r.rate
+FROM probes p ASOF JOIN rates r
+  ON p.event_type = r.event_type AND p.ts >= r.ts
+"""
+
+
 QUERIES = {
     "st01_stream_tumble_window": st01_stream_tumble_window,
     "st11_stream_window_topn": st11_stream_window_topn,
@@ -1153,6 +1278,7 @@ QUERIES = {
     "st14_stream_match_recognize": st14_stream_match_recognize,
     "st15_stream_window_join": st15_stream_window_join,
     "st16_stream_over_agg": st16_stream_over_agg,
+    "st17_stream_temporal_join": st17_stream_temporal_join,
     "st10_stream_ttl_incremental_agg": st10_stream_ttl_incremental_agg,
     "st09_stream_window_tvf": st09_stream_window_tvf,
     "st08_stream_cdc_latest": st08_stream_cdc_latest,
@@ -1171,6 +1297,7 @@ ORACLES = {
     "st13_stream_topn_continuous": ORACLE_ST13,
     "st15_stream_window_join": ORACLE_ST15,
     "st16_stream_over_agg": ORACLE_ST16,
+    "st17_stream_temporal_join": ORACLE_ST17,
     # st14 converges to exactly the batch MATCH_RECOGNIZE result —
     # the q45 gaps-and-islands oracle verbatim (sentinels close
     # pending matches the way batch EOF does; they never appear in
