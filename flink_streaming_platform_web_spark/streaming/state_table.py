@@ -154,13 +154,15 @@ class StateTable:
             else None
         )
         try:
-            touched = {
-                r[0] for r in up.select(_BUCKET).distinct().collect()
-            }
+            incoming_buckets = up.select(_BUCKET)
             if dk is not None:
-                touched |= {
-                    r[0] for r in dk.select(_BUCKET).distinct().collect()
-                }
+                incoming_buckets = incoming_buckets.unionByName(
+                    dk.select(_BUCKET)
+                )
+            touched = {
+                r[0]
+                for r in incoming_buckets.distinct().collect()
+            }
             if not touched:
                 return
             incoming_keys = up.select(*self.key_cols)

@@ -89,7 +89,18 @@ def main() -> None:
     # path 2: retraction-aware incremental agg over micro-batches
     store = KeyedStore(key_cols=["grp"])
     apply_agg = cdc_incremental_agg(log, ["grp"], ["amount"], store)
-    batches = log.randomSplit([1.0] * n_batches, seed=1)
+    # ORDERED micro-batches (contiguous __seq slices — binlog/kafka
+    # arrival order): batch-sequential apply then agrees with the
+    # global (ts, seq) materialization, so the state-table path's
+    # final row count is checkable against materialize_latest below
+    step = (n + n_batches - 1) // n_batches
+    batches = [
+        log.filter(
+            (F.col("__seq") >= i * step)
+            & (F.col("__seq") < (i + 1) * step)
+        )
+        for i in range(n_batches)
+    ]
     t0 = time.perf_counter()
     for i, b in enumerate(batches):
         apply_agg(b, i)
