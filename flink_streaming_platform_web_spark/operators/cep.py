@@ -82,8 +82,15 @@ _FUN = r"(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG|PREV)"
 
 def _xlate(expr: str) -> str:
     """SQL expression subset → python source evaluated against the
-    matcher's context helpers (__prev/__first/__last/__agg/__cur)."""
+    matcher's context helpers (__prev/__first/__last/__agg/__cur/
+    __classifier)."""
     s = expr
+    # CLASSIFIER() — the matched variable name (Flink docs:
+    # match_recognize §Measures); running under ALL ROWS PER MATCH
+    s = re.sub(
+        r"CLASSIFIER\s*\(\s*\)", "__classifier()", s,
+        flags=re.IGNORECASE,
+    )
     # PREV(V.col) / PREV(V.col, n) — relative to the CURRENT row
     s = re.sub(
         r"PREV\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
@@ -273,16 +280,18 @@ def parse_match_recognize(clause: str) -> MatchSpec:
 
 _PAT_TOKEN = re.compile(
     r"\s*(?:\(\s*(\w+(?:\s*\|\s*\w+)*)\s*\)|(\w+))"
-    r"(\+\?|\*\?|\?\?|[+*?])?"
+    r"(\{\s*\d+\s*(?:,\s*\d*\s*)?\}\??|\+\?|\*\?|\?\?|[+*?])?"
 )
 
 
 def _parse_pattern(text: str) -> list[tuple[tuple[str, ...], str]]:
     """PATTERN body → [(alternatives, quant)]: concatenation of plain
     variables and flat alternation groups ``(A|B|C)``, each with an
-    optional greedy (`+ * ?`) or reluctant (`+? *? ??`) quantifier —
-    the Flink 1.13 pattern surface minus nested groups/permute, which
-    raise loudly."""
+    optional greedy (`+ * ?`, `{n}`, `{n,}`, `{n,m}`) or reluctant
+    (`+? *? ??`, `{...}?`) quantifier — the Flink 1.13 pattern
+    surface minus nested groups/PERMUTE, which raise loudly. Bounded
+    quantifiers normalize to the internal `{lo,hi}` / `{lo,hi}?`
+    form (hi empty = unbounded)."""
     out: list[tuple[tuple[str, ...], str]] = []
     i = 0
     while i < len(text):
@@ -294,7 +303,8 @@ def _parse_pattern(text: str) -> list[tuple[tuple[str, ...], str]]:
             raise ValueError(
                 f"MATCH_RECOGNIZE: unsupported pattern at"
                 f" {text[i:]!r} (supported: variables, flat (A|B)"
-                " groups, quantifiers + * ? +? *? ??)"
+                " groups, quantifiers + * ? +? *? ?? and bounds"
+                " {n} {n,} {n,m}, each optionally reluctant)"
             )
         if m.group(1) is not None:
             alts = tuple(
@@ -302,11 +312,38 @@ def _parse_pattern(text: str) -> list[tuple[tuple[str, ...], str]]:
             )
         else:
             alts = (m.group(2),)
-        out.append((alts, m.group(3) or "1"))
+        quant = m.group(3) or "1"
+        if quant.startswith("{"):
+            reluct = quant.endswith("}?")
+            body = quant.strip("?").strip("{}").replace(" ", "")
+            if "," in body:
+                lo_s, hi_s = body.split(",", 1)
+                lo, hi = int(lo_s), (int(hi_s) if hi_s else None)
+            else:
+                lo = hi = int(body)
+            if hi is not None and hi < lo:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: bad quantifier bound {quant!r}"
+                )
+            quant = f"{{{lo},{'' if hi is None else hi}}}" + (
+                "?" if reluct else ""
+            )
+        out.append((alts, quant))
         i = m.end()
     if not out:
         raise ValueError("MATCH_RECOGNIZE: empty PATTERN")
     return out
+
+
+def _quant_bounds(quant: str) -> tuple[int, int | None, bool]:
+    """quant → (lo, hi, reluctant). hi None = unbounded."""
+    if quant.startswith("{"):
+        reluct = quant.endswith("}?")
+        lo_s, hi_s = quant.strip("?").strip("{}").split(",")
+        return int(lo_s), (int(hi_s) if hi_s else None), reluct
+    lo = 1 if quant[0] in ("1", "+") else 0
+    hi = 1 if quant[0] in ("1", "?") else None
+    return lo, hi, len(quant) == 2
 
 
 def _match_ctx(
@@ -363,12 +400,18 @@ def _match_ctx(
             return rows[cur_idx][col]
         return __last(var, col)
 
+    def __classifier():
+        if cur_var is not None:
+            return cur_var
+        return assigned[-1] if assigned else None
+
     return {
         "__cur": __cur,
         "__prev": __prev,
         "__first": __first,
         "__last": __last,
         "__agg": __agg,
+        "__classifier": __classifier,
     }
 
 
@@ -474,15 +517,14 @@ def _run_matcher(
                         return  # greedy: first (longest-prefix) wins
                 return
             # general ordered-choice DFS: alternation groups (leftmost
-            # alternative preferred — SQL/RPR ordered choice) and
-            # reluctant quantifiers (prefer FEWER repetitions). Depth
-            # is bounded by the repetition count; a pathological run
-            # longer than Python's recursion limit surfaces as a loud
-            # error (mitigation, as in Flink: bound the match with
-            # WITHIN), never a silent wrong answer.
-            lo = 1 if quant[0] in ("1", "+") else 0
-            hi = 1 if quant[0] in ("1", "?") else None
-            reluctant = len(quant) == 2  # '+?', '*?', '??'
+            # alternative preferred — SQL/RPR ordered choice),
+            # reluctant quantifiers (prefer FEWER repetitions), and
+            # {lo,hi} bounds. Depth is bounded by the repetition
+            # count; a pathological run longer than Python's recursion
+            # limit surfaces as a loud error (mitigation, as in
+            # Flink: bound the match with WITHIN), never a silent
+            # wrong answer.
+            lo, hi, reluctant = _quant_bounds(quant)
 
             def rep(idx2: int, assigned2: list[str], count: int):
                 nonlocal ran_out
@@ -664,6 +706,11 @@ def infer_output_schema(spec: MatchSpec, df: DataFrame) -> str:
         )
     parts = [f"{c} {src[c]}" for c in base]
     for raw, name in spec.raw_measures:
+        if re.fullmatch(
+            r"CLASSIFIER\s*\(\s*\)", raw.strip(), re.IGNORECASE
+        ):
+            parts.append(f"{name} string")
+            continue
         bare = re.fullmatch(r"(\w+)\.(\w+)", raw.strip())
         if bare:  # bare V.col (= LAST(V.col)) keeps the column type
             parts.append(f"{name} {src[bare.group(2)]}")
@@ -894,15 +941,85 @@ FROM sized WHERE isl_n >= 2
 WINDOW wi AS (PARTITION BY user_id, island ORDER BY rn)
 """
 
+# --------------------------------------------------------------------------
+# q49 — bounded quantifier {n} + CLASSIFIER(), oracle-gated (round 6).
+# --------------------------------------------------------------------------
+
+Q49_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES
+    FIRST(STRT.event_id) AS start_id,
+    LAST(UP.event_id) AS end_id,
+    LAST(UP.value) AS end_val,
+    CLASSIFIER() AS last_var
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (STRT UP{2})
+  DEFINE UP AS UP.value > PREV(UP.value)
+"""
+
+
+def q49_match_bounded_quant(spark, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE bounded quantifier (Flink docs:
+    match_recognize §Quantifiers — `UP{2}`: exactly two rising steps
+    per match) + CLASSIFIER(). With SKIP PAST LAST ROW, the greedy
+    scan consumes three rows per match inside each maximal rising
+    run, so matches sit at run offsets 0, 3, 6, … while two more
+    rising rows remain — which the DuckDB oracle replays as
+    gaps-and-islands plus offset arithmetic (a self-join on island
+    position, independent of the matcher). CLASSIFIER() is the last
+    matched variable — always UP here, gating the classifier
+    plumbing end to end."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    spec = parse_match_recognize(Q49_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q49 = """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN value > LAG(value) OVER w THEN 0 ELSE 1 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (
+      PARTITION BY user_id ORDER BY rn) AS island
+  FROM ordered
+),
+pos AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, island ORDER BY rn) - 1 AS off
+  FROM isl
+)
+SELECT s.user_id,
+       s.event_id AS start_id,
+       e.event_id AS end_id,
+       e.value AS end_val,
+       'UP' AS last_var
+FROM pos s JOIN pos e
+  ON e.user_id = s.user_id AND e.island = s.island
+ AND e.off = s.off + 2
+WHERE s.off % 3 = 0
+"""
+
 QUERIES = {
     "q45_match_recognize": q45_match_recognize,
     "q47_match_alternation": q47_match_alternation,
     "q48_match_all_rows": q48_match_all_rows,
+    "q49_match_bounded_quant": q49_match_bounded_quant,
 }
 ORACLES = {
     "q45_match_recognize": ORACLE_Q45,
     "q47_match_alternation": ORACLE_Q47,
     "q48_match_all_rows": ORACLE_Q48,
+    "q49_match_bounded_quant": ORACLE_Q49,
 }
 
 

@@ -176,9 +176,15 @@ def test_unsupported_surface_is_loud(spark):
             V_CLAUSE.replace("ORDER BY tstamp", "ORDER BY tstamp DESC")
         )
     with pytest.raises(ValueError, match="unsupported pattern"):
+        # PERMUTE stays out of the subset
         cep.parse_match_recognize(
             V_CLAUSE.replace("PATTERN (STRT DOWN+ UP+)",
-                             "PATTERN (STRT DOWN{2,} UP+)")
+                             "PATTERN (PERMUTE(STRT, DOWN))")
+        )
+    with pytest.raises(ValueError, match="bad quantifier bound"):
+        cep.parse_match_recognize(
+            V_CLAUSE.replace("PATTERN (STRT DOWN+ UP+)",
+                             "PATTERN (STRT DOWN{3,2} UP+)")
         )
     with pytest.raises(ValueError, match="unsupported pattern"):
         # nested groups stay out of the subset (flat alternation only)
@@ -659,3 +665,71 @@ def test_all_rows_per_match_running_measures():
     assert [(o["v"], o["step_no"], o["run_v"]) for o in outs] == [
         (1.0, 1, None), (4.0, 2, 4.0), (6.0, 3, 6.0)
     ]
+
+
+def test_bounded_quantifiers():
+    """{n}, {n,}, {n,m} bounds (Flink docs: match_recognize
+    §Quantifiers): exact, at-least (greedy), and ranged (greedy)."""
+    clause_tpl = """
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES COUNT(U.*) AS n_u
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (STRT U{q})
+      DEFINE U AS U.v > PREV(U.v)
+    """
+    vals = [1, 2, 3, 4, 5, 0, 1, 2]  # rising runs: len 5, len 3
+    def run(q):
+        got, _ = cep._run_matcher(
+            _matcher_rows(vals),
+            cep.parse_match_recognize(clause_tpl.format(q=q)),
+        )
+        return [o[0]["n_u"] for _, _, o, _ in got]
+
+    # exactly 2: island of 4 rises gives floor(4/3)=1 match consuming
+    # 3 rows then 0+1 rises left; second island (2 rises) gives 1
+    assert run("{2}") == [2, 2]
+    # at least 2, greedy: takes the whole run
+    assert run("{2,}") == [4, 2]
+    # between 2 and 3, greedy: caps at 3
+    assert run("{2,3}") == [3, 2]
+    # reluctant ranged: prefers the minimum (the leftover single rise
+    # of the first island cannot seed another ≥2 match)
+    assert run("{2,3}?") == [2, 2]
+
+
+def test_classifier_measure():
+    """CLASSIFIER() (Flink docs: match_recognize §Measures): the
+    matched variable name — per-row under ALL ROWS (running), the
+    last row's variable under ONE ROW."""
+    spec = cep.parse_match_recognize("""
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES CLASSIFIER() AS var_name, COUNT(*) AS step_no
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (S (U|D))
+      DEFINE U AS U.v > PREV(U.v), D AS D.v < PREV(D.v)
+    """)
+    got, _ = cep._run_matcher(_matcher_rows([5, 8, 9, 3]), spec)
+    flat = [
+        (o["v"], o["var_name"], o["step_no"])
+        for _, _, outs, _ in got
+        for o in outs
+    ]
+    assert flat == [
+        (5.0, "S", 1), (8.0, "U", 2),
+        (9.0, "S", 1), (3.0, "D", 2),
+    ]
+    one = cep.parse_match_recognize("""
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES CLASSIFIER() AS var_name
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (S (U|D))
+      DEFINE U AS U.v > PREV(U.v), D AS D.v < PREV(D.v)
+    """)
+    got2, _ = cep._run_matcher(_matcher_rows([5, 8, 9, 3]), one)
+    assert [o[0]["var_name"] for _, _, o, _ in got2] == ["U", "D"]
