@@ -1279,6 +1279,18 @@ class JobRunner:
         writer = inner_df.writeStream.outputMode("update").foreachBatch(
             apply
         )
+        if self.checkpoint.checkpoint_dir:
+            # restartable: the StateTable lives under the checkpoint
+            # dir (_state_dir) and its keyed MERGE is idempotent, so a
+            # resumed source + persisted rank state recompute
+            # correctly; foreachBatch epoch ids also resume, keeping
+            # the TTL ledger monotone. The in-process sink store
+            # remains the test channel (re-converges for partitions
+            # touched after restart — test_rank_router pins this).
+            writer = writer.option(
+                "checkpointLocation",
+                f"{self.checkpoint.checkpoint_dir}/q{idx}_{sink.name}",
+            )
         if self._trigger:
             writer = writer.trigger(**self._trigger)
         result.streaming_queries.append(writer.start())

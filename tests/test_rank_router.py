@@ -203,3 +203,62 @@ def test_agg_rank_ttl_evicts_stale_partitions(spark, tmp_path):
     )
     held_windows = {r["ts_s"] for r in held.select("ts_s").collect()}
     assert held_windows == {"B"}
+
+
+def test_agg_rank_state_survives_checkpoint_restart(spark, tmp_path):
+    """Agg-mode restore: the StateTable persists under the checkpoint
+    dir and the source resumes from its offsets, so totals folded
+    before the restart still back the ranks computed after it."""
+    src_path = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    script = (
+        _DDL.format(path=src_path)
+        + """
+        CREATE TABLE topn_sink (
+          ts_s STRING, user_id BIGINT, total DOUBLE, rn BIGINT,
+          PRIMARY KEY (ts_s, rn) NOT ENFORCED
+        ) WITH ('connector' = 'jdbc');
+        INSERT INTO topn_sink
+        SELECT ts_s, user_id, total, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY ts_s ORDER BY total DESC) AS rn
+          FROM (
+            SELECT ts_s, user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total
+            FROM ev GROUP BY ts_s, user_id
+          )
+        ) WHERE rn <= 2;
+        """
+    )
+    _write_json(src_path, "f1.json", [
+        {"user_id": 1, "ts_s": "W", "value": 10.0},
+        {"user_id": 2, "ts_s": "W", "value": 5.0},
+    ])
+    r1 = JobRunner(
+        spark,
+        mode="streaming",
+        checkpoint=CheckPointParam(checkpoint_dir=ckpt),
+    )
+    _run(r1, script)
+    # phase 2: user 2 gains 2.0 (total 7, still rank 2); user 3
+    # enters with 8.0 (rank 2 would be wrong unless user 1's
+    # pre-restart 10.0 survived as rank 1)
+    _write_json(src_path, "f2.json", [
+        {"user_id": 2, "ts_s": "W", "value": 2.0},
+        {"user_id": 3, "ts_s": "W", "value": 8.0},
+    ])
+    r2 = JobRunner(
+        spark,
+        mode="streaming",
+        checkpoint=CheckPointParam(checkpoint_dir=ckpt),
+    )
+    _run(r2, script)
+    rows = {
+        r["rn"]: (r["user_id"], r["total"])
+        for r in r2.upsert_stores["topn_sink"].to_df(spark).collect()
+    }
+    # rank 1 = user 1's RESTORED 10.0 (its rows were only in the
+    # pre-restart batch); rank 2 = user 3's 8.0 (user 2's resumed
+    # fold 5+2=7 loses)
+    assert rows == {1: (1, 10.0), 2: (3, 8.0)}
