@@ -191,14 +191,18 @@ class StateTable:
         held = self._read()
         if held is None:
             return
-        expired = held.filter(predicate).persist()
+        # coalesce to false: a NULL predicate result must mean "not
+        # expired" on BOTH sides — a bare ~predicate would silently
+        # drop rows whose predicate evaluates NULL from the rewrite
+        pred = F.coalesce(predicate, F.lit(False))
+        expired = held.filter(pred).persist()
         try:
             touched = {
                 r[0] for r in expired.select(_BUCKET).distinct().collect()
             }
             if not touched:
                 return
-            keep = self._read(touched).filter(~predicate)
+            keep = self._read(touched).filter(~pred)
             self._swap_buckets(keep, touched)
         finally:
             expired.unpersist()

@@ -326,14 +326,27 @@ def streaming_over(
                 keep = full[-size:] if size else []
             state.update((pickle.dumps(keep),))
         else:  # unbounded: O(1)-ish accumulators, peers share values
-            accs = (
-                pickle.loads(state.get[0])
-                if state.exists
-                else {
+            if state.exists:
+                prev_max, accs = pickle.loads(state.get[0])
+            else:
+                prev_max, accs = None, {
                     a: {"n": 0, "sum": 0, "min": None, "max": None}
                     for _, _, _, a in aggs
                 }
-            )
+            if (
+                prev_max is not None
+                and new_buf
+                and new_buf[0]["__ts"] < prev_max
+            ):
+                # same ingest contract as the buffered modes — an
+                # out-of-order row would silently fold into totals
+                # the already-emitted rows never saw
+                raise RuntimeError(
+                    "streaming OVER: out-of-order ingest — batch"
+                    f" starts at {new_buf[0]['__ts']} before"
+                    f" processed {prev_max}; stage the stream"
+                    " event-time-ordered"
+                )
             out_vals = {a: [] for _, _, _, a in aggs}
             i = 0
             nrows = len(new_buf)
@@ -383,7 +396,13 @@ def streaming_over(
                         val = a["max"]
                     out_vals[alias].extend([val] * (j - i))
                 i = j
-            state.update((pickle.dumps(accs),))
+            if new_buf:
+                prev_max = (
+                    new_buf[-1]["__ts"]
+                    if prev_max is None
+                    else max(prev_max, new_buf[-1]["__ts"])
+                )
+            state.update((pickle.dumps((prev_max, accs)),))
         out = pd.DataFrame(
             {
                 c: (

@@ -59,6 +59,12 @@ def event_time_temporal_join(
 ) -> DataFrame:
     if len(probe_keys) != len(build_keys):
         raise ValueError("temporal join: key arity mismatch")
+    clash = {n for _, n in probe_out} & {n for _, n in build_out}
+    if clash:
+        raise ValueError(
+            f"temporal join: output names {sorted(clash)} appear on"
+            " both sides — alias them apart in the select list"
+        )
     p_fields = {f.name: f for f in probe.schema.fields}
     b_fields = {f.name: f for f in build.schema.fields}
     out_schema = StructType(
