@@ -1362,6 +1362,14 @@ class JobRunner:
                 " p.k = d.k [AND ...] (one versioned dim)"
             )
         dim = versioned.pop()
+        if self._materialized.get(dim) != "stream":
+            raise ValueError(
+                f"event-time temporal join: versioned table {dim!r}"
+                " must be an APPEND stream source (filesystem/kafka"
+                " version rows); changelog-backed versioned dims are"
+                " not supported — feed the version stream as append"
+                " rows instead"
+            )
         probe, palias = m.group("probe"), m.group("palias")
         dalias = m.group("dalias")
         if m.group("dim") != dim:

@@ -246,23 +246,6 @@ def streaming_over(
             return _dec_units(v, scale)
         return v
 
-    def compute(fn, col, scale, window_rows):
-        if fn == "count":
-            if col is None:
-                return len(window_rows)
-            return sum(1 for r in window_rows if r.get(col) is not None)
-        vals = [
-            prep(fn, col, scale, r.get(col))
-            for r in window_rows
-        ]
-        vals = [v for v in vals if v is not None]
-        if not vals:
-            return None
-        if fn == "sum":
-            s = sum(vals)
-            return s / (10 ** scale) if scale is not None else s
-        return min(vals) if fn == "min" else max(vals)
-
     def update(
         key: tuple,
         batches: Iterator[pd.DataFrame],
@@ -300,9 +283,67 @@ def streaming_over(
             full = buf + new_buf
             all_ts = [r["__ts"] for r in full]
             import bisect
+            from collections import deque
+
+            # two-pointer sliding windows: both frame boundaries are
+            # monotone in the (sorted) row index, so each element is
+            # added/removed exactly once — running count/sum plus a
+            # monotonic deque for min/max gives O(rows) per batch
+            # instead of O(rows × window) slice recomputes (the
+            # Flink OverAggregate accumulator discipline)
+            prep_vals = {
+                alias: [
+                    prep(fn, col, scale, r.get(col)) for r in full
+                ]
+                for fn, col, scale, alias in aggs
+                if col is not None
+            }
+            slid = {
+                alias: {"cnt": 0, "sum": 0, "dq": deque()}
+                for _, _, _, alias in aggs
+            }
+
+            def _add(j: int) -> None:
+                for fn, col, scale, alias in aggs:
+                    if col is None:
+                        continue
+                    v = prep_vals[alias][j]
+                    if v is None:
+                        continue
+                    s = slid[alias]
+                    s["cnt"] += 1
+                    if fn == "sum":
+                        s["sum"] += v
+                    elif fn in ("min", "max"):
+                        dq = s["dq"]
+                        worse = (
+                            (lambda a, b: a >= b)
+                            if fn == "min"
+                            else (lambda a, b: a <= b)
+                        )
+                        while dq and worse(
+                            prep_vals[alias][dq[-1]], v
+                        ):
+                            dq.pop()
+                        dq.append(j)
+
+            def _drop(j: int) -> None:
+                for fn, col, scale, alias in aggs:
+                    if col is None:
+                        continue
+                    if prep_vals[alias][j] is None:
+                        continue
+                    s = slid[alias]
+                    s["cnt"] -= 1
+                    if fn == "sum":
+                        s["sum"] -= prep_vals[alias][j]
+                    elif fn in ("min", "max"):
+                        if s["dq"] and s["dq"][0] == j:
+                            s["dq"].popleft()
 
             out_vals: dict[str, list] = {a: [] for _, _, _, a in aggs}
             base = len(buf)
+            lo_prev = hi_prev = 0
             for i in range(len(new_buf)):
                 t = new_buf[i]["__ts"]
                 if mode == "range":
@@ -313,11 +354,32 @@ def streaming_over(
                 else:  # rows: current + size preceding, by position
                     hi = base + i + 1
                     lo = max(0, hi - (size + 1))
-                window_rows = full[lo:hi]
+                for j in range(hi_prev, hi):
+                    _add(j)
+                for j in range(lo_prev, lo):
+                    _drop(j)
+                lo_prev, hi_prev = lo, hi
                 for fn, col, scale, alias in aggs:
-                    out_vals[alias].append(
-                        compute(fn, col, scale, window_rows)
-                    )
+                    s = slid[alias]
+                    if fn == "count":
+                        val = hi - lo if col is None else s["cnt"]
+                    elif fn == "sum":
+                        val = (
+                            (
+                                s["sum"] / (10 ** scale)
+                                if scale is not None
+                                else s["sum"]
+                            )
+                            if s["cnt"]
+                            else None
+                        )
+                    else:
+                        val = (
+                            prep_vals[alias][s["dq"][0]]
+                            if s["dq"]
+                            else None
+                        )
+                    out_vals[alias].append(val)
             # evict: retain only the horizon suffix
             if mode == "range":
                 horizon = all_ts[-1] - int(size * 1_000_000)

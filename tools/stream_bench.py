@@ -29,8 +29,8 @@ from flink_streaming_platform_web_spark.session import get_spark
 def main() -> None:
     args = sys.argv[1:]
     mode = "agg"
-    if args and args[0] == "rank":
-        mode = "rank"
+    if args and args[0] in ("rank", "over", "temporal"):
+        mode = args[0]
         args = args[1:]
     duration = float(args[0]) if args else 20.0
     rps = int(args[1]) if len(args) > 1 else 500_000
@@ -61,6 +61,54 @@ def main() -> None:
             rn_alias="rn",
             out_cols=["k", "v", "ts_s", "rn"],
         )
+    elif mode == "over":
+        from flink_streaming_platform_web_spark.streaming.stateful import (
+            streaming_over,
+        )
+
+        keyed = src.select(
+            (F.col("value") % 1000).alias("k"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("v"),
+        )
+        agg = streaming_over(
+            keyed,
+            part_cols=["k"],
+            ts_col="ts",
+            mode="range",
+            size=5,
+            aggs=[
+                ("count", None, None, "n"),
+                ("max", "v", None, "hi"),
+            ],
+            out_cols=["k", "v", "n", "hi"],
+        )
+    elif mode == "temporal":
+        from flink_streaming_platform_web_spark.streaming.temporal import (
+            event_time_temporal_join,
+        )
+
+        # 1% of the rate stream acts as version updates, the rest as
+        # probes — both sides from one source, keyed 0..999
+        base = src.select(
+            (F.col("value") % 1000).alias("k"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("v"),
+        )
+        build = base.filter(F.col("v") % 100 == 0).select(
+            "k", "ts", (F.col("v") * 2).alias("rate")
+        )
+        probe = base.filter(F.col("v") % 100 != 0)
+        agg = event_time_temporal_join(
+            probe,
+            build,
+            ["k"],
+            ["k"],
+            "ts",
+            "ts",
+            [("v", "v"), ("ts", "pts")],
+            [("rate", "rate")],
+        )
     else:
         agg = (
             src.withWatermark("timestamp", "10 seconds")
@@ -71,7 +119,9 @@ def main() -> None:
         )
     q = (
         agg.writeStream.format("noop")
-        .outputMode("update")
+        # over/temporal are append-mode stateful operators; rank and
+        # the window agg emit updates
+        .outputMode("append" if mode in ("over", "temporal") else "update")
         .trigger(processingTime="1 second")
         .start()
     )
@@ -97,11 +147,12 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": (
-                    "rate_rank_topn_throughput"
-                    if mode == "rank"
-                    else "rate_window_agg_throughput"
-                ),
+                "metric": {
+                    "rank": "rate_rank_topn_throughput",
+                    "over": "rate_over_agg_throughput",
+                    "temporal": "rate_temporal_join_throughput",
+                    "agg": "rate_window_agg_throughput",
+                }[mode],
                 "rows_processed": rows,
                 "wall_s": duration,
                 "rows_per_sec": round(rows / duration, 1),
