@@ -47,9 +47,10 @@ _MODULES = (
 # The driver's correctness gate walks queries() in dict insertion order
 # and checks the first 50 entries per round. Rotate per round so the
 # union of rounds gives every entry a green row dated after its last
-# operator rewrite. Round-6 rotation: (a) the 5 entries NEW this
+# operator rewrite. Round-6 rotation: (a) the entries NEW this
 # round (never driver-checked: q47/q48/q49 MATCH_RECOGNIZE
-# extensions, st16 streaming OVER, st17 event-time temporal join);
+# extensions, dd15 cluster representatives, st16 streaming OVER,
+# st17 event-time temporal join);
 # (b) the 6 entries
 # whose implementation was REWRITTEN this round after their r5 rows —
 # st08/st11/st12/st13 (driver-state → executor StateTable /
@@ -72,6 +73,7 @@ _CHECK_FIRST = (
     # (a) new this round — never driver-checked
     "q47_match_alternation",
     "q49_match_bounded_quant",
+    "dd15_cluster_representatives",
     "q48_match_all_rows",
     "st16_stream_over_agg",
     "st17_stream_temporal_join",
@@ -122,11 +124,11 @@ _CHECK_FIRST = (
     "q31_topk_per_group",
     "q32_embedding_centroids",
     "q36_cumulate_window",
-    "q43_cumulate_tvf",
-    # q44_window_topn joins the r7 deferral set to make room for the
-    # late-round q49 (never-checked outranks stale-but-green; q44's
-    # batch rank shape is exercised by q31 here and st11's streaming
-    # row in this same rotation)
+    # q43_cumulate_tvf and q44_window_topn join the r7 deferral set
+    # to make room for the late-round q49 and dd15 (never-checked
+    # outranks stale-but-green; q44's batch rank shape is exercised
+    # by q31 here and st11's streaming row in this same rotation,
+    # q43's cumulate text by q36's semantics twin)
 )
 
 

@@ -32,6 +32,9 @@ from flink_streaming_platform_web_spark.operators.dedup import (
     ORACLE_DD02,
     dd02_ngram_jaccard_pairs,
 )
+from flink_streaming_platform_web_spark.operators.text import (
+    ORACLE_TX02 as ORACLE_TX02_REF,
+)
 from flink_streaming_platform_web_spark.tables import load
 
 MAX_ITERATIONS = 20
@@ -225,5 +228,81 @@ FROM reach GROUP BY a
 """
 
 
-QUERIES = {"dd06_dup_clusters": dd06_dup_clusters}
-ORACLES = {"dd06_dup_clusters": ORACLE_DD06}
+def dd15_cluster_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-aware duplicate-cluster representative selection — the
+    step RefinedWeb/FineWeb-style pipelines run after clustering:
+    instead of keeping an arbitrary member per near-dup cluster, keep
+    the HIGHEST-QUALITY one (Gopher-style quality score, tx02's
+    formula) and mark the rest for removal. Composes dd06's connected
+    components with the text quality signal: one corpus-sized join on
+    doc_id, then a rank window per cluster — cluster sizes are
+    dup-cluster-bounded, so the window shuffle is skew-safe by the
+    same argument as dd06. Ties break on doc_id for determinism.
+
+    No reference analog (the reference delegates relational work to
+    Flink SQL); this is an LLM-training-data operator in its own
+    right.
+    """
+    from pyspark.sql.window import Window
+
+    from flink_streaming_platform_web_spark.operators.text import (
+        _quality_scored,
+    )
+
+    clusters = dd06_dup_clusters(spark, sf_dir)
+    scored = _quality_scored(load(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    j = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    rank_w = w.orderBy(F.desc("quality"), F.asc("doc_id"))
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        "quality",
+        (F.row_number().over(rank_w) == 1).cast("int").alias("keep"),
+    )
+
+
+ORACLE_DD15 = f"""
+WITH RECURSIVE pairs AS ({ORACLE_DD02}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM documents
+  UNION
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst
+  FROM reach r JOIN edges e ON r.b = e.src
+),
+clusters AS (
+  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+),
+scored AS (
+  SELECT doc_id, quality FROM ({ORACLE_TX02_REF})
+)
+SELECT c.doc_id, c.cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+         AS cluster_size,
+       s.quality,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY s.quality DESC, c.doc_id ASC) = 1 AS INT) AS keep
+FROM clusters c JOIN scored s ON s.doc_id = c.doc_id
+"""
+
+QUERIES = {
+    "dd06_dup_clusters": dd06_dup_clusters,
+    "dd15_cluster_representatives": dd15_cluster_representatives,
+}
+ORACLES = {
+    "dd06_dup_clusters": ORACLE_DD06,
+    "dd15_cluster_representatives": ORACLE_DD15,
+}

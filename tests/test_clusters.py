@@ -102,3 +102,31 @@ def test_max_cell_chunks_sized_by_largest_cell(spark):
     c = _max_cell_chunks(spark, "memory://skewtest", assigned, "skew")
     _cache.clear()
     assert c == 3, c
+
+
+def test_dd15_one_representative_per_cluster(spark, sf_dir):
+    from flink_streaming_platform_web_spark.operators.clusters import (
+        dd15_cluster_representatives,
+    )
+
+    out = dd15_cluster_representatives(spark, sf_dir).cache()
+    try:
+        n_clusters = out.select("cluster_id").distinct().count()
+        keeps = out.filter("keep = 1")
+        # exactly one survivor per cluster
+        assert keeps.count() == n_clusters
+        # the survivor is the max-quality member (ties by doc_id)
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        best = out.withColumn(
+            "mx",
+            F.max("quality").over(Window.partitionBy("cluster_id")),
+        )
+        assert (
+            best.filter("keep = 1").filter("quality < mx").count() == 0
+        )
+        # every doc appears exactly once
+        assert out.count() == out.select("doc_id").distinct().count()
+    finally:
+        out.unpersist()
