@@ -437,3 +437,59 @@ def test_demo10_match_recognize_runs(spark, tmp_path):
         for r in spark.table("dips").collect()
     ]
     assert got == [("ACME", 5, 6, 11)]
+
+
+def test_demo11_flink113_joins_over_runs(spark, tmp_path):
+    """Round-6 surface as one script: event-time temporal join
+    (versioned rates) + streaming OVER aggregation, both through the
+    runner's streaming routes."""
+    orders = tmp_path / "orders"
+    rates = tmp_path / "rates"
+    orders.mkdir()
+    rates.mkdir()
+    (rates / "r.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"currency": "EUR", "rts": "2024-01-01 00:00:00",
+                 "rate": 1.1},
+                {"currency": "EUR", "rts": "2024-01-01 00:20:00",
+                 "rate": 1.2},
+            ]
+        )
+    )
+    (orders / "o.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"order_id": 1, "currency": "EUR",
+                 "ts": "2024-01-01 00:05:00", "amount": 10.0},
+                {"order_id": 2, "currency": "EUR",
+                 "ts": "2024-01-01 00:12:00", "amount": 30.0},
+                {"order_id": 3, "currency": "EUR",
+                 "ts": "2024-01-01 00:25:00", "amount": 20.0},
+            ]
+        )
+    )
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        (EXAMPLES / "demo_11_flink113_joins_over.sql").read_text(),
+        variables={"data_dir": str(tmp_path)},
+    )
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(120)
+    enriched = {
+        r["order_id"]: r["rate"]
+        for r in spark.table("enriched_orders").collect()
+    }
+    # orders 1-2 see the 00:00 rate; order 3 the 00:20 version
+    assert enriched == {1: 1.1, 2: 1.1, 3: 1.2}
+    stats = {
+        r["order_id"]: (r["n_10m"], r["max_10m"])
+        for r in spark.table("order_stats").collect()
+    }
+    # trailing 10-minute frames: order 2's window spans order 1;
+    # order 3's window holds only itself
+    assert stats == {1: (1, 10.0), 2: (2, 30.0), 3: (1, 20.0)}
