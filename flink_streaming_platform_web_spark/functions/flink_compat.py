@@ -41,7 +41,11 @@ _FN_REWRITES: list[tuple[re.Pattern[str], str]] = [
 # (staleness ≤ trigger interval — SURVEY §7.3); syntactically the
 # clause just drops.
 _TEMPORAL_JOIN_RE = re.compile(
-    r"\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+[\w.]+(?=\s+AS\s+|\s+ON\s+)",
+    # alias forms after the clause: `AS b ON`, bare `b ON`, or the ON
+    # directly — all valid Flink (demo_3 uses `AS b`; the event-time
+    # examples write the bare alias)
+    r"\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+[\w.]+"
+    r"(?=\s+AS\s+|\s+ON\s+|\s+`?\w+`?\s+ON\s+)",
     re.IGNORECASE,
 )
 

@@ -4,25 +4,34 @@ queries/match_recognize), as a Spark-first operator.
 Spark has no MATCH_RECOGNIZE; the semantics are per-partition
 sequential pattern matching, which maps exactly onto
 ``groupBy(partition).applyInPandas`` with an Arrow-batched greedy
-matcher per key. The supported subset is the clause shape every
-example in the Flink docs uses:
+matcher per key. The supported surface (round 6 completed the Flink
+1.13 clause set):
 
     PARTITION BY k1[, k2 ...]
     ORDER BY c1[, c2 ...]          -- ascending only
     MEASURES  <expr> AS name, ...  -- FIRST/LAST(V.col), COUNT(V.*),
-                                   -- COUNT(*), SUM/MIN/MAX/AVG(V.col)
-    ONE ROW PER MATCH
+                                   -- COUNT(*), SUM/MIN/MAX/AVG(V.col),
+                                   -- CLASSIFIER()
+    ONE ROW PER MATCH | ALL ROWS PER MATCH   -- all-rows = RUNNING
     AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
-    PATTERN (A B+ C* D?)           -- concatenation, greedy + * ?
+                 | SKIP TO FIRST <var> | SKIP TO LAST <var>
+    PATTERN (A (B|C)+ D* E? F{2,5})
+        -- concatenation, flat alternation groups (leftmost
+        -- preferred), greedy + * ? and bounds {n} {n,} {n,m},
+        -- each optionally reluctant with a trailing ?
     DEFINE  V AS <boolean over V.col / PREV(V.col[, n]) /
                   FIRST(X.col) / LAST(X.col) / literals,
                   AND OR NOT and comparisons/arithmetic>
 
+Still out (loud ValueError): nested groups, PERMUTE, DESC ordering.
+
 Matching is the standard greedy-with-backtracking NFA walk (matches
-searched from each row in ORDER BY order; quantifiers greedy; an
-undefined variable is always-true — all per the SQL/RPR standard
-Flink implements). ``AFTER MATCH SKIP PAST LAST ROW`` resumes after
-the consumed rows; ``SKIP TO NEXT ROW`` resumes at start+1.
+searched from each row in ORDER BY order; quantifiers greedy unless
+reluctant; an undefined variable is always-true — all per the SQL/RPR
+standard Flink implements). ``AFTER MATCH SKIP PAST LAST ROW``
+resumes after the consumed rows; ``SKIP TO NEXT ROW`` at start+1;
+``SKIP TO FIRST/LAST <var>`` at the variable's first/last matched
+row (raising the SQL/RPR error when that would not advance).
 
 Scale shape: one shuffle on the PARTITION BY key; each key's rows
 sort and match inside its executor (Flink's CepOperator keys state
