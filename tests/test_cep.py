@@ -733,3 +733,69 @@ def test_classifier_measure():
     """)
     got2, _ = cep._run_matcher(_matcher_rows([5, 8, 9, 3]), one)
     assert [o[0]["var_name"] for _, _, o, _ in got2] == ["U", "D"]
+
+
+def test_stream_all_rows_per_match(spark, tmp_path):
+    """STREAMING MATCH_RECOGNIZE under ALL ROWS PER MATCH: a match
+    closed by later input emits one row per matched row with RUNNING
+    measures, matches spanning micro-batches."""
+    import json as _json
+    import os as _os
+
+    src = tmp_path / "allrows"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps({"k": "a", "seq": s, "v": v})
+            for s, v in [(1, 1.0), (2, 5.0)]
+        )
+    )
+    (src / "b2.json").write_text(
+        "\n".join(
+            _json.dumps({"k": "a", "seq": s, "v": v})
+            for s, v in [(3, 7.0), (4, 0.0)]
+        )
+    )
+    t1 = _os.path.getmtime(src / "b1.json")
+    _os.utime(src / "b2.json", (t1 + 1, t1 + 1))
+    spec = cep.parse_match_recognize("""
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES COUNT(*) AS step_no, LAST(UP.v) AS run_v
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (STRT UP+)
+      DEFINE UP AS UP.v > PREV(UP.v)
+    """)
+    stream = (
+        spark.readStream.schema("k string, seq bigint, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = cep.stream_match_recognize(
+        stream,
+        spec,
+        "k string, seq bigint, v double, step_no bigint,"
+        " run_v double",
+    )
+    qname = f"allrows_{abs(hash(str(tmp_path)))}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    rows = sorted(
+        (r["seq"], r["v"], r["step_no"], r["run_v"])
+        for r in spark.table(qname).collect()
+    )
+    # the rising run 1→5→7 closes when 0.0 arrives; the STRT row's
+    # running LAST(UP.v) is NULL
+    assert rows == [
+        (1, 1.0, 1, None), (2, 5.0, 2, 5.0), (3, 7.0, 3, 7.0)
+    ]
