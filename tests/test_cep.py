@@ -799,3 +799,51 @@ def test_stream_all_rows_per_match(spark, tmp_path):
     assert rows == [
         (1, 1.0, 1, None), (2, 5.0, 2, 5.0), (3, 7.0, 3, 7.0)
     ]
+
+
+def test_runner_sql_route_all_rows(spark, tmp_path):
+    """ALL ROWS PER MATCH through the runner's SQL route: the match
+    view carries every input column plus measures, and the outer
+    select/filter work over it unchanged."""
+    import json as _json
+
+    from flink_streaming_platform_web_spark.streaming.runner import (
+        JobRunner,
+    )
+
+    src = tmp_path / "allrows_sql"
+    src.mkdir()
+    (src / "t.json").write_text(
+        "\n".join(
+            _json.dumps({"k": "a", "seq": s, "v": v})
+            for s, v in [(1, 1.0), (2, 4.0), (3, 6.0), (4, 2.0)]
+        )
+    )
+    runner = JobRunner(spark, mode="batch")
+    runner.execute_script(
+        f"""
+        CREATE TABLE src_rows (k STRING, seq BIGINT, v DOUBLE)
+          WITH ('connector'='filesystem','path'='{src}',
+                'format'='json');
+        CREATE TABLE mr_all (k STRING, seq BIGINT, v DOUBLE,
+          step_no BIGINT) WITH ('connector'='memory');
+        INSERT INTO mr_all
+        SELECT k, seq, v, step_no
+        FROM src_rows MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY seq
+          MEASURES COUNT(*) AS step_no
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT UP+)
+          DEFINE UP AS UP.v > PREV(UP.v)
+        ) WHERE step_no >= 2;
+        """
+    )
+    rows = sorted(
+        (r["seq"], r["step_no"])
+        for r in spark.table("mr_all").collect()
+    )
+    # the rising run 1→4→6 emits three rows; the outer WHERE drops
+    # the step_no=1 STRT row
+    assert rows == [(2, 2), (3, 3)]

@@ -262,3 +262,29 @@ def test_agg_rank_state_survives_checkpoint_restart(spark, tmp_path):
     # pre-restart batch); rank 2 = user 3's 8.0 (user 2's resumed
     # fold 5+2=7 loses)
     assert rows == {1: (1, 10.0), 2: (3, 8.0)}
+
+
+def test_raw_rank_keep_last_desc(spark, tmp_path):
+    """Flink's keep-LAST deduplication variant (docs:
+    queries/deduplication — ORDER BY time DESC, rownum = 1): the raw
+    rank state retains the latest row per key across batches."""
+    src_path = str(tmp_path / "src")
+    _write_json(src_path, "f1.json", [
+        {"user_id": 1, "ts_s": "2024-01-01 00:00:05", "value": 5.0},
+    ])
+    _write_json(src_path, "f2.json", [
+        {"user_id": 1, "ts_s": "2024-01-01 00:00:02", "value": 2.0},
+        {"user_id": 1, "ts_s": "2024-01-01 00:00:09", "value": 9.0},
+    ])
+    runner = JobRunner(spark, mode="streaming")
+    _run(
+        runner,
+        _DDL.format(path=src_path)
+        + _DEDUP_SINK
+        + _DEDUP_SQL.replace("ORDER BY ts_s ASC", "ORDER BY ts_s DESC"),
+    )
+    got = {
+        r["user_id"]: r["ts_s"]
+        for r in runner.upsert_stores["dedup_sink"].to_df(spark).collect()
+    }
+    assert got == {1: "2024-01-01 00:00:09"}
