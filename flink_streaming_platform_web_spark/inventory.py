@@ -77,6 +77,8 @@ _CHECK_FIRST = (
     "q48_match_all_rows",
     "st16_stream_over_agg",
     "st17_stream_temporal_join",
+    "st18_stream_over_rows",
+    "pp06_representative_prep",
     # (b) rewritten this round after their r5 rows
     "st08_stream_cdc_latest",
     "st11_stream_window_topn",
@@ -109,10 +111,13 @@ _CHECK_FIRST = (
     "dd13_jaccard_prefix_filter",
     "vec04_gram_matrix",
     "pp03_prep_pipeline",
-    "q09_scalar_datetime",
+    # q09 (scalar datetime) and q13 (batch OVER) also defer to r7 to
+    # make room for late-round st18/pp06: q09's function family holds
+    # q37's r5 row (same proxy as the deferred q33), and q13's
+    # Catalyst-native window shape is covered in-rotation by q31's
+    # rank window plus st18's oracle-gated OVER frames
     "q11_case_having",
     "q12_set_ops",
-    "q13_window_over",
     "q14_rollup",
     "q15_semi_anti",
     "q21_local_supplier_volume",

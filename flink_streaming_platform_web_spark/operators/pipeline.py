@@ -445,3 +445,61 @@ FROM agg CROSS JOIN tot
 
 QUERIES["pp05_mixture_weights"] = pp05_mixture_weights
 ORACLES["pp05_mixture_weights"] = ORACLE_PP05
+
+
+def pp06_representative_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-based dedup accounting — the RefinedWeb-flavor
+    alternative to pp04's drop-all-losers rule: near-dup clusters keep
+    their HIGHEST-QUALITY member (dd15), and the report shows, per
+    language, what that decision keeps and what it reclaims
+    (docs/tokens kept vs dropped). This is the number a training-mix
+    owner actually reads before committing a dedup policy.
+
+    Scale shape: dd15's cluster table (pair-graph-bounded components
+    + one rank window) joins the corpus once on doc_id; the roll-up
+    is |lang|-sized with map-side combine. Token counts are integer
+    (ws_token_count), so the sums are exact cross-engine."""
+    reps = __import__(
+        "flink_streaming_platform_web_spark.operators.clusters",
+        fromlist=["dd15_cluster_representatives"],
+    ).dd15_cluster_representatives(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", ws_token_count().alias("tokens")
+    )
+    j = docs.join(reps.select("doc_id", "keep"), "doc_id")
+    return j.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("keep") == 1, F.col("tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.sum(F.when(F.col("keep") == 0, F.col("tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_dropped"),
+    )
+
+
+def _oracle_pp06() -> str:
+    from flink_streaming_platform_web_spark.operators.clusters import (
+        ORACLE_DD15,
+    )
+
+    return f"""
+WITH reps AS (SELECT doc_id, keep FROM ({ORACLE_DD15})),
+toks AS (
+  SELECT doc_id, lang, {ORACLE_WS_TOKENS} AS tokens FROM documents
+)
+SELECT t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(r.keep) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN r.keep = 1 THEN t.tokens ELSE 0 END)
+            AS BIGINT) AS tokens_kept,
+       CAST(SUM(CASE WHEN r.keep = 0 THEN t.tokens ELSE 0 END)
+            AS BIGINT) AS tokens_dropped
+FROM toks t JOIN reps r ON r.doc_id = t.doc_id
+GROUP BY t.lang
+"""
+
+
+QUERIES["pp06_representative_prep"] = pp06_representative_prep
+ORACLES["pp06_representative_prep"] = _oracle_pp06()

@@ -1270,6 +1270,61 @@ FROM probes p ASOF JOIN rates r
 """
 
 
+def st18_stream_over_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OVER with a ROW-COUNT frame (Flink docs:
+    queries/over-agg — `ROWS BETWEEN 3 PRECEDING AND CURRENT ROW`):
+    per user, each event appends one row aggregating itself plus its
+    three predecessors. Deterministic because event timestamps are
+    unique per user at the gate SF (the rows-frame tie caveat is
+    documented in stateful.streaming_over); the oracle is the
+    identical ROWS-frame query run natively by DuckDB."""
+    path = _events_ordered_stream(spark, sf_dir, "st18")
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        f"""
+        CREATE TABLE stream_events (
+          user_id BIGINT, event_id BIGINT, ts TIMESTAMP,
+          value DOUBLE,
+          ts_s AS date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS'),
+          WATERMARK FOR ts AS ts - INTERVAL '60' SECOND
+        ) WITH ('connector' = 'filesystem', 'path' = '{path}',
+                'format' = 'parquet',
+                'source.max-files-per-trigger' = '1');
+        CREATE TABLE st18_sink (
+          user_id BIGINT, ts_s STRING, value DOUBLE,
+          sum_4 DOUBLE, n_4 BIGINT, min_4 DOUBLE
+        ) WITH ('connector' = 'memory');
+        INSERT INTO st18_sink
+        SELECT user_id, ts_s, value,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w
+                    AS DOUBLE) AS sum_4,
+               COUNT(*) OVER w AS n_4,
+               MIN(value) OVER w AS min_4
+        FROM stream_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW);
+        """,
+    )
+    return spark.table("st18_sink").select(
+        "user_id", "ts_s", "value", "sum_4", "n_4", "min_4"
+    )
+
+
+ORACLE_ST18 = """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS sum_4,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_4,
+       MIN(value) OVER w AS min_4
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "st01_stream_tumble_window": st01_stream_tumble_window,
     "st11_stream_window_topn": st11_stream_window_topn,
@@ -1279,6 +1334,7 @@ QUERIES = {
     "st15_stream_window_join": st15_stream_window_join,
     "st16_stream_over_agg": st16_stream_over_agg,
     "st17_stream_temporal_join": st17_stream_temporal_join,
+    "st18_stream_over_rows": st18_stream_over_rows,
     "st10_stream_ttl_incremental_agg": st10_stream_ttl_incremental_agg,
     "st09_stream_window_tvf": st09_stream_window_tvf,
     "st08_stream_cdc_latest": st08_stream_cdc_latest,
@@ -1298,6 +1354,7 @@ ORACLES = {
     "st15_stream_window_join": ORACLE_ST15,
     "st16_stream_over_agg": ORACLE_ST16,
     "st17_stream_temporal_join": ORACLE_ST17,
+    "st18_stream_over_rows": ORACLE_ST18,
     # st14 converges to exactly the batch MATCH_RECOGNIZE result —
     # the q45 gaps-and-islands oracle verbatim (sentinels close
     # pending matches the way batch EOF does; they never appear in
