@@ -1108,6 +1108,17 @@ class JobRunner:
                 [c for c in out_cols if c not in spec.part_cols],
             )
             self.upsert_stores[sink.name] = store
+        elif not (
+            isinstance(store, GroupReplaceStore)
+            and store.group_cols == list(spec.part_cols)
+        ):
+            # same discipline as _replace_store: another query already
+            # feeds this sink with different merge semantics — mixing
+            # them would silently corrupt rows
+            raise ValueError(
+                f"sink {sink.name!r} is already fed with different"
+                " merge semantics; a rank query needs its own sink"
+            )
         writer = ranked.writeStream.outputMode("update").foreachBatch(
             foreach_batch_upsert(store)
         )
@@ -1145,12 +1156,13 @@ class JobRunner:
         sink channel, not the state.
 
         Eviction (BACKLOG r5 note): ``SET
-        graft.topn.state-ttl-batches = N`` drops state rows whose
-        group went untouched for N batches — the proxy for Flink's
-        watermark-driven window-state eviction (the inner watermarked
-        agg stops emitting closed windows, so their rank state is dead
-        weight). Unset = keep forever, Flink's continuous-Top-N
-        contract."""
+        graft.topn.state-ttl-batches = N`` drops the state of rank
+        PARTITIONS untouched for N batches (partition-level — a live
+        partition's quiet groups are still rank members and stay) —
+        the proxy for Flink's watermark-driven window-state eviction
+        (the inner watermarked agg stops emitting closed windows, so
+        their rank state is dead weight). Unset = keep forever,
+        Flink's continuous-Top-N contract."""
         from pyspark.sql.types import (
             LongType,
             StructField,
