@@ -1816,14 +1816,19 @@ class JobRunner:
                 .outputMode("append")
                 .queryName(f"cdc_{r}_{idx}")
             )
-            # deliberately NO checkpointLocation: the latest-state
-            # stores are in-process, so a checkpointed restart would
-            # skip already-read changelog files while the state starts
-            # empty — silently wrong. Replay-from-scratch is the
-            # correct recovery contract here (apply is deterministic,
-            # so full replay converges); a deployment swaps KeyedStore
-            # for a durable MERGE target (jdbc/Delta) and THEN
-            # checkpoints the source.
+            # deliberately NO checkpointLocation. The STATE would now
+            # survive a checkpointed restart (round 6: StateTable is
+            # durable and idempotent) — but the external-sink DELTA
+            # would not: sink_delta diffs against the previous
+            # recompute's in-process snapshot, which restarts empty,
+            # so a delete arriving after the restart would never
+            # propagate as a DELETE to jdbc/ES (the row just vanishes
+            # from the new snapshot nobody compares against).
+            # Replay-from-scratch keeps recovery correct end-to-end
+            # (apply is deterministic and idempotent, so full replay
+            # converges); a deployment that wants resume puts the
+            # MERGE server-side where the sink itself holds the
+            # previous state, and THEN checkpoints the source.
             if self._trigger:
                 writer = writer.trigger(**self._trigger)
             result.streaming_queries.append(writer.start())

@@ -288,3 +288,48 @@ def test_raw_rank_keep_last_desc(spark, tmp_path):
         for r in runner.upsert_stores["dedup_sink"].to_df(spark).collect()
     }
     assert got == {1: "2024-01-01 00:00:09"}
+
+
+def test_rank_over_kafka_transport(spark, tmp_path):
+    """The streaming rank router fed from the kafka file-transport
+    source (the deployment front door): json records produced to the
+    broker, keep-first dedup per key maintained in executor state."""
+    import json as _json
+
+    from flink_streaming_platform_web_spark.sources.kafka_file import (
+        FileBroker,
+    )
+
+    broker = FileBroker(tmp_path / "broker")
+    broker.create_topic("evt", partitions=2)
+    for s, (u, t, v) in enumerate(
+        [
+            (1, "2024-01-01 00:00:05", 5.0),
+            (2, "2024-01-01 00:00:07", 7.0),
+            (1, "2024-01-01 00:00:02", 2.0),  # earlier → wins dedup
+        ]
+    ):
+        broker.produce(
+            "evt",
+            _json.dumps({"user_id": u, "ts_s": t, "value": v}),
+            partition=u % 2,
+        )
+    runner = JobRunner(spark, mode="streaming")
+    _run(
+        runner,
+        f"""
+        CREATE TABLE ev (
+          user_id BIGINT, ts_s STRING, value DOUBLE
+        ) WITH ('connector' = 'kafka', 'topic' = 'evt',
+                'properties.bootstrap.servers' = 'file://{broker.path}',
+                'format' = 'json',
+                'scan.startup.mode' = 'earliest-offset');
+        """
+        + _DEDUP_SINK
+        + _DEDUP_SQL,
+    )
+    got = {
+        r["user_id"]: r["ts_s"]
+        for r in runner.upsert_stores["dedup_sink"].to_df(spark).collect()
+    }
+    assert got == {1: "2024-01-01 00:00:02", 2: "2024-01-01 00:00:07"}
