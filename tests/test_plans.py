@@ -468,3 +468,30 @@ def test_q46_window_join_joins_reduced_sides(spark, sf_dir):
     plan = _physical(q46_window_join(spark, sf_dir))
     assert plan.count("partial_count") >= 2  # both sides combine
     assert "PythonUDF" not in plan
+
+
+def test_dd15_rank_window_no_cartesian(spark, sf_dir):
+    """Cluster-representative selection: one corpus join on doc_id +
+    a per-cluster rank window — never a cartesian product, and the
+    quality scoring stays columnar (no Python in the row loop)."""
+    from flink_streaming_platform_web_spark.operators.clusters import (
+        dd15_cluster_representatives,
+    )
+
+    plan = _physical(dd15_cluster_representatives(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    # the rank is a window operator over cluster_id, not a self-join
+    assert "Window" in plan
+
+
+def test_pp06_rollup_is_lang_sized(spark, sf_dir):
+    """The representative accounting rolls up per language with
+    map-side combine (partial aggregation before the exchange)."""
+    from flink_streaming_platform_web_spark.operators.pipeline import (
+        pp06_representative_prep,
+    )
+
+    plan = _physical(pp06_representative_prep(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
