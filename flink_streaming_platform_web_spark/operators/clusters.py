@@ -27,8 +27,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_platform_web_spark.operators.dedup import (
-    JACCARD_THRESHOLD,
-    MAX_DF,
     ORACLE_DD02,
     dd02_ngram_jaccard_pairs,
 )

@@ -13,7 +13,7 @@ last-row-wins ordering inside each micro-batch (row_number over
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_streaming_platform_web_spark.streaming.upsert import KeyedStore
