@@ -169,3 +169,131 @@ def test_double_sum_without_decimal_cast_is_loud(spark, tmp_path):
                          RANGE BETWEEN INTERVAL '5' MINUTE PRECEDING
                          AND CURRENT ROW);
             """)
+
+
+def test_differential_vs_batch_window(spark, tmp_path):
+    """Randomized differential check: the stateful operator must
+    equal Spark's own batch window functions on the same rows —
+    range and rows frames, duplicate timestamps (peer groups), and
+    state spanning micro-batches."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from flink_streaming_platform_web_spark.streaming.stateful import (
+        streaming_over,
+    )
+
+    rng = random.Random(20240814)
+    rows = []
+    rid = 0
+    for _ in range(60):
+        k = rng.randint(1, 3)
+        # coarse second grid → plenty of duplicate timestamps
+        sec = rng.randint(0, 29)
+        rows.append(
+            {
+                "rid": rid,
+                "k": k,
+                "ts": f"2024-01-01 00:00:{sec:02d}",
+                "n": rng.randint(-5, 20),
+            }
+        )
+        rid += 1
+    rows.sort(key=lambda r: r["ts"])
+    # micro-batch split on a distinct-ts boundary
+    cut = len(rows) // 2
+    while cut < len(rows) and rows[cut]["ts"] == rows[cut - 1]["ts"]:
+        cut += 1
+    src = tmp_path / "diff_src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[:cut])
+    )
+    (src / "b2.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[cut:])
+    )
+    t1 = os.path.getmtime(src / "b1.json")
+    os.utime(src / "b2.json", (t1 + 1, t1 + 1))
+
+    schema = "rid bigint, k bigint, ts timestamp, n bigint"
+
+    for mode, size in [("range", 7), ("rows", 4)]:
+        if mode == "rows":
+            # positional frames need a total order for determinism —
+            # dedupe timestamps per key by nudging microseconds
+            seen = {}
+            uniq = []
+            for r in rows:
+                key = (r["k"], r["ts"])
+                off = seen.get(key, 0)
+                seen[key] = off + 1
+                uniq.append(
+                    {**r, "ts": r["ts"] + f".{off:06d}"}
+                )
+            usrc = tmp_path / f"diff_{mode}"
+            usrc.mkdir()
+            (usrc / "b1.json").write_text(
+                "\n".join(json.dumps(r) for r in uniq[:cut])
+            )
+            (usrc / "b2.json").write_text(
+                "\n".join(json.dumps(r) for r in uniq[cut:])
+            )
+            tt = os.path.getmtime(usrc / "b1.json")
+            os.utime(usrc / "b2.json", (tt + 1, tt + 1))
+            read_path = str(usrc)
+        else:
+            read_path = str(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(read_path)
+        )
+        out = streaming_over(
+            stream,
+            part_cols=["k"],
+            ts_col="ts",
+            mode=mode,
+            size=size,
+            aggs=[
+                ("sum", "n", None, "s"),
+                ("count", None, None, "c"),
+                ("min", "n", None, "lo"),
+            ],
+            out_cols=["rid", "s", "c", "lo"],
+        )
+        qname = f"diff_{mode}_{abs(hash(str(tmp_path)))}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(120)
+        got = {
+            r["rid"]: (r["s"], r["c"], r["lo"])
+            for r in spark.table(qname).collect()
+        }
+        ref_df = spark.read.schema(schema).json(read_path)
+        w = Window.partitionBy("k").orderBy(
+            F.col("ts").cast("long") if mode == "range" else F.col("ts")
+        )
+        if mode == "range":
+            w = w.rangeBetween(-size, 0)
+        else:
+            w = w.rowsBetween(-size, 0)
+        ref = {
+            r["rid"]: (r["s"], r["c"], r["lo"])
+            for r in ref_df.select(
+                "rid",
+                F.sum("n").over(w).alias("s"),
+                F.count("*").over(w).alias("c"),
+                F.min("n").over(w).alias("lo"),
+            ).collect()
+        }
+        assert got == ref, mode
