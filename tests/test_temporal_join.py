@@ -113,3 +113,102 @@ def test_non_equi_on_is_loud(spark, tmp_path):
                 "ON o.currency > r.currency",
             ),
         )
+
+
+def test_differential_vs_batch_asof(spark, tmp_path):
+    """Randomized differential check: the streaming temporal join
+    must equal a batch as-of join (per probe, the version with the
+    greatest build time <= the probe's event time) computed with
+    Spark's own window functions — version/probe timestamp ties
+    included, state spanning micro-batches."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from flink_streaming_platform_web_spark.streaming.temporal import (
+        event_time_temporal_join,
+    )
+
+    rng = random.Random(77)
+    versions = {}
+    for _ in range(25):
+        k = rng.randint(1, 3)
+        sec = rng.randint(0, 29)
+        versions[(k, sec)] = rng.randint(100, 999)  # dedupe per instant
+    vrows = sorted(
+        (
+            {"k": k, "vts": f"2024-01-01 00:00:{s:02d}",
+             "rate": float(r)}
+            for (k, s), r in versions.items()
+        ),
+        key=lambda r: (r["vts"], r["k"]),
+    )
+    prows = []
+    for i in range(50):
+        k = rng.randint(1, 3)
+        sec = rng.randint(0, 29)
+        prows.append(
+            {"pid": i, "k": k, "pts": f"2024-01-01 00:00:{sec:02d}",
+             "amt": float(rng.randint(1, 9))}
+        )
+    prows.sort(key=lambda r: (r["pts"], r["pid"]))
+    # shared cut boundary (strictly increasing second grid)
+    bound = "2024-01-01 00:00:15"
+    vdir, pdir = tmp_path / "v", tmp_path / "p"
+    vdir.mkdir(), pdir.mkdir()
+    for d, rows, col in ((vdir, vrows, "vts"), (pdir, prows, "pts")):
+        (d / "b1.json").write_text(
+            "\n".join(json.dumps(r) for r in rows if r[col] < bound)
+        )
+        (d / "b2.json").write_text(
+            "\n".join(json.dumps(r) for r in rows if r[col] >= bound)
+        )
+        t1 = os.path.getmtime(d / "b1.json")
+        os.utime(d / "b2.json", (t1 + 1, t1 + 1))
+
+    vschema = "k bigint, vts timestamp, rate double"
+    pschema = "pid bigint, k bigint, pts timestamp, amt double"
+    out = event_time_temporal_join(
+        spark.readStream.schema(pschema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(pdir)),
+        spark.readStream.schema(vschema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(vdir)),
+        ["k"],
+        ["k"],
+        "pts",
+        "vts",
+        [("pid", "pid"), ("amt", "amt")],
+        [("rate", "rate")],
+    )
+    qname = f"difftj_{abs(hash(str(tmp_path)))}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    got = {
+        r["pid"]: r["rate"] for r in spark.table(qname).collect()
+    }
+    # batch as-of reference with Spark's own operators
+    probes = spark.read.schema(pschema).json(str(pdir))
+    vers = spark.read.schema(vschema).json(str(vdir))
+    joined = probes.join(vers, "k").filter(F.col("vts") <= F.col("pts"))
+    w = Window.partitionBy("pid").orderBy(F.col("vts").desc())
+    ref = {
+        r["pid"]: r["rate"]
+        for r in joined.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == ref
+    # probes with no version are absent from BOTH (inner semantics)
+    assert set(got) == set(ref)
