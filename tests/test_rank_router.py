@@ -333,3 +333,83 @@ def test_rank_over_kafka_transport(spark, tmp_path):
         for r in runner.upsert_stores["dedup_sink"].to_df(spark).collect()
     }
     assert got == {1: "2024-01-01 00:00:02", 2: "2024-01-01 00:00:07"}
+
+
+def test_differential_retained_topn_vs_batch_rank(spark, tmp_path):
+    """Randomized differential check: the raw-mode rank operator's
+    converged store must equal the batch ROW_NUMBER top-N over the
+    same rows (duplicate rank values resolved by the deterministic
+    tie-break, state spanning micro-batches)."""
+    import json as _json
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from flink_streaming_platform_web_spark.streaming.stateful import (
+        retained_topn,
+    )
+    from flink_streaming_platform_web_spark.streaming.upsert import (
+        GroupReplaceStore,
+        foreach_batch_upsert,
+    )
+
+    rng = random.Random(4242)
+    rows = [
+        {
+            "k": rng.randint(1, 4),
+            "v": float(rng.randint(1, 9)),  # many rank ties
+            "rid": i,
+        }
+        for i in range(80)
+    ]
+    src = tmp_path / "rankdiff"
+    src.mkdir()
+    for b in range(4):
+        (src / f"b{b}.json").write_text(
+            "\n".join(
+                _json.dumps(r) for r in rows[b * 20:(b + 1) * 20]
+            )
+        )
+        t0 = os.path.getmtime(src / "b0.json")
+        os.utime(src / f"b{b}.json", (t0 + b, t0 + b))
+    schema = "k bigint, v double, rid bigint"
+    ranked = retained_topn(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        part_cols=["k"],
+        ord_col="v",
+        ord_desc=True,
+        tie_cols=["rid"],
+        topn=3,
+        rn_alias="rn",
+        out_cols=["k", "v", "rid", "rn"],
+    )
+    store = GroupReplaceStore(["k"], ["v", "rid", "rn"])
+    q = (
+        ranked.writeStream.outputMode("update")
+        .foreachBatch(foreach_batch_upsert(store))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    got = {
+        (r["k"], r["rn"]): (r["v"], r["rid"])
+        for r in store.rows.values()
+    }
+    w = Window.partitionBy("k").orderBy(
+        F.col("v").desc(), F.col("rid").desc()
+    )
+    ref = {
+        (r["k"], r["rn"]): (r["v"], r["rid"])
+        for r in spark.read.schema(schema)
+        .json(str(src))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .collect()
+    }
+    assert got == ref
