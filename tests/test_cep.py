@@ -847,3 +847,91 @@ def test_runner_sql_route_all_rows(spark, tmp_path):
     # the rising run 1→4→6 emits three rows; the outer WHERE drops
     # the step_no=1 STRT row
     assert rows == [(2, 2), (3, 3)]
+
+
+def test_matcher_differential_vs_regex():
+    """Randomized differential check of the pattern engine: with
+    DISJOINT current-row-only defines, each row maps to one letter
+    and SQL/RPR pattern semantics (leftmost-preferred alternation,
+    greedy/reluctant quantifiers, bounds, SKIP PAST LAST ROW scan)
+    coincide with Python's regex engine — the same backtracking
+    preferment rules, independently implemented. 300 random
+    pattern/data trials compare every match extent."""
+    import random
+    import re as _re
+
+    rng = random.Random(987)
+    # disjoint defines: value bands map rows to letters a/b/c; S = any
+    defines = {
+        "A": "A.v < 3",
+        "B": "B.v >= 3 AND B.v < 7",
+        "C": "C.v >= 7",
+    }
+
+    def letter(v):
+        return "a" if v < 3 else ("b" if v < 7 else "c")
+
+    quants = ["", "+", "*", "?", "+?", "*?", "??",
+              "{2}", "{2,}", "{1,3}", "{1,3}?"]
+
+    def rand_element():
+        vars_ = rng.sample(["S", "A", "B", "C"], rng.randint(1, 2))
+        q = rng.choice(quants)
+        if len(vars_) == 1:
+            return vars_[0] + q, (vars_[0], q)
+        return "(" + "|".join(vars_) + ")" + q, (tuple(vars_), q)
+
+    def to_regex(vars_, q):
+        def ch(v):
+            return "." if v == "S" else {"A": "a", "B": "b", "C": "c"}[v]
+
+        if isinstance(vars_, str):
+            body = ch(vars_)
+        elif len(vars_) == 1:
+            body = ch(vars_[0])
+        else:
+            body = "(?:" + "|".join(ch(v) for v in vars_) + ")"
+        return body + q
+
+    for _ in range(300):
+        n_el = rng.randint(2, 5)
+        elements = [rand_element() for _ in range(n_el)]
+        # at least one mandatory element: empty matches are out of the
+        # differential's scope (the matcher treats them as no-match)
+        if not any(
+            q in ("", "+", "+?", "{2}", "{2,}", "{1,3}", "{1,3}?")
+            for _, (_, q) in elements
+        ):
+            elements[rng.randrange(n_el)] = ("A+", ("A", "+"))
+        pat_txt = " ".join(t for t, _ in elements)
+        regex = _re.compile(
+            "".join(to_regex(v, q) for _, (v, q) in elements)
+        )
+        vals = [float(rng.randint(0, 9)) for _ in range(rng.randint(8, 25))]
+        text = "".join(letter(v) for v in vals)
+
+        spec = cep.parse_match_recognize(f"""
+          PARTITION BY k
+          ORDER BY seq
+          MEASURES COUNT(*) AS n
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN ({pat_txt})
+          DEFINE A AS {defines['A']}, B AS {defines['B']},
+                 C AS {defines['C']}
+        """)
+        got, _ = cep._run_matcher(_matcher_rows(vals), spec)
+        got_spans = [(s, e) for s, e, _, _ in got]
+
+        ref_spans = []
+        pos = 0
+        while pos < len(text):
+            m = regex.match(text, pos)
+            if m and m.end() > m.start():
+                ref_spans.append((m.start(), m.end()))
+                pos = m.end()
+            else:
+                pos += 1
+        assert got_spans == ref_spans, (
+            pat_txt, text, got_spans, ref_spans
+        )
