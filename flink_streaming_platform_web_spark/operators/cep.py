@@ -1033,7 +1033,10 @@ ORACLES = {
 
 
 def stream_match_recognize(
-    df: DataFrame, spec: MatchSpec, output_schema: str
+    df: DataFrame,
+    spec: MatchSpec,
+    output_schema: str,
+    buffered: bool = False,
 ) -> DataFrame:
     """STREAMING MATCH_RECOGNIZE over an event-time-ordered ingest —
     per-key NFA state via ``applyInPandasWithState`` (Flink's
@@ -1046,22 +1049,19 @@ def stream_match_recognize(
     key retains exactly the buffer suffix from that frontier — for
     run-shaped patterns that is the active tail, not the history.
 
-    Ingest-order contract (checked, loud): rows must arrive
-    per-key-ordered on the first ORDER BY column across micro-batches
-    — the analog of Flink CEP's watermark-sorted input. A production
-    port buffers by watermark instead of asserting; the assertion
-    keeps this honest at harness scale. SKIP TO NEXT ROW would emit
-    overlapping matches whose later occurrences can still change, so
-    only SKIP PAST LAST ROW is supported here."""
+    Ingest order: ``buffered=True`` (the route for watermarked
+    sources) runs the matcher behind the watermark-buffered
+    out-of-order front end (streaming/ooo.py — Flink CepOperator's
+    element buffer: rows held in keyed state until the watermark
+    passes them, folded in ORDER BY order, late rows dropped).
+    Without a watermark the ordered-assert front end applies: rows
+    must arrive per-key-ordered on the first ORDER BY column across
+    micro-batches, and disorder raises loudly. SKIP TO NEXT ROW would
+    emit overlapping matches whose later occurrences can still
+    change, so only SKIP PAST LAST ROW is supported here."""
     import pickle
-    from collections.abc import Iterator
 
     import pandas as pd
-
-    from pyspark.sql.streaming.state import (
-        GroupState,
-        GroupStateTimeout,
-    )
 
     if not spec.skip_past_last:
         raise ValueError(
@@ -1073,23 +1073,19 @@ def stream_match_recognize(
         None if spec.all_rows else list(spec.partition_by)
     )  # all_rows: resolved per batch from the pandas columns
 
-    def update(
-        key: tuple,
-        batches: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
+    def fold(
+        inner: bytes | None, new: pd.DataFrame
+    ) -> "tuple[bytes, pd.DataFrame | None]":
         tail: list[dict] = (
-            pickle.loads(state.get[0]) if state.exists else []
+            pickle.loads(inner) if inner is not None else []
         )
-        new = pd.concat(list(batches))
-        new = new.sort_values(spec.order_by, kind="mergesort")
         rows = new.to_dict("records")
         if tail and rows and rows[0][ord0] < tail[-1][ord0]:
             raise RuntimeError(
                 "stream_match_recognize: out-of-order ingest —"
                 f" batch starts at {rows[0][ord0]} before buffered"
                 f" {tail[-1][ord0]}; stage the stream event-time-"
-                "ordered (or add watermark buffering upstream)"
+                "ordered (or declare a WATERMARK for buffering)"
             )
         buf = tail + rows
         matches, viable = _run_matcher(buf, spec)
@@ -1115,17 +1111,32 @@ def stream_match_recognize(
             for out in outs
         ]
         keep = buf[frontier:]
-        state.update((pickle.dumps(keep),))
+        out = None
         if emit:
             out_names = (
                 base_names if base_names is not None else list(new.columns)
             ) + [n for _, n in spec.measures]
-            yield pd.DataFrame(emit, columns=out_names)
+            out = pd.DataFrame(emit, columns=out_names)
+        return pickle.dumps(keep), out
 
-    return df.groupBy(*spec.partition_by).applyInPandasWithState(
-        update,
-        outputStructType=output_schema,
-        stateStructType="tail binary",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    from flink_streaming_platform_web_spark.streaming.ooo import (
+        ordered_assert_apply,
+        watermark_buffered,
+    )
+
+    if buffered:
+        return watermark_buffered(
+            df,
+            list(spec.partition_by),
+            ord0,
+            list(spec.order_by),
+            fold,
+            output_schema,
+        )
+    return ordered_assert_apply(
+        df,
+        list(spec.partition_by),
+        list(spec.order_by),
+        fold,
+        output_schema,
     )

@@ -1325,6 +1325,7 @@ class JobRunner:
         )
 
         src_df = self.spark.table(over.src)
+        src_tbl = self.tables.get(over.src)
         out = streaming_over(
             src_df,
             over.part_cols,
@@ -1333,6 +1334,16 @@ class JobRunner:
             over.size,
             over.aggs,
             over.out_cols,
+            # watermarked source → Flink's row-time OverAggregate
+            # contract: buffer out-of-order rows until the watermark
+            # passes them (ooo.watermark_buffered); unwatermarked
+            # sources keep the ordered-assert fallback
+            buffered=(
+                src_tbl is not None
+                and src_tbl.watermark is not None
+                and bool(src_tbl.watermark.delay)
+                and src_tbl.watermark.column == over.ts_col
+            ),
         )
         self._write_stream(
             self._align_to_sink(out, sink), sink, idx, result
@@ -1447,6 +1458,7 @@ class JobRunner:
                 )
             tgt.append((col, name or col))
         build_ts = self.tables[dim].watermark.column
+        probe_wm = self.tables[probe].watermark
         out = event_time_temporal_join(
             self.spark.table(probe),
             self.spark.table(dim),
@@ -1456,6 +1468,16 @@ class JobRunner:
             build_ts,
             probe_out,
             build_out,
+            # both sides watermarked → Flink's
+            # TemporalRowTimeJoinOperator contract: buffer
+            # out-of-order rows until the two-input watermark passes
+            # them; a probe without a watermark keeps the
+            # ordered-assert fallback
+            buffered=(
+                probe_wm is not None
+                and bool(probe_wm.delay)
+                and probe_wm.column == m.group("ascol")
+            ),
         )
         sink = self.tables.get(job.target)
         if sink is None:

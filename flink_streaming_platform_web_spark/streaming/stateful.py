@@ -175,6 +175,7 @@ def streaming_over(
     size: float | int | None,
     aggs: list[tuple[str, str | None, int | None, str]],
     out_cols: list[str],
+    buffered: bool = False,
 ) -> DataFrame:
     """Streaming OVER aggregation (Flink docs: queries/over-agg): for
     every input row, aggregates over the per-key window ending at that
@@ -189,9 +190,12 @@ def streaming_over(
     rows newer than max_ts - range; rows-mode: the last n rows;
     unbounded: O(1) accumulators — the incremental fold, never a
     buffer). RANGE frames include equal-timestamp peers on both sides
-    (the SQL frame contract); rows arriving per-key time-ordered
-    across micro-batches is asserted loudly, the same ingest contract
-    as stream_match_recognize (Flink buffers by watermark here).
+    (the SQL frame contract). ``buffered=True`` (the default route for
+    watermarked sources) runs the fold behind the watermark-buffered
+    out-of-order front end (ooo.watermark_buffered — Flink's
+    OverAggregate row-time buffering); without a watermark the
+    ordered-assert front end applies and out-of-order arrival across
+    micro-batches raises loudly (the documented fallback contract).
 
     ``aggs``: (fn, col, dec_scale, alias). SUM over doubles must
     declare a decimal scale (the cross-engine carrier — raw
@@ -246,14 +250,10 @@ def streaming_over(
             return _dec_units(v, scale)
         return v
 
-    def update(
-        key: tuple,
-        batches: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
-        new = pd.concat(list(batches)).sort_values(
-            ts_col, kind="mergesort"
-        )
+    def fold(
+        inner: bytes | None, new: pd.DataFrame
+    ) -> tuple[bytes, pd.DataFrame]:
+        # `new` arrives sorted by ts_col (stable) from the front end
         ts_us = (
             pd.to_datetime(new[ts_col])
             .values.astype("datetime64[us]")
@@ -271,7 +271,7 @@ def streaming_over(
             new_buf = [{"__ts": int(t)} for t in ts_us]
         if mode in ("range", "rows"):
             buf: list[dict] = (
-                pickle.loads(state.get[0]) if state.exists else []
+                pickle.loads(inner) if inner is not None else []
             )
             if buf and new_buf and new_buf[0]["__ts"] < buf[-1]["__ts"]:
                 raise RuntimeError(
@@ -386,10 +386,10 @@ def streaming_over(
                 keep = [r for r in full if r["__ts"] > horizon]
             else:
                 keep = full[-size:] if size else []
-            state.update((pickle.dumps(keep),))
+            inner = pickle.dumps(keep)
         else:  # unbounded: O(1)-ish accumulators, peers share values
-            if state.exists:
-                prev_max, accs = pickle.loads(state.get[0])
+            if inner is not None:
+                prev_max, accs = pickle.loads(inner)
             else:
                 prev_max, accs = None, {
                     a: {"n": 0, "sum": 0, "min": None, "max": None}
@@ -464,7 +464,7 @@ def streaming_over(
                     if prev_max is None
                     else max(prev_max, new_buf[-1]["__ts"])
                 )
-            state.update((pickle.dumps((prev_max, accs)),))
+            inner = pickle.dumps((prev_max, accs))
         out = pd.DataFrame(
             {
                 c: (
@@ -475,14 +475,19 @@ def streaming_over(
                 for c in out_cols
             }
         )
-        yield out
+        return inner, out
 
-    return df.groupBy(*part_cols).applyInPandasWithState(
-        update,
-        out_schema(),
-        "buf binary",
-        "append",
-        GroupStateTimeout.NoTimeout,
+    from flink_streaming_platform_web_spark.streaming.ooo import (
+        ordered_assert_apply,
+        watermark_buffered,
+    )
+
+    if buffered:
+        return watermark_buffered(
+            df, part_cols, ts_col, [ts_col], fold, out_schema()
+        )
+    return ordered_assert_apply(
+        df, part_cols, [ts_col], fold, out_schema()
     )
 
 

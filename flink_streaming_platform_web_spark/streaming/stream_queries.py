@@ -1040,9 +1040,14 @@ def _events_ordered_stream(
     spark: SparkSession, sf_dir: str, tag: str, files: int = 3
 ) -> str:
     """Events staged as ts-ORDERED sequential files (st14's staging
-    shape): the per-key time-ordered ingest the stateful operators
-    assert. Cuts land on DISTINCT ts boundaries so equal-timestamp
-    peers never straddle a micro-batch."""
+    shape), closed by a far-future watermark-advancer row. Cuts land
+    on DISTINCT ts boundaries so equal-timestamp peers never straddle
+    a micro-batch. The advancer (the st15 sentinel pattern — Flink's
+    MAX_WATERMARK at end of bounded input) drives the global watermark
+    past every real row so the watermark-buffered front end
+    (ooo.watermark_buffered) flushes all keys via their event-time
+    timers; the advancer itself stays pending forever and never
+    reaches the output."""
     import os
     import tempfile
 
@@ -1073,8 +1078,8 @@ def _events_ordered_stream(
         cuts.append(c)
     cuts.append(n)
     now = time.time()
-    for i in range(files):
-        chunk = pdf.iloc[cuts[i]:cuts[i + 1]]
+
+    def _write(chunk, i):
         tbl = pa.Table.from_pandas(chunk, preserve_index=False)
         i_ts = tbl.schema.get_field_index("ts")
         tbl = tbl.set_column(
@@ -1083,6 +1088,22 @@ def _events_ordered_stream(
         f = f"{path}/c{i}.parquet"
         pq.write_table(tbl, f)
         os.utime(f, (now + i, now + i))
+
+    for i in range(files):
+        _write(pdf.iloc[cuts[i]:cuts[i + 1]], i)
+    import pandas as _pd
+
+    _write(
+        _pd.DataFrame(
+            {
+                "user_id": [-1],
+                "event_id": [-1],
+                "ts": [_pd.Timestamp("2200-01-01")],
+                "value": [0.0],
+            }
+        ),
+        files,
+    )
     return path
 
 
@@ -1199,16 +1220,11 @@ def st17_stream_temporal_join(
     ]
     now = time.time()
 
-    def _stage(pdf, ts_col, sub):
+    def _stage(pdf, ts_col, sub, advancer):
         path = f"{base}/{sub}"
         os.makedirs(path)
-        lo = None
-        for i, hi in enumerate([*bounds, None]):
-            sel = pdf
-            if lo is not None:
-                sel = sel[sel[ts_col] >= lo]
-            if hi is not None:
-                sel = sel[sel[ts_col] < hi]
+
+        def _write(sel, i):
             tbl = pa.Table.from_pandas(sel, preserve_index=False)
             j = tbl.schema.get_field_index(ts_col)
             tbl = tbl.set_column(
@@ -1217,11 +1233,48 @@ def st17_stream_temporal_join(
             f = f"{path}/c{i}.parquet"
             pq.write_table(tbl, f)
             os.utime(f, (now + i, now + i))
+
+        lo = None
+        for i, hi in enumerate([*bounds, None]):
+            sel = pdf
+            if lo is not None:
+                sel = sel[sel[ts_col] >= lo]
+            if hi is not None:
+                sel = sel[sel[ts_col] < hi]
+            _write(sel, i)
             lo = hi
+        # far-future watermark advancer, BOTH sides: the union's
+        # watermark is the min of the two, so each must pass the real
+        # rows for the buffered front end to flush (the advancer key
+        # itself stays pending forever — never joins, never emits)
+        _write(advancer, len(bounds) + 1)
         return path
 
-    p_path = _stage(probes, "ts", "probes")
-    r_path = _stage(rates, "rts", "rates")
+    import pandas as _pd
+
+    far = _pd.Timestamp("2200-01-01")
+    p_path = _stage(
+        probes,
+        "ts",
+        "probes",
+        _pd.DataFrame(
+            {
+                "event_id": [-1],
+                "user_id": [-1],
+                "event_type": ["__flush__"],
+                "ts": [far],
+                "value": [0.0],
+            }
+        )[list(probes.columns)],
+    )
+    r_path = _stage(
+        rates,
+        "rts",
+        "rates",
+        _pd.DataFrame(
+            {"event_type": ["__flush__"], "rts": [far], "rate": [0.0]}
+        )[list(rates.columns)],
+    )
     runner = JobRunner(spark, mode="streaming")
     _run_and_wait(
         runner,

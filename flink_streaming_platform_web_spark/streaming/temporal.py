@@ -21,12 +21,15 @@ Spark-first rebuild is the same shape:
   (what Flink's watermark does) — state per key = active version +
   any future-dated versions, not the full history.
 
-Ingest-order contract (asserted, loud — the same harness contract as
-stream_match_recognize / streaming_over): each key's rows arrive
-time-ordered across micro-batches; a production port buffers by
-watermark instead of asserting. The runner stages both sides cut at
-the SAME event-time boundaries so lockstep file triggers preserve
-the contract across the union.
+Ingest order: with ``buffered=True`` (the default route when both
+sides carry watermarks) the unioned stream runs behind the
+watermark-buffered out-of-order front end (ooo.watermark_buffered) —
+rows are held in keyed state until the global watermark (the min of
+both sides' watermarks, Spark's union rule — the same two-input
+watermark rule as Flink's TemporalRowTimeJoinOperator) passes them,
+then fold in (event_time, side) order; late rows are dropped.
+Unwatermarked sources fall back to the ordered-assert front end
+(per-key time-ordered arrival across micro-batches, raising loudly).
 
 Scale shape: one shuffle keying both streams; state sharded per key
 across executors (Flink's keyed-state layout); per-batch work is
@@ -37,13 +40,10 @@ from __future__ import annotations
 
 import pickle
 
-from collections.abc import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructField, StructType
 
 
@@ -56,6 +56,7 @@ def event_time_temporal_join(
     build_ts: str,
     probe_out: list[tuple[str, str]],  # (source col, output name)
     build_out: list[tuple[str, str]],
+    buffered: bool = False,
 ) -> DataFrame:
     if len(probe_keys) != len(build_keys):
         raise ValueError("temporal join: key arity mismatch")
@@ -109,21 +110,16 @@ def event_time_temporal_join(
     )
     unioned = tagged_build.unionByName(tagged_probe)
 
-    def update(
-        key: tuple,
-        batches: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
+    def fold(
+        inner: bytes | None, new: pd.DataFrame
+    ) -> tuple[bytes, pd.DataFrame | None]:
         import bisect
 
         versions: list[tuple[int, tuple]]
-        if state.exists:
-            versions, max_ts = pickle.loads(state.get[0])
+        if inner is not None:
+            versions, max_ts = pickle.loads(inner)
         else:
             versions, max_ts = [], None
-        new = pd.concat(list(batches)).sort_values(
-            ["__ts", "__side"], kind="mergesort"
-        )
         ts_us = (
             pd.to_datetime(new["__ts"])
             .values.astype("datetime64[us]")
@@ -161,14 +157,27 @@ def event_time_temporal_join(
             i = bisect.bisect_right(vts, max_ts)
             if i > 1:
                 versions = versions[i - 1:]
-        state.update((pickle.dumps((versions, max_ts)),))
-        if out:
-            yield pd.DataFrame(out, columns=p_names + b_names)
+        return (
+            pickle.dumps((versions, max_ts)),
+            pd.DataFrame(out, columns=p_names + b_names)
+            if out
+            else None,
+        )
 
-    return unioned.groupBy(*key_cols).applyInPandasWithState(
-        update,
-        out_schema,
-        "s binary",
-        "append",
-        GroupStateTimeout.NoTimeout,
+    from flink_streaming_platform_web_spark.streaming.ooo import (
+        ordered_assert_apply,
+        watermark_buffered,
+    )
+
+    if buffered:
+        return watermark_buffered(
+            unioned,
+            key_cols,
+            "__ts",
+            ["__ts", "__side"],
+            fold,
+            out_schema,
+        )
+    return ordered_assert_apply(
+        unioned, key_cols, ["__ts", "__side"], fold, out_schema
     )
