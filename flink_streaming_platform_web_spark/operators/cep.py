@@ -1037,6 +1037,7 @@ def stream_match_recognize(
     spec: MatchSpec,
     output_schema: str,
     buffered: bool = False,
+    drain_out: "list | None" = None,
 ) -> DataFrame:
     """STREAMING MATCH_RECOGNIZE over an event-time-ordered ingest —
     per-key NFA state via ``applyInPandasWithState`` (Flink's
@@ -1132,6 +1133,7 @@ def stream_match_recognize(
             list(spec.order_by),
             fold,
             output_schema,
+            drain_out=drain_out,
         )
     return ordered_assert_apply(
         df,

@@ -32,13 +32,17 @@ by the operator's ORDER BY — in an ``applyInPandasWithState`` stage:
   every key flushes on the terminal no-data micro-batch.
 
 Bounded-input flush: Flink emits a ``MAX_WATERMARK`` at the end of a
-bounded source so buffered elements drain. Spark's file source has no
-end-of-input signal, so a bounded run stages one far-future "watermark
-advancer" row as its last file (the st15 sentinel pattern): the
-advancer drives the global watermark past every real row — releasing
-them all, everywhere, via the timers — while itself staying pending
-forever (its own timestamp is never passed), so it can never reach the
-fold or the output.
+bounded source so buffered elements drain (and ``flink stop --drain``
+does the same at shutdown). Spark's file source has no end-of-input
+signal, so the analog here is **stop-with-drain**: ``drain_pending``
+reads the query's last committed state through Spark's ``statestore``
+batch reader after ``StreamingQuery.stop()``, runs the remaining fold
+over each key's pending rows exactly as a MAX_WATERMARK release
+would (sorted, after the frontier), and returns the tail output rows
+for the runner to append to the sink (runner.DrainingQuery wires
+this onto ``stop()``). Like Flink's ``--drain``, a drained query must
+not be restarted from the same checkpoint (the drained rows would
+replay).
 
 Scale shape: identical to the wrapped operator's — one shuffle on the
 key columns, state sharded per key across executors in the state
@@ -51,16 +55,32 @@ from __future__ import annotations
 import pickle
 
 from collections.abc import Callable, Iterator
+from dataclasses import dataclass
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 Fold = Callable[
     ["bytes | None", pd.DataFrame], "tuple[bytes, pd.DataFrame | None]"
 ]
+
+
+@dataclass
+class DrainSpec:
+    """Everything ``drain_pending`` needs to flush one
+    ``watermark_buffered`` operator's keyed state after stop: the
+    fold and the release ordering, plus the output schema. Captured
+    at plan-build time (``watermark_buffered(..., drain_out=[...])``)
+    and carried by the runner next to the started query."""
+
+    key_cols: list[str]
+    ts_col: str
+    sort_cols: list[str]
+    fold: Fold
+    out_schema: "StructType | str"
 
 
 def to_epoch_us(col: pd.Series):
@@ -80,12 +100,19 @@ def watermark_buffered(
     sort_cols: list[str],
     fold: Fold,
     out_schema: StructType | str,
+    drain_out: "list[DrainSpec] | None" = None,
 ) -> DataFrame:
     """Buffer ``df``'s rows per key until the watermark passes them,
     then feed them — event-time sorted — into ``fold``. ``df`` (or
     every source unioned into it) must carry ``withWatermark`` on the
     column feeding ``ts_col``; without one the watermark never
-    advances and nothing is ever released."""
+    advances and nothing is ever released (until stop-with-drain).
+    ``drain_out``, when given, receives the operator's ``DrainSpec``
+    so the runner can flush pending state at stop."""
+    if drain_out is not None:
+        drain_out.append(
+            DrainSpec(key_cols, ts_col, sort_cols, fold, out_schema)
+        )
 
     def update(
         key: tuple,
@@ -101,12 +128,18 @@ def watermark_buffered(
         if not state.hasTimedOut:
             new = pd.concat(list(batches))
             if len(new):
-                if frontier_us is not None:
-                    # late: at or before the frontier already folded —
-                    # dropped, Flink's late-element contract (Spark's
-                    # stateful operators pre-filter rows older than
-                    # the watermark identically)
-                    new = new[to_epoch_us(new[ts_col]) > frontier_us]
+                # late: at or before the current watermark OR the
+                # frontier already folded — dropped, Flink's
+                # late-element contract (ts <= watermark). Spark's
+                # stateful-operator pre-filter uses the PREVIOUS
+                # batch's watermark, so the explicit wm_us cut here
+                # closes the one-batch gap (ADVICE r7); wm_ms == 0
+                # means no watermark established yet — no cut.
+                cut = frontier_us
+                if wm_ms > 0:
+                    cut = wm_us if cut is None else max(cut, wm_us)
+                if cut is not None:
+                    new = new[to_epoch_us(new[ts_col]) > cut]
                 pending = (
                     new
                     if pending is None
@@ -129,9 +162,14 @@ def watermark_buffered(
         state.update((pickle.dumps((pending, frontier_us, inner)),))
         if pending is not None and len(pending):
             # wake when the watermark passes the earliest pending row
-            # (fires at wm > t, so arm one ms below); must stay above
-            # the current watermark per the GroupState contract
-            min_ms = int(to_epoch_us(pending[ts_col]).min() // 1000)
+            # (fires at wm > t, so arm one ms below); CEIL the µs→ms
+            # truncation (ADVICE r7: floor could fire at a watermark
+            # that hasn't covered the sub-ms remainder, re-arm at
+            # wm+1 and strand the row if the watermark never advances
+            # again); must stay above the current watermark per the
+            # GroupState contract
+            min_us = int(to_epoch_us(pending[ts_col]).min())
+            min_ms = -(-min_us // 1000)
             state.setTimeoutTimestamp(max(wm_ms + 1, min_ms - 1))
         if out is not None and len(out):
             yield out
@@ -143,6 +181,63 @@ def watermark_buffered(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def drain_pending(
+    spark: SparkSession,
+    checkpoint_loc: str,
+    spec: DrainSpec,
+    operator_id: int = 0,
+) -> "DataFrame | None":
+    """Flink's MAX_WATERMARK / ``stop --drain`` analog for a stopped
+    ``watermark_buffered`` query: read the operator's last committed
+    keyed state through Spark's ``statestore`` batch source, release
+    every key's pending rows (sorted by the operator's ORDER BY —
+    exactly what a final infinite watermark would release) into the
+    fold, and return the resulting tail rows as a batch DataFrame
+    (``None`` when the query committed no state). The fold runs
+    executor-side via ``mapInPandas`` — one state blob per input row,
+    no driver collect — so drain scales with the key count like the
+    operator itself."""
+    from pyspark.sql import functions as F
+
+    try:
+        st = (
+            spark.read.format("statestore")
+            .option("operatorId", operator_id)
+            .load(checkpoint_loc)
+        )
+    except Exception:
+        return None  # no committed batch → no state → nothing pending
+    # resolve the schema's field names once, driver-side (out_schema
+    # may be a DDL string)
+    struct = (
+        spec.out_schema
+        if isinstance(spec.out_schema, StructType)
+        else spark.createDataFrame([], spec.out_schema).schema
+    )
+    names = [f.name for f in struct.fields]
+    fold, sort_cols = spec.fold, spec.sort_cols
+
+    def release(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        outs = []
+        for pdf in batches:
+            for blob in pdf["s"]:
+                if blob is None:
+                    continue
+                pending, _frontier, inner = pickle.loads(bytes(blob))
+                if pending is None or not len(pending):
+                    continue
+                released = pending.sort_values(sort_cols, kind="mergesort")
+                _, out = fold(inner, released)
+                if out is not None and len(out):
+                    outs.append(out.reindex(columns=names))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return st.select(
+        F.col("value.groupState.s").alias("s")
+    ).mapInPandas(release, struct)
 
 
 def ordered_assert_apply(

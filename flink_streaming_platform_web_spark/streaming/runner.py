@@ -139,6 +139,10 @@ class JobRunner:
         # rank-state TTL in batches (SET graft.topn.state-ttl-batches;
         # None = keep forever, Flink's continuous-Top-N contract)
         self._topn_state_ttl: int | None = None
+        # (DrainSpec, post-projection) staged by a buffered-operator
+        # route for the next _write_stream call — consumed there to
+        # wrap the started query in DrainingQuery (stop-with-drain)
+        self._drain_ctx: "tuple | None" = None
         # lookup dims with TTL caches (lookup_cache.DimCache by name)
         self.dim_caches: dict = {}
         # accumulated rows for memory sinks fed per micro-batch by the
@@ -1326,6 +1330,7 @@ class JobRunner:
 
         src_df = self.spark.table(over.src)
         src_tbl = self.tables.get(over.src)
+        drains: list = []
         out = streaming_over(
             src_df,
             over.part_cols,
@@ -1344,7 +1349,12 @@ class JobRunner:
                 and bool(src_tbl.watermark.delay)
                 and src_tbl.watermark.column == over.ts_col
             ),
+            drain_out=drains,
         )
+        if drains:
+            # stop-with-drain: fold output is already in out_cols
+            # order — no post-projection needed
+            self._drain_ctx = (drains[0], lambda d: d)
         self._write_stream(
             self._align_to_sink(out, sink), sink, idx, result
         )
@@ -1459,6 +1469,7 @@ class JobRunner:
             tgt.append((col, name or col))
         build_ts = self.tables[dim].watermark.column
         probe_wm = self.tables[probe].watermark
+        drains: list = []
         out = event_time_temporal_join(
             self.spark.table(probe),
             self.spark.table(dim),
@@ -1478,6 +1489,7 @@ class JobRunner:
                 and bool(probe_wm.delay)
                 and probe_wm.column == m.group("ascol")
             ),
+            drain_out=drains,
         )
         sink = self.tables.get(job.target)
         if sink is None:
@@ -1494,6 +1506,13 @@ class JobRunner:
             )
             order.append(im.group(3) or im.group(2))
         out = out.select(*order)
+        if drains:
+            # stop-with-drain: replay the select-list reorder on the
+            # drained fold output before the sink align
+            self._drain_ctx = (
+                drains[0],
+                lambda d, _o=tuple(order): d.select(*_o),
+            )
         self._write_stream(
             self._align_to_sink(out, sink), sink, idx, result
         )
@@ -1616,6 +1635,50 @@ class JobRunner:
                 " be fed with replace-by-key semantics in one script"
             )
         return store
+
+    def _append_drained(self, df: DataFrame, sink: TableDef) -> None:
+        """Batch-append stop-with-drain tail rows to a streaming
+        sink — the write arm of DrainingQuery. Mirrors the
+        foreachBatch fan-out body's per-connector routing; connectors
+        without a batch append channel raise loudly (never a silent
+        loss of the drained rows)."""
+        df = self._align_to_sink(df, sink)
+        c = sink.connector
+        if sink.primary_key:
+            store = self.upsert_stores.get(sink.name)
+            if store is not None:
+                store.merge_batch(df)
+                return
+            psink = self.parquet_upserts.get(sink.name)
+            if psink is not None:
+                # epoch beyond any micro-batch: the pointer guard
+                # must not mistake the drain for a replayed batch
+                psink.foreach_batch()(df, 2**31)
+                return
+            raise ValueError(
+                f"stop-with-drain: PRIMARY-KEY sink {sink.name!r}"
+                f" ({c!r}) has no batch upsert channel"
+            )
+        if c == "memory":
+            # the memory sink's temp view keeps serving the streamed
+            # rows; re-register it as (streamed ∪ drained)
+            self.spark.table(sink.name).unionByName(
+                df
+            ).createOrReplaceTempView(sink.name)
+        elif c == "filesystem":
+            w = df.write.format(sink.options.get("format", "parquet"))
+            if sink.partitioned_by:
+                w = w.partitionBy(*sink.partitioned_by)
+            w.mode("append").save(sink.options["path"])
+        elif c == "print":
+            df.show(truncate=False)
+        elif c == "blackhole":
+            pass
+        else:
+            raise ValueError(
+                f"stop-with-drain: sink connector {c!r} has no batch"
+                " append channel — drained rows would be lost"
+            )
 
     def _align_to_sink(self, df: DataFrame, sink: TableDef) -> DataFrame:
         """Flink maps INSERT SELECT output to the sink schema strictly
@@ -1903,6 +1966,8 @@ class JobRunner:
         idx: int,
         result: ExecutionResult,
     ) -> None:
+        drain = self._drain_ctx
+        self._drain_ctx = None
         c = sink.connector
         upsert = bool(sink.primary_key)
         in_process_state = False  # set by the KeyedStore branch below
@@ -1977,21 +2042,86 @@ class JobRunner:
                 writer = writer.partitionBy(*sink.partitioned_by)
         else:
             raise ValueError(f"unsupported stream sink connector: {c!r}")
+        ckpt_loc = None
         if self.checkpoint.checkpoint_dir and not in_process_state:
-            writer = writer.option(
-                "checkpointLocation",
-                f"{self.checkpoint.checkpoint_dir}/q{idx}_{sink.name}",
-            )
+            ckpt_loc = f"{self.checkpoint.checkpoint_dir}/q{idx}_{sink.name}"
+            writer = writer.option("checkpointLocation", ckpt_loc)
+        if drain is not None and ckpt_loc is None:
+            # stop-with-drain reads the state store back after stop
+            # (ooo.drain_pending), so the checkpoint must live where
+            # the runner can find it — a run-scoped temp dir when the
+            # job configured none. Unique per start, so a process-
+            # local-state restart still replays from scratch (the
+            # in_process_state contract above holds).
+            ckpt_loc = tempfile.mkdtemp(prefix=f"graft_drain_q{idx}_")
+            writer = writer.option("checkpointLocation", ckpt_loc)
         if self._trigger:
             writer = writer.trigger(**self._trigger)
         elif self.checkpoint.checkpoint_interval_ms != 60_000:
             writer = writer.trigger(**trigger_kwargs(self.checkpoint))
-        result.streaming_queries.append(writer.start())
+        q = writer.start()
+        if drain is not None:
+            spec, post = drain
+            q = DrainingQuery(
+                q,
+                self.spark,
+                ckpt_loc,
+                spec,
+                post,
+                lambda out, s=sink: self._append_drained(out, s),
+            )
+        result.streaming_queries.append(q)
 
 
 def _is_aggregated(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+class DrainingQuery:
+    """Proxy over a started ``StreamingQuery`` whose plan contains a
+    ``watermark_buffered`` operator (streaming OVER / event-time
+    temporal join / streaming MATCH_RECOGNIZE on watermarked
+    sources): ``stop()`` performs Flink's ``stop --drain`` — Flink
+    emits ``MAX_WATERMARK`` so event-time operators flush buffered
+    elements before shutdown (and bounded sources emit it at
+    end-of-input). After the wrapped query stops, the operator's
+    pending keyed state — the rows the watermark never passed, i.e.
+    the tail of every bounded run — is released through the fold
+    (ooo.drain_pending, executor-side) and appended to the sink, so
+    bounded input loses no rows. Like Flink's ``--drain``, a drained
+    query must not be restarted from the same checkpoint (the
+    drained rows would replay). Every other attribute delegates to
+    the wrapped query."""
+
+    def __init__(self, query, spark, checkpoint_loc, spec, post, write):
+        self._q = query
+        self._spark = spark
+        self._ckpt = checkpoint_loc
+        self._spec = spec
+        self._post = post
+        self._write = write
+        self._drained = False
+
+    def __getattr__(self, name):
+        return getattr(self._q, name)
+
+    def stop(self) -> None:
+        self._q.stop()
+        # surface a query failure instead of draining on top of it
+        self._q.awaitTermination()
+        if self._drained:
+            return
+        self._drained = True
+        from flink_streaming_platform_web_spark.streaming.ooo import (
+            drain_pending,
+        )
+
+        out = drain_pending(self._spark, self._ckpt, self._spec)
+        if out is not None:
+            out = self._post(out)
+            if not out.isEmpty():
+                self._write(out)
 
 
 @dataclass

@@ -176,6 +176,7 @@ def streaming_over(
     aggs: list[tuple[str, str | None, int | None, str]],
     out_cols: list[str],
     buffered: bool = False,
+    drain_out: "list | None" = None,
 ) -> DataFrame:
     """Streaming OVER aggregation (Flink docs: queries/over-agg): for
     every input row, aggregates over the per-key window ending at that
@@ -484,7 +485,8 @@ def streaming_over(
 
     if buffered:
         return watermark_buffered(
-            df, part_cols, ts_col, [ts_col], fold, out_schema()
+            df, part_cols, ts_col, [ts_col], fold, out_schema(),
+            drain_out=drain_out,
         )
     return ordered_assert_apply(
         df, part_cols, [ts_col], fold, out_schema()

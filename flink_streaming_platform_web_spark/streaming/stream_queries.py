@@ -1036,21 +1036,51 @@ FROM clicks JOIN buys USING (window_start, user_id)
 """
 
 
+def _displace_across_cuts(chunks, ts_col, window):
+    """Deliberate OUT-OF-ORDER staging: for each consecutive pair of
+    ts-sorted file chunks, rows of chunk i whose event time falls
+    within ``window`` of chunk i's max (excluding the max row itself,
+    which stays behind to anchor the watermark) are MOVED into chunk
+    i+1 — so they arrive a full micro-batch late, behind rows with
+    larger timestamps. The watermark-buffered front end must reorder
+    them (the ordered-assert front end would raise). ``window`` must
+    stay safely inside the source's declared watermark delay or the
+    displaced rows would be late-dropped and diverge from the batch
+    oracle."""
+    import pandas as _pd
+
+    out = [c.copy() for c in chunks]
+    for i in range(len(out) - 1):
+        cur = out[i]
+        if not len(cur):
+            continue
+        m = cur[ts_col].max()
+        move = (cur[ts_col] > m - window) & (cur[ts_col] < m)
+        if not move.any():
+            continue
+        out[i + 1] = _pd.concat(
+            [out[i + 1], cur[move]], ignore_index=True
+        )
+        out[i] = cur[~move].reset_index(drop=True)
+    return out
+
+
 def _events_ordered_stream(
     spark: SparkSession, sf_dir: str, tag: str, files: int = 3
 ) -> str:
-    """Events staged as ts-ORDERED sequential files (st14's staging
-    shape), closed by a far-future watermark-advancer row. Cuts land
-    on DISTINCT ts boundaries so equal-timestamp peers never straddle
-    a micro-batch. The advancer (the st15 sentinel pattern — Flink's
-    MAX_WATERMARK at end of bounded input) drives the global watermark
-    past every real row so the watermark-buffered front end
-    (ooo.watermark_buffered) flushes all keys via their event-time
-    timers; the advancer itself stays pending forever and never
-    reaches the output."""
+    """Events staged as sequential files cut on ts order, then
+    deliberately DISORDERED: rows within 25 minutes of each cut's max
+    timestamp are displaced into the next file (_displace_across_cuts)
+    — inside the 30-minute watermark delay the st16/st18 DDL declares,
+    so the watermark-buffered front end (ooo.watermark_buffered) must
+    buffer and reorder them instead of relying on ordered arrival.
+    No advancer sentinel: the tail rows the watermark never passes
+    are flushed by stop-with-drain (runner.DrainingQuery — Flink's
+    MAX_WATERMARK at end of bounded input)."""
     import os
     import tempfile
 
+    import pandas as _pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1077,6 +1107,11 @@ def _events_ordered_stream(
             c += 1
         cuts.append(c)
     cuts.append(n)
+    chunks = _displace_across_cuts(
+        [pdf.iloc[cuts[i]:cuts[i + 1]] for i in range(files)],
+        "ts",
+        _pd.Timedelta(minutes=25),
+    )
     now = time.time()
 
     def _write(chunk, i):
@@ -1089,21 +1124,8 @@ def _events_ordered_stream(
         pq.write_table(tbl, f)
         os.utime(f, (now + i, now + i))
 
-    for i in range(files):
-        _write(pdf.iloc[cuts[i]:cuts[i + 1]], i)
-    import pandas as _pd
-
-    _write(
-        _pd.DataFrame(
-            {
-                "user_id": [-1],
-                "event_id": [-1],
-                "ts": [_pd.Timestamp("2200-01-01")],
-                "value": [0.0],
-            }
-        ),
-        files,
-    )
+    for i, chunk in enumerate(chunks):
+        _write(chunk, i)
     return path
 
 
@@ -1126,7 +1148,7 @@ def st16_stream_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
           user_id BIGINT, event_id BIGINT, ts TIMESTAMP,
           value DOUBLE,
           ts_s AS date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS'),
-          WATERMARK FOR ts AS ts - INTERVAL '60' SECOND
+          WATERMARK FOR ts AS ts - INTERVAL '30' MINUTE
         ) WITH ('connector' = 'filesystem', 'path' = '{path}',
                 'format' = 'parquet',
                 'source.max-files-per-trigger' = '1');
@@ -1220,7 +1242,15 @@ def st17_stream_temporal_join(
     ]
     now = time.time()
 
-    def _stage(pdf, ts_col, sub, advancer):
+    def _stage(pdf, ts_col, sub):
+        """Cut at the SHARED boundaries, then deliberately displace
+        rows near each cut into the following file
+        (_displace_across_cuts) — out-of-order arrival inside the
+        30-minute watermark delay, on BOTH sides of the join. No
+        advancer sentinel: the tail the watermark never passes is
+        flushed by stop-with-drain (runner.DrainingQuery)."""
+        import pandas as _pd
+
         path = f"{base}/{sub}"
         os.makedirs(path)
 
@@ -1234,47 +1264,25 @@ def st17_stream_temporal_join(
             pq.write_table(tbl, f)
             os.utime(f, (now + i, now + i))
 
+        chunks = []
         lo = None
-        for i, hi in enumerate([*bounds, None]):
+        for hi in [*bounds, None]:
             sel = pdf
             if lo is not None:
                 sel = sel[sel[ts_col] >= lo]
             if hi is not None:
                 sel = sel[sel[ts_col] < hi]
-            _write(sel, i)
+            chunks.append(sel)
             lo = hi
-        # far-future watermark advancer, BOTH sides: the union's
-        # watermark is the min of the two, so each must pass the real
-        # rows for the buffered front end to flush (the advancer key
-        # itself stays pending forever — never joins, never emits)
-        _write(advancer, len(bounds) + 1)
+        chunks = _displace_across_cuts(
+            chunks, ts_col, _pd.Timedelta(minutes=25)
+        )
+        for i, chunk in enumerate(chunks):
+            _write(chunk, i)
         return path
 
-    import pandas as _pd
-
-    far = _pd.Timestamp("2200-01-01")
-    p_path = _stage(
-        probes,
-        "ts",
-        "probes",
-        _pd.DataFrame(
-            {
-                "event_id": [-1],
-                "user_id": [-1],
-                "event_type": ["__flush__"],
-                "ts": [far],
-                "value": [0.0],
-            }
-        )[list(probes.columns)],
-    )
-    r_path = _stage(
-        rates,
-        "rts",
-        "rates",
-        _pd.DataFrame(
-            {"event_type": ["__flush__"], "rts": [far], "rate": [0.0]}
-        )[list(rates.columns)],
-    )
+    p_path = _stage(probes, "ts", "probes")
+    r_path = _stage(rates, "rts", "rates")
     runner = JobRunner(spark, mode="streaming")
     _run_and_wait(
         runner,
@@ -1282,14 +1290,14 @@ def st17_stream_temporal_join(
         CREATE TABLE probe_events (
           event_id BIGINT, user_id BIGINT, event_type STRING,
           ts TIMESTAMP, value DOUBLE,
-          WATERMARK FOR ts AS ts - INTERVAL '60' SECOND
+          WATERMARK FOR ts AS ts - INTERVAL '30' MINUTE
         ) WITH ('connector' = 'filesystem', 'path' = '{p_path}',
                 'format' = 'parquet',
                 'source.max-files-per-trigger' = '1');
         CREATE TABLE rates (
           event_type STRING, rts TIMESTAMP, rate DOUBLE,
           PRIMARY KEY (event_type) NOT ENFORCED,
-          WATERMARK FOR rts AS rts - INTERVAL '60' SECOND
+          WATERMARK FOR rts AS rts - INTERVAL '30' MINUTE
         ) WITH ('connector' = 'filesystem', 'path' = '{r_path}',
                 'format' = 'parquet',
                 'source.max-files-per-trigger' = '1');
@@ -1340,7 +1348,7 @@ def st18_stream_over_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
           user_id BIGINT, event_id BIGINT, ts TIMESTAMP,
           value DOUBLE,
           ts_s AS date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS'),
-          WATERMARK FOR ts AS ts - INTERVAL '60' SECOND
+          WATERMARK FOR ts AS ts - INTERVAL '30' MINUTE
         ) WITH ('connector' = 'filesystem', 'path' = '{path}',
                 'format' = 'parquet',
                 'source.max-files-per-trigger' = '1');

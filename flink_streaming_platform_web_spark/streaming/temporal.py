@@ -57,6 +57,7 @@ def event_time_temporal_join(
     probe_out: list[tuple[str, str]],  # (source col, output name)
     build_out: list[tuple[str, str]],
     buffered: bool = False,
+    drain_out: "list | None" = None,
 ) -> DataFrame:
     if len(probe_keys) != len(build_keys):
         raise ValueError("temporal join: key arity mismatch")
@@ -177,6 +178,7 @@ def event_time_temporal_join(
             ["__ts", "__side"],
             fold,
             out_schema,
+            drain_out=drain_out,
         )
     return ordered_assert_apply(
         unioned, key_cols, ["__ts", "__side"], fold, out_schema

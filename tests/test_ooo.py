@@ -1,0 +1,222 @@
+"""Out-of-order ingest gates for the watermark-buffered front end
+(streaming/ooo.py) + stop-with-drain (runner.DrainingQuery) — the
+round-6/7 "done" criteria: deliberately disordered arrival must
+converge to the batch answer, rows older than the watermark must be
+dropped (Flink's late-element contract), and bounded input must keep
+its tail rows (MAX_WATERMARK / stop-with-drain) with no advancer
+sentinels anywhere."""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+import pandas as pd
+
+from flink_streaming_platform_web_spark.streaming.runner import JobRunner
+
+_DELAY_S = 60
+
+
+def _write_files(path, files):
+    """files: list[list[dict]] — one json-lines file per micro-batch,
+    mtimes sequenced so maxFilesPerTrigger=1 replays them in order."""
+    os.makedirs(path, exist_ok=True)
+    base = None
+    for i, rows in enumerate(files):
+        f = os.path.join(path, f"c{i}.json")
+        with open(f, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        if base is None:
+            base = os.path.getmtime(f)
+        os.utime(f, (base + i, base + i))
+
+
+def _run_over(spark, path, tag):
+    """Stream the staged files through the runner's OVER route
+    (watermarked source → watermark_buffered → stop-with-drain) and
+    return {(k, ts_s): (n, mx)}."""
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(f"""
+        CREATE TABLE ev_{tag} (
+          k BIGINT, ts TIMESTAMP, v DOUBLE,
+          ts_s AS date_format(ts, 'yyyy-MM-dd HH:mm:ss'),
+          WATERMARK FOR ts AS ts - INTERVAL '{_DELAY_S}' SECOND
+        ) WITH ('connector'='filesystem','path'='{path}',
+                'format'='json','source.max-files-per-trigger'='1');
+        CREATE TABLE snk_{tag} (k BIGINT, ts_s STRING, n BIGINT,
+          mx DOUBLE) WITH ('connector'='memory');
+        INSERT INTO snk_{tag}
+        SELECT k, ts_s,
+               COUNT(*) OVER w AS n, MAX(v) OVER w AS mx
+        FROM ev_{tag}
+        WINDOW w AS (PARTITION BY k ORDER BY ts
+                     RANGE BETWEEN INTERVAL '2' MINUTE PRECEDING
+                     AND CURRENT ROW);
+        """)
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(120)
+    return {
+        (r["k"], r["ts_s"]): (r["n"], r["mx"])
+        for r in spark.table(f"snk_{tag}").collect()
+    }
+
+
+def _batch_over(spark, rows):
+    """The same OVER query through Spark's native batch window
+    functions — the differential oracle."""
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("ooo_batch_src")
+    out = spark.sql("""
+        SELECT k, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s,
+               COUNT(*) OVER w AS n, MAX(v) OVER w AS mx
+        FROM ooo_batch_src
+        WINDOW w AS (PARTITION BY k ORDER BY ts
+                     RANGE BETWEEN INTERVAL '2' MINUTE PRECEDING
+                     AND CURRENT ROW)
+        """)
+    return {
+        (r["k"], r["ts_s"]): (r["n"], r["mx"])
+        for r in out.collect()
+    }
+
+
+def _mk_rows(n_per_key=24, keys=(1, 2), step_s=10):
+    rows = []
+    for k in keys:
+        for i in range(n_per_key):
+            t = pd.Timestamp("2024-01-01") + pd.Timedelta(
+                seconds=step_s * i + (k - 1) * 3
+            )
+            rows.append(
+                {
+                    "k": k,
+                    "ts": t.strftime("%Y-%m-%d %H:%M:%S"),
+                    "v": float((i * 7 + k * 13) % 50),
+                }
+            )
+    rows.sort(key=lambda r: r["ts"])
+    return rows
+
+
+def _random_disorder(rows, seed, files=4, slack_s=_DELAY_S - 20):
+    """Random arrival permutation that stays inside the watermark
+    delay: rows are cut into ts-ordered files, then each row within
+    ``slack_s`` of its file's max is displaced into the next file
+    with p=.5, and every file's internal order is shuffled. Any such
+    permutation must produce the ordered run's exact output."""
+    rng = random.Random(seed)
+    n = len(rows)
+    cuts = [i * n // files for i in range(files)] + [n]
+    chunks = [rows[cuts[i]:cuts[i + 1]] for i in range(files)]
+    for i in range(files - 1):
+        cur = chunks[i]
+        if not cur:
+            continue
+        m = max(r["ts"] for r in cur)
+        lo = (
+            pd.Timestamp(m) - pd.Timedelta(seconds=slack_s)
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        keep, move = [], []
+        for r in cur:
+            if lo < r["ts"] < m and rng.random() < 0.5:
+                move.append(r)
+            else:
+                keep.append(r)
+        chunks[i] = keep
+        chunks[i + 1] = chunks[i + 1] + move
+    for c in chunks:
+        rng.shuffle(c)
+    return chunks
+
+
+def test_disordered_permutations_equal_ordered(spark, tmp_path):
+    """Property (round-6 criterion): random permutations within the
+    watermark delay ≡ the ordered run ≡ the batch oracle."""
+    rows = _mk_rows()
+    expected = _batch_over(spark, rows)
+    n = len(rows)
+    ordered = [rows[: n // 2], rows[n // 2:]]
+    p0 = str(tmp_path / "ordered")
+    _write_files(p0, ordered)
+    assert _run_over(spark, p0, "ord") == expected
+    for seed in (1, 2):
+        chunks = _random_disorder(rows, seed)
+        # the staging really is disordered: some batch starts before
+        # an earlier batch's max event time
+        maxes = [max(r["ts"] for r in c) for c in chunks if c]
+        mins = [min(r["ts"] for r in c) for c in chunks if c]
+        assert any(
+            mins[i + 1] < maxes[i] for i in range(len(maxes) - 1)
+        ), "disorder fixture degenerated to ordered"
+        p = str(tmp_path / f"dis{seed}")
+        _write_files(p, chunks)
+        assert _run_over(spark, p, f"dis{seed}") == expected
+
+
+def test_late_row_dropped_and_counted_out(spark, tmp_path):
+    """A row arriving after the watermark passed its timestamp is
+    DROPPED (Flink's late-element contract): the converged output is
+    the batch oracle computed WITHOUT that row, and the late row
+    itself emits nothing."""
+    on_time = [
+        {"k": 1, "ts": "2024-01-01 00:00:10", "v": 1.0},
+        {"k": 1, "ts": "2024-01-01 00:01:00", "v": 2.0},
+        # far row: watermark after this batch = 00:19:00, far past
+        # the earlier rows
+        {"k": 1, "ts": "2024-01-01 00:20:00", "v": 3.0},
+    ]
+    late = {"k": 1, "ts": "2024-01-01 00:00:30", "v": 9.0}
+    p = str(tmp_path / "late")
+    _write_files(
+        p, [[on_time[0], on_time[1]], [on_time[2]], [late]]
+    )
+    got = _run_over(spark, p, "late")
+    assert got == _batch_over(spark, on_time)
+    assert (1, "2024-01-01 00:00:30") not in got
+
+
+def test_drain_flushes_tail_without_sentinel(spark, tmp_path):
+    """Bounded input whose watermark never passes ANY row (all rows
+    within one delay of the max): everything must come out through
+    stop-with-drain — the regression demo_11 exposed in round 7."""
+    rows = [
+        {"k": 1, "ts": "2024-01-01 00:00:05", "v": 1.0},
+        {"k": 1, "ts": "2024-01-01 00:00:25", "v": 2.0},
+        {"k": 2, "ts": "2024-01-01 00:00:35", "v": 3.0},
+    ]
+    p = str(tmp_path / "tail")
+    _write_files(p, [rows[:2], rows[2:]])
+    assert _run_over(spark, p, "tail") == _batch_over(spark, rows)
+
+
+def test_displace_helper_moves_inside_window():
+    """The fixture generator itself: displaced rows stay within the
+    window of their origin chunk's max, the max row anchors, and no
+    rows are lost."""
+    from flink_streaming_platform_web_spark.streaming.stream_queries import (
+        _displace_across_cuts,
+    )
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:09:00",
+         "2024-01-01 00:10:00", "2024-01-01 00:20:00"]
+    )
+    chunks = [
+        pd.DataFrame({"ts": ts[:3], "v": [1, 2, 3]}),
+        pd.DataFrame({"ts": ts[3:], "v": [4]}),
+    ]
+    out = _displace_across_cuts(
+        chunks, "ts", pd.Timedelta(minutes=5)
+    )
+    # the 00:09 row (within 5 min of the 00:10 max) moved; the max
+    # row itself stayed
+    assert sorted(out[0]["v"].tolist()) == [1, 3]
+    assert sorted(out[1]["v"].tolist()) == [2, 4]
+    assert sum(len(c) for c in out) == 4
