@@ -47,93 +47,74 @@ _MODULES = (
 # The driver's correctness gate walks queries() in dict insertion order
 # and checks the first 50 entries per round. Rotate per round so the
 # union of rounds gives every entry a green row dated after its last
-# operator rewrite. Round-6 rotation: (a) the entries NEW this
-# round (never driver-checked: q47/q48/q49 MATCH_RECOGNIZE
-# extensions, dd15 cluster representatives, st16 streaming OVER,
-# st17 event-time temporal join);
-# (b) the 6 entries
-# whose implementation was REWRITTEN this round after their r5 rows —
-# st08/st11/st12/st13 (driver-state → executor StateTable /
-# applyInPandasWithState) and q45/st14 (matcher refactor for
-# alternation + reluctant); (c) the six r2-dated entries displaced in
-# r5 (q01–q04, mm01, mm03 — re-proven locally in r5 by the judge) and
-# the four r4-dated memo-chain re-checks the r5 comment promised
-# (dd03/dd04/dd11/dc02); (d) 30 of the 50 r4-dated entries, leading
-# with the runner-adjacent ones (st09/st10 — runner.py changed again
-# this round — and q25/q26, the CDC-batch and as-of shapes next to
-# this round's rewrites). The 16 r4-dated entries deferred to r7:
-# q22/q23 (tumble/hop — windows.py untouched; st01/st05 carry fresh
-# r5 rows through the same code), q33/q34/q35 (function layer pinned
-# by test_functions + q37's r5 row), tx01–tx07/tx10 (text.py
-# untouched since r4; tx08/tx09/tx11/tx12 r5 rows exercise its shared
-# helpers), mm02 (codec pinned by test_imagecodec), pp01/pp02
-# (compositions whose stages hold fresher rows; pp03 stays as the
-# composed representative). Exactly 50.
+# operator rewrite. Round-8 rotation: (a) ALL 20 r4-dated entries —
+# stalled through r6/r7 (VERDICT r7 item 3) and now three rounds
+# without a driver row — lead unconditionally; (b) the entries whose
+# code or fixtures CHANGED this round: st16/st17/st18 (fixtures
+# disordered, advancer sentinels removed, stop-with-drain tail),
+# st14 (rewritten onto the runner's buffered streaming
+# MATCH_RECOGNIZE route) and q45/q47/q48/q49 (cep.py fold gained the
+# final-drain arm — batch path shares the module), plus st08/q25
+# (cdc.py incremental-agg migration this round); (c) the remaining
+# slots go to the OLDEST r5-dated entries (dedup/text/vector
+# families untouched since r5 plus the q05-family joins), leaving
+# the other r5 rows (ann02/03/05, pp04/pp05, q07/q10/q16-q20,
+# q38-q42, st01-st07) to front r9 — every entry then holds a row
+# from r7 or r8 except that named r9 set. Exactly 50.
 _CHECK_FIRST = (
-    # (a) new this round — never driver-checked
-    "q47_match_alternation",
-    "q49_match_bounded_quant",
-    "dd15_cluster_representatives",
-    "q48_match_all_rows",
+    # (a) the 20 r4-stale entries, three rounds without a driver row
+    "q09_scalar_datetime",
+    "q13_window_over",
+    "q22_tumble_window",
+    "q23_hop_window",
+    "q33_flink_datetime_compat",
+    "q34_udf_json_bucket",
+    "q35_pivot_api",
+    "q43_cumulate_tvf",
+    "q44_window_topn",
+    "tx01_langid",
+    "tx02_quality_score",
+    "tx03_token_count",
+    "tx04_fingerprint",
+    "tx05_corpus_stats_by_lang",
+    "tx06_topk_vocab",
+    "tx07_bigram_repetition",
+    "tx10_quality_filter",
+    "mm02_decode_pipeline",
+    "pp01_training_mix",
+    "pp02_shard_packing",
+    # (b) code/fixtures changed this round
+    "st14_stream_match_recognize",
     "st16_stream_over_agg",
     "st17_stream_temporal_join",
     "st18_stream_over_rows",
-    "pp06_representative_prep",
-    # (b) rewritten this round after their r5 rows
-    "st08_stream_cdc_latest",
-    "st11_stream_window_topn",
-    "st12_stream_dedup_sql",
-    "st13_stream_topn_continuous",
     "q45_match_recognize",
-    "st14_stream_match_recognize",
-    # (c) displaced in r5 + promised memo-chain re-checks
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_computed_columns",
-    "q04_daily_gmv",
-    "mm01_binary_meta",
-    "mm03_frame_sample",
-    "dd03_minhash_signatures",
-    "dd04_minhash_lsh_pairs",
-    "dd11_embed_neardup_kmeans",
-    "dc02_fuzzy_contamination",
-    # (d) r4-dated, runner-adjacent first
-    "st09_stream_window_tvf",
-    "st10_stream_ttl_incremental_agg",
+    "q47_match_alternation",
+    "q48_match_all_rows",
+    "q49_match_bounded_quant",
+    "st08_stream_cdc_latest",
     "q25_cdc_latest_state",
-    "q26_asof_join",
-    "ann01_brute_topk",
-    "ann04_ivf_search",
-    "dc01_contamination",
-    "dd01_dedup_exact",
-    "dd02_ngram_jaccard_pairs",
-    "dd12_simhash64_neardup_pairs",
-    "dd13_jaccard_prefix_filter",
-    "vec04_gram_matrix",
-    "pp03_prep_pipeline",
-    # q09 (scalar datetime) and q13 (batch OVER) also defer to r7 to
-    # make room for late-round st18/pp06: q09's function family holds
-    # q37's r5 row (same proxy as the deferred q33), and q13's
-    # Catalyst-native window shape is covered in-rotation by q31's
-    # rank window plus st18's oracle-gated OVER frames
-    "q11_case_having",
-    "q12_set_ops",
-    "q14_rollup",
-    "q15_semi_anti",
-    "q21_local_supplier_volume",
-    "q24_session_window",
-    "q27_grouping_sets",
-    "q28_interval_join",
-    "q29_percentiles",
-    "q30_explode_tokens",
-    "q31_topk_per_group",
-    "q32_embedding_centroids",
-    "q36_cumulate_window",
-    # q43_cumulate_tvf and q44_window_topn join the r7 deferral set
-    # to make room for the late-round q49 and dd15 (never-checked
-    # outranks stale-but-green; q44's batch rank shape is exercised
-    # by q31 here and st11's streaming row in this same rotation,
-    # q43's cumulate text by q36's semantics twin)
+    # (c) oldest r5-dated entries
+    "dd05_simhash_signatures",
+    "dd06_dup_clusters",
+    "dd07_embed_neardup_docs",
+    "dd08_simhash_neardup_pairs",
+    "dd09_chunk_dedup",
+    "dd10_minhash_est_jaccard",
+    "dd14_exact_substr_dup",
+    "tx08_stratified_sample",
+    "tx09_redact_denylist",
+    "tx11_idf_table",
+    "tx12_doc_top_terms",
+    "vec01_kmeans",
+    "vec02_quantize_int8",
+    "vec03_dim_stats",
+    "q05_gmv_join_coupon",
+    "q06_lookup_join",
+    "q08_cte_topk",
+    "q37_flink_builtin_suite",
+    "q46_window_join",
+    "st15_stream_window_join",
 )
 
 

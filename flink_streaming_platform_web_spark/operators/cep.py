@@ -1075,7 +1075,7 @@ def stream_match_recognize(
     )  # all_rows: resolved per batch from the pandas columns
 
     def fold(
-        inner: bytes | None, new: pd.DataFrame
+        inner: bytes | None, new: pd.DataFrame, final: bool = False
     ) -> "tuple[bytes, pd.DataFrame | None]":
         tail: list[dict] = (
             pickle.loads(inner) if inner is not None else []
@@ -1091,20 +1091,25 @@ def stream_match_recognize(
         buf = tail + rows
         matches, viable = _run_matcher(buf, spec)
         frontier = len(buf)
-        if viable is not None:
-            frontier = min(frontier, viable)
-        # a match is pending (can still grow/change) when it ends at
-        # the buffer end OR its search touched the end at all — a
-        # greedy quantifier that hit the end and then backtracked
-        # into a shorter complete match would extend with more rows,
-        # so emitting it now would diverge from batch semantics
-        pending = [
-            s
-            for s, e, _, ran_out in matches
-            if e == len(buf) or ran_out
-        ]
-        if pending:
-            frontier = min(frontier, pending[0])
+        if not final:
+            # a match is pending (can still grow/change) when it ends
+            # at the buffer end OR its search touched the end at all
+            # — a greedy quantifier that hit the end and then
+            # backtracked into a shorter complete match would extend
+            # with more rows, so emitting it now would diverge from
+            # batch semantics. final=True (stop-with-drain, Flink's
+            # MAX_WATERMARK at end of bounded input) means no more
+            # rows can ever arrive: every found match is closed
+            # exactly as batch EOF closes it, so everything emits.
+            if viable is not None:
+                frontier = min(frontier, viable)
+            pending = [
+                s
+                for s, e, _, ran_out in matches
+                if e == len(buf) or ran_out
+            ]
+            if pending:
+                frontier = min(frontier, pending[0])
         emit = [
             out
             for s, e, outs, _ in matches

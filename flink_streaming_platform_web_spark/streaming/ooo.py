@@ -74,13 +74,20 @@ class DrainSpec:
     ``watermark_buffered`` operator's keyed state after stop: the
     fold and the release ordering, plus the output schema. Captured
     at plan-build time (``watermark_buffered(..., drain_out=[...])``)
-    and carried by the runner next to the started query."""
+    and carried by the runner next to the started query.
+    ``in_cols`` is the buffered input's column list, so a FINAL-aware
+    fold (one accepting ``fold(inner, rows, final)``) can be invoked
+    with an empty, correctly-columned frame even for keys whose
+    pending buffer is empty — a streaming-CEP key may hold everything
+    in its inner state (the match buffer tail) and still owe output
+    at end-of-input."""
 
     key_cols: list[str]
     ts_col: str
     sort_cols: list[str]
     fold: Fold
     out_schema: "StructType | str"
+    in_cols: "list[str] | None" = None
 
 
 def to_epoch_us(col: pd.Series):
@@ -111,7 +118,10 @@ def watermark_buffered(
     so the runner can flush pending state at stop."""
     if drain_out is not None:
         drain_out.append(
-            DrainSpec(key_cols, ts_col, sort_cols, fold, out_schema)
+            DrainSpec(
+                key_cols, ts_col, sort_cols, fold, out_schema,
+                in_cols=list(df.columns),
+            )
         )
 
     def update(
@@ -199,6 +209,8 @@ def drain_pending(
     executor-side via ``mapInPandas`` — one state blob per input row,
     no driver collect — so drain scales with the key count like the
     operator itself."""
+    import inspect
+
     from pyspark.sql import functions as F
 
     try:
@@ -217,7 +229,13 @@ def drain_pending(
         else spark.createDataFrame([], spec.out_schema).schema
     )
     names = [f.name for f in struct.fields]
-    fold, sort_cols = spec.fold, spec.sort_cols
+    fold, sort_cols, in_cols = spec.fold, spec.sort_cols, spec.in_cols
+    # a 3-parameter fold is END-OF-INPUT aware: drain calls it with
+    # final=True so folds holding emittable rows in their INNER state
+    # (streaming CEP's match-buffer tail) flush them like batch EOF
+    # would; 2-parameter folds (OVER, temporal join) emit only from
+    # released rows, so empty-pending keys are skipped outright
+    final_aware = len(inspect.signature(fold).parameters) >= 3
 
     def release(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         outs = []
@@ -226,10 +244,18 @@ def drain_pending(
                 if blob is None:
                     continue
                 pending, _frontier, inner = pickle.loads(bytes(blob))
-                if pending is None or not len(pending):
+                has_pending = pending is not None and len(pending)
+                if not has_pending and not final_aware:
                     continue
-                released = pending.sort_values(sort_cols, kind="mergesort")
-                _, out = fold(inner, released)
+                released = (
+                    pending.sort_values(sort_cols, kind="mergesort")
+                    if has_pending
+                    else pd.DataFrame(columns=in_cols or [])
+                )
+                if final_aware:
+                    _, out = fold(inner, released, True)
+                else:
+                    _, out = fold(inner, released)
                 if out is not None and len(out):
                     outs.append(out.reindex(columns=names))
         if outs:

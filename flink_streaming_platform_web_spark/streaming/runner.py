@@ -926,7 +926,7 @@ class JobRunner:
             # structural trigger, not the bare word: the literal
             # string 'MATCH_RECOGNIZE' inside a WHERE clause must
             # keep taking the normal Spark path (code-review r5)
-            self._run_match_recognize(job, result)
+            self._run_match_recognize(job, result, idx)
             return
         sql = translate_expr(job.query_sql)
         df = self.spark.sql(sql)
@@ -1518,16 +1518,20 @@ class JobRunner:
         )
 
     def _run_match_recognize(
-        self, job: InsertJob, result: ExecutionResult
+        self, job: InsertJob, result: ExecutionResult, idx: int = 0
     ) -> None:
         """Flink SQL MATCH_RECOGNIZE (docs: queries/match_recognize)
         routed to the CEP operator (operators/cep.py): the clause is
         parsed, matched per partition via applyInPandas, and the
         OUTER select runs over the match result as a temp view — so
         projections/filters around the clause work unchanged.
-        Streaming sources raise loudly (batch-only subset; Flink's
-        streaming CEP needs per-event NFA state the batch matcher
-        deliberately does not fake)."""
+        A STREAMING source needs a WATERMARK on the first ORDER BY
+        column (Flink's CepOperator sorts by event time behind the
+        watermark — pom.xml:41's Flink 1.13 surface); it then routes
+        to cep.stream_match_recognize behind the watermark-buffered
+        front end with stop-with-drain, per-key NFA state spanning
+        micro-batches. Unwatermarked streaming sources raise loudly
+        (the matcher cannot buffer without a watermark)."""
         from flink_streaming_platform_web_spark.operators import cep
 
         sql = job.query_sql
@@ -1550,30 +1554,64 @@ class JobRunner:
         k = find_balanced(sql, j)
         spec = cep.parse_match_recognize(sql[j + 1:k])
         src = self.spark.table(tbl)
-        if src.isStreaming:
-            raise ValueError(
-                "MATCH_RECOGNIZE on a streaming source is not"
-                " supported (batch-only subset); run the job in"
-                " batch mode or stage the stream"
-            )
-        matched = cep.match_recognize(
-            src, spec, cep.infer_output_schema(spec, src)
-        )
         # unique per-call view name: a fixed name raced concurrent
         # MATCH_RECOGNIZE jobs on the shared session — one job could
         # read the other's matches (code-review r5)
         import uuid as _uuid
 
         view = f"__match_recognize_{_uuid.uuid4().hex[:12]}__"
-        matched.createOrReplaceTempView(view)
         outer = sql[: m.start()] + f" FROM {view} " + sql[k + 1:]
-        df = self.spark.sql(translate_expr(outer))
         sink = self.tables.get(job.target)
         if sink is None:
             raise ValueError(
                 f"MATCH_RECOGNIZE sink {job.target!r} must be a"
                 " declared table"
             )
+        if src.isStreaming:
+            tbl_def = self.tables.get(tbl)
+            wm = tbl_def.watermark if tbl_def is not None else None
+            if (
+                wm is None
+                or not wm.delay
+                or wm.column != spec.order_by[0]
+            ):
+                raise ValueError(
+                    "MATCH_RECOGNIZE on a streaming source needs a"
+                    " WATERMARK on its first ORDER BY column"
+                    f" ({spec.order_by[0]!r}) — the matcher buffers"
+                    " out-of-order rows behind the watermark"
+                    " (Flink CepOperator semantics); declare one or"
+                    " run the job in batch mode"
+                )
+            drains: list = []
+            matched = cep.stream_match_recognize(
+                src,
+                spec,
+                cep.infer_output_schema(spec, src),
+                buffered=True,
+                drain_out=drains,
+            )
+            matched.createOrReplaceTempView(view)
+            df = self.spark.sql(translate_expr(outer))
+            if drains:
+
+                def post(d, _v=view, _o=outer):
+                    # the streaming query is stopped by the time the
+                    # drain runs — re-point the view at the drained
+                    # batch and replay the same outer select
+                    d.createOrReplaceTempView(_v)
+                    return self.spark.sql(translate_expr(_o))
+
+                self._drain_ctx = (drains[0], post)
+            self._write_stream(
+                self._align_to_sink(df, sink), sink, idx, result
+            )
+            return
+        matched = cep.match_recognize(
+            src, spec, cep.infer_output_schema(spec, src)
+        )
+        matched.createOrReplaceTempView(view)
+        df = self.spark.sql(translate_expr(outer))
         try:
             self._write_batch(
                 self._align_to_sink(df, sink), sink, job, result

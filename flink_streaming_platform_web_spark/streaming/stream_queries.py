@@ -849,96 +849,52 @@ SELECT event_type, user_id, total, rn FROM (
 def st14_stream_match_recognize(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """STREAMING MATCH_RECOGNIZE (cep.stream_match_recognize):
-    per-key NFA state via applyInPandasWithState, matches spanning
-    micro-batches. The events stream is staged event-time-ordered
-    (3 sequential ts-range files — the analog of Flink CEP's
-    watermark-sorted input) plus one closing file with a per-user
-    sentinel row whose value can never extend a rising streak, so
-    every pending match is closed exactly as batch EOF would close
-    it — which is why the converged append output equals q45's batch
-    oracle over the plain events table."""
-    import os
-    import tempfile
-    import time as _time
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from flink_streaming_platform_web_spark.operators import cep
-    from flink_streaming_platform_web_spark.tables import load
-
-    path = (
-        f"{tempfile.gettempdir()}/spark_graft_st14_"
-        f"{int(_time.time() * 1e6)}"
+    """STREAMING MATCH_RECOGNIZE end-to-end through the runner's SQL
+    route (round 8): a WATERMARKED source staged deliberately
+    OUT-OF-ORDER (_events_ordered_stream displaces rows across
+    micro-batch cuts inside the 30-minute delay) routes to
+    cep.stream_match_recognize behind the watermark-buffered front
+    end (ooo.watermark_buffered — Flink CepOperator's element
+    buffer), per-key NFA state spanning micro-batches. No sentinel
+    rows: matches still pending at the end of the bounded input are
+    closed by stop-with-drain (runner.DrainingQuery, the
+    MAX_WATERMARK analog) exactly as batch EOF closes them — which
+    is why the converged append output equals q45's batch oracle
+    over the plain events table."""
+    path = _events_ordered_stream(spark, sf_dir, "st14")
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        f"""
+        CREATE TABLE st14_events (
+          user_id BIGINT, event_id BIGINT, ts TIMESTAMP,
+          value DOUBLE,
+          WATERMARK FOR ts AS ts - INTERVAL '30' MINUTE
+        ) WITH ('connector' = 'filesystem', 'path' = '{path}',
+                'format' = 'parquet',
+                'source.max-files-per-trigger' = '1');
+        CREATE TABLE st14_sink (
+          user_id BIGINT, start_id BIGINT, end_id BIGINT,
+          n_up BIGINT, peak DOUBLE
+        ) WITH ('connector' = 'memory');
+        INSERT INTO st14_sink
+        SELECT user_id, start_id, end_id, n_up, peak
+        FROM st14_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES
+            FIRST(STRT.event_id) AS start_id,
+            LAST(UP.event_id) AS end_id,
+            COUNT(UP.*) AS n_up,
+            LAST(UP.value) AS peak
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT UP+)
+          DEFINE UP AS UP.value > PREV(UP.value)
+        );
+        """,
     )
-    os.makedirs(path)
-    pdf = (
-        load(spark, sf_dir, "events")
-        .select("user_id", "event_id", "ts", "value")
-        .toPandas()
-        .sort_values(["ts", "event_id"], kind="mergesort")
-        .reset_index(drop=True)
-    )
-    n = len(pdf)
-    cuts = [0, n // 3, 2 * n // 3, n]
-    now = _time.time()
-
-    def _write(frame, f):
-        # pandas datetime64[ns] would land as TIMESTAMP(NANOS), which
-        # Spark's reader rejects — cast to µs (the events gotcha)
-        tbl = pa.Table.from_pandas(frame, preserve_index=False)
-        i_ts = tbl.schema.get_field_index("ts")
-        tbl = tbl.set_column(
-            i_ts, "ts", tbl.column("ts").cast(pa.timestamp("us"))
-        )
-        pq.write_table(tbl, f)
-
-    for i in range(3):
-        chunk = pdf.iloc[cuts[i]:cuts[i + 1]]
-        f = f"{path}/c{i}.parquet"
-        _write(chunk, f)
-        os.utime(f, (now + i, now + i))
-    sentinels = (
-        pdf.groupby("user_id", as_index=False)
-        .agg(ts=("ts", "max"), event_id=("event_id", "max"))
-    )
-    sentinels["ts"] = sentinels["ts"] + __import__(
-        "pandas"
-    ).Timedelta(seconds=1)
-    sentinels["event_id"] = -sentinels["event_id"] - 1
-    sentinels["value"] = -1e300  # can never satisfy UP
-    f = f"{path}/c3.parquet"
-    _write(sentinels[["user_id", "event_id", "ts", "value"]], f)
-    os.utime(f, (now + 3, now + 3))
-    stream = (
-        spark.readStream.schema(
-            "user_id BIGINT, event_id BIGINT, ts TIMESTAMP,"
-            " value DOUBLE"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(path)
-    )
-    spec = cep.parse_match_recognize(cep.Q45_CLAUSE)
-    out = cep.stream_match_recognize(
-        stream,
-        spec,
-        "user_id bigint, start_id bigint, end_id bigint,"
-        " n_up bigint, peak double",
-    )
-    qname = f"st14_out_{int(_time.time() * 1e6)}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination(120)
-    return spark.table(qname).select(
+    return spark.table("st14_sink").select(
         "user_id", "start_id", "end_id", "n_up", "peak"
     )
 

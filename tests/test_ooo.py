@@ -196,6 +196,73 @@ def test_drain_flushes_tail_without_sentinel(spark, tmp_path):
     assert _run_over(spark, p, "tail") == _batch_over(spark, rows)
 
 
+def test_streaming_match_recognize_buffered_route(spark, tmp_path):
+    """Streaming MATCH_RECOGNIZE through the runner's SQL route
+    (round 8): watermarked source → watermark-buffered CEP. The
+    rising streak 1→4→6 is split across micro-batches WITH disorder
+    (the 4 arrives a batch late), and the final streak 2→9 is still
+    pending at end of input — stop-with-drain must close it exactly
+    as batch EOF would (no sentinel rows)."""
+    import pytest
+
+    rows = [
+        {"k": "a", "ts": "2024-01-01 00:00:10", "v": 1.0},
+        {"k": "a", "ts": "2024-01-01 00:00:20", "v": 4.0},
+        {"k": "a", "ts": "2024-01-01 00:00:30", "v": 6.0},
+        {"k": "a", "ts": "2024-01-01 00:00:40", "v": 2.0},
+        {"k": "a", "ts": "2024-01-01 00:00:50", "v": 9.0},
+    ]
+    p = str(tmp_path / "mr")
+    # disorder: the 00:00:20 row arrives AFTER the 00:00:30 row's
+    # batch (within the 60 s delay); the tail streak stays pending
+    _write_files(
+        p, [[rows[0], rows[2]], [rows[1], rows[3]], [rows[4]]]
+    )
+    script = f"""
+        CREATE TABLE mr_ev (k STRING, ts TIMESTAMP, v DOUBLE,
+          WATERMARK FOR ts AS ts - INTERVAL '60' SECOND
+        ) WITH ('connector'='filesystem','path'='{p}',
+                'format'='json','source.max-files-per-trigger'='1');
+        CREATE TABLE mr_snk (k STRING, n_up BIGINT, peak DOUBLE)
+          WITH ('connector'='memory');
+        INSERT INTO mr_snk
+        SELECT k, n_up, peak
+        FROM mr_ev MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES COUNT(UP.*) AS n_up, LAST(UP.v) AS peak
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT UP+)
+          DEFINE UP AS UP.v > PREV(UP.v)
+        );
+        """
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(script)
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(120)
+    got = sorted(
+        (r["n_up"], r["peak"])
+        for r in spark.table("mr_snk").collect()
+    )
+    # 1→4→6 (two UP steps, peak 6) and the drained tail 2→9
+    assert got == [(1, 9.0), (2, 6.0)]
+
+    # unwatermarked streaming source: loud rejection, never a
+    # silently-wrong unordered fold
+    nowm = script.replace(
+        "ts TIMESTAMP, v DOUBLE,\n"
+        "          WATERMARK FOR ts AS ts - INTERVAL '60' SECOND",
+        "ts TIMESTAMP, v DOUBLE",
+    ).replace("mr_ev", "mr_ev2").replace("mr_snk", "mr_snk2")
+    assert "WATERMARK" not in nowm
+    runner2 = JobRunner(spark, mode="streaming")
+    with pytest.raises(ValueError, match="WATERMARK"):
+        runner2.execute_script(nowm)
+
+
 def test_displace_helper_moves_inside_window():
     """The fixture generator itself: displaced rows stay within the
     window of their origin chunk's max, the max row anchors, and no
