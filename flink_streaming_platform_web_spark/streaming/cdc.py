@@ -309,11 +309,48 @@ def foreach_batch_merge_changelog(state, key_cols: list[str]):
     return apply
 
 
+def agg_state_table(
+    spark,
+    path: str,
+    changelog: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    num_buckets: int = 32,
+) -> "StateTable":
+    """Build the executor-side StateTable ``cdc_incremental_agg``
+    folds into: key = the group columns (typed from the changelog's
+    ``__after`` struct), value = ``n BIGINT`` + one ``sum_<c> DOUBLE``
+    per summed column."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from flink_streaming_platform_web_spark.streaming.state_table import (
+        StateTable,
+    )
+
+    after = dict(
+        (f.name, f.dataType)
+        for f in changelog.schema["__after"].dataType.fields
+    )
+    fields = [StructField(g, after[g]) for g in group_cols]
+    fields.append(StructField("n", LongType()))
+    fields.extend(
+        StructField(f"sum_{c}", DoubleType()) for c in sum_cols
+    )
+    return StateTable(
+        spark, path, list(group_cols), StructType(fields), num_buckets
+    )
+
+
 def cdc_incremental_agg(
     changelog: DataFrame,
     group_cols: list[str],
     sum_cols: list[str],
-    store: KeyedStore,
+    state: "StateTable",
 ):
     """Retraction-aware continuous aggregation over a changelog — the
     Spark rebuild of Flink's retract-stream aggregation (what makes
@@ -323,14 +360,21 @@ def cdc_incremental_agg(
     Mechanism: every change explodes into signed contribution rows
     (+after for c/u/r, -before for u/d), the micro-batch aggregates
     the SIGNED deltas per group (one shuffle on the group key, partial
-    aggregation applies), and `foreachBatch` folds the deltas into the
-    keyed store. State size = number of groups; per-batch work = rows
-    touched. Groups whose count drops to 0 are removed — Flink's
-    retraction of an emptied group.
+    aggregation applies), and `foreachBatch` folds the deltas into an
+    executor-side ``StateTable`` (build one with ``agg_state_table``):
+    a pruned read of only the touched buckets joins current totals,
+    then a keyed MERGE rewrites exactly those buckets — groups whose
+    count drops to 0 ride the MERGE's delete arm, Flink's retraction
+    of an emptied group. State size = number of groups, sharded by
+    key hash across executors; per-batch work = rows touched +
+    touched-bucket state. The driver handles bucket bookkeeping only
+    — never per-group row iteration (round-7 verdict: the previous
+    KeyedStore fold drained every delta through the driver, the same
+    bottleneck the rank router escaped in round 6).
 
     Returns a foreachBatch callback. Determinism: integer counts plus
-    whatever numeric discipline the caller applies to `sum_cols`
-    (decimal-carried doubles recommended, see _portable.py).
+    decimal-carried per-batch delta sums added onto double totals —
+    the same numeric contract the KeyedStore fold had.
     """
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
@@ -358,36 +402,30 @@ def cdc_incremental_agg(
                     for c in sum_cols
                 ],
             )
-        )
-        if store.schema is None:
-            store.schema = deltas.select(
+        ).persist()
+        try:
+            cur = state.view_for(deltas.select(*group_cols))
+            merged = deltas.join(cur, on=group_cols, how="left").select(
                 *group_cols,
-                F.col("__d_cnt").alias("n"),
+                (
+                    F.coalesce(F.col("n"), F.lit(0)) + F.col("__d_cnt")
+                ).alias("n"),
                 *[
-                    F.col(f"__d_{c}").cast("double").alias(f"sum_{c}")
+                    (
+                        F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
+                        + F.col(f"__d_{c}").cast("double")
+                    ).alias(f"sum_{c}")
                     for c in sum_cols
                 ],
-            ).schema
-        # drain the deltas BEFORE taking the lock (a Spark action
-        # under a lock risks deadlock with listeners), then fold under
-        # it — every other store accessor honors _lock, and a
-        # concurrent to_df() snapshot must never see a torn mix of
-        # pre/post-batch groups
-        delta_rows = list(deltas.toLocalIterator())
-        with store._lock:
-            for row in delta_rows:
-                key = tuple(row[g] for g in group_cols)
-                cur = store.rows.get(key)
-                n = (cur["n"] if cur else 0) + row["__d_cnt"]
-                if n <= 0:
-                    store.rows.pop(key, None)
-                    continue
-                merged = {g: row[g] for g in group_cols}
-                merged["n"] = n
-                for c in sum_cols:
-                    prev = cur[f"sum_{c}"] if cur else 0.0
-                    merged[f"sum_{c}"] = prev + float(row[f"__d_{c}"])
-                store.rows[key] = merged
+            )
+            state.merge(
+                merged.filter(F.col("n") > 0),
+                delete_keys=merged.filter(F.col("n") <= 0).select(
+                    *group_cols
+                ),
+            )
+        finally:
+            deltas.unpersist()
 
     return apply
 

@@ -127,6 +127,24 @@ class StateTable:
             return self.spark.createDataFrame([], self.schema)
         return df.drop(_BUCKET)
 
+    def view_for(self, keys: DataFrame) -> DataFrame:
+        """Pruned view: only the buckets holding any of ``keys``
+        (column names must match ``key_cols``) — the read arm of a
+        read-modify-write fold (cdc_incremental_agg). Per-call work is
+        O(touched-bucket state), not O(table), the same pruning the
+        MERGE itself applies. Empty result keeps the declared
+        schema."""
+        touched = {
+            r[0]
+            for r in keys.select(self._bucket_expr().alias("b"))
+            .distinct()
+            .collect()
+        }
+        df = self._read(touched) if touched else None
+        if df is None:
+            return self.spark.createDataFrame([], self.schema)
+        return df.drop(_BUCKET)
+
     def merge(
         self,
         updates: DataFrame,

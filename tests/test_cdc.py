@@ -12,6 +12,7 @@ from flink_streaming_platform_web_spark.streaming.cdc import (
     materialize_latest,
 )
 from flink_streaming_platform_web_spark.streaming.upsert import KeyedStore
+from pyspark.sql import functions as F
 
 ROW_DDL = "id INT, name STRING, description STRING"
 
@@ -84,14 +85,17 @@ def test_materialize_latest_batch_equivalent(spark):
     assert got == FINAL
 
 
-def test_cdc_incremental_agg_retracts(spark):
+def test_cdc_incremental_agg_retracts(spark, tmp_path):
     """Retraction-aware SUM/COUNT per key over a changelog: updates
     move contributions between groups, deletes remove them; the
     continuous aggregate must equal the batch aggregate over the
-    FINAL table state — including a group emptied by a delete."""
+    FINAL table state — including a group emptied by a delete. State
+    lives in an executor-side StateTable (keyed MERGE per batch), not
+    a driver dict (round-8 migration)."""
     import json as _json
 
     from flink_streaming_platform_web_spark.streaming.cdc import (
+        agg_state_table,
         cdc_incremental_agg,
     )
 
@@ -117,10 +121,17 @@ def test_cdc_incremental_agg_retracts(spark):
     ]
     raw = spark.createDataFrame([(v,) for v in ops], "value STRING")
     changelog = decode_debezium(raw, ddl)
-    store = KeyedStore(["grp"])
-    cdc_incremental_agg(changelog, ["grp"], ["amount"], store)(changelog, 0)
+    state = agg_state_table(
+        spark, str(tmp_path / "agg_state"), changelog,
+        ["grp"], ["amount"], num_buckets=4,
+    )
+    apply_agg = cdc_incremental_agg(changelog, ["grp"], ["amount"], state)
+    # two micro-batches: the update/deletes fold against PRIOR state
+    apply_agg(changelog.filter(F.col("__ts_ms") <= 3), 0)
+    apply_agg(changelog.filter(F.col("__ts_ms") > 3), 1)
     got = {
-        k[0]: (v["n"], v["sum_amount"]) for k, v in store.rows.items()
+        r["grp"]: (r["n"], r["sum_amount"])
+        for r in state.view().collect()
     }
     # final table state: id1(a,10), id2(b,6) -> a:(1,10.0) b:(1,6.0),
     # group c emptied and retracted entirely

@@ -87,8 +87,22 @@ def main() -> None:
     mat_s = time.perf_counter() - t0
 
     # path 2: retraction-aware incremental agg over micro-batches
-    store = KeyedStore(key_cols=["grp"])
-    apply_agg = cdc_incremental_agg(log, ["grp"], ["amount"], store)
+    # (executor-side StateTable fold — round 8 moved this off the
+    # driver-held KeyedStore)
+    import tempfile as _tempfile
+
+    from flink_streaming_platform_web_spark.streaming.cdc import (
+        agg_state_table,
+    )
+
+    agg_state = agg_state_table(
+        spark,
+        _tempfile.mkdtemp(prefix="graft_cdcagg_"),
+        log,
+        ["grp"],
+        ["amount"],
+    )
+    apply_agg = cdc_incremental_agg(log, ["grp"], ["amount"], agg_state)
     # ORDERED micro-batches (contiguous __seq slices — binlog/kafka
     # arrival order): batch-sequential apply then agrees with the
     # global (ts, seq) materialization, so the state-table path's
@@ -105,6 +119,8 @@ def main() -> None:
     for i, b in enumerate(batches):
         apply_agg(b, i)
     agg_s = time.perf_counter() - t0
+    agg_groups = agg_state.view().count()
+    agg_state.destroy()
 
     # path 4 (round 6): executor-side StateTable merge — the runner's
     # production materialize path (keyed changelog MERGE per batch,
@@ -155,6 +171,7 @@ def main() -> None:
                 "materialize_final_rows": final_rows,
                 "incremental_agg_rows_per_sec": round(n / agg_s, 1),
                 "incremental_agg_batches": n_batches,
+                "incremental_agg_groups": agg_groups,
                 "state_table_merge_rows_per_sec": round(n / merge_s, 1),
                 "state_table_final_rows": merge_final,
                 "keyed_store_apply_rows_per_sec": round(
