@@ -19,11 +19,19 @@ matcher per key. The supported surface (round 6 completed the Flink
         -- concatenation, flat alternation groups (leftmost
         -- preferred), greedy + * ? and bounds {n} {n,} {n,m},
         -- each optionally reluctant with a trailing ?
+    PATTERN (A (B C)+ (A B | C) PERMUTE(A, B, C))
+        -- round 8: NESTED groups (a quantified group repeats its
+        -- body as a unit), alternation over sequences (leftmost
+        -- branch preferred), and PERMUTE(...) expanded to the
+        -- alternation of its permutations in lexicographic order
+        -- (original order preferred — Flink docs
+        -- queries/match_recognize §PERMUTE); width capped at 5
+        -- (120 branches), wider raises loudly
     DEFINE  V AS <boolean over V.col / PREV(V.col[, n]) /
                   FIRST(X.col) / LAST(X.col) / literals,
                   AND OR NOT and comparisons/arithmetic>
 
-Still out (loud ValueError): nested groups, PERMUTE, DESC ordering.
+Still out (loud ValueError): DESC ordering, PERMUTE wider than 5.
 
 Matching is the standard greedy-with-backtracking NFA walk (matches
 searched from each row in ORDER BY order; quantifiers greedy unless
@@ -266,7 +274,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
                     f"MATCH_RECOGNIZE: bad DEFINE {item!r}"
                 )
             define[m.group(1)] = _xlate(m.group(2))
-    pat_vars = {v for alts, _ in pattern for v in alts}
+    pat_vars = _pattern_vars(pattern)
     if skip_var is not None and skip_var not in pat_vars:
         raise ValueError(
             f"MATCH_RECOGNIZE: AFTER MATCH SKIP TO {skip_var!r} — no"
@@ -293,55 +301,213 @@ _PAT_TOKEN = re.compile(
 )
 
 
-def _parse_pattern(text: str) -> list[tuple[tuple[str, ...], str]]:
-    """PATTERN body → [(alternatives, quant)]: concatenation of plain
-    variables and flat alternation groups ``(A|B|C)``, each with an
-    optional greedy (`+ * ?`, `{n}`, `{n,}`, `{n,m}`) or reluctant
-    (`+? *? ??`, `{...}?`) quantifier — the Flink 1.13 pattern
-    surface minus nested groups/PERMUTE, which raise loudly. Bounded
-    quantifiers normalize to the internal `{lo,hi}` / `{lo,hi}?`
-    form (hi empty = unbounded)."""
+def _pattern_vars(pattern) -> set[str]:
+    """Every pattern variable named anywhere in a flat list or AST."""
+    if not isinstance(pattern, PatternAST):
+        return {v for alts, _ in pattern for v in alts}
+    out: set[str] = set()
+
+    def visit(nodes):
+        for kind, payload, _ in nodes:
+            if kind == "atom":
+                out.add(payload)
+            else:
+                for branch in payload:
+                    visit(branch)
+
+    visit(pattern.nodes)
+    return out
+
+
+def _norm_quant(quant: str) -> str:
+    """Normalize a raw quantifier token to the internal form:
+    `1 ? + * ??` etc. stay as-is; bounded `{n} {n,} {n,m}` (optionally
+    reluctant `{...}?`) normalize to `{lo,hi}` / `{lo,hi}?` with hi
+    empty meaning unbounded."""
+    if not quant.startswith("{"):
+        return quant
+    reluct = quant.endswith("}?")
+    body = quant.strip("?").strip("{}").replace(" ", "")
+    if "," in body:
+        lo_s, hi_s = body.split(",", 1)
+        lo, hi = int(lo_s), (int(hi_s) if hi_s else None)
+    else:
+        lo = hi = int(body)
+    if hi is not None and hi < lo:
+        raise ValueError(
+            f"MATCH_RECOGNIZE: bad quantifier bound {quant!r}"
+        )
+    return f"{{{lo},{'' if hi is None else hi}}}" + (
+        "?" if reluct else ""
+    )
+
+
+class PatternAST:
+    """Parsed NESTED pattern: ``nodes`` is a sequence of
+    ``('atom', var, quant)`` / ``('alt', branches, quant)`` tuples
+    where each branch is itself a node sequence. Only built when the
+    flat tokenizer cannot express the pattern (nested groups,
+    alternation over sequences, PERMUTE); flat patterns keep the
+    cheap list form and the iterative fast-path matcher."""
+
+    __slots__ = ("nodes",)
+
+    def __init__(self, nodes: list[tuple]) -> None:
+        self.nodes = nodes
+
+
+_AST_QUANT = re.compile(
+    r"\s*(\{\s*\d+\s*(?:,\s*\d*\s*)?\}\??|\+\?|\*\?|\?\?|[+*?])"
+)
+_AST_WORD = re.compile(r"\s*(\w+)")
+
+# PERMUTE(a,b,...) expands to len! alternation branches; 5! = 120 is
+# the documented cap (Flink's CEP compiles the same expansion and
+# degrades identically on wide PERMUTE)
+_PERMUTE_MAX = 5
+
+
+def _parse_pattern_ast(text: str) -> PatternAST:
+    """Recursive-descent parse of the full Flink 1.13 pattern grammar:
+
+        pattern := alt
+        alt     := seq ('|' seq)*
+        seq     := factor+
+        factor  := (var | '(' alt ')' | PERMUTE '(' alt (',' alt)* ')')
+                   quant?
+
+    PERMUTE expands in place to the alternation of its element
+    permutations, original order first (lexicographic — Flink docs
+    queries/match_recognize §PERMUTE)."""
+    pos = 0
+
+    def error(what: str) -> ValueError:
+        return ValueError(
+            f"MATCH_RECOGNIZE: {what} at {text[pos:][:40]!r}"
+        )
+
+    def peek() -> str:
+        nonlocal pos
+        while pos < len(text) and text[pos].isspace():
+            pos += 1
+        return text[pos] if pos < len(text) else ""
+
+    def quant_of() -> str:
+        nonlocal pos
+        m = _AST_QUANT.match(text, pos)
+        if m:
+            pos = m.end()
+            return _norm_quant(m.group(1))
+        return "1"
+
+    def parse_alt() -> list[list[tuple]]:
+        nonlocal pos
+        branches = [parse_seq()]
+        while peek() == "|":
+            pos += 1
+            branches.append(parse_seq())
+        return branches
+
+    def parse_seq() -> list[tuple]:
+        nodes: list[tuple] = []
+        while True:
+            node = parse_factor()
+            if node is None:
+                break
+            nodes.append(node)
+        if not nodes:
+            raise error("empty pattern sequence")
+        return nodes
+
+    def parse_factor() -> tuple | None:
+        nonlocal pos
+        ch = peek()
+        if ch in ("", "|", ")", ","):
+            return None
+        if ch == "(":
+            pos += 1
+            branches = parse_alt()
+            if peek() != ")":
+                raise error("expected ')'")
+            pos += 1
+            return ("alt", branches, quant_of())
+        m = _AST_WORD.match(text, pos)
+        if not m:
+            raise error("unsupported pattern")
+        word = m.group(1)
+        pos = m.end()
+        if word.upper() == "PERMUTE" and peek() == "(":
+            pos += 1
+            elems = [parse_alt()]
+            while peek() == ",":
+                pos += 1
+                elems.append(parse_alt())
+            if peek() != ")":
+                raise error("expected ')' closing PERMUTE")
+            pos += 1
+            if len(elems) > _PERMUTE_MAX:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: PERMUTE of {len(elems)}"
+                    f" elements expands to {len(elems)}! branches;"
+                    f" the supported width is {_PERMUTE_MAX}"
+                )
+            from itertools import permutations
+
+            # each element is an alt (branch list); a permutation is
+            # the concatenation of single-element alt nodes so inner
+            # alternation survives the expansion
+            branches = [
+                [("alt", list(elem), "1") for elem in perm]
+                for perm in permutations(elems)
+            ]
+            return ("alt", branches, quant_of())
+        return ("atom", word, quant_of())
+
+    branches = parse_alt()
+    if peek() != "":
+        raise error("unsupported pattern")
+    if len(branches) == 1:
+        return PatternAST(branches[0])
+    return PatternAST([("alt", branches, "1")])
+
+
+def _parse_pattern(
+    text: str,
+) -> "list[tuple[tuple[str, ...], str]] | PatternAST":
+    """PATTERN body → the flat [(alternatives, quant)] list when the
+    pattern is a concatenation of plain variables and flat
+    alternation groups ``(A|B|C)`` (the common case — keeps the
+    iterative fast-path matcher), else a :class:`PatternAST` for
+    nested groups / sequence alternation / PERMUTE. Quantifiers:
+    greedy (`+ * ?`, `{n}`, `{n,}`, `{n,m}`) or reluctant
+    (`+? *? ??`, `{...}?`)."""
     out: list[tuple[tuple[str, ...], str]] = []
     i = 0
+    flat_ok = True
     while i < len(text):
         if text[i].isspace():
             i += 1
             continue
         m = _PAT_TOKEN.match(text, i)
         if not m or m.end() == i:
-            raise ValueError(
-                f"MATCH_RECOGNIZE: unsupported pattern at"
-                f" {text[i:]!r} (supported: variables, flat (A|B)"
-                " groups, quantifiers + * ? +? *? ?? and bounds"
-                " {n} {n,} {n,m}, each optionally reluctant)"
-            )
+            flat_ok = False
+            break
         if m.group(1) is not None:
             alts = tuple(
                 v.strip() for v in m.group(1).split("|")
             )
         else:
             alts = (m.group(2),)
-        quant = m.group(3) or "1"
-        if quant.startswith("{"):
-            reluct = quant.endswith("}?")
-            body = quant.strip("?").strip("{}").replace(" ", "")
-            if "," in body:
-                lo_s, hi_s = body.split(",", 1)
-                lo, hi = int(lo_s), (int(hi_s) if hi_s else None)
-            else:
-                lo = hi = int(body)
-            if hi is not None and hi < lo:
-                raise ValueError(
-                    f"MATCH_RECOGNIZE: bad quantifier bound {quant!r}"
-                )
-            quant = f"{{{lo},{'' if hi is None else hi}}}" + (
-                "?" if reluct else ""
-            )
-        out.append((alts, quant))
+            if alts[0].upper() == "PERMUTE":
+                flat_ok = False  # PERMUTE( … — keyword, not a var
+                break
+        out.append((alts, _norm_quant(m.group(3) or "1")))
         i = m.end()
-    if not out:
-        raise ValueError("MATCH_RECOGNIZE: empty PATTERN")
-    return out
+    if flat_ok:
+        if not out:
+            raise ValueError("MATCH_RECOGNIZE: empty PATTERN")
+        return out
+    return _parse_pattern_ast(text)
 
 
 def _quant_bounds(quant: str) -> tuple[int, int | None, bool]:
@@ -490,6 +656,82 @@ def _run_matcher(
             except TypeError:  # NULL in a comparison → no match
                 return False
 
+        def walk_ast(nodes: list[tuple]):
+            """Ordered-choice DFS over a PatternAST: greedy prefers
+            MORE repetitions, reluctant FEWER, alternation prefers the
+            LEFTMOST branch — first complete match in that preference
+            order wins (identical contract to the flat walker; the
+            continuation-passing shape is what lets a quantified
+            NESTED group repeat its body as a unit)."""
+            nonlocal best, ran_out
+
+            def node_walk(node, idx, assigned, cont):
+                kind, payload, quant = node
+                lo, hi, reluctant = _quant_bounds(quant)
+
+                def once(i2, a2, c2):
+                    nonlocal ran_out
+                    if kind == "atom":
+                        if i2 >= n:
+                            ran_out = True
+                            return False
+                        if ok(payload, a2, i2):
+                            return c2(i2 + 1, a2 + [payload])
+                        return False
+                    for branch in payload:  # leftmost preferred
+                        if seq_walk(branch, 0, i2, a2, c2):
+                            return True
+                    return False
+
+                def rep(i2, a2, count):
+                    def more():
+                        if hi is not None and count >= hi:
+                            return False
+                        # empty-repetition guard: a body that consumed
+                        # nothing must not repeat (same cut Python's
+                        # re makes) — close the quantifier instead
+                        return once(
+                            i2, a2,
+                            lambda i3, a3: (
+                                rep(i3, a3, count + 1)
+                                if i3 > i2
+                                else (count + 1 >= lo and cont(i3, a3))
+                            ),
+                        )
+
+                    def move_on():
+                        return count >= lo and cont(i2, a2)
+
+                    if reluctant:
+                        return move_on() or more()
+                    return more() or move_on()
+
+                return rep(idx, assigned, 0)
+
+            def seq_walk(nodes2, ni, idx, assigned, cont):
+                if ni == len(nodes2):
+                    return cont(idx, assigned)
+                return node_walk(
+                    nodes2[ni], idx, assigned,
+                    lambda i2, a2: seq_walk(
+                        nodes2, ni + 1, i2, a2, cont
+                    ),
+                )
+
+            def done(idx, assigned):
+                nonlocal best
+                best = list(assigned)
+                return True
+
+            try:
+                seq_walk(nodes, 0, start_idx, [], done)
+            except RecursionError:
+                raise ValueError(
+                    "MATCH_RECOGNIZE: a nested pattern matched a run"
+                    " longer than the supported depth; bound the"
+                    " pattern with WITHIN"
+                ) from None
+
         def walk(pi: int, idx: int, assigned: list[str]):
             nonlocal best, ran_out
             if best is not None:
@@ -575,7 +817,10 @@ def _run_matcher(
                     " bound the pattern with WITHIN"
                 ) from None
 
-        walk(0, start_idx, [])
+        if isinstance(pattern, PatternAST):
+            walk_ast(pattern.nodes)
+        else:
+            walk(0, start_idx, [])
         return best, ran_out
 
     while start < n:

@@ -175,22 +175,21 @@ def test_unsupported_surface_is_loud(spark):
         cep.parse_match_recognize(
             V_CLAUSE.replace("ORDER BY tstamp", "ORDER BY tstamp DESC")
         )
-    with pytest.raises(ValueError, match="unsupported pattern"):
-        # PERMUTE stays out of the subset
-        cep.parse_match_recognize(
-            V_CLAUSE.replace("PATTERN (STRT DOWN+ UP+)",
-                             "PATTERN (PERMUTE(STRT, DOWN))")
+    # round 8: PERMUTE and nested groups are IN the subset now — they
+    # parse into the AST form (the flat list stays for flat patterns)
+    for pat in ("PATTERN (PERMUTE(STRT, DOWN))",
+                "PATTERN (STRT (DOWN (UP))+)"):
+        spec = cep.parse_match_recognize(
+            V_CLAUSE.replace("PATTERN (STRT DOWN+ UP+)", pat)
         )
+        assert isinstance(spec.pattern, cep.PatternAST)
+    assert isinstance(
+        cep.parse_match_recognize(V_CLAUSE).pattern, list
+    )
     with pytest.raises(ValueError, match="bad quantifier bound"):
         cep.parse_match_recognize(
             V_CLAUSE.replace("PATTERN (STRT DOWN+ UP+)",
                              "PATTERN (STRT DOWN{3,2} UP+)")
-        )
-    with pytest.raises(ValueError, match="unsupported pattern"):
-        # nested groups stay out of the subset (flat alternation only)
-        cep.parse_match_recognize(
-            V_CLAUSE.replace("PATTERN (STRT DOWN+ UP+)",
-                             "PATTERN (STRT (DOWN (UP))+)")
         )
     with pytest.raises(ValueError, match="AFTER MATCH"):
         cep.parse_match_recognize(
@@ -923,6 +922,143 @@ def test_matcher_differential_vs_regex():
         got, _ = cep._run_matcher(_matcher_rows(vals), spec)
         got_spans = [(s, e) for s, e, _, _ in got]
 
+        ref_spans = []
+        pos = 0
+        while pos < len(text):
+            m = regex.match(text, pos)
+            if m and m.end() > m.start():
+                ref_spans.append((m.start(), m.end()))
+                pos = m.end()
+            else:
+                pos += 1
+        assert got_spans == ref_spans, (
+            pat_txt, text, got_spans, ref_spans
+        )
+
+
+# -- round-8: nested groups + PERMUTE ------------------------------------
+
+def _letters_spec(pattern: str) -> "cep.MatchSpec":
+    """Disjoint value-band defines (a: v<3, b: 3<=v<7, c: v>=7) so a
+    pattern over A/B/C corresponds 1:1 to a regex over the letter
+    string — the same scheme as the flat differential above."""
+    return cep.parse_match_recognize(f"""
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES COUNT(*) AS n
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN ({pattern})
+      DEFINE A AS A.v < 3, B AS B.v >= 3 AND B.v < 7, C AS C.v >= 7
+    """)
+
+
+def _spans(vals, pattern):
+    got, _ = cep._run_matcher(
+        _matcher_rows(vals), _letters_spec(pattern)
+    )
+    return [(s, e) for s, e, _, _ in got]
+
+
+def test_nested_group_quantified():
+    """(A (B C)+) — a quantified NESTED sequence group: the inner
+    pair must repeat as a unit, not element-wise."""
+    #        a  b  c  b  c  b   (b alone cannot close a (B C) pair)
+    vals = [1, 4, 8, 5, 9, 4]
+    assert _spans(vals, "A (B C)+") == [(0, 5)]
+    # inner pair missing entirely → no match
+    assert _spans([1, 1, 8], "A (B C)+") == []
+
+
+def test_nested_group_alternation_of_sequences():
+    """((A B | C)) — alternation whose branches are SEQUENCES, the
+    shape the flat parser could not express; leftmost branch
+    preferred."""
+    vals = [1, 4, 8, 1, 4]  # a b c a b
+    assert _spans(vals, "(A B | C)") == [(0, 2), (2, 3), (3, 5)]
+    # preference: A B wins over C when both could start at 0? they
+    # cannot here — but at index 2 only C applies
+
+
+def test_nested_groups_two_deep():
+    """(A (B (C)? )+ ) — two nesting levels with an optional inner."""
+    vals = [1, 4, 8, 4, 1]  # a b c b a
+    assert _spans(vals, "A (B (C)?)+") == [(0, 4)]
+
+
+def test_permute_expands_lexicographically():
+    """PERMUTE(A, B) ≡ (A B | B A) with the original order preferred
+    (Flink docs: queries/match_recognize §PERMUTE)."""
+    assert _spans([1, 4, 4, 1], "PERMUTE(A, B)") == [(0, 2), (2, 4)]
+    # three-way permute consumes any ordering of a/b/c triples
+    assert _spans(
+        [1, 4, 8, 8, 4, 1], "PERMUTE(A, B, C)"
+    ) == [(0, 3), (3, 6)]
+
+
+def test_permute_too_wide_is_loud():
+    import pytest
+
+    with pytest.raises(ValueError, match="PERMUTE"):
+        _letters_spec("PERMUTE(A, B, C, A, B, C)")
+
+
+def test_nested_differential_vs_regex():
+    """Randomized differential for the NESTED pattern engine: random
+    two-level patterns over disjoint letter classes must produce
+    exactly Python's regex spans under the same SKIP PAST LAST ROW
+    scan — 150 trials."""
+    import random
+    import re as _re
+
+    rng = random.Random(4242)
+
+    def letter(v):
+        return "a" if v < 3 else ("b" if v < 7 else "c")
+
+    ch = {"A": "a", "B": "b", "C": "c", "S": "."}
+    quants = ["", "+", "*", "?", "+?", "{1,2}", "{2}"]
+
+    def atom():
+        v = rng.choice(["A", "B", "C", "S"])
+        return v, ch[v]
+
+    def group():
+        n = rng.randint(1, 3)
+        if rng.random() < 0.4 and n >= 2:
+            # alternation of short sequences
+            branches = []
+            for _ in range(2):
+                seq = [atom() for _ in range(rng.randint(1, 2))]
+                branches.append(seq)
+            pat = "(" + " | ".join(
+                " ".join(p for p, _ in b) for b in branches
+            ) + ")"
+            rex = "(?:" + "|".join(
+                "".join(r for _, r in b) for b in branches
+            ) + ")"
+        else:
+            seq = [atom() for _ in range(n)]
+            pat = "(" + " ".join(p for p, _ in seq) + ")"
+            rex = "(?:" + "".join(r for _, r in seq) + ")"
+        q = rng.choice(quants)
+        return pat + q, rex + q
+
+    for _ in range(150):
+        parts = [group() for _ in range(rng.randint(1, 3))]
+        # anchor with one mandatory atom so empty matches are out of
+        # scope (same contract as the flat differential)
+        v, r = atom()
+        if v == "S":
+            v, r = "A", "a"
+        parts.append((v, r))
+        pat_txt = " ".join(p for p, _ in parts)
+        regex = _re.compile("".join(r for _, r in parts))
+        vals = [
+            float(rng.randint(0, 9)) for _ in range(rng.randint(8, 22))
+        ]
+        text = "".join(letter(v) for v in vals)
+        got_spans = _spans(vals, pat_txt)
         ref_spans = []
         pos = 0
         while pos < len(text):

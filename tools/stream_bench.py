@@ -29,7 +29,7 @@ from flink_streaming_platform_web_spark.session import get_spark
 def main() -> None:
     args = sys.argv[1:]
     mode = "agg"
-    if args and args[0] in ("rank", "over", "temporal"):
+    if args and args[0] in ("rank", "over", "over_buffered", "temporal"):
         mode = args[0]
         args = args[1:]
     duration = float(args[0]) if args else 20.0
@@ -61,7 +61,7 @@ def main() -> None:
             rn_alias="rn",
             out_cols=["k", "v", "ts_s", "rn"],
         )
-    elif mode == "over":
+    elif mode in ("over", "over_buffered"):
         from flink_streaming_platform_web_spark.streaming.stateful import (
             streaming_over,
         )
@@ -71,6 +71,11 @@ def main() -> None:
             F.col("timestamp").alias("ts"),
             F.col("value").alias("v"),
         )
+        if mode == "over_buffered":
+            # the round-8 watermark-buffered front end: rows held in
+            # keyed state until the watermark passes them, released
+            # sorted — the production route for watermarked sources
+            keyed = keyed.withWatermark("ts", "2 seconds")
         agg = streaming_over(
             keyed,
             part_cols=["k"],
@@ -82,6 +87,7 @@ def main() -> None:
                 ("max", "v", None, "hi"),
             ],
             out_cols=["k", "v", "n", "hi"],
+            buffered=(mode == "over_buffered"),
         )
     elif mode == "temporal":
         from flink_streaming_platform_web_spark.streaming.temporal import (
@@ -121,7 +127,11 @@ def main() -> None:
         agg.writeStream.format("noop")
         # over/temporal are append-mode stateful operators; rank and
         # the window agg emit updates
-        .outputMode("append" if mode in ("over", "temporal") else "update")
+        .outputMode(
+            "append"
+            if mode in ("over", "over_buffered", "temporal")
+            else "update"
+        )
         .trigger(processingTime="1 second")
         .start()
     )
@@ -150,6 +160,7 @@ def main() -> None:
                 "metric": {
                     "rank": "rate_rank_topn_throughput",
                     "over": "rate_over_agg_throughput",
+                    "over_buffered": "rate_over_buffered_throughput",
                     "temporal": "rate_temporal_join_throughput",
                     "agg": "rate_window_agg_throughput",
                 }[mode],
