@@ -55,12 +55,16 @@ _MODULES = (
 # st14 (rewritten onto the runner's buffered streaming
 # MATCH_RECOGNIZE route) and q45/q47/q48/q49 (cep.py fold gained the
 # final-drain arm — batch path shares the module), plus st08/q25
-# (cdc.py incremental-agg migration this round); (c) the remaining
-# slots go to the OLDEST r5-dated entries (dedup/text/vector
-# families untouched since r5 plus the q05-family joins), leaving
-# the other r5 rows (ann02/03/05, pp04/pp05, q07/q10/q16-q20,
-# q38-q42, st01-st07) to front r9 — every entry then holds a row
-# from r7 or r8 except that named r9 set. Exactly 50.
+# (cdc.py incremental-agg migration this round); (c) the NEW
+# round-8 entries q50/q51 (PERMUTE + nested group — never
+# driver-checked, so they outrank everything already green); (d) the
+# remaining slots go to the OLDEST r5-dated entries (dedup/text/
+# vector families untouched since r5 plus the q05-family joins),
+# leaving the other r5 rows (ann02/03/05, pp04/pp05, q07/q10/
+# q16-q20, q38-q42, st01-st07, and q46/st15 — displaced by q50/q51,
+# both heavily pytest-pinned window joins) to front r9 — every
+# entry then holds a row from r7 or r8 except that named r9 set.
+# Exactly 50.
 _CHECK_FIRST = (
     # (a) the 20 r4-stale entries, three rounds without a driver row
     "q09_scalar_datetime",
@@ -94,7 +98,10 @@ _CHECK_FIRST = (
     "q49_match_bounded_quant",
     "st08_stream_cdc_latest",
     "q25_cdc_latest_state",
-    # (c) oldest r5-dated entries
+    # (c) new round-8 entries — never checked
+    "q50_match_permute",
+    "q51_match_nested_group",
+    # (d) oldest r5-dated entries
     "dd05_simhash_signatures",
     "dd06_dup_clusters",
     "dd07_embed_neardup_docs",
@@ -113,8 +120,6 @@ _CHECK_FIRST = (
     "q06_lookup_join",
     "q08_cte_topk",
     "q37_flink_builtin_suite",
-    "q46_window_join",
-    "st15_stream_window_join",
 )
 
 

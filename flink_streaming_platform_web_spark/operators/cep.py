@@ -1263,17 +1263,162 @@ FROM pos s JOIN pos e
 WHERE s.off % 3 = 0
 """
 
+# --------------------------------------------------------------------------
+# q50 — PERMUTE(...), oracle-gated (round 8). SKIP TO NEXT ROW keeps
+# matches consumption-free, so the oracle is a pure 3-row LEAD window
+# — no sequential replay needed.
+# --------------------------------------------------------------------------
+
+Q50_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES
+    FIRST(HI.event_id) AS hi_id,
+    FIRST(MID.event_id) AS mid_id,
+    FIRST(LO.event_id) AS lo_id,
+    CLASSIFIER() AS last_var
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (PERMUTE(HI, MID, LO))
+  DEFINE HI AS HI.value >= 55.0,
+         MID AS MID.value >= 20.0 AND MID.value < 55.0,
+         LO AS LO.value < 20.0
+"""
+
+
+def q50_match_permute(spark, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE PERMUTE (Flink docs: queries/match_recognize
+    §PERMUTE — reference surface via Flink 1.13, pom.xml:41):
+    ``PERMUTE(HI, MID, LO)`` expands to the alternation of all six
+    orderings, so a match is any three consecutive rows covering all
+    three disjoint value bands in ANY order. The per-variable FIRST
+    measures pin the BINDING (which row each variable captured) and
+    CLASSIFIER() the last-matched variable — both vary by
+    permutation, gating the expansion end to end. SKIP TO NEXT ROW
+    makes matches overlap-free of consumption, which is what lets
+    the DuckDB oracle check each row's 3-row window independently."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    spec = parse_match_recognize(Q50_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q50 = """
+WITH ordered AS (
+  SELECT user_id, event_id,
+         CASE WHEN value >= 55.0 THEN 2
+              WHEN value >= 20.0 THEN 1 ELSE 0 END AS cls,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+win AS (
+  SELECT user_id,
+         event_id AS id0, cls AS c0,
+         LEAD(event_id, 1) OVER w2 AS id1, LEAD(cls, 1) OVER w2 AS c1,
+         LEAD(event_id, 2) OVER w2 AS id2, LEAD(cls, 2) OVER w2 AS c2
+  FROM ordered
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+)
+SELECT user_id,
+       CASE WHEN c0 = 2 THEN id0 WHEN c1 = 2 THEN id1 ELSE id2 END
+         AS hi_id,
+       CASE WHEN c0 = 1 THEN id0 WHEN c1 = 1 THEN id1 ELSE id2 END
+         AS mid_id,
+       CASE WHEN c0 = 0 THEN id0 WHEN c1 = 0 THEN id1 ELSE id2 END
+         AS lo_id,
+       CASE c2 WHEN 2 THEN 'HI' WHEN 1 THEN 'MID' ELSE 'LO' END
+         AS last_var
+FROM win
+WHERE c2 IS NOT NULL AND c0 <> c1 AND c0 <> c2 AND c1 <> c2
+"""
+
+# --------------------------------------------------------------------------
+# q51 — nested quantified group, oracle-gated (round 8). The bounded
+# {1,2} keeps the greedy repetition LEAD-expressible (prefer two
+# pairs, fall back to one); SKIP TO NEXT ROW again removes
+# consumption coupling.
+# --------------------------------------------------------------------------
+
+Q51_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES
+    COUNT(*) AS n_rows,
+    COUNT(HI.*) AS n_pairs,
+    LAST(LO.event_id) AS end_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT (HI LO){1,2})
+  DEFINE HI AS HI.value >= 55.0,
+         LO AS LO.value < 20.0
+"""
+
+
+def q51_match_nested_group(spark, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE nested quantified group (Flink docs:
+    queries/match_recognize §Patterns — a group repeats as a UNIT):
+    ``(HI LO){1,2}`` must consume whole high/low pairs, greedy two
+    before one — element-wise repetition (the flat engine's only
+    reading) would accept HI HI LO. COUNT(*) vs COUNT(HI.*)
+    distinguishes one-pair from two-pair matches and LAST(LO...)
+    pins which repetition closed the match."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    spec = parse_match_recognize(Q51_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q51 = """
+WITH ordered AS (
+  SELECT user_id, event_id,
+         CASE WHEN value >= 55.0 THEN 'H'
+              WHEN value < 20.0 THEN 'L' ELSE 'M' END AS cls,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+win AS (
+  SELECT user_id,
+         LEAD(cls, 1) OVER w2 AS c1, LEAD(cls, 2) OVER w2 AS c2,
+         LEAD(cls, 3) OVER w2 AS c3, LEAD(cls, 4) OVER w2 AS c4,
+         LEAD(event_id, 2) OVER w2 AS id2,
+         LEAD(event_id, 4) OVER w2 AS id4
+  FROM ordered
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+)
+SELECT user_id,
+       CAST(CASE WHEN c3 = 'H' AND c4 = 'L' THEN 5 ELSE 3 END
+            AS BIGINT) AS n_rows,
+       CAST(CASE WHEN c3 = 'H' AND c4 = 'L' THEN 2 ELSE 1 END
+            AS BIGINT) AS n_pairs,
+       CASE WHEN c3 = 'H' AND c4 = 'L' THEN id4 ELSE id2 END
+         AS end_id
+FROM win
+WHERE c1 = 'H' AND c2 = 'L'
+"""
+
 QUERIES = {
     "q45_match_recognize": q45_match_recognize,
     "q47_match_alternation": q47_match_alternation,
     "q48_match_all_rows": q48_match_all_rows,
     "q49_match_bounded_quant": q49_match_bounded_quant,
+    "q50_match_permute": q50_match_permute,
+    "q51_match_nested_group": q51_match_nested_group,
 }
 ORACLES = {
     "q45_match_recognize": ORACLE_Q45,
     "q47_match_alternation": ORACLE_Q47,
     "q48_match_all_rows": ORACLE_Q48,
     "q49_match_bounded_quant": ORACLE_Q49,
+    "q50_match_permute": ORACLE_Q50,
+    "q51_match_nested_group": ORACLE_Q51,
 }
 
 
