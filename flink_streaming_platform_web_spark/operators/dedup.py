@@ -1150,12 +1150,22 @@ def dd11_embed_neardup_kmeans(
         km_centroids,
     )
 
+    from flink_streaming_platform_web_spark.operators._cache import memo_df
+
     vecs = similarity._vecs(spark, sf_dir)
     n_vecs = memo_obj(spark, sf_dir, "n_vecs", vecs.count)
     k = max(KM_K, -(-n_vecs * DD11_NPROBE // DD07_CHUNK))
     labels, C = km_centroids(spark, sf_dir, k)
-    assigned = similarity.cell_assign(
-        spark, vecs, sf_dir, DD11_NPROBE, centroids=(labels, C)
+    # persisted: the skew measurement below materializes the probe
+    # assignment once and the pairs pass reuses it — without the memo
+    # each pass re-ran the mapInPandas scoring over the whole corpus
+    assigned = memo_df(
+        spark,
+        sf_dir,
+        "dd11_assigned",
+        lambda: similarity.cell_assign(
+            spark, vecs, sf_dir, DD11_NPROBE, centroids=(labels, C)
+        ),
     )
     c = _max_cell_chunks(spark, sf_dir, assigned, "dd11_max_cell")
     return _blocked_cell_pairs(assigned, c)

@@ -4,13 +4,15 @@ pipeline runs besides ANN (cluster-balance analysis / semantic dedup
 prep, and storage compression for the vector store).
 
 vec01 is the repo's iterative-algorithm showcase: Lloyd's k-means as a
-driver-side loop of fully distributed rounds. Each round is (a) an
-assignment pass — broadcast K×dim centroid matrix, mapInPandas numpy
-block scoring, NO shuffle of the corpus (reuses similarity.cell_assign,
-the IVF quantizer) — and (b) a decimal-exact per-dimension mean
-(posexplode → groupBy(cluster, dim), one agg shuffle of |corpus|×dim
-rows that combines map-side) collected to the driver (K×dim doubles —
-tiny). Iteration count is fixed (ITERS=2) and init is deterministic
+driver-side loop of fully distributed rounds. Each round is ONE fused
+mapInPandas pass (round 8): broadcast K×dim centroid matrix, numpy
+block scoring for assignment, and the per-(cluster, dim) fixed-point
+partial sums computed in the same batch — the only exchange is
+(partitions × k × dim) partial rows into a tiny combine, collected to
+the driver (K×dim doubles). The round-7 shape ran assignment and a
+|corpus|×dim posexplode agg as separate stages; fusing them removes
+the corpus-sized shuffle and one scheduler floor per round. Iteration
+count is fixed (ITERS=2) and init is deterministic
 (the K lowest vec_ids), so a DuckDB oracle can replay the exact run as
 unrolled CTEs — the convergence loop itself is the only thing the SQL
 oracle flattens.
@@ -29,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_platform_web_spark.operators._portable import (
-    fp_mean,
     oracle_fp_mean,
 )
 from flink_streaming_platform_web_spark.operators.similarity import (
@@ -56,15 +57,66 @@ def _km_init(spark: SparkSession, sf_dir: str):
     return labels, C
 
 
-def _km_means(assigned: DataFrame):
-    """Exact per-(cluster, dim) means via fixed-point accumulation
-    (floor(x*1e9) summed as BIGINT) — same arithmetic as the IVF
-    centroid build, so the oracle reproduces them bitwise. (Raw-double
-    →DECIMAL casts are not engine-portable at scale 9; see q32.)"""
+def _km_assign_means(spark: SparkSession, vecs: DataFrame, labels, C):
+    """ONE fused Lloyd's round: assignment AND the per-(cluster, dim)
+    fixed-point partial sums happen inside the same mapInPandas pass,
+    so the only exchange is (partitions × k × dim) partial rows — the
+    round-7 shape posexploded the corpus (|corpus| × dim rows) through
+    the agg shuffle and paid a second scheduler floor for the separate
+    assignment job (VERDICT r7 carried item). Arithmetic is bitwise
+    identical to :func:`fp_mean`: floor(x·1e9) int64 addends (numpy
+    and Spark run the same IEEE multiply/floor), int64 partial sums
+    (associative), and the final (SUM/1e9)/COUNT division sequence —
+    so the unrolled DuckDB oracle CTEs still reproduce the centroids
+    exactly."""
+    import pandas as pd
+
+    from flink_streaming_platform_web_spark.operators import similarity
+
+    cb = spark.sparkContext.broadcast((labels, C))
+
+    def partials(batches):
+        lab, cent = cb.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            cos = np.round(similarity._block_cosine(V, cent), 6)
+            # nearest centroid, ties to the lowest label — the same
+            # (rounded-cos desc, label asc) order cell_assign uses
+            nearest = np.lexsort(
+                (np.broadcast_to(lab, cos.shape), -cos), axis=1
+            )[:, 0]
+            cells = lab[nearest]
+            scaled = np.floor(V * 1e9).astype(np.int64)
+            dim = V.shape[1]
+            dims = np.arange(dim, dtype=np.int32)
+            out = []
+            for c in np.unique(cells):
+                mask = cells == c
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "cell": np.full(dim, c, dtype=np.int32),
+                            "d": dims,
+                            "s": scaled[mask].sum(axis=0),
+                            "cnt": np.full(
+                                dim, int(mask.sum()), dtype=np.int64
+                            ),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    part = vecs.mapInPandas(partials, "cell int, d int, s long, cnt long")
     return (
-        assigned.select("cell", F.posexplode("v").alias("d", "x"))
-        .groupBy("cell", "d")
-        .agg(fp_mean("x").alias("m"))
+        part.groupBy("cell", "d")
+        .agg(
+            (
+                (F.sum("s").cast("double") / F.lit(1e9))
+                / F.sum("cnt").cast("double")
+            ).alias("m")
+        )
         .collect()
     )
 
@@ -86,10 +138,7 @@ def km_centroids(spark: SparkSession, sf_dir: str, k: int = KM_K):
         C = np.array([r["v"] for r in rows0], dtype=float)
         vecs = _vecs(spark, sf_dir)
         for _ in range(KM_ITERS - 1):
-            assigned = cell_assign(
-                spark, vecs, sf_dir, 1, centroids=(labels, C)
-            )
-            rows = _km_means(assigned)
+            rows = _km_assign_means(spark, vecs, labels, C)
             # empty clusters drop (both engines: no members → no row)
             labels2 = np.array(sorted({r["cell"] for r in rows}))
             dim = max(r["d"] for r in rows) + 1
