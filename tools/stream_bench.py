@@ -29,7 +29,9 @@ from flink_streaming_platform_web_spark.session import get_spark
 def main() -> None:
     args = sys.argv[1:]
     mode = "agg"
-    if args and args[0] in ("rank", "over", "over_buffered", "temporal"):
+    if args and args[0] in (
+        "rank", "over", "over_buffered", "temporal", "cep"
+    ):
         mode = args[0]
         args = args[1:]
     duration = float(args[0]) if args else 20.0
@@ -89,6 +91,37 @@ def main() -> None:
             out_cols=["k", "v", "n", "hi"],
             buffered=(mode == "over_buffered"),
         )
+    elif mode == "cep":
+        from flink_streaming_platform_web_spark.operators.cep import (
+            parse_match_recognize,
+            stream_match_recognize,
+        )
+
+        # the round-8 buffered streaming CEP route: watermark-held
+        # rows fold through the keyed NFA in event-time order; the
+        # (A B) pair pattern closes a match every two rows per key,
+        # so emission (not just buffering) is part of the measured
+        # path
+        keyed = src.select(
+            (F.col("value") % 1000).alias("k"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("v"),
+        ).withWatermark("ts", "2 seconds")
+        spec = parse_match_recognize(
+            """
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES COUNT(*) AS n, SUM(B.v) AS bsum
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE B AS B.v >= FIRST(A.v)
+            """
+        )
+        agg = stream_match_recognize(
+            keyed, spec, "k bigint, n bigint, bsum bigint",
+            buffered=True,
+        )
     elif mode == "temporal":
         from flink_streaming_platform_web_spark.streaming.temporal import (
             event_time_temporal_join,
@@ -129,7 +162,7 @@ def main() -> None:
         # the window agg emit updates
         .outputMode(
             "append"
-            if mode in ("over", "over_buffered", "temporal")
+            if mode in ("over", "over_buffered", "temporal", "cep")
             else "update"
         )
         .trigger(processingTime="1 second")
@@ -162,6 +195,7 @@ def main() -> None:
                     "over": "rate_over_agg_throughput",
                     "over_buffered": "rate_over_buffered_throughput",
                     "temporal": "rate_temporal_join_throughput",
+                    "cep": "rate_cep_buffered_throughput",
                     "agg": "rate_window_agg_throughput",
                 }[mode],
                 "rows_processed": rows,
