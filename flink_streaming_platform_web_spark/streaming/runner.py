@@ -1674,6 +1674,61 @@ class JobRunner:
             )
         return store
 
+    @staticmethod
+    def _collapse_sink_manifest(path: str) -> None:
+        """Fold a streaming file sink's ``_spark_metadata`` commit log
+        into the directory itself: delete data files the log never
+        committed (orphans of failed batches), then remove the log, so
+        a subsequent plain append is visible to every reader. Only
+        called from the stop-with-drain path, where the query is
+        terminal. The log format is the stable v1 FileStreamSink
+        layout: one file per batch (or ``.compact`` snapshot), first
+        line a version marker, then one JSON ``SinkFileStatus`` per
+        committed file."""
+        import json as _json
+        import shutil
+
+        meta = os.path.join(path, "_spark_metadata")
+        if not os.path.isdir(meta):
+            return
+        committed: set[str] = set()
+        for name in os.listdir(meta):
+            if name.startswith("."):
+                continue
+            with open(os.path.join(meta, name)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line or not line.startswith("{"):
+                        continue
+                    try:
+                        entry = _json.loads(line)
+                    except ValueError:
+                        continue
+                    p = entry.get("path")
+                    if p:
+                        # log paths are absolute URIs; compare by
+                        # path relative to the sink dir
+                        committed.add(
+                            os.path.relpath(
+                                p.split("://", 1)[-1].replace(
+                                    "file:", "", 1
+                                ),
+                                os.path.abspath(path),
+                            )
+                        )
+        for root, _dirs, files in os.walk(path):
+            if "_spark_metadata" in root:
+                continue
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                rel = os.path.relpath(
+                    os.path.join(root, f), os.path.abspath(path)
+                )
+                if rel not in committed:
+                    os.remove(os.path.join(root, f))
+        shutil.rmtree(meta)
+
     def _append_drained(self, df: DataFrame, sink: TableDef) -> None:
         """Batch-append stop-with-drain tail rows to a streaming
         sink — the write arm of DrainingQuery. Mirrors the
@@ -1704,6 +1759,19 @@ class JobRunner:
                 df
             ).createOrReplaceTempView(sink.name)
         elif c == "filesystem":
+            # a streaming file sink lists its committed files in
+            # _spark_metadata, and every Spark read of the directory
+            # trusts ONLY that log — a plain batch append here would
+            # write rows no reader ever sees. A drained query is
+            # terminal by contract (like Flink stop --drain, it must
+            # not be restarted from this checkpoint), so collapse the
+            # manifest: sweep data files the log never committed
+            # (leftovers of failed in-flight batches), drop the log,
+            # and only then append — the directory itself becomes the
+            # committed set. A crash inside this window degrades to
+            # at-least-once, the same contract Flink gives
+            # non-transactional file sinks on drain.
+            self._collapse_sink_manifest(sink.options["path"])
             w = df.write.format(sink.options.get("format", "parquet"))
             if sink.partitioned_by:
                 w = w.partitionBy(*sink.partitioned_by)

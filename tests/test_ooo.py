@@ -287,3 +287,79 @@ def test_displace_helper_moves_inside_window():
     assert sorted(out[0]["v"].tolist()) == [1, 3]
     assert sorted(out[1]["v"].tolist()) == [2, 4]
     assert sum(len(c) for c in out) == 4
+
+
+def test_crash_before_drain_then_restart_drains_once(spark, tmp_path):
+    """Crash-consistency of stop-with-drain: the process dies AFTER
+    the wrapped query stopped but BEFORE the drain ran (simulated by
+    stopping the inner query directly). The pending tail rows must
+    survive in the checkpointed state store, and a restart from the
+    SAME checkpoint + a clean stop() must emit exactly the missing
+    tail — total output equals the batch oracle with no duplicates
+    (the file sink's commit log makes the streamed rows exactly-once;
+    the drain appends only what the watermark never released)."""
+    from flink_streaming_platform_web_spark.streaming.checkpoints import (
+        CheckPointParam,
+    )
+
+    rows = _mk_rows(n_per_key=12, keys=(1,))
+    expected = _batch_over(spark, rows)
+    src = str(tmp_path / "src")
+    snk = str(tmp_path / "snk")
+    ckpt = str(tmp_path / "ckpt")
+    _write_files(src, [rows[:6], rows[6:]])
+    script = f"""
+        CREATE TABLE ev_cr (
+          k BIGINT, ts TIMESTAMP, v DOUBLE,
+          ts_s AS date_format(ts, 'yyyy-MM-dd HH:mm:ss'),
+          WATERMARK FOR ts AS ts - INTERVAL '{_DELAY_S}' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','source.max-files-per-trigger'='1');
+        CREATE TABLE snk_cr (k BIGINT, ts_s STRING, n BIGINT,
+          mx DOUBLE) WITH ('connector'='filesystem','path'='{snk}',
+                           'format'='json');
+        INSERT INTO snk_cr
+        SELECT k, ts_s,
+               COUNT(*) OVER w AS n, MAX(v) OVER w AS mx
+        FROM ev_cr
+        WINDOW w AS (PARTITION BY k ORDER BY ts
+                     RANGE BETWEEN INTERVAL '2' MINUTE PRECEDING
+                     AND CURRENT ROW);
+        """
+    sink_schema = "k long, ts_s string, n long, mx double"
+
+    r1 = JobRunner(
+        spark,
+        mode="streaming",
+        checkpoint=CheckPointParam(checkpoint_dir=ckpt),
+    )
+    res1 = r1.execute_script(script)
+    q = res1.streaming_queries[0]
+    q.processAllAvailable()
+    # simulated crash: the WRAPPED query stops; drain never runs
+    q._q.stop()
+    q._q.awaitTermination(120)
+    partial = (
+        spark.read.schema(sink_schema).json(snk).collect()
+    )
+    # the crash really cost the tail: released rows present, pending
+    # rows (inside the watermark delay of max ts) absent
+    assert 0 < len(partial) < len(expected)
+
+    # restart from the SAME checkpoint, no new data, clean stop
+    r2 = JobRunner(
+        spark,
+        mode="streaming",
+        checkpoint=CheckPointParam(checkpoint_dir=ckpt),
+    )
+    res2 = r2.execute_script(script)
+    q2 = res2.streaming_queries[0]
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(120)
+    got_rows = (
+        spark.read.schema(sink_schema).json(snk).collect()
+    )
+    got = {(r["k"], r["ts_s"]): (r["n"], r["mx"]) for r in got_rows}
+    assert got == expected
+    assert len(got_rows) == len(expected), "drain duplicated rows"
