@@ -493,3 +493,36 @@ def test_demo11_flink113_joins_over_runs(spark, tmp_path):
     # trailing 10-minute frames: order 2's window spans order 1;
     # order 3's window holds only itself
     assert stats == {1: (1, 10.0), 2: (2, 30.0), 3: (1, 20.0)}
+
+
+def test_demo12_permute_patterns_runs(spark, tmp_path):
+    """Round-8 pattern grammar as a script through the runner:
+    PERMUTE(HI, LO) binds in either order (the second match is the
+    LO HI permutation) and the nested (UP DOWN)+ group consumes
+    whole pairs greedily."""
+    src = tmp_path / "ticks"
+    src.mkdir()
+    prices = [25.0, 5.0, 15.0, 8.0, 22.0, 12.0]
+    (src / "t.json").write_text(
+        "\n".join(
+            json.dumps({"symbol": "ACME", "seq": i + 1, "price": p})
+            for i, p in enumerate(prices)
+        )
+    )
+    runner = JobRunner(spark, mode="batch")
+    runner.execute_script(
+        (EXAMPLES / "demo_12_permute_patterns.sql").read_text(),
+        variables={"data_dir": str(tmp_path)},
+    )
+    swings = sorted(
+        (r["hi_seq"], r["lo_seq"])
+        for r in spark.table("swings").collect()
+    )
+    # (1,2) is the HI LO branch; (5,4) is the LO HI permutation
+    assert swings == [(1, 2), (5, 4)]
+    osc = [
+        (r["start_seq"], r["n_swings"])
+        for r in spark.table("oscillations").collect()
+    ]
+    # 5→15→8→22→12: two whole up-down pairs from seq 2
+    assert osc == [(2, 2)]
