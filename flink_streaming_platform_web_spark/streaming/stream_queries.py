@@ -1342,8 +1342,95 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def st19_stream_match_permute(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE with the round-8 PERMUTE grammar
+    through the runner's SQL route: a watermarked, deliberately
+    OUT-OF-ORDER source (same staging as st14) routes the AST-walked
+    PERMUTE(HI, LO) pattern — a high/low value pair in EITHER order —
+    behind the watermark-buffered front end, per-key NFA state
+    spanning micro-batches, pending tail closed by stop-with-drain.
+    Every match consumes exactly two adjacent rows (SKIP PAST LAST
+    ROW), which is what keeps the DuckDB oracle a pure
+    islands-plus-parity replay (the q47 trick: greedy non-overlapping
+    pair selection = odd positions within each run of consecutive
+    candidate rows)."""
+    path = _events_ordered_stream(spark, sf_dir, "st19")
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        f"""
+        CREATE TABLE st19_events (
+          user_id BIGINT, event_id BIGINT, ts TIMESTAMP,
+          value DOUBLE,
+          WATERMARK FOR ts AS ts - INTERVAL '30' MINUTE
+        ) WITH ('connector' = 'filesystem', 'path' = '{path}',
+                'format' = 'parquet',
+                'source.max-files-per-trigger' = '1');
+        CREATE TABLE st19_sink (
+          user_id BIGINT, hi_id BIGINT, lo_id BIGINT
+        ) WITH ('connector' = 'memory');
+        INSERT INTO st19_sink
+        SELECT user_id, hi_id, lo_id
+        FROM st19_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES
+            FIRST(HI.event_id) AS hi_id,
+            FIRST(LO.event_id) AS lo_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (PERMUTE(HI, LO))
+          DEFINE
+            HI AS HI.value >= 55.0,
+            LO AS LO.value < 20.0
+        );
+        """,
+    )
+    return spark.table("st19_sink").select(
+        "user_id", "hi_id", "lo_id"
+    )
+
+
+ORACLE_ST19 = """
+WITH ordered AS (
+  SELECT user_id, event_id,
+         CASE WHEN value >= 55.0 THEN 'H'
+              WHEN value < 20.0 THEN 'L' ELSE 'M' END AS cls,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paired AS (
+  SELECT user_id, event_id, cls, rn,
+         LEAD(cls) OVER w2 AS nc, LEAD(event_id) OVER w2 AS nid
+  FROM ordered
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+),
+cand AS (
+  SELECT * FROM paired
+  WHERE (cls = 'H' AND nc = 'L') OR (cls = 'L' AND nc = 'H')
+),
+runs AS (
+  SELECT *, rn - ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY rn) AS grp
+  FROM cand
+)
+SELECT user_id,
+       CASE WHEN cls = 'H' THEN event_id ELSE nid END AS hi_id,
+       CASE WHEN cls = 'L' THEN event_id ELSE nid END AS lo_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, grp ORDER BY rn) AS pos
+  FROM runs
+) WHERE pos % 2 = 1
+"""
+
+
 QUERIES = {
     "st01_stream_tumble_window": st01_stream_tumble_window,
+    "st19_stream_match_permute": st19_stream_match_permute,
     "st11_stream_window_topn": st11_stream_window_topn,
     "st12_stream_dedup_sql": st12_stream_dedup_sql,
     "st13_stream_topn_continuous": st13_stream_topn_continuous,
@@ -1380,6 +1467,7 @@ ORACLES = {
         "flink_streaming_platform_web_spark.operators.cep",
         fromlist=["ORACLE_Q45"],
     ).ORACLE_Q45,
+    "st19_stream_match_permute": ORACLE_ST19,
     "st09_stream_window_tvf": ORACLE_ST09,
     "st08_stream_cdc_latest": ORACLE_ST08,
     "st07_stream_interval_join": ORACLE_ST07,
