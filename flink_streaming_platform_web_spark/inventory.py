@@ -56,13 +56,13 @@ _MODULES = (
 # MATCH_RECOGNIZE route) and q45/q47/q48/q49 (cep.py fold gained the
 # final-drain arm — batch path shares the module), plus st08/q25
 # (cdc.py incremental-agg migration this round); (c) the NEW
-# round-8 entries q50/q51/st19/q52 (PERMUTE + nested group + WITHIN,
-# batch and streaming — never driver-checked, so they outrank
+# round-8 entries q50/q51/st19/q52/tx13 (PERMUTE + nested group +
+# WITHIN + bigram novelty — never driver-checked, so they outrank
 # everything already green); (d) the remaining slots go to the
 # OLDEST r5-dated entries (dedup/text/vector families untouched
 # since r5 plus the q05-family joins), leaving the other r5 rows
 # (ann02/03/05, pp04/pp05, q07/q10/q16-q20, q38-q42, st01-st07, and
-# q46/st15/q37/tx12 — displaced by the four new entries, all
+# q46/st15/q37/tx12/tx11 — displaced by the five new entries, all
 # heavily pytest-pinned) to front r9 — every entry then holds a row
 # from r7 or r8 except that named r9 set. Exactly 50.
 _CHECK_FIRST = (
@@ -103,6 +103,7 @@ _CHECK_FIRST = (
     "q51_match_nested_group",
     "st19_stream_match_permute",
     "q52_match_within",
+    "tx13_bigram_novelty",
     # (d) oldest r5-dated entries
     "dd05_simhash_signatures",
     "dd06_dup_clusters",
@@ -113,7 +114,6 @@ _CHECK_FIRST = (
     "dd14_exact_substr_dup",
     "tx08_stratified_sample",
     "tx09_redact_denylist",
-    "tx11_idf_table",
     "vec01_kmeans",
     "vec02_quantize_int8",
     "vec03_dim_stats",

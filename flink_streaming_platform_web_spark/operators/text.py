@@ -734,8 +734,85 @@ QUALIFY rnk <= 3
 """
 
 
+def tx13_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram NOVELTY rate — the corpus-LM quality proxy
+    a training-data pipeline uses to spot boilerplate (every bigram
+    common) vs noise/fresh text (many rare bigrams): the fraction of
+    a doc's bigrams whose corpus frequency is at or below the corpus
+    MEAN bigram frequency. The threshold is relative and computed in
+    integer arithmetic (``cn * n_distinct <= total``), so it is
+    scale-invariant (an absolute cutoff would go vacuous as the
+    corpus grows 10×) and engine-portable (no float quantiles).
+
+    Shape at 100 TB: corpus bigram counts are one map-side-combined
+    shuffle on the bigram key; the doc-bigram → count annotation
+    co-partitions on the same key; the per-doc fold is one more
+    combinable shuffle; the (1-row) corpus stats broadcast. Same
+    annotate-with-corpus-stats discipline as tx11's IDF table. The
+    only double is the final single IEEE division (_portable rule)."""
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    b = toked.filter(F.size("toks") >= 2).select(
+        "doc_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bigram")
+    )
+    corpus = b.groupBy("bigram").agg(F.count("*").alias("cn"))
+    stats = corpus.agg(
+        F.count("*").alias("nd"),
+        F.sum("cn").cast("bigint").alias("tot"),
+    )
+    annotated = b.join(corpus, "bigram").crossJoin(F.broadcast(stats))
+    return (
+        annotated.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.when(
+                    F.col("cn") * F.col("nd") <= F.col("tot"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_rare",
+            (
+                F.col("n_rare").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+ORACLE_TX13 = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1]))
+           AS bigram
+  FROM t WHERE len(toks) >= 2
+), c AS (
+  SELECT bigram, COUNT(*) AS cn FROM b GROUP BY bigram
+), s AS (
+  SELECT COUNT(*) AS nd, CAST(SUM(cn) AS BIGINT) AS tot FROM c
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN c.cn * s.nd <= s.tot THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN c.cn * s.nd <= s.tot THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM b JOIN c USING (bigram) CROSS JOIN s
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "tx01_langid": tx01_langid,
+    "tx13_bigram_novelty": tx13_bigram_novelty,
     "tx11_idf_table": tx11_idf_table,
     "tx12_doc_top_terms": tx12_doc_top_terms,
     "tx02_quality_score": tx02_quality_score,
@@ -751,6 +828,7 @@ QUERIES = {
 
 ORACLES = {
     "tx01_langid": ORACLE_TX01,
+    "tx13_bigram_novelty": ORACLE_TX13,
     "tx11_idf_table": ORACLE_TX11,
     "tx12_doc_top_terms": ORACLE_TX12,
     "tx02_quality_score": ORACLE_TX02,
