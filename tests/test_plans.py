@@ -495,3 +495,40 @@ def test_pp06_rollup_is_lang_sized(spark, sf_dir):
     plan = _physical(pp06_representative_prep(spark, sf_dir))
     assert "partial_count" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cep_round8_entries_single_key_shuffle(spark, sf_dir):
+    """q50/q51/q52 share the CEP plumbing: one keyed repartition on
+    PARTITION BY into the Arrow-batched matcher — no cartesian, no
+    row-at-a-time Python UDF in the plan (the matcher is a single
+    FlatMapGroupsInPandas), no extra exchanges."""
+    from flink_streaming_platform_web_spark.operators.cep import (
+        q50_match_permute,
+        q51_match_nested_group,
+        q52_match_within,
+    )
+
+    for q in (q50_match_permute, q51_match_nested_group,
+              q52_match_within):
+        plan = _physical(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan  # no per-row Python
+        assert plan.count("FlatMapGroupsInPandas") == 1
+        # exactly the keyed repartition the semantics require
+        assert plan.count("Exchange") == 1, plan
+
+
+def test_tx13_novelty_combiner_aggs_and_tiny_broadcast(spark, sf_dir):
+    """Bigram novelty: corpus counts and the per-doc fold are
+    hash aggregates with map-side partials (no sort-based fallback),
+    the 1-row stats side enters as a broadcast — never a cartesian
+    against the corpus — and nothing drops to Python."""
+    from flink_streaming_platform_web_spark.operators.text import (
+        tx13_bigram_novelty,
+    )
+
+    plan = _physical(tx13_bigram_novelty(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats side
+    assert "HashAggregate" in plan
