@@ -363,3 +363,59 @@ def test_crash_before_drain_then_restart_drains_once(spark, tmp_path):
     got = {(r["k"], r["ts_s"]): (r["n"], r["mx"]) for r in got_rows}
     assert got == expected
     assert len(got_rows) == len(expected), "drain duplicated rows"
+
+
+def test_streaming_nested_group_buffered_route(spark, tmp_path):
+    """Round-8 nested pattern grammar on the STREAMING route: the
+    AST-walked (STRT (UP DOWN)+) pattern behind the watermark-
+    buffered front end, over disordered micro-batches. The greedy
+    repetition runs into the buffer end mid-pair (a dangling UP), so
+    the match must stay PENDING until stop-with-drain backtracks it
+    closed at two whole pairs — exactly what batch EOF would do."""
+    rows = [
+        {"k": "a", "ts": "2024-01-01 00:00:10", "v": 1.0},
+        {"k": "a", "ts": "2024-01-01 00:00:20", "v": 5.0},
+        {"k": "a", "ts": "2024-01-01 00:00:30", "v": 2.0},
+        {"k": "a", "ts": "2024-01-01 00:00:40", "v": 6.0},
+        {"k": "a", "ts": "2024-01-01 00:00:50", "v": 3.0},
+        {"k": "a", "ts": "2024-01-01 00:01:00", "v": 7.0},
+    ]
+    p = str(tmp_path / "nested")
+    # disorder: the 00:00:20 row arrives one batch late, behind
+    # 00:00:30 (inside the 60 s delay)
+    _write_files(
+        p,
+        [[rows[0], rows[2]], [rows[1], rows[3]], [rows[4], rows[5]]],
+    )
+    script = f"""
+        CREATE TABLE ng_ev (k STRING, ts TIMESTAMP, v DOUBLE,
+          WATERMARK FOR ts AS ts - INTERVAL '60' SECOND
+        ) WITH ('connector'='filesystem','path'='{p}',
+                'format'='json','source.max-files-per-trigger'='1');
+        CREATE TABLE ng_snk (k STRING, n_pairs BIGINT, last_dn DOUBLE)
+          WITH ('connector'='memory');
+        INSERT INTO ng_snk
+        SELECT k, n_pairs, last_dn
+        FROM ng_ev MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES COUNT(UP.*) AS n_pairs, LAST(DOWN.v) AS last_dn
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT (UP DOWN)+)
+          DEFINE UP AS UP.v > PREV(UP.v),
+                 DOWN AS DOWN.v < PREV(DOWN.v)
+        );
+        """
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(script)
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(120)
+    got = [
+        (r["n_pairs"], r["last_dn"])
+        for r in spark.table("ng_snk").collect()
+    ]
+    # 1→(5,2)→(6,3): two whole pairs; the dangling 7 closes nothing
+    assert got == [(2, 3.0)]
