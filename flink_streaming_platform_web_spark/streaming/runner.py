@@ -136,6 +136,11 @@ class JobRunner:
         self.parquet_upserts: dict = {}
         self._trigger: dict[str, str] | None = None
         self._read_once = False
+        # ``SET graft.stop.drain = false`` maps Flink's plain ``stop``
+        # (savepoint-and-resume: buffered state stays in the
+        # checkpoint); the default true is ``stop --drain`` /
+        # MAX_WATERMARK (bounded runs flush their tail)
+        self._stop_drain = True
         # rank-state TTL in batches (SET graft.topn.state-ttl-batches;
         # None = keep forever, Flink's continuous-Top-N contract)
         self._topn_state_ttl: int | None = None
@@ -834,6 +839,14 @@ class JobRunner:
         key, val = kv
         if key == _READ_ONCE_KEY:
             self._read_once = val.strip().lower() == "true"
+        elif key == "graft.stop.drain":
+            # Flink exposes BOTH stop modes: plain stop keeps the
+            # event-time buffers in the savepoint for a later resume;
+            # stop --drain emits MAX_WATERMARK so they flush. true
+            # (default) = drain; false = plain stop (the query's
+            # checkpoint stays resumable — pending rows emit on the
+            # resumed run's eventual drained stop)
+            self._stop_drain = val.strip().lower() != "false"
         elif key == "graft.topn.state-ttl-batches":
             # rank-state eviction: drop a rank PARTITION's state after
             # N batches without updates (the watermark-eviction proxy
@@ -2175,6 +2188,7 @@ class JobRunner:
                 spec,
                 post,
                 lambda out, s=sink: self._append_drained(out, s),
+                enabled=self._stop_drain,
             )
         result.streaming_queries.append(q)
 
@@ -2200,7 +2214,10 @@ class DrainingQuery:
     drained rows would replay). Every other attribute delegates to
     the wrapped query."""
 
-    def __init__(self, query, spark, checkpoint_loc, spec, post, write):
+    def __init__(
+        self, query, spark, checkpoint_loc, spec, post, write,
+        enabled: bool = True,
+    ):
         self._q = query
         self._spark = spark
         self._ckpt = checkpoint_loc
@@ -2208,6 +2225,10 @@ class DrainingQuery:
         self._post = post
         self._write = write
         self._drained = False
+        #: ``SET graft.stop.drain = false`` → Flink's PLAIN stop:
+        #: buffered state stays in the checkpoint for a resume
+        #: instead of flushing (stop --drain is the default)
+        self._enabled = enabled
 
     def __getattr__(self, name):
         return getattr(self._q, name)
@@ -2216,7 +2237,7 @@ class DrainingQuery:
         self._q.stop()
         # surface a query failure instead of draining on top of it
         self._q.awaitTermination()
-        if self._drained:
+        if self._drained or not self._enabled:
             return
         self._drained = True
         from flink_streaming_platform_web_spark.streaming.ooo import (

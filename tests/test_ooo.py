@@ -419,3 +419,68 @@ def test_streaming_nested_group_buffered_route(spark, tmp_path):
     ]
     # 1→(5,2)→(6,3): two whole pairs; the dangling 7 closes nothing
     assert got == [(2, 3.0)]
+
+
+def test_plain_stop_keeps_state_then_resumed_drain_completes(
+    spark, tmp_path
+):
+    """``SET graft.stop.drain = false`` is Flink's PLAIN stop
+    (savepoint-and-resume): stop() leaves the buffered tail in the
+    checkpointed state instead of flushing it. A later run from the
+    SAME checkpoint with the default drain-on-stop emits exactly the
+    missing rows — the supported-API twin of the crash test above."""
+    from flink_streaming_platform_web_spark.streaming.checkpoints import (
+        CheckPointParam,
+    )
+
+    rows = _mk_rows(n_per_key=12, keys=(1,))
+    expected = _batch_over(spark, rows)
+    src = str(tmp_path / "src")
+    snk = str(tmp_path / "snk")
+    ckpt = str(tmp_path / "ckpt")
+    _write_files(src, [rows[:6], rows[6:]])
+
+    def script(set_stmt: str) -> str:
+        return f"""
+        {set_stmt}
+        CREATE TABLE ev_ps (
+          k BIGINT, ts TIMESTAMP, v DOUBLE,
+          ts_s AS date_format(ts, 'yyyy-MM-dd HH:mm:ss'),
+          WATERMARK FOR ts AS ts - INTERVAL '{_DELAY_S}' SECOND
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='json','source.max-files-per-trigger'='1');
+        CREATE TABLE snk_ps (k BIGINT, ts_s STRING, n BIGINT,
+          mx DOUBLE) WITH ('connector'='filesystem','path'='{snk}',
+                           'format'='json');
+        INSERT INTO snk_ps
+        SELECT k, ts_s,
+               COUNT(*) OVER w AS n, MAX(v) OVER w AS mx
+        FROM ev_ps
+        WINDOW w AS (PARTITION BY k ORDER BY ts
+                     RANGE BETWEEN INTERVAL '2' MINUTE PRECEDING
+                     AND CURRENT ROW);
+        """
+
+    sink_schema = "k long, ts_s string, n long, mx double"
+
+    def run(set_stmt):
+        r = JobRunner(
+            spark,
+            mode="streaming",
+            checkpoint=CheckPointParam(checkpoint_dir=ckpt),
+        )
+        res = r.execute_script(script(set_stmt))
+        for q in res.streaming_queries:
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(120)
+
+    run("SET 'graft.stop.drain' = 'false';")
+    partial = spark.read.schema(sink_schema).json(snk).collect()
+    assert 0 < len(partial) < len(expected)  # tail NOT flushed
+
+    run("")  # default: stop --drain
+    got_rows = spark.read.schema(sink_schema).json(snk).collect()
+    got = {(r["k"], r["ts_s"]): (r["n"], r["mx"]) for r in got_rows}
+    assert got == expected
+    assert len(got_rows) == len(expected)
