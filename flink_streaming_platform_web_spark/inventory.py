@@ -56,15 +56,16 @@ _MODULES = (
 # MATCH_RECOGNIZE route) and q45/q47/q48/q49 (cep.py fold gained the
 # final-drain arm — batch path shares the module), plus st08/q25
 # (cdc.py incremental-agg migration this round); (c) the NEW
-# round-8 entries q50/q51/st19/q52/tx13 (PERMUTE + nested group +
-# WITHIN + bigram novelty — never driver-checked, so they outrank
-# everything already green); (d) the remaining slots go to the
-# OLDEST r5-dated entries (dedup/text/vector families untouched
-# since r5 plus the q05-family joins), leaving the other r5 rows
-# (ann02/03/05, pp04/pp05, q07/q10/q16-q20, q38-q42, st01-st07, and
-# q46/st15/q37/tx12/tx11 — displaced by the five new entries, all
-# heavily pytest-pinned) to front r9 — every entry then holds a row
-# from r7 or r8 except that named r9 set. Exactly 50.
+# round-8 entries q50/q51/st19/q52/tx13/mm04 (PERMUTE + nested
+# group + WITHIN + bigram novelty + image resize — never
+# driver-checked, so they outrank everything already green); (d) the
+# remaining slots go to the OLDEST r5-dated entries (dedup/text/
+# vector families untouched since r5 plus the q05-family joins),
+# leaving the other r5 rows (ann02/03/05, pp04/pp05, q07/q10/
+# q16-q20, q38-q42, st01-st07, and q46/st15/q37/tx12/tx11/q08 —
+# displaced by the six new entries, all heavily pytest-pinned) to
+# front r9 — every entry then holds a row from r7 or r8 except that
+# named r9 set. Exactly 50.
 _CHECK_FIRST = (
     # (a) the 20 r4-stale entries, three rounds without a driver row
     "q09_scalar_datetime",
@@ -104,6 +105,7 @@ _CHECK_FIRST = (
     "st19_stream_match_permute",
     "q52_match_within",
     "tx13_bigram_novelty",
+    "mm04_resize_pipeline",
     # (d) oldest r5-dated entries
     "dd05_simhash_signatures",
     "dd06_dup_clusters",
@@ -119,7 +121,6 @@ _CHECK_FIRST = (
     "vec03_dim_stats",
     "q05_gmv_join_coupon",
     "q06_lookup_join",
-    "q08_cte_topk",
 )
 
 

@@ -206,6 +206,108 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# mm04 — resize: the remaining multimodal pipeline stage (decode →
+# transform pixels → re-encode). Nearest-neighbor half-size via a
+# numpy stride slice over the REAL decoded pixel matrix, re-encoded
+# through the same real codec. The synthesis rule keeps output dims
+# and file size closed-form in the source byte length, so the DuckDB
+# oracle predicts every resized file's exact size — a pixel-indexing
+# bug that changes geometry or a re-encode bug breaks the hash;
+# pixel VALUES are pinned by the golden test in test_imagecodec.
+# --------------------------------------------------------------------------
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("dst_w", IntegerType()),
+        StructField("dst_h", IntegerType()),
+        StructField("dst_bytes", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def halve_image(data: bytes) -> tuple[int, int, int, int, str, bytes]:
+    """Decode → nearest-neighbor half-size (ceil: even source rows/
+    cols survive, a 1×1 image stays 1×1) → re-encode in the source
+    format. Returns (src_w, src_h, dst_w, dst_h, format, out_bytes)."""
+    import numpy as np
+
+    from flink_streaming_platform_web_spark.operators.imagecodec import (
+        decode_image,
+    )
+
+    w, h, fmt, px = decode_image(data)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    small = arr[::2, ::2]
+    dh, dw = small.shape[0], small.shape[1]
+    out_px = small.tobytes()
+    out = (
+        encode_png(dw, dh, out_px)
+        if fmt == "png"
+        else encode_bmp(dw, dh, out_px)
+    )
+    return w, h, dw, dh, fmt, out
+
+
+def resize_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas decode→resize→re-encode: the full multimodal
+    transform stage, Arrow-batched. Geometry + re-encoded size out;
+    swapping in a PIL/ffmpeg resize goes through the same seam."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k.name: [] for k in RESIZE_SCHEMA.fields
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                w, h, dw, dh, fmt, enc = halve_image(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["dst_w"].append(dw)
+                out["dst_h"].append(dh)
+                out["dst_bytes"].append(len(enc))
+                out["format"].append(fmt)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+def mm04_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return resize_images(with_image_payload(docs))
+
+
+ORACLE_MM04 = """
+WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         octet_length(encode(text)) % 64 + 1 AS w,
+         octet_length(encode(text)) % 48 + 1 AS h
+  FROM documents
+), d AS (
+  SELECT doc_id, n, w, h,
+         (w + 1) // 2 AS dw, (h + 1) // 2 AS dh
+  FROM m
+)
+SELECT doc_id,
+       CAST(w AS INT) AS src_w,
+       CAST(h AS INT) AS src_h,
+       CAST(dw AS INT) AS dst_w,
+       CAST(dh AS INT) AS dst_h,
+       CAST(CASE WHEN n % 2 = 0
+                 THEN 68 + dh * (3 * dw + 1)
+                 ELSE 54 + dh * (((3 * dw + 3) // 4) * 4)
+            END AS INT) AS dst_bytes,
+       CASE WHEN n % 2 = 0 THEN 'png' ELSE 'bmp' END AS format
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
 # mm03 — frame sampling: the video-shaped pipeline (payload → every
 # k-th chunk as a "frame" row). Real codecs would decode via the same
 # mapInPandas seam (set_decoder); the deterministic chunker keeps the
@@ -284,10 +386,12 @@ QUERIES = {
     "mm01_binary_meta": mm01_binary_meta,
     "mm02_decode_pipeline": mm02_decode_pipeline,
     "mm03_frame_sample": mm03_frame_sample,
+    "mm04_resize_pipeline": mm04_resize_pipeline,
 }
 
 ORACLES = {
     "mm01_binary_meta": ORACLE_MM01,
     "mm02_decode_pipeline": ORACLE_MM02,
     "mm03_frame_sample": ORACLE_MM03,
+    "mm04_resize_pipeline": ORACLE_MM04,
 }

@@ -126,3 +126,37 @@ def test_truncated_payloads_raise_value_error():
         ):
             with pytest.raises(ValueError):
                 fn(payload)
+
+
+def test_halve_image_golden_pixels():
+    """Nearest-neighbor half-size keeps exactly the even rows/cols
+    (ceil geometry: 1x1 stays 1x1) — pinned on a 4x2 image whose
+    pixels encode their own coordinates, through BOTH codecs."""
+    from flink_streaming_platform_web_spark.operators.imagecodec import (
+        decode_image,
+        encode_bmp,
+        encode_png,
+    )
+    from flink_streaming_platform_web_spark.operators.multimodal import (
+        halve_image,
+    )
+
+    # pixel (x, y) = (10x, 10y, 200) — 4 wide, 2 tall
+    px = bytes(
+        b
+        for y in range(2)
+        for x in range(4)
+        for b in (10 * x, 10 * y, 200)
+    )
+    for enc, fmt in ((encode_png, "png"), (encode_bmp, "bmp")):
+        w, h, dw, dh, got_fmt, out = halve_image(enc(4, 2, px))
+        assert (w, h, dw, dh, got_fmt) == (4, 2, 2, 1, fmt)
+        ow, oh, ofmt, opx = decode_image(out)
+        assert (ow, oh, ofmt) == (2, 1, fmt)
+        # survivors are (x=0, y=0) and (x=2, y=0)
+        assert opx == bytes((0, 0, 200, 20, 0, 200))
+    # 1x1 stays 1x1
+    one = encode_bmp(1, 1, bytes((7, 8, 9)))
+    w, h, dw, dh, _, out = halve_image(one)
+    assert (w, h, dw, dh) == (1, 1, 1, 1)
+    assert decode_image(out)[3] == bytes((7, 8, 9))
