@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -308,6 +309,102 @@ FROM d
 
 
 # --------------------------------------------------------------------------
+# mm05 — feature extraction: per-channel pixel means over the REAL
+# decoded pixel matrix (the embedding-prep stage of an image
+# pipeline). The tiling synthesis rule makes each channel's pixel SUM
+# an exact integer function of the source text's byte values, so the
+# DuckDB oracle recomputes it arithmetically (ord() over tiled
+# positions — ASCII corpus, so codepoint == byte) with no image code
+# at all: a decode that mangles any pixel value breaks the hash.
+# Means are a single IEEE division of integer sums (_portable rule).
+# --------------------------------------------------------------------------
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas decode → numpy channel statistics: int64-exact
+    per-channel sums over the decoded (h, w, 3) matrix, one division
+    at the end. Swapping in a CNN/CLIP embedder goes through the
+    same seam (binary in, fixed-width feature row out)."""
+    import numpy as np
+
+    from flink_streaming_platform_web_spark.operators.imagecodec import (
+        decode_image,
+    )
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k.name: [] for k in FEATURE_SCHEMA.fields
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                w, h, _fmt, px = decode_image(bytes(payload))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(
+                    h, w, 3
+                )
+                sums = arr.sum(axis=(0, 1), dtype=np.int64)
+                cnt = float(w * h)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(float(sums[0]) / cnt)
+                out["mean_g"].append(float(sums[1]) / cnt)
+                out["mean_b"].append(float(sums[2]) / cnt)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(features, FEATURE_SCHEMA)
+
+
+def mm05_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return extract_features(with_image_payload(docs))
+
+
+ORACLE_MM05 = """
+WITH m AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         octet_length(encode(text)) % 64 + 1 AS w,
+         octet_length(encode(text)) % 48 + 1 AS h
+  FROM documents
+), j AS (
+  SELECT doc_id, n AS nn, w AS ww, h AS hh, text AS txt,
+         unnest(range(0, w * h * 3)) AS p
+  FROM m
+), s AS (
+  SELECT doc_id,
+         MAX(ww) AS w, MAX(hh) AS h,
+         SUM(CASE WHEN p % 3 = 0
+             THEN ord(substr(txt, CAST(p % nn AS INT) + 1, 1))
+             ELSE 0 END) AS sr,
+         SUM(CASE WHEN p % 3 = 1
+             THEN ord(substr(txt, CAST(p % nn AS INT) + 1, 1))
+             ELSE 0 END) AS sg,
+         SUM(CASE WHEN p % 3 = 2
+             THEN ord(substr(txt, CAST(p % nn AS INT) + 1, 1))
+             ELSE 0 END) AS sb
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(sr AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_r,
+       CAST(sg AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_g,
+       CAST(sb AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_b
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # mm03 — frame sampling: the video-shaped pipeline (payload → every
 # k-th chunk as a "frame" row). Real codecs would decode via the same
 # mapInPandas seam (set_decoder); the deterministic chunker keeps the
@@ -387,6 +484,7 @@ QUERIES = {
     "mm02_decode_pipeline": mm02_decode_pipeline,
     "mm03_frame_sample": mm03_frame_sample,
     "mm04_resize_pipeline": mm04_resize_pipeline,
+    "mm05_feature_extract": mm05_feature_extract,
 }
 
 ORACLES = {
@@ -394,4 +492,5 @@ ORACLES = {
     "mm02_decode_pipeline": ORACLE_MM02,
     "mm03_frame_sample": ORACLE_MM03,
     "mm04_resize_pipeline": ORACLE_MM04,
+    "mm05_feature_extract": ORACLE_MM05,
 }
