@@ -405,6 +405,82 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# mm06 — the audio-shaped pipeline: payload bytes framed as signed
+# int8 PCM samples, per-frame ENERGY (sum of squares) extracted in
+# numpy — the windowed-feature stage of an audio pipeline (RMS/VAD
+# precursors), one input row fanning out to one row per frame.
+# Energy is an exact integer, so the DuckDB oracle recomputes it
+# from the source bytes (ord() with the signed-byte fold) with no
+# audio code; a real decoder (ffmpeg PCM) swaps in through the same
+# seam. ASCII corpus → codepoint == byte.
+# --------------------------------------------------------------------------
+
+AUDIO_FRAME = 64
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def frame_energy(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame: int = AUDIO_FRAME,
+) -> DataFrame:
+    """mapInPandas PCM framing + per-frame energy: int8 samples in
+    ``frame``-sized windows, int64 sum of squares per window (the
+    tail frame keeps its short length, as PCM framing does)."""
+    import numpy as np
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k.name: [] for k in AUDIO_SCHEMA.fields
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                pcm = np.frombuffer(bytes(payload), dtype=np.int8)
+                sq = pcm.astype(np.int64) ** 2
+                for i in range(0, len(sq), frame):
+                    chunk = sq[i : i + frame]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i // frame)
+                    out["n_samples"].append(len(chunk))
+                    out["energy"].append(int(chunk.sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(energies, AUDIO_SCHEMA)
+
+
+def mm06_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return frame_energy(with_binary_payload(docs))
+
+
+ORACLE_MM06 = f"""
+WITH j AS (
+  SELECT doc_id, text AS txt,
+         unnest(range(0, octet_length(encode(text)))) AS p
+  FROM documents
+), s AS (
+  SELECT doc_id, CAST(p // {AUDIO_FRAME} AS INT) AS frame_idx,
+         CASE WHEN ord(substr(txt, CAST(p AS INT) + 1, 1)) >= 128
+              THEN ord(substr(txt, CAST(p AS INT) + 1, 1)) - 256
+              ELSE ord(substr(txt, CAST(p AS INT) + 1, 1)) END AS v
+  FROM j
+)
+SELECT doc_id, frame_idx,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS energy
+FROM s GROUP BY doc_id, frame_idx
+"""
+
+
+# --------------------------------------------------------------------------
 # mm03 — frame sampling: the video-shaped pipeline (payload → every
 # k-th chunk as a "frame" row). Real codecs would decode via the same
 # mapInPandas seam (set_decoder); the deterministic chunker keeps the
@@ -485,6 +561,7 @@ QUERIES = {
     "mm03_frame_sample": mm03_frame_sample,
     "mm04_resize_pipeline": mm04_resize_pipeline,
     "mm05_feature_extract": mm05_feature_extract,
+    "mm06_audio_frame_energy": mm06_audio_frame_energy,
 }
 
 ORACLES = {
@@ -493,4 +570,5 @@ ORACLES = {
     "mm03_frame_sample": ORACLE_MM03,
     "mm04_resize_pipeline": ORACLE_MM04,
     "mm05_feature_extract": ORACLE_MM05,
+    "mm06_audio_frame_energy": ORACLE_MM06,
 }
