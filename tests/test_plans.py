@@ -532,3 +532,20 @@ def test_tx13_novelty_combiner_aggs_and_tiny_broadcast(spark, sf_dir):
     assert "PythonUDF" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats side
     assert "HashAggregate" in plan
+
+
+def test_mm_round8_pipelines_zero_exchange(spark, sf_dir):
+    """mm04/mm05/mm06 are pure scan→mapInPandas chains: the render /
+    decode / transform stages fuse into Python-UDF pipeline stages
+    with NO exchange — at 100 TB these are scan-bound, full stop."""
+    from flink_streaming_platform_web_spark.operators.multimodal import (
+        mm04_resize_pipeline,
+        mm05_feature_extract,
+        mm06_audio_frame_energy,
+    )
+
+    for q in (mm04_resize_pipeline, mm05_feature_extract,
+              mm06_audio_frame_energy):
+        plan = _physical(q(spark, sf_dir))
+        assert "Exchange" not in plan, plan
+        assert "CartesianProduct" not in plan
