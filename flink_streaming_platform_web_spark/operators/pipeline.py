@@ -503,3 +503,79 @@ GROUP BY t.lang
 
 QUERIES["pp06_representative_prep"] = pp06_representative_prep
 ORACLES["pp06_representative_prep"] = _oracle_pp06()
+
+
+# --------------------------------------------------------------------------
+# pp07 — cross-MODAL prep (round 8): the REAL image decode gates
+# geometry while the tx10 text-quality gate filters content, then the
+# mix is accounted per (lang, format). The decode runs for real
+# (render → stdlib PNG/BMP parse in mapInPandas); the oracle replays
+# the geometry arithmetically (mm02's closed-form synthesis rule) and
+# nests ORACLE_TX10 for the keep set — the composition a multimodal
+# training-data pipeline runs before committing a mix.
+# --------------------------------------------------------------------------
+
+PP07_MIN_PIXELS = 600
+
+
+def pp07_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape: the quality gate stays a per-row scan predicate (zero
+    shuffles); the decoded geometry joins back on the PRIMARY KEY
+    doc_id (co-partitioned corpus join — the standard
+    annotate-by-key exchange); the roll-up exchange carries
+    |lang|x|format| combined rows."""
+    from flink_streaming_platform_web_spark.operators.multimodal import (
+        decode_metadata,
+        with_image_payload,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    geom = decode_metadata(with_image_payload(docs)).select(
+        "doc_id", "width", "height", "format"
+    )
+    kept = quality_flags(docs).filter(F.col("keep")).select(
+        "doc_id", "lang", "n_tokens"
+    )
+    joined = kept.join(geom, "doc_id").filter(
+        F.col("width") * F.col("height") >= PP07_MIN_PIXELS
+    )
+    return joined.groupBy("lang", "format").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("width") * F.col("height"))
+        .cast("bigint")
+        .alias("total_pixels"),
+    )
+
+
+def _oracle_pp07() -> str:
+    from flink_streaming_platform_web_spark.operators.text import (
+        ORACLE_TX10,
+    )
+
+    return f"""
+WITH flt AS (
+  SELECT doc_id, n_tokens FROM ({ORACLE_TX10}) WHERE keep
+),
+geom AS (
+  SELECT doc_id,
+         octet_length(encode(text)) % 64 + 1 AS w,
+         octet_length(encode(text)) % 48 + 1 AS h,
+         CASE WHEN octet_length(encode(text)) % 2 = 0
+              THEN 'png' ELSE 'bmp' END AS format
+  FROM documents
+)
+SELECT d.lang, g.format,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(g.w * g.h) AS BIGINT) AS total_pixels
+FROM documents d
+JOIN flt f USING (doc_id)
+JOIN geom g USING (doc_id)
+WHERE g.w * g.h >= {PP07_MIN_PIXELS}
+GROUP BY d.lang, g.format
+"""
+
+
+QUERIES["pp07_multimodal_prep"] = pp07_multimodal_prep
+ORACLES["pp07_multimodal_prep"] = _oracle_pp07()
