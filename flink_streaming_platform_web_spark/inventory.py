@@ -56,16 +56,17 @@ _MODULES = (
 # MATCH_RECOGNIZE route) and q45/q47/q48/q49 (cep.py fold gained the
 # final-drain arm — batch path shares the module), plus st08/q25
 # (cdc.py incremental-agg migration this round); (c) the NEW
-# round-8 entries q50/q51/st19/q52/tx13/mm04/mm05/mm06/pp07
-# (PERMUTE
+# round-8 entries q50/q51/st19/q52/tx13/mm04/mm05/mm06/pp07/
+# st20 (PERMUTE
 # + nested group + WITHIN + bigram novelty + image resize +
-# feature extraction + audio frame energy + cross-modal prep — never
+# feature extraction + audio frame energy + cross-modal prep +
+# streaming WITHIN — never
 # driver-checked, so they outrank everything already green); (d) the
 # remaining slots go to the OLDEST r5-dated entries (dedup/text/
 # vector families untouched since r5 plus the q05-family joins),
 # leaving the other r5 rows (ann02/03/05, pp04/pp05, q07/q10/
-# q16-q20, q38-q42, st01-st07, and q46/st15/q37/tx12/tx11/q08/q06/q05/vec03 —
-# displaced by the nine new entries, all heavily pytest-pinned) to
+# q16-q20, q38-q42, st01-st07, and q46/st15/q37/tx12/tx11/q08/q06/q05/vec03/vec02 —
+# displaced by the ten new entries, all heavily pytest-pinned) to
 # front r9 — every entry then holds a row from r7 or r8 except that
 # named r9 set. Exactly 50.
 _CHECK_FIRST = (
@@ -111,6 +112,7 @@ _CHECK_FIRST = (
     "mm05_feature_extract",
     "mm06_audio_frame_energy",
     "pp07_multimodal_prep",
+    "st20_stream_match_within",
     # (d) oldest r5-dated entries
     "dd05_simhash_signatures",
     "dd06_dup_clusters",
@@ -122,7 +124,6 @@ _CHECK_FIRST = (
     "tx08_stratified_sample",
     "tx09_redact_denylist",
     "vec01_kmeans",
-    "vec02_quantize_int8",
 )
 
 

@@ -1428,9 +1428,58 @@ FROM (
 """
 
 
+def st20_stream_match_within(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE with the WITHIN time constraint
+    (Flink docs: queries/match_recognize §Time constraint — the
+    state-bounding clause streaming CEP needs at scale): a rising
+    step counts only when it completes within 8 hours of the match's
+    first row, over a watermarked deliberately-disordered source
+    through the runner's buffered route. Same two-row consumption as
+    q52, so the DuckDB oracle is the identical islands+parity replay
+    with the bound folded into candidacy."""
+    path = _events_ordered_stream(spark, sf_dir, "st20")
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        f"""
+        CREATE TABLE st20_events (
+          user_id BIGINT, event_id BIGINT, ts TIMESTAMP,
+          value DOUBLE,
+          WATERMARK FOR ts AS ts - INTERVAL '30' MINUTE
+        ) WITH ('connector' = 'filesystem', 'path' = '{path}',
+                'format' = 'parquet',
+                'source.max-files-per-trigger' = '1');
+        CREATE TABLE st20_sink (
+          user_id BIGINT, start_id BIGINT, up_id BIGINT,
+          up_val DOUBLE
+        ) WITH ('connector' = 'memory');
+        INSERT INTO st20_sink
+        SELECT user_id, start_id, up_id, up_val
+        FROM st20_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES
+            FIRST(STRT.event_id) AS start_id,
+            FIRST(UP.event_id) AS up_id,
+            FIRST(UP.value) AS up_val
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT UP) WITHIN INTERVAL '8' HOUR
+          DEFINE UP AS UP.value > PREV(UP.value)
+        );
+        """,
+    )
+    return spark.table("st20_sink").select(
+        "user_id", "start_id", "up_id", "up_val"
+    )
+
+
 QUERIES = {
     "st01_stream_tumble_window": st01_stream_tumble_window,
     "st19_stream_match_permute": st19_stream_match_permute,
+    "st20_stream_match_within": st20_stream_match_within,
     "st11_stream_window_topn": st11_stream_window_topn,
     "st12_stream_dedup_sql": st12_stream_dedup_sql,
     "st13_stream_topn_continuous": st13_stream_topn_continuous,
@@ -1468,6 +1517,12 @@ ORACLES = {
         fromlist=["ORACLE_Q45"],
     ).ORACLE_Q45,
     "st19_stream_match_permute": ORACLE_ST19,
+    # st20 converges to exactly q52's batch result — the identical
+    # islands+parity WITHIN oracle
+    "st20_stream_match_within": __import__(
+        "flink_streaming_platform_web_spark.operators.cep",
+        fromlist=["ORACLE_Q52"],
+    ).ORACLE_Q52,
     "st09_stream_window_tvf": ORACLE_ST09,
     "st08_stream_cdc_latest": ORACLE_ST08,
     "st07_stream_interval_join": ORACLE_ST07,
