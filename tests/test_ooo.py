@@ -484,3 +484,92 @@ def test_plain_stop_keeps_state_then_resumed_drain_completes(
     got = {(r["k"], r["ts_s"]): (r["n"], r["mx"]) for r in got_rows}
     assert got == expected
     assert len(got_rows) == len(expected)
+
+
+def test_streaming_random_nested_patterns_equal_batch(spark, tmp_path):
+    """Randomized differential for the streaming buffered CEP route
+    with ROUND-8 grammar: random nested/PERMUTE patterns over random
+    values and random disordered staging must produce exactly the
+    batch matcher's matches once drained. Every pattern ends in an
+    always-true Z atom so (COUNT(*), LAST(Z.v)) identifies matches."""
+    import random
+
+    from flink_streaming_platform_web_spark.operators import cep
+
+    patterns = [
+        "STRT (A B)+ Z",
+        "(A B | C) Z",
+        "PERMUTE(A, B) Z",
+        "A (B (C)?)+ Z",
+    ]
+    define = (
+        "DEFINE A AS A.v < 3, B AS B.v >= 3 AND B.v < 7,"
+        " C AS C.v >= 7"
+    )
+    for seed, pat in zip((11, 12, 13, 14), patterns):
+        rng = random.Random(seed)
+        rows = [
+            {
+                "k": "a",
+                "ts": f"2024-01-01 00:{i:02d}:00",
+                "v": float(rng.randint(0, 9)),
+            }
+            for i in range(26)
+        ]
+        # batch expected via the SAME matcher the batch entries use
+        clause = f"""
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES COUNT(*) AS n, LAST(Z.v) AS zv
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN ({pat})
+          {define}
+        """
+        spec = cep.parse_match_recognize(clause)
+        import pandas as _pd
+
+        mrows = [
+            {"k": r["k"], "ts": _pd.Timestamp(r["ts"]), "v": r["v"]}
+            for r in rows
+        ]
+        matches, _ = cep._run_matcher(mrows, spec)
+        expected = sorted(
+            (out["n"], out["zv"])
+            for _s, _e, outs, _ro in matches
+            for out in outs
+        )
+        chunks = _random_disorder(rows, seed, files=3)
+        p = str(tmp_path / f"rnd{seed}")
+        _write_files(p, chunks)
+        tag = f"rnd{seed}"
+        script = f"""
+            CREATE TABLE ev_{tag} (k STRING, ts TIMESTAMP, v DOUBLE,
+              WATERMARK FOR ts AS ts - INTERVAL '{_DELAY_S}' SECOND
+            ) WITH ('connector'='filesystem','path'='{p}',
+                    'format'='json','source.max-files-per-trigger'='1');
+            CREATE TABLE snk_{tag} (k STRING, n BIGINT, zv DOUBLE)
+              WITH ('connector'='memory');
+            INSERT INTO snk_{tag}
+            SELECT k, n, zv
+            FROM ev_{tag} MATCH_RECOGNIZE (
+              PARTITION BY k
+              ORDER BY ts
+              MEASURES COUNT(*) AS n, LAST(Z.v) AS zv
+              ONE ROW PER MATCH
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN ({pat})
+              {define}
+            );
+            """
+        runner = JobRunner(spark, mode="streaming")
+        result = runner.execute_script(script)
+        for q in result.streaming_queries:
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(120)
+        got = sorted(
+            (r["n"], r["zv"])
+            for r in spark.table(f"snk_{tag}").collect()
+        )
+        assert got == expected, (pat, seed, got, expected)
