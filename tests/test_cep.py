@@ -1071,3 +1071,60 @@ def test_nested_differential_vs_regex():
         assert got_spans == ref_spans, (
             pat_txt, text, got_spans, ref_spans
         )
+
+
+def test_nested_all_rows_running_measures():
+    """ALL ROWS PER MATCH over a NESTED pattern: one output row per
+    matched input row with RUNNING COUNT(*) — the walker-agnostic
+    emission path must see the AST match's full assignment."""
+    spec = cep.parse_match_recognize("""
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES COUNT(*) AS n
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A (B C)+)
+      DEFINE A AS A.v < 3, B AS B.v >= 3 AND B.v < 7, C AS C.v >= 7
+    """)
+    rows = _matcher_rows([1, 4, 8, 4, 8])
+    matches, _ = cep._run_matcher(rows, spec)
+    assert len(matches) == 1
+    outs = matches[0][2]
+    assert [o["n"] for o in outs] == [1, 2, 3, 4, 5]
+
+
+def test_nested_skip_to_last_var():
+    """AFTER MATCH SKIP TO LAST <var> resumes at the variable's last
+    matched row even when the pattern is AST-walked."""
+    spec = cep.parse_match_recognize("""
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES COUNT(*) AS n
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO LAST B
+      PATTERN (A (B)+)
+      DEFINE A AS A.v < 3, B AS B.v >= 3 AND B.v < 7
+    """)
+    rows = _matcher_rows([1, 4, 4, 1, 4, 4])
+    matches, _ = cep._run_matcher(rows, spec)
+    spans = [(s, e) for s, e, _o, _r in matches]
+    # match 1 consumes 0-2; resume at its last B (idx 2), which fails
+    # to start a match; match 2 is 3-5
+    assert spans == [(0, 3), (3, 6)]
+
+
+def test_zero_width_group_quantifier():
+    """A {0}-quantified group matches empty — (B C){0} degenerates
+    the pattern to A C."""
+    spec = cep.parse_match_recognize("""
+      PARTITION BY k
+      ORDER BY seq
+      MEASURES COUNT(*) AS n
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A (B C){0} C)
+      DEFINE A AS A.v < 3, B AS B.v >= 3 AND B.v < 7, C AS C.v >= 7
+    """)
+    rows = _matcher_rows([1.0, 8.0])
+    matches, _ = cep._run_matcher(rows, spec)
+    assert [(s, e) for s, e, _o, _r in matches] == [(0, 2)]
