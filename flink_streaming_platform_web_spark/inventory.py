@@ -55,7 +55,8 @@ _MODULES = (
 # st14 (rewritten onto the runner's buffered streaming
 # MATCH_RECOGNIZE route) and q45/q47/q48/q49 (cep.py fold gained the
 # final-drain arm — batch path shares the module), plus st08/q25
-# (cdc.py incremental-agg migration this round); (c) the NEW
+# (cdc.py incremental-agg migration this round) and dd11 (the
+# round-8 trainer fuse rewrote its k-means assignment+means pass); (c) the NEW
 # round-8 entries q50/q51/st19/q52/tx13/mm04/mm05/mm06/pp07/
 # st20 (PERMUTE
 # + nested group + WITHIN + bigram novelty + image resize +
@@ -65,8 +66,8 @@ _MODULES = (
 # remaining slots go to the OLDEST r5-dated entries (dedup/text/
 # vector families untouched since r5 plus the q05-family joins),
 # leaving the other r5 rows (ann02/03/05, pp04/pp05, q07/q10/
-# q16-q20, q38-q42, st01-st07, and q46/st15/q37/tx12/tx11/q08/q06/q05/vec03/vec02 —
-# displaced by the ten new entries, all heavily pytest-pinned) to
+# q16-q20, q38-q42, st01-st07, and q46/st15/q37/tx12/tx11/q08/q06/q05/vec03/vec02/dd10 —
+# displaced by the ten new entries and the dd11 re-pin, all heavily pytest-pinned) to
 # front r9 — every entry then holds a row from r7 or r8 except that
 # named r9 set. Exactly 50.
 _CHECK_FIRST = (
@@ -102,6 +103,7 @@ _CHECK_FIRST = (
     "q49_match_bounded_quant",
     "st08_stream_cdc_latest",
     "q25_cdc_latest_state",
+    "dd11_embed_neardup_kmeans",
     # (c) new round-8 entries — never checked
     "q50_match_permute",
     "q51_match_nested_group",
@@ -119,7 +121,6 @@ _CHECK_FIRST = (
     "dd07_embed_neardup_docs",
     "dd08_simhash_neardup_pairs",
     "dd09_chunk_dedup",
-    "dd10_minhash_est_jaccard",
     "dd14_exact_substr_dup",
     "tx08_stratified_sample",
     "tx09_redact_denylist",
