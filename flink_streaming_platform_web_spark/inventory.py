@@ -57,17 +57,18 @@ _MODULES = (
 # final-drain arm — batch path shares the module), plus st08/q25
 # (cdc.py incremental-agg migration this round) and dd11 (the
 # round-8 trainer fuse rewrote its k-means assignment+means pass); (c) the NEW
-# round-8 entries q50/q51/st19/q52/tx13/mm04/mm05/mm06/pp07/
-# st20 (PERMUTE
+# round-8 entries q50/q51/st19/q52/q53/tx13/tx14/mm04/mm05/
+# mm06/pp07/st20 (PERMUTE
 # + nested group + WITHIN + bigram novelty + image resize +
 # feature extraction + audio frame energy + cross-modal prep +
-# streaming WITHIN — never
+# streaming WITHIN + alternated sequences + source diversity —
+# never
 # driver-checked, so they outrank everything already green); (d) the
 # remaining slots go to the OLDEST r5-dated entries (dedup/text/
 # vector families untouched since r5 plus the q05-family joins),
 # leaving the other r5 rows (ann02/03/05, pp04/pp05, q07/q10/
-# q16-q20, q38-q42, st01-st07, and q46/st15/q37/tx12/tx11/q08/q06/q05/vec03/vec02/dd10 —
-# displaced by the ten new entries and the dd11 re-pin, all heavily pytest-pinned) to
+# q16-q20, q38-q42, st01-st07, and q46/st15/q37/tx12/tx11/q08/q06/q05/vec03/vec02/dd10/tx08/tx09
+# — displaced by the twelve new entries and the dd11 re-pin, all heavily pytest-pinned) to
 # front r9 — every entry then holds a row from r7 or r8 except that
 # named r9 set. Exactly 50.
 _CHECK_FIRST = (
@@ -115,6 +116,8 @@ _CHECK_FIRST = (
     "mm06_audio_frame_energy",
     "pp07_multimodal_prep",
     "st20_stream_match_within",
+    "q53_match_alternated_sequences",
+    "tx14_source_diversity",
     # (d) oldest r5-dated entries
     "dd05_simhash_signatures",
     "dd06_dup_clusters",
@@ -122,8 +125,6 @@ _CHECK_FIRST = (
     "dd08_simhash_neardup_pairs",
     "dd09_chunk_dedup",
     "dd14_exact_substr_dup",
-    "tx08_stratified_sample",
-    "tx09_redact_denylist",
     "vec01_kmeans",
 )
 

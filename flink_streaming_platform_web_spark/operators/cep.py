@@ -1475,6 +1475,76 @@ FROM (
 ) WHERE pos % 2 = 1
 """
 
+# --------------------------------------------------------------------------
+# q53 — TOP-LEVEL alternation over sequences of DIFFERENT lengths,
+# oracle-gated (round 8): (A B C | D) — the AST walker's ordered
+# choice must prefer the 3-row left branch and fall to the 1-row
+# right branch. Start conditions are disjoint (A needs value < 20,
+# D needs >= 90), so the LEAD-window oracle is branch-exact; SKIP TO
+# NEXT ROW keeps matches consumption-free.
+# --------------------------------------------------------------------------
+
+Q53_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES
+    COUNT(*) AS n,
+    CLASSIFIER() AS last_var,
+    FIRST(A.event_id) AS a_id,
+    FIRST(D.event_id) AS d_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B C | D)
+  DEFINE A AS A.value < 20.0,
+         B AS B.value >= 20.0 AND B.value < 55.0,
+         C AS C.value >= 55.0,
+         D AS D.value >= 90.0
+"""
+
+
+def q53_match_alternated_sequences(spark, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE top-level alternation of sequences (Flink
+    docs: queries/match_recognize §Patterns): a rising low→mid→high
+    3-row sweep, or a single extreme-high row — branches of
+    DIFFERENT lengths, leftmost preferred. COUNT(*), CLASSIFIER()
+    and the per-branch FIRST ids pin which branch matched and what
+    it bound; NULLs in the off-branch measures cross the hash gate,
+    pinning the null-measure path too."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    spec = parse_match_recognize(Q53_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q53 = """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+win AS (
+  SELECT user_id, event_id, value,
+         LEAD(value, 1) OVER w2 AS v1, LEAD(value, 2) OVER w2 AS v2
+  FROM ordered WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+),
+b1 AS (
+  SELECT *, (value < 20.0 AND v1 >= 20.0 AND v1 < 55.0
+             AND v2 >= 55.0) AS is_b1
+  FROM win
+)
+SELECT user_id,
+       CAST(CASE WHEN is_b1 THEN 3 ELSE 1 END AS BIGINT) AS n,
+       CASE WHEN is_b1 THEN 'C' ELSE 'D' END AS last_var,
+       CASE WHEN is_b1 THEN event_id END AS a_id,
+       CASE WHEN NOT is_b1 THEN event_id END AS d_id
+FROM b1
+WHERE is_b1 OR value >= 90.0
+"""
+
 QUERIES = {
     "q45_match_recognize": q45_match_recognize,
     "q47_match_alternation": q47_match_alternation,
@@ -1483,6 +1553,7 @@ QUERIES = {
     "q50_match_permute": q50_match_permute,
     "q51_match_nested_group": q51_match_nested_group,
     "q52_match_within": q52_match_within,
+    "q53_match_alternated_sequences": q53_match_alternated_sequences,
 }
 ORACLES = {
     "q45_match_recognize": ORACLE_Q45,
@@ -1492,6 +1563,7 @@ ORACLES = {
     "q50_match_permute": ORACLE_Q50,
     "q51_match_nested_group": ORACLE_Q51,
     "q52_match_within": ORACLE_Q52,
+    "q53_match_alternated_sequences": ORACLE_Q53,
 }
 
 

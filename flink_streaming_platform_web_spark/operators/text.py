@@ -810,9 +810,64 @@ GROUP BY doc_id
 """
 
 
+def tx14_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary DIVERSITY — the mixture diagnostic a
+    training-data owner reads before weighting sources: token count,
+    distinct type count, and the Gini-Simpson index 1 − Σpᵢ² of the
+    source's token distribution. Entropy needs log (not bitwise
+    engine-portable); Gini-Simpson carries the same signal from
+    EXACT integer sufficient statistics (Σn, Σn²) with one IEEE
+    multiply+divide at the end — the _portable discipline.
+
+    Shape at 100 TB: (source, token) counts are one map-side-combined
+    shuffle; the per-source fold combines (Σn, Σn², count) partials —
+    both exchanges carry reduced rows, never the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    counts = tok.groupBy("source", "token").agg(
+        F.count("*").alias("n")
+    )
+    return counts.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        (
+            F.lit(1.0)
+            - (
+                F.sum(F.col("n") * F.col("n")).cast("double")
+                / (
+                    F.sum("n").cast("double")
+                    * F.sum("n").cast("double")
+                )
+            )
+        ).alias("gini"),
+    )
+
+
+ORACLE_TX14 = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '),
+                            t -> length(t) > 0)) AS token
+  FROM documents
+), c AS (
+  SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       1.0 - (CAST(SUM(n * n) AS DOUBLE)
+              / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)))
+         AS gini
+FROM c GROUP BY source
+"""
+
+
 QUERIES = {
     "tx01_langid": tx01_langid,
     "tx13_bigram_novelty": tx13_bigram_novelty,
+    "tx14_source_diversity": tx14_source_diversity,
     "tx11_idf_table": tx11_idf_table,
     "tx12_doc_top_terms": tx12_doc_top_terms,
     "tx02_quality_score": tx02_quality_score,
@@ -829,6 +884,7 @@ QUERIES = {
 ORACLES = {
     "tx01_langid": ORACLE_TX01,
     "tx13_bigram_novelty": ORACLE_TX13,
+    "tx14_source_diversity": ORACLE_TX14,
     "tx11_idf_table": ORACLE_TX11,
     "tx12_doc_top_terms": ORACLE_TX12,
     "tx02_quality_score": ORACLE_TX02,
