@@ -59,6 +59,12 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--checkpoint-dir")
     rp.add_argument("--await", action="store_true", dest="await_",
                     help="process all available input, then stop")
+    rp.add_argument("--stop-file",
+                    help="cooperative stop channel: when this path"
+                         " appears, drain-stop every query and exit"
+                         " (the manager's stop verb — a SIGTERM to"
+                         " spark-submit never reaches this python"
+                         " driver, the JVM kills it outright)")
 
     args = p.parse_args(argv)
     store = JobStore(args.store)
@@ -152,13 +158,41 @@ def main(argv: list[str] | None = None) -> int:
         elif result.streaming_queries:
             # production-shaped long-running child (manager launched
             # with drain=False): block until a query dies or the
-            # manager's stop() SIGTERMs this process — exiting here
-            # would silently kill the queries right after the
-            # handshake promised RUN
+            # manager asks for a stop. The stop request arrives as a
+            # FILE (--stop-file), not a signal: the manager's SIGTERM
+            # lands on the spark-submit JVM, whose PythonRunner kills
+            # this python driver outright — a signal handler here
+            # never runs. Polling the marker makes the platform stop
+            # verb behave like Flink `stop` (drain), not `cancel`:
+            # each query stops through its wrapper, so
+            # watermark-buffered event-time tails flush before exit.
+            # The manager only falls back to SIGTERM after a grace
+            # period; a kill mid-drain degrades to the crash-restart
+            # contract (checkpointed state intact — tests/test_ooo).
+            import os as _os
+
+            def _drain_stop():
+                for q in result.streaming_queries:
+                    try:
+                        q.stop()
+                        q.awaitTermination(60)
+                    except Exception:  # sibling leak > one failure
+                        pass
+
             try:
-                spark.streams.awaitAnyTermination()
+                while True:
+                    # True → some query terminated on its own.
+                    # NB: PySpark's timeout is SECONDS (the JVM API
+                    # takes ms) — 2 s is the stop-file poll cadence.
+                    if spark.streams.awaitAnyTermination(2):
+                        break
+                    if args.stop_file and _os.path.exists(
+                        args.stop_file
+                    ):
+                        _drain_stop()
+                        break
             except KeyboardInterrupt:
-                pass
+                _drain_stop()
         print(json.dumps({"queries": result.query_ids,
                           "batch_results": result.batch_results}))
         return 0

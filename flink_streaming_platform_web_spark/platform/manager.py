@@ -55,6 +55,10 @@ class RunningJob:
     run_id: int
     restarts: int = 0
     proc: "subprocess.Popen | None" = None
+    #: cooperative stop marker for a LOCAL_PROCESS sql child — the
+    #: manager touches it and the child drain-stops its queries
+    #: (Flink `stop`); SIGTERM remains only the grace-period fallback
+    stop_file: str | None = None
 
 
 @dataclass
@@ -263,11 +267,15 @@ class JobManager:
             (work / "logs").mkdir(parents=True, exist_ok=True)
             sql_file = work / "sql" / f"job_sql_{job.id}.sql"
             sql_file.write_text(job.sql_script)
+            stop_file = work / "sql" / f"job_stop_{job.id}"
+            if stop_file.exists():  # stale marker from a prior run
+                stop_file.unlink()
             cmd = build_local_submit_command(
                 str(sql_file),
                 job.job_type,
                 checkpoint_dir=ckpt_dir,
                 drain=self.drain_children if drain is None else drain,
+                stop_file=str(stop_file),
             )
             env = dict(os.environ)
             pkg_root = str(Path(__file__).resolve().parents[2])
@@ -300,7 +308,10 @@ class JobManager:
         self.store.finish_run(run_id, "RUN")
         result = ExecutionResult(remote_query_ids=qids)
         with self._lock:
-            self.running[job.id] = RunningJob(None, result, run2, proc=proc)
+            self.running[job.id] = RunningJob(
+                None, result, run2, proc=proc,
+                stop_file=str(stop_file),
+            )
         if self.store.get_job(job.id).status_name == "STOP":
             self.stop(job.id)
         return result
@@ -376,6 +387,22 @@ class JobManager:
                     q.stop()
                     q.awaitTermination(60)
                 except Exception:
+                    pass
+            if (
+                rj.proc is not None
+                and rj.stop_file
+                and rj.proc.poll() is None
+            ):
+                # cooperative stop first — Flink `stop` semantics:
+                # the child drain-stops its queries (buffered
+                # event-time tails flush) and exits 0. SIGTERM is
+                # only the fallback: it lands on the spark-submit
+                # JVM, which kills the python driver without any
+                # chance to drain (`cancel` semantics).
+                try:
+                    open(rj.stop_file, "w").close()
+                    rj.proc.wait(90)
+                except (OSError, subprocess.TimeoutExpired):
                     pass
             self._terminate_child(rj.proc)
             self.store.set_status(job_id, "STOP")

@@ -147,6 +147,7 @@ def build_local_submit_command(
     restore_checkpoint: str | None = None,
     extra_args: list[str] | None = None,
     drain: bool = True,
+    stop_file: str | None = None,
 ) -> list[str]:
     """argv for a LOCAL submission that still execs a real
     ``spark-submit`` child — the reference's LOCAL deploy mode also
@@ -177,6 +178,12 @@ def build_local_submit_command(
     ]
     if drain:
         cmd.append("--await")
+    if stop_file:
+        # cooperative stop channel for no-await children: SIGTERM to
+        # spark-submit kills the python driver without running any
+        # handler, so Flink-`stop`-style draining needs a marker the
+        # child polls (the RPC analog of `flink stop <jobId>`)
+        cmd += ["--stop-file", stop_file]
     ckpt = restore_checkpoint or checkpoint_dir
     if ckpt:
         cmd += ["--checkpoint-dir", ckpt]

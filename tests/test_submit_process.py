@@ -207,3 +207,80 @@ def test_local_process_no_await_long_running_child(spark, sf_dir, tmp_path):
     assert jid in affected
     assert mgr.status(jid) == "FAIL"
     assert [a for a in store.alarms(jid) if "no longer running" in str(a)]
+
+
+def test_local_process_stop_drains_buffered_tail(spark, sf_dir, tmp_path):
+    """Platform stop = Flink `stop` (drain), not `cancel`, END TO END
+    through a real child: a watermark-buffered streaming OVER query
+    runs in a no-await LOCAL_PROCESS child; the manager's stop()
+    SIGTERMs it, the child's handler stops each query through its
+    DrainingQuery wrapper, and the filesystem sink ends up with the
+    FULL batch answer — including the tail rows the watermark never
+    passed, which a plain kill would have stranded in state."""
+    import json as _json
+    import time
+
+    src = f"{tmp_path}/src"
+    snk = f"{tmp_path}/snk"
+    ckpt = f"{tmp_path}/ckpt"
+    import os
+
+    os.makedirs(src)
+    rows = [
+        {"k": 1, "ts": f"2024-01-01 00:{m:02d}:00", "v": float(m)}
+        for m in range(12)  # 11 min span, 2 min delay → 3-4 pending
+    ]
+    with open(f"{src}/a.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    script = f"""
+    CREATE TABLE ev (k BIGINT, ts TIMESTAMP, v DOUBLE,
+      ts_s AS date_format(ts, 'yyyy-MM-dd HH:mm:ss'),
+      WATERMARK FOR ts AS ts - INTERVAL '2' MINUTE
+    ) WITH ('connector'='filesystem','path'='{src}','format'='json');
+    CREATE TABLE snk (k BIGINT, ts_s STRING, n BIGINT)
+      WITH ('connector'='filesystem','path'='{snk}','format'='json');
+    INSERT INTO snk
+    SELECT k, ts_s, COUNT(*) OVER w AS n
+    FROM ev
+    WINDOW w AS (PARTITION BY k ORDER BY ts
+                 RANGE BETWEEN INTERVAL '5' MINUTE PRECEDING
+                 AND CURRENT ROW);
+    """
+    store = JobStore()
+    jid = store.add_job(
+        "proc-drain-tail", script,
+        job_type="streaming", deploy_mode="LOCAL_PROCESS",
+        checkpoint_dir=ckpt,
+    )
+    mgr = JobManager(
+        spark, store, work_dir=str(tmp_path / "work"),
+        drain_children=False,
+    )
+    mgr.start(jid)
+    assert mgr.status(jid) == "RUN"
+    schema = "k long, ts_s string, n long"
+    # wait until the child released the pre-watermark rows (the
+    # committed sink read sees only log-listed files until the drain)
+    deadline = time.time() + 120
+    released = 0
+    while time.time() < deadline:
+        try:
+            released = spark.read.schema(schema).json(snk).count()
+        except Exception:
+            released = 0
+        if released >= 8:
+            break
+        time.sleep(2)
+    assert released >= 8, f"child never released rows ({released})"
+    assert released < 12, "nothing left pending - fixture degenerated"
+    mgr.stop(jid)
+    assert mgr.status(jid) == "STOP"
+    got = {
+        (r["k"], r["ts_s"]): r["n"]
+        for r in spark.read.schema(schema).json(snk).collect()
+    }
+    assert len(got) == 12, f"drain lost tail rows: {sorted(got)}"
+    # spot-check the window values survived intact
+    assert got[(1, "2024-01-01 00:11:00")] == 6
+    assert got[(1, "2024-01-01 00:00:00")] == 1
