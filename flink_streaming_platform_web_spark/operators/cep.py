@@ -57,7 +57,10 @@ driver loop; this stays in the executor's pandas batch).
 
 from __future__ import annotations
 
+import ast
+import functools
 import re
+
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -590,8 +593,213 @@ def _match_ctx(
     }
 
 
+# ---------------------------------------------------------------------------
+# Row-local DEFINE vectorization.
+#
+# The matcher's hot loop is ok(var, assigned, idx): build a 6-closure
+# match context + eval a compiled expression per CANDIDATE row — paid
+# again every time backtracking or a new start index re-tests a row
+# (~2-4 µs each; the measured round-8 dead end showed per-(var,row)
+# memoization loses to dict overhead, so the win must come from
+# evaluating WITHOUT a per-candidate context at all). A DEFINE is
+# ROW-LOCAL when its truth depends only on the candidate row's
+# position in the ordered partition: references to the defined
+# variable's own columns (the current row) and PREV/physical offsets
+# — per SQL/RPR (and Flink's MATCH_RECOGNIZE docs), PREV(X.col, n)
+# navigates the INPUT ordering, not X's assignments, so
+# ``UP.v > PREV(UP.v)`` is ``v[i] > v[i-1]`` regardless of the match
+# state. Such defines compile to ONE elementwise pandas expression
+# per partition — a boolean bitmap the matcher indexes in O(1).
+# FIRST/LAST/aggregates/CLASSIFIER/other-variable references depend
+# on the in-flight match and keep the scalar eval path; mixed
+# expressions are not split (all-or-nothing per define).
+#
+# Exactness contract (held by tests/test_cep_vectorized.py's
+# randomized differential): bitmaps are built only over non-object
+# column dtypes, where elementwise NaN/NaT comparison semantics
+# reproduce the scalar path bit-for-bit — numeric nulls arrive as
+# NaN (compare False, == False, != True) exactly like the scalar
+# evaluator's outcomes, and shift() introduces NaN/NaT at the head
+# exactly where __prev returns None (TypeError → False scalar-side
+# for orderings, True for !=). Object (string) columns can raise
+# mid-Series on ordering comparisons, so they fall back. Any build
+# error falls back to the scalar path — never a changed answer.
+
+_VEC_CMP = (ast.Lt, ast.LtE, ast.Gt, ast.GtE, ast.Eq, ast.NotEq)
+_VEC_BIN = (ast.Add, ast.Sub, ast.Mult)
+
+
+class _VecReject(Exception):
+    """Expression is match-context-dependent (or outside the
+    elementwise-safe subset) — keep the scalar eval path."""
+
+
+class _VecXform(ast.NodeTransformer):
+    """Scalar-eval AST (__cur/__prev calls, python and/or/not) →
+    elementwise AST (__col/__shift calls, &/|/~). The tree structure
+    carries grouping, so no precedence repair is needed when boolean
+    ops become bitwise."""
+
+    def __init__(self, var: str):
+        self.var = var
+        self.cols: set[str] = set()
+
+    def visit_Call(self, node):
+        fn = node.func.id if isinstance(node.func, ast.Name) else None
+        if fn == "__cur":
+            v, col = node.args[0].value, node.args[1].value
+            if v != self.var:
+                # bare OTHER.col in a define means LAST(OTHER.col) —
+                # match-context-dependent
+                raise _VecReject("other-variable reference")
+            self.cols.add(col)
+            return ast.Call(
+                func=ast.Name("__col", ast.Load()),
+                args=[node.args[1]], keywords=[],
+            )
+        if fn == "__prev":
+            self.cols.add(node.args[0].value)
+            return ast.Call(
+                func=ast.Name("__shift", ast.Load()),
+                args=[self.visit(a) for a in node.args], keywords=[],
+            )
+        raise _VecReject(f"call {fn}")
+
+    def visit_BoolOp(self, node):
+        self.generic_visit(node)
+        op = ast.BitAnd() if isinstance(node.op, ast.And) else ast.BitOr()
+        expr = node.values[0]
+        for v in node.values[1:]:
+            expr = ast.BinOp(left=expr, op=op, right=v)
+        return expr
+
+    def visit_UnaryOp(self, node):
+        self.generic_visit(node)
+        if isinstance(node.op, ast.Not):
+            return ast.UnaryOp(op=ast.Invert(), operand=node.operand)
+        if isinstance(node.op, ast.USub):
+            return node
+        raise _VecReject("unary op")
+
+    def visit_Compare(self, node):
+        self.generic_visit(node)
+        for op in node.ops:
+            if not isinstance(op, _VEC_CMP):
+                raise _VecReject("comparison op")
+        if len(node.ops) == 1:
+            return node
+        # chained a < b < c: Series can't short-circuit — split into
+        # the conjunction of adjacent pairs (same truth table)
+        parts, left = [], node.left
+        for op, comp in zip(node.ops, node.comparators):
+            parts.append(
+                ast.Compare(left=left, ops=[op], comparators=[comp])
+            )
+            left = comp
+        expr = parts[0]
+        for p in parts[1:]:
+            expr = ast.BinOp(left=expr, op=ast.BitAnd(), right=p)
+        return expr
+
+    def visit_BinOp(self, node):
+        self.generic_visit(node)
+        if not isinstance(node.op, _VEC_BIN):
+            # Div/Mod raise scalar-side on zero but not elementwise —
+            # keep the scalar path so failure modes stay identical
+            raise _VecReject("arithmetic op")
+        return node
+
+    def visit_Constant(self, node):
+        if node.value is None:
+            raise _VecReject("NULL constant")
+        return node
+
+    def generic_visit(self, node):
+        allowed = (
+            ast.Expression, ast.BoolOp, ast.UnaryOp, ast.BinOp,
+            ast.Compare, ast.Call, ast.Constant, ast.Name, ast.Load,
+            ast.And, ast.Or, ast.Not, ast.USub,
+        ) + _VEC_CMP + _VEC_BIN
+        if not isinstance(node, allowed):
+            raise _VecReject(type(node).__name__)
+        return super().generic_visit(node)
+
+
+@functools.lru_cache(maxsize=256)
+def _vector_define(src: str, var: str):
+    """Compile one xlated DEFINE source to its elementwise form:
+    (code, referenced-columns) or None when the expression is
+    match-context-dependent. Cached per process — the streaming fold
+    recompiles per micro-batch per key otherwise."""
+    try:
+        tree = ast.parse(src, mode="eval")
+        xf = _VecXform(var)
+        tree = xf.visit(tree)
+        ast.fix_missing_locations(tree)
+        return compile(tree, "<vecdefine>", "eval"), frozenset(xf.cols)
+    except (_VecReject, SyntaxError):
+        return None
+
+
+def _define_bitmaps(rows, spec: MatchSpec, frame=None) -> dict:
+    """var → per-row boolean bitmap for every vectorizable DEFINE
+    over ``rows`` (one ordered partition). ``frame`` is the
+    positionally-aligned pandas frame when the caller already holds
+    one (the batch route's sorted pdf); otherwise it is built here —
+    but only for buffers big enough that the build cost is beaten by
+    the saved per-candidate evals (streaming folds over small
+    buffers keep the scalar path)."""
+    import pandas as pd
+
+    vec = {
+        v: r
+        for v, src in spec.define.items()
+        if (r := _vector_define(src, v)) is not None
+    }
+    if not vec or not rows:
+        return {}
+    if frame is None:
+        if len(rows) < 64:
+            return {}
+        frame = pd.DataFrame(rows)
+    series: dict = {}
+
+    def __col(c):
+        # positional index: the frame may carry a shuffled index from
+        # sort_values, while bitmaps are indexed by row position
+        if c not in series:
+            series[c] = pd.Series(frame[c].to_numpy())
+        return series[c]
+
+    def __shift(c, k=1):
+        return __col(c).shift(k)
+
+    import numpy as np
+
+    n = len(frame)
+    out = {}
+    for var, (code, cols) in vec.items():
+        if any(
+            c not in frame.columns or frame[c].dtype == object
+            for c in cols
+        ):
+            continue
+        try:
+            r = eval(  # noqa: S307 — same translated subset as ok()
+                code, {"__builtins__": {}},
+                {"__col": __col, "__shift": __shift},
+            )
+            if isinstance(r, pd.Series):
+                out[var] = r.fillna(False).to_numpy(dtype=bool)
+            else:  # constant-folded define
+                out[var] = np.full(n, bool(r))
+        except Exception:
+            continue  # build failure → scalar path, same answers
+    return out
+
+
 def _run_matcher(
-    rows: list[dict], spec: MatchSpec
+    rows: list[dict], spec: MatchSpec, frame=None
 ) -> tuple[list[tuple[int, int, dict, bool]], int | None]:
     """Sequential greedy-with-backtracking scan over one partition's
     ordered rows. Returns (matches, earliest_viable):
@@ -624,6 +832,9 @@ def _run_matcher(
         (compile(e, "<measure>", "eval"), name)
         for e, name in spec.measures
     ]
+    # row-local defines collapse to precomputed bitmaps — ok() then
+    # skips the per-candidate context build + eval entirely
+    bitmaps = _define_bitmaps(rows, spec, frame)
 
     def try_match(start_idx: int):
         """(longest greedy assignment or None, ran_out_of_rows)."""
@@ -646,6 +857,9 @@ def _run_matcher(
             code = define_code.get(var)
             if code is None:
                 return True  # undefined variable is always-true
+            bm = bitmaps.get(var)
+            if bm is not None:
+                return bool(bm[idx])
             try:
                 return bool(
                     eval(  # noqa: S307 — translated subset, no names
@@ -885,11 +1099,13 @@ def _run_matcher(
             start += 1
     return matches, earliest_viable
 
-def _match_partition(rows: list[dict], spec: MatchSpec) -> list[dict]:
+def _match_partition(
+    rows: list[dict], spec: MatchSpec, frame=None
+) -> list[dict]:
     """Batch semantics: EOF closes everything — emit every match."""
     return [
         out
-        for _, _, outs, _ in _run_matcher(rows, spec)[0]
+        for _, _, outs, _ in _run_matcher(rows, spec, frame)[0]
         for out in outs
     ]
 
@@ -910,7 +1126,9 @@ def match_recognize(
             else list(spec.partition_by)
         )
         return pd.DataFrame(
-            _match_partition(rows, spec)
+            # the sorted pdf rides along so row-local DEFINE bitmaps
+            # build from the existing frame instead of rebuilding one
+            _match_partition(rows, spec, frame=pdf)
             or {
                 # empty: typed empty frame matching the schema
                 name: pd.Series(dtype="object")
