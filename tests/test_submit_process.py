@@ -261,8 +261,10 @@ def test_local_process_stop_drains_buffered_tail(spark, sf_dir, tmp_path):
     assert mgr.status(jid) == "RUN"
     schema = "k long, ts_s string, n long"
     # wait until the child released the pre-watermark rows (the
-    # committed sink read sees only log-listed files until the drain)
-    deadline = time.time() + 120
+    # committed sink read sees only log-listed files until the drain);
+    # generous deadline: a loaded box can take ~90 s just to get the
+    # child's JVM+session up
+    deadline = time.time() + 240
     released = 0
     while time.time() < deadline:
         try:
