@@ -8,7 +8,11 @@ matcher per key. The supported surface (round 6 completed the Flink
 1.13 clause set):
 
     PARTITION BY k1[, k2 ...]
-    ORDER BY c1[, c2 ...]          -- ascending only
+    ORDER BY c1[, c2 [DESC] ...]   -- first column ascending (the
+                                   -- event-time attribute, Flink's
+                                   -- constraint); secondary columns
+                                   -- may be DESC (tie ordering
+                                   -- within a timestamp)
     MEASURES  <expr> AS name, ...  -- FIRST/LAST(V.col), COUNT(V.*),
                                    -- COUNT(*), SUM/MIN/MAX/AVG(V.col),
                                    -- CLASSIFIER()
@@ -31,7 +35,10 @@ matcher per key. The supported surface (round 6 completed the Flink
                   FIRST(X.col) / LAST(X.col) / literals,
                   AND OR NOT and comparisons/arithmetic>
 
-Still out (loud ValueError): DESC ordering, PERMUTE wider than 5.
+Still out (loud ValueError): DESC on the FIRST ordering column
+(Flink requires an ascending time attribute there —
+docs queries/match_recognize §Order of Events), PERMUTE wider
+than 5.
 
 Matching is the standard greedy-with-backtracking NFA walk (matches
 searched from each row in ORDER BY order; quantifiers greedy unless
@@ -79,6 +86,11 @@ class MatchSpec:
     #: {'1','?','+','*','??','+?','*?'} (two-char = reluctant).
     pattern: list[tuple[tuple[str, ...], str]]
     define: dict[str, str]  # var -> python expr
+    #: per-ORDER-BY-column ascending flags; empty = all ascending.
+    #: The first column is always ascending (the event-time
+    #: attribute — Flink's constraint); secondary columns may be
+    #: False (DESC tie ordering within a timestamp).
+    order_asc: list[bool] = field(default_factory=list)
     skip_past_last: bool = True
     output_schema: str = ""  # filled by match_recognize from a sample
     raw_measures: list[tuple[str, str]] = field(default_factory=list)
@@ -186,14 +198,24 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         for c in grab("PARTITION\\s+BY", "ORDER\\s+BY").split(",")
     ]
     order_txt = grab("ORDER\\s+BY", "MEASURES")
-    order = []
+    order, order_asc = [], []
     for c in order_txt.split(","):
         c = c.strip().strip("`")
         if re.search(r"\sDESC$", c, re.IGNORECASE):
-            raise ValueError(
-                "MATCH_RECOGNIZE: only ascending ORDER BY supported"
-            )
-        order.append(re.sub(r"\s+ASC$", "", c, flags=re.IGNORECASE))
+            if not order:
+                # Flink: the first ordering field must be an
+                # ascending time attribute (docs
+                # queries/match_recognize §Order of Events)
+                raise ValueError(
+                    "MATCH_RECOGNIZE: the first ORDER BY column must"
+                    " be ascending (event-time attribute)"
+                )
+            order_asc.append(False)
+            c = re.sub(r"\s+DESC$", "", c, flags=re.IGNORECASE)
+        else:
+            order_asc.append(True)
+            c = re.sub(r"\s+ASC$", "", c, flags=re.IGNORECASE)
+        order.append(c)
     all_rows = bool(
         re.search(r"ALL\s+ROWS\s+PER\s+MATCH", clause, re.IGNORECASE)
     )
@@ -286,6 +308,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
     return MatchSpec(
         partition_by=part,
         order_by=order,
+        order_asc=order_asc,
         measures=measures,
         pattern=pattern,
         define=define,
@@ -1118,7 +1141,11 @@ def match_recognize(
     def run(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values(spec.order_by, kind="mergesort")
+        pdf = pdf.sort_values(
+            spec.order_by,
+            ascending=spec.order_asc or True,
+            kind="mergesort",
+        )
         rows = pdf.to_dict("records")
         base_cols = (
             list(pdf.columns)
@@ -1763,6 +1790,72 @@ FROM b1
 WHERE is_b1 OR value >= 90.0
 """
 
+# --------------------------------------------------------------------------
+# q54 — DESC secondary ORDER BY (round 8). Flink's MATCH_RECOGNIZE
+# pins only the FIRST ordering column to ascending (the event-time
+# attribute); secondary columns may sort DESC (docs:
+# queries/match_recognize §Order of Events). Ordering by the DAY
+# bucket (avg ~2.5 rows per (user, day) in the events table) makes
+# the event_id DESC tie order load-bearing: which row FOLLOWS which
+# inside a day flips versus ASC, so the LO→HI adjacency pairs — and
+# the oracle hash — differ.
+# --------------------------------------------------------------------------
+
+Q54_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY d, event_id DESC
+  MEASURES
+    FIRST(LO.event_id) AS lo_id,
+    FIRST(HI.event_id) AS hi_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (LO HI)
+  DEFINE LO AS LO.value < 30.0,
+         HI AS HI.value >= 60.0
+"""
+
+
+def q54_match_desc_tie_order(spark, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with a DESC secondary ORDER BY column: rows
+    scan day-ascending but event_id-DESCENDING within a day, and a
+    match is a low row immediately followed (in that order) by a
+    high row. SKIP TO NEXT ROW keeps every adjacency independently
+    checkable, so the oracle is a pure LEAD window over the same
+    (day ASC, event_id DESC) ordering."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_platform_web_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    )
+    spec = parse_match_recognize(Q54_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q54 = """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY date_trunc('day', ts), event_id DESC)
+),
+win AS (
+  SELECT user_id, event_id AS lo_id, value,
+         LEAD(event_id) OVER w2 AS hi_id,
+         LEAD(value) OVER w2 AS v1
+  FROM ordered WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+)
+SELECT user_id, lo_id, hi_id
+FROM win
+WHERE value < 30.0 AND v1 >= 60.0
+"""
+
+
 QUERIES = {
     "q45_match_recognize": q45_match_recognize,
     "q47_match_alternation": q47_match_alternation,
@@ -1772,6 +1865,7 @@ QUERIES = {
     "q51_match_nested_group": q51_match_nested_group,
     "q52_match_within": q52_match_within,
     "q53_match_alternated_sequences": q53_match_alternated_sequences,
+    "q54_match_desc_tie_order": q54_match_desc_tie_order,
 }
 ORACLES = {
     "q45_match_recognize": ORACLE_Q45,
@@ -1782,6 +1876,7 @@ ORACLES = {
     "q51_match_nested_group": ORACLE_Q51,
     "q52_match_within": ORACLE_Q52,
     "q53_match_alternated_sequences": ORACLE_Q53,
+    "q54_match_desc_tie_order": ORACLE_Q54,
 }
 
 
@@ -1892,6 +1987,7 @@ def stream_match_recognize(
             fold,
             output_schema,
             drain_out=drain_out,
+            sort_asc=spec.order_asc or None,
         )
     return ordered_assert_apply(
         df,
@@ -1899,4 +1995,5 @@ def stream_match_recognize(
         list(spec.order_by),
         fold,
         output_schema,
+        sort_asc=spec.order_asc or None,
     )

@@ -88,6 +88,10 @@ class DrainSpec:
     fold: Fold
     out_schema: "StructType | str"
     in_cols: "list[str] | None" = None
+    #: per-sort-column ascending flags; None = all ascending. The
+    #: first (event-time) column is always ascending — secondary
+    #: False entries give DESC tie ordering within a timestamp.
+    sort_asc: "list[bool] | None" = None
 
 
 def to_epoch_us(col: pd.Series):
@@ -108,6 +112,7 @@ def watermark_buffered(
     fold: Fold,
     out_schema: StructType | str,
     drain_out: "list[DrainSpec] | None" = None,
+    sort_asc: "list[bool] | None" = None,
 ) -> DataFrame:
     """Buffer ``df``'s rows per key until the watermark passes them,
     then feed them — event-time sorted — into ``fold``. ``df`` (or
@@ -120,7 +125,7 @@ def watermark_buffered(
         drain_out.append(
             DrainSpec(
                 key_cols, ts_col, sort_cols, fold, out_schema,
-                in_cols=list(df.columns),
+                in_cols=list(df.columns), sort_asc=sort_asc,
             )
         )
 
@@ -160,7 +165,11 @@ def watermark_buffered(
             mask = to_epoch_us(pending[ts_col]) <= wm_us
             if mask.any():
                 released = pending[mask].sort_values(
-                    sort_cols, kind="mergesort"
+                    sort_cols,
+                    ascending=(
+                        sort_asc if sort_asc is not None else True
+                    ),
+                    kind="mergesort",
                 )
                 pending = pending[~mask].reset_index(drop=True)
                 inner, out = fold(inner, released)
@@ -230,6 +239,7 @@ def drain_pending(
     )
     names = [f.name for f in struct.fields]
     fold, sort_cols, in_cols = spec.fold, spec.sort_cols, spec.in_cols
+    sort_asc = spec.sort_asc if spec.sort_asc is not None else True
     # a 3-parameter fold is END-OF-INPUT aware: drain calls it with
     # final=True so folds holding emittable rows in their INNER state
     # (streaming CEP's match-buffer tail) flush them like batch EOF
@@ -248,7 +258,10 @@ def drain_pending(
                 if not has_pending and not final_aware:
                     continue
                 released = (
-                    pending.sort_values(sort_cols, kind="mergesort")
+                    pending.sort_values(
+                        sort_cols, ascending=sort_asc,
+                        kind="mergesort",
+                    )
                     if has_pending
                     else pd.DataFrame(columns=in_cols or [])
                 )
@@ -272,6 +285,7 @@ def ordered_assert_apply(
     sort_cols: list[str],
     fold: Fold,
     out_schema: StructType | str,
+    sort_asc: "list[bool] | None" = None,
 ) -> DataFrame:
     """The unbuffered front end — for sources WITHOUT a watermark,
     where buffering would deadlock (nothing ever releases). Each
@@ -286,7 +300,9 @@ def ordered_assert_apply(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         new = pd.concat(list(batches)).sort_values(
-            sort_cols, kind="mergesort"
+            sort_cols,
+            ascending=sort_asc if sort_asc is not None else True,
+            kind="mergesort",
         )
         inner = state.get[0] if state.exists else None
         inner, out = fold(inner, new)

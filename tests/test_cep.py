@@ -170,6 +170,116 @@ def test_runner_sql_route(spark, sf_dir, tmp_path):
     assert got.count() == direct
 
 
+DESC_CLAUSE = """
+  PARTITION BY k
+  ORDER BY g, seq DESC
+  MEASURES FIRST(LO.seq) AS lo_seq, FIRST(HI.seq) AS hi_seq
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (LO HI)
+  DEFINE LO AS LO.v < 5.0, HI AS HI.v >= 5.0
+"""
+
+
+def test_desc_secondary_order_parse():
+    """Round 8: DESC on SECONDARY ORDER BY columns parses (Flink only
+    pins the FIRST column — the event-time attribute — to ascending,
+    docs queries/match_recognize §Order of Events)."""
+    spec = cep.parse_match_recognize(DESC_CLAUSE)
+    assert spec.order_by == ["g", "seq"]
+    assert spec.order_asc == [True, False]
+
+
+def test_desc_secondary_order_batch(spark):
+    """Within one g tie-group the scan runs seq-DESCENDING, so which
+    row FOLLOWS which flips vs ASC and the LO→HI adjacency matches
+    differ: DESC pairs (3,2) then (1,5); ASC would pair (1,2),(3,4)."""
+    rows = [
+        ("a", 1, 1, 2.0),
+        ("a", 1, 2, 9.0),
+        ("a", 1, 3, 1.0),
+        ("a", 1, 4, 7.0),
+        ("a", 2, 5, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k STRING, g INT, seq INT, v DOUBLE"
+    )
+    spec = cep.parse_match_recognize(DESC_CLAUSE)
+    out = cep.match_recognize(
+        df, spec, cep.infer_output_schema(spec, df)
+    ).collect()
+    assert sorted((r["lo_seq"], r["hi_seq"]) for r in out) == [
+        (1, 5), (3, 2),
+    ]
+    asc = cep.parse_match_recognize(
+        DESC_CLAUSE.replace("seq DESC", "seq")
+    )
+    out_asc = cep.match_recognize(
+        df, asc, cep.infer_output_schema(asc, df)
+    ).collect()
+    assert sorted((r["lo_seq"], r["hi_seq"]) for r in out_asc) == [
+        (1, 2), (3, 4),
+    ]
+
+
+def test_desc_order_equals_explicit_preorder():
+    """Property: running the matcher under (g ASC, seq DESC) must
+    equal pre-sorting the rows by that order and matching over an
+    explicit ASC rank column — DESC handling is exactly an ordering
+    concern, never a semantics change. 100 random pattern/data
+    trials over tie-heavy groups."""
+    import random
+
+    rng = random.Random(777)
+    quants = ["", "+", "*", "?", "{1,2}"]
+    for _ in range(100):
+        pat = " ".join(
+            rng.choice(["A", "B", "(A|B)"]) + rng.choice(quants)
+            for _ in range(rng.randint(2, 4))
+        )
+        n = rng.randint(6, 25)
+        rows = [
+            {
+                "k": 1,
+                "g": rng.randint(0, 3),
+                "seq": i,
+                "v": float(rng.randint(0, 9)),
+            }
+            for i in range(n)
+        ]
+        clause = f"""
+          PARTITION BY k ORDER BY g, seq DESC
+          MEASURES COUNT(*) AS n
+          ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          PATTERN ({pat})
+          DEFINE A AS A.v < 5, B AS B.v >= 5
+        """
+        import pandas as pd
+
+        spec = cep.parse_match_recognize(clause)
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        # the batch route's sort (match_recognize.run): pandas
+        # sort_values with the spec's per-column ascending flags
+        pdf = pd.DataFrame(shuffled).sort_values(
+            spec.order_by, ascending=spec.order_asc, kind="mergesort"
+        )
+        got, _ = cep._run_matcher(
+            pdf.to_dict("records"), spec, pdf.reset_index(drop=True)
+        )
+        # reference: explicit python pre-ordering + an ASC rank col
+        ordered = sorted(shuffled, key=lambda r: (r["g"], -r["seq"]))
+        assert pdf.to_dict("records") == ordered, (pat, shuffled)
+        ref_rows = [{**r, "r": i} for i, r in enumerate(ordered)]
+        ref_spec = cep.parse_match_recognize(
+            clause.replace("ORDER BY g, seq DESC", "ORDER BY r")
+        )
+        ref, _ = cep._run_matcher(ref_rows, ref_spec)
+        assert [(s, e) for s, e, _, _ in got] == [
+            (s, e) for s, e, _, _ in ref
+        ], (pat, shuffled)
+
+
 def test_unsupported_surface_is_loud(spark):
     with pytest.raises(ValueError, match="ascending"):
         cep.parse_match_recognize(

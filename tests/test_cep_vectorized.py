@@ -120,6 +120,90 @@ def test_streaming_small_buffer_skips_build():
     assert "A" in _define_bitmaps(big, spec)
 
 
+def test_bitmap_matcher_differential_vs_regex():
+    """The flat-grammar regex differential (test_cep.py runs it with
+    frame=None, where sub-64-row buffers skip the bitmap build)
+    re-run THROUGH the bitmap path: frame passed explicitly bypasses
+    the size gate, so the disjoint value-band defines all vectorize,
+    and every match extent must still equal Python's regex spans
+    under the same SKIP PAST LAST ROW scan. Buffers stay at the flat
+    differential's 8-25 rows — greedy backtracking over wildcard-
+    heavy random patterns is exponential in buffer length, and the
+    bitmap path is fully exercised regardless of size."""
+    import re as _re
+
+    rng = random.Random(4242)
+    quants = ["", "+", "*", "?", "+?", "*?", "??",
+              "{2}", "{2,}", "{1,3}", "{1,3}?"]
+
+    def letter(v):
+        return "a" if v < 3 else ("b" if v < 7 else "c")
+
+    def rand_element():
+        vars_ = rng.sample(["S", "A", "B", "C"], rng.randint(1, 2))
+        q = rng.choice(quants)
+        if len(vars_) == 1:
+            return vars_[0] + q, (vars_[0], q)
+        return "(" + "|".join(vars_) + ")" + q, (tuple(vars_), q)
+
+    def to_regex(vars_, q):
+        def ch(v):
+            return "." if v == "S" else {"A": "a", "B": "b", "C": "c"}[v]
+
+        if isinstance(vars_, str):
+            body = ch(vars_)
+        elif len(vars_) == 1:
+            body = ch(vars_[0])
+        else:
+            body = "(?:" + "|".join(ch(v) for v in vars_) + ")"
+        return body + q
+
+    for _ in range(300):
+        n_el = rng.randint(2, 5)
+        elements = [rand_element() for _ in range(n_el)]
+        if not any(
+            q in ("", "+", "+?", "{2}", "{2,}", "{1,3}", "{1,3}?")
+            for _, (_, q) in elements
+        ):
+            elements[rng.randrange(n_el)] = ("A+", ("A", "+"))
+        pat_txt = " ".join(t for t, _ in elements)
+        regex = _re.compile(
+            "".join(to_regex(v, q) for _, (v, q) in elements)
+        )
+        vals = [
+            float(rng.randint(0, 9)) for _ in range(rng.randint(8, 25))
+        ]
+        text = "".join(letter(v) for v in vals)
+        spec = parse_match_recognize(f"""
+          PARTITION BY k ORDER BY seq
+          MEASURES COUNT(*) AS n
+          ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          PATTERN ({pat_txt})
+          DEFINE A AS A.v < 3, B AS B.v >= 3 AND B.v < 7,
+                 C AS C.v >= 7
+        """)
+        rows = [
+            {"k": 1, "seq": i, "v": v} for i, v in enumerate(vals)
+        ]
+        frame = pd.DataFrame(rows)
+        assert set(cep._define_bitmaps(rows, spec, frame)) == {
+            "A", "B", "C"
+        }
+        got, _ = cep._run_matcher(rows, spec, frame)
+        got_spans = [(s, e) for s, e, _, _ in got]
+        ref_spans, pos = [], 0
+        while pos < len(text):
+            m = regex.match(text, pos)
+            if m and m.end() > m.start():
+                ref_spans.append((m.start(), m.end()))
+                pos = m.end()
+            else:
+                pos += 1
+        assert got_spans == ref_spans, (
+            pat_txt, text, got_spans, ref_spans
+        )
+
+
 def test_full_matcher_identical_with_bitmaps_disabled(monkeypatch):
     """The whole matcher (greedy walk, backtracking, skip modes) over
     a mixed row-local + context-dependent DEFINE set: the vectorized

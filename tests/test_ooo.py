@@ -263,6 +263,62 @@ def test_streaming_match_recognize_buffered_route(spark, tmp_path):
         runner2.execute_script(nowm)
 
 
+def test_streaming_desc_secondary_order_buffered_route(
+    spark, tmp_path
+):
+    """DESC on a secondary ORDER BY column through the FULL streaming
+    path (round 8): four rows share one event time, so the seq-DESC
+    tie order decides the LO→HI adjacencies; a later row advances the
+    watermark (releasing the tied rows through watermark_buffered's
+    sorted release) and itself stays pending until stop-with-drain
+    (exercising the DrainSpec.sort_asc path). DESC pairs (3,2) then
+    the cross-release (1,5); ASC would give (1,2),(3,4)."""
+    rows = [
+        {"k": "a", "ts": "2024-01-01 00:00:10", "seq": 1, "v": 2.0},
+        {"k": "a", "ts": "2024-01-01 00:00:10", "seq": 2, "v": 9.0},
+        {"k": "a", "ts": "2024-01-01 00:00:10", "seq": 3, "v": 1.0},
+        {"k": "a", "ts": "2024-01-01 00:00:10", "seq": 4, "v": 7.0},
+        {"k": "a", "ts": "2024-01-01 00:10:00", "seq": 5, "v": 8.0},
+    ]
+    p = str(tmp_path / "mrdesc")
+    # the tied rows arrive shuffled across two files; the far row's
+    # batch advances the watermark past them
+    _write_files(
+        p, [[rows[3], rows[0]], [rows[2], rows[1]], [rows[4]]]
+    )
+    script = f"""
+        CREATE TABLE mrd_ev (k STRING, ts TIMESTAMP, seq BIGINT,
+          v DOUBLE,
+          WATERMARK FOR ts AS ts - INTERVAL '60' SECOND
+        ) WITH ('connector'='filesystem','path'='{p}',
+                'format'='json','source.max-files-per-trigger'='1');
+        CREATE TABLE mrd_snk (k STRING, lo_seq BIGINT, hi_seq BIGINT)
+          WITH ('connector'='memory');
+        INSERT INTO mrd_snk
+        SELECT k, lo_seq, hi_seq
+        FROM mrd_ev MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts, seq DESC
+          MEASURES FIRST(LO.seq) AS lo_seq, FIRST(HI.seq) AS hi_seq
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (LO HI)
+          DEFINE LO AS LO.v < 5.0, HI AS HI.v >= 5.0
+        );
+        """
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(script)
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(120)
+    got = sorted(
+        (r["lo_seq"], r["hi_seq"])
+        for r in spark.table("mrd_snk").collect()
+    )
+    assert got == [(1, 5), (3, 2)]
+
+
 def test_displace_helper_moves_inside_window():
     """The fixture generator itself: displaced rows stay within the
     window of their origin chunk's max, the max row anchors, and no
