@@ -958,6 +958,57 @@ def test_runner_sql_route_all_rows(spark, tmp_path):
     assert rows == [(2, 2), (3, 3)]
 
 
+def test_runner_sql_route_desc_secondary_order(spark, tmp_path):
+    """DESC secondary ORDER BY through the BATCH runner SQL route:
+    within one g tie-group the scan runs seq-descending, flipping
+    the LO→HI adjacencies vs ASC (same fixture as the operator-API
+    test: DESC pairs (3,2),(1,5))."""
+    import json as _json
+
+    from flink_streaming_platform_web_spark.streaming.runner import (
+        JobRunner,
+    )
+
+    src = tmp_path / "desc_sql"
+    src.mkdir()
+    rows = [
+        ("a", 1, 1, 2.0), ("a", 1, 2, 9.0), ("a", 1, 3, 1.0),
+        ("a", 1, 4, 7.0), ("a", 2, 5, 8.0),
+    ]
+    (src / "t.json").write_text(
+        "\n".join(
+            _json.dumps({"k": k, "g": g, "seq": s, "v": v})
+            for k, g, s, v in rows
+        )
+    )
+    runner = JobRunner(spark, mode="batch")
+    runner.execute_script(
+        f"""
+        CREATE TABLE src_desc (k STRING, g BIGINT, seq BIGINT,
+          v DOUBLE) WITH ('connector'='filesystem','path'='{src}',
+                          'format'='json');
+        CREATE TABLE mr_desc (k STRING, lo_seq BIGINT,
+          hi_seq BIGINT) WITH ('connector'='memory');
+        INSERT INTO mr_desc
+        SELECT k, lo_seq, hi_seq
+        FROM src_desc MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY g, seq DESC
+          MEASURES FIRST(LO.seq) AS lo_seq, FIRST(HI.seq) AS hi_seq
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (LO HI)
+          DEFINE LO AS LO.v < 5.0, HI AS HI.v >= 5.0
+        );
+        """
+    )
+    got = sorted(
+        (r["lo_seq"], r["hi_seq"])
+        for r in spark.table("mr_desc").collect()
+    )
+    assert got == [(1, 5), (3, 2)]
+
+
 def test_matcher_differential_vs_regex():
     """Randomized differential check of the pattern engine: with
     DISJOINT current-row-only defines, each row maps to one letter
