@@ -26,11 +26,14 @@ matcher per key. The supported surface (round 6 completed the Flink
     PATTERN (A (B C)+ (A B | C) PERMUTE(A, B, C))
         -- round 8: NESTED groups (a quantified group repeats its
         -- body as a unit), alternation over sequences (leftmost
-        -- branch preferred), and PERMUTE(...) expanded to the
+        -- branch preferred), and PERMUTE(...) — semantically the
         -- alternation of its permutations in lexicographic order
         -- (original order preferred — Flink docs
-        -- queries/match_recognize §PERMUTE); width capped at 5
-        -- (120 branches), wider raises loudly
+        -- queries/match_recognize §PERMUTE), walked natively as a
+        -- used-set DFS so the pattern never materializes k!
+        -- branches; width capped at 10 as a runtime-safety bound
+        -- (the search is factorial when defines don't
+        -- discriminate), wider raises loudly
     DEFINE  V AS <boolean over V.col / PREV(V.col[, n]) /
                   FIRST(X.col) / LAST(X.col) / literals,
                   AND OR NOT and comparisons/arithmetic>
@@ -38,7 +41,7 @@ matcher per key. The supported surface (round 6 completed the Flink
 Still out (loud ValueError): DESC on the FIRST ordering column
 (Flink requires an ascending time attribute there —
 docs queries/match_recognize §Order of Events), PERMUTE wider
-than 5.
+than 10.
 
 Matching is the standard greedy-with-backtracking NFA walk (matches
 searched from each row in ORDER BY order; quantifiers greedy unless
@@ -337,6 +340,11 @@ def _pattern_vars(pattern) -> set[str]:
         for kind, payload, _ in nodes:
             if kind == "atom":
                 out.add(payload)
+            elif kind == "perm":
+                # payload: list of elems, each elem a branch list
+                for elem in payload:
+                    for branch in elem:
+                        visit(branch)
             else:
                 for branch in payload:
                     visit(branch)
@@ -370,11 +378,13 @@ def _norm_quant(quant: str) -> str:
 
 class PatternAST:
     """Parsed NESTED pattern: ``nodes`` is a sequence of
-    ``('atom', var, quant)`` / ``('alt', branches, quant)`` tuples
-    where each branch is itself a node sequence. Only built when the
-    flat tokenizer cannot express the pattern (nested groups,
-    alternation over sequences, PERMUTE); flat patterns keep the
-    cheap list form and the iterative fast-path matcher."""
+    ``('atom', var, quant)`` / ``('alt', branches, quant)`` /
+    ``('perm', elems, quant)`` tuples where each branch is itself a
+    node sequence and each PERMUTE elem is a branch list (an alt).
+    Only built when the flat tokenizer cannot express the pattern
+    (nested groups, alternation over sequences, PERMUTE); flat
+    patterns keep the cheap list form and the iterative fast-path
+    matcher."""
 
     __slots__ = ("nodes",)
 
@@ -387,10 +397,13 @@ _AST_QUANT = re.compile(
 )
 _AST_WORD = re.compile(r"\s*(\w+)")
 
-# PERMUTE(a,b,...) expands to len! alternation branches; 5! = 120 is
-# the documented cap (Flink's CEP compiles the same expansion and
-# degrades identically on wide PERMUTE)
-_PERMUTE_MAX = 5
+# PERMUTE(a,b,...) is semantically a len!-branch alternation; the
+# walker enumerates the permutations LAZILY (used-set DFS) so the
+# pattern stays O(len) in memory, but with non-discriminating
+# defines the SEARCH is still factorial — cap the width as a
+# runtime-safety bound (Flink's CEP compiles the eager expansion and
+# degrades strictly earlier on wide PERMUTE)
+_PERMUTE_MAX = 10
 
 
 def _parse_pattern_ast(text: str) -> PatternAST:
@@ -402,9 +415,12 @@ def _parse_pattern_ast(text: str) -> PatternAST:
         factor  := (var | '(' alt ')' | PERMUTE '(' alt (',' alt)* ')')
                    quant?
 
-    PERMUTE expands in place to the alternation of its element
-    permutations, original order first (lexicographic — Flink docs
-    queries/match_recognize §PERMUTE)."""
+    PERMUTE parses to a native ('perm', elems, quant) node; the
+    walker enumerates its element permutations lazily in
+    lexicographic order, original order first (Flink docs
+    queries/match_recognize §PERMUTE — semantically identical to
+    the eager alternation expansion, without materializing k!
+    branches)."""
     pos = 0
 
     def error(what: str) -> ValueError:
@@ -474,19 +490,10 @@ def _parse_pattern_ast(text: str) -> PatternAST:
             if len(elems) > _PERMUTE_MAX:
                 raise ValueError(
                     f"MATCH_RECOGNIZE: PERMUTE of {len(elems)}"
-                    f" elements expands to {len(elems)}! branches;"
+                    f" elements searches {len(elems)}! orderings;"
                     f" the supported width is {_PERMUTE_MAX}"
                 )
-            from itertools import permutations
-
-            # each element is an alt (branch list); a permutation is
-            # the concatenation of single-element alt nodes so inner
-            # alternation survives the expansion
-            branches = [
-                [("alt", list(elem), "1") for elem in perm]
-                for perm in permutations(elems)
-            ]
-            return ("alt", branches, quant_of())
+            return ("perm", elems, quant_of())
         return ("atom", word, quant_of())
 
     branches = parse_alt()
@@ -914,6 +921,26 @@ def _run_matcher(
                             return False
                         if ok(payload, a2, i2):
                             return c2(i2 + 1, a2 + [payload])
+                        return False
+                    if kind == "perm":
+                        # lazy permutation walk: orderings enumerate
+                        # lexicographically (original order first) as
+                        # the OUTERMOST choice — one ordering's
+                        # element-internal backtracking is exhausted
+                        # before the next ordering is tried, exactly
+                        # the eager k!-branch alternation expansion's
+                        # preference (Flink docs
+                        # queries/match_recognize §PERMUTE) — but
+                        # only one ordering's node list exists at a
+                        # time, so the pattern stays O(k) in memory
+                        from itertools import permutations
+
+                        for perm in permutations(payload):
+                            if seq_walk(
+                                [("alt", list(el), "1") for el in perm],
+                                0, i2, a2, c2,
+                            ):
+                                return True
                         return False
                     for branch in payload:  # leftmost preferred
                         if seq_walk(branch, 0, i2, a2, c2):

@@ -1160,8 +1160,68 @@ def test_permute_expands_lexicographically():
 def test_permute_too_wide_is_loud():
     import pytest
 
+    # round-8 late: the lazy used-set walk raised the cap 5 → 10
+    # (the eager k!-branch expansion is gone); width 6 now matches
+    assert _spans(
+        [1, 4, 8, 1, 4, 8], "PERMUTE(A, B, C, A, B, C)"
+    ) == [(0, 6)]
     with pytest.raises(ValueError, match="PERMUTE"):
-        _letters_spec("PERMUTE(A, B, C, A, B, C)")
+        _letters_spec("PERMUTE(A, B, C, A, B, C, A, B, C, A, B)")
+
+
+def test_permute_differential_vs_eager_expansion():
+    """The native used-set PERMUTE walk must equal the eager
+    lexicographic alternation expansion it replaced — reference =
+    Python regex over the expansion's branches, leftmost-preferred,
+    under the same SKIP PAST LAST ROW scan. 200 random trials with
+    quantified and alternated elements."""
+    import random
+    import re as _re
+    from itertools import permutations
+
+    rng = random.Random(31337)
+    CH = {"A": "a", "B": "b", "C": "c"}
+
+    def rand_elem():
+        # an element: var, var+quant, or a 2-var alternation
+        r = rng.random()
+        if r < 0.5:
+            v = rng.choice("ABC")
+            return v, CH[v]
+        if r < 0.8:
+            v = rng.choice("ABC")
+            q = rng.choice(["+", "?", "{1,2}"])
+            return v + q, CH[v] + q
+        a, b = rng.sample("ABC", 2)
+        return f"({a}|{b})", f"(?:{CH[a]}|{CH[b]})"
+
+    for _ in range(200):
+        k = rng.randint(2, 4)
+        elems = [rand_elem() for _ in range(k)]
+        pat_txt = "PERMUTE(" + ", ".join(t for t, _ in elems) + ")"
+        # eager expansion reference: alternation of permutations in
+        # lexicographic (original-order-first) order — regex `|`
+        # is leftmost-preferred, the same ordered choice
+        regex = _re.compile(
+            "|".join(
+                "".join(rx for _, rx in perm)
+                for perm in permutations(elems)
+            )
+        )
+        vals = [float(rng.randint(0, 9)) for _ in range(rng.randint(4, 18))]
+        text = "".join(
+            "a" if v < 3 else ("b" if v < 7 else "c") for v in vals
+        )
+        got = _spans(vals, pat_txt)
+        ref, pos = [], 0
+        while pos < len(text):
+            m = regex.match(text, pos)
+            if m and m.end() > m.start():
+                ref.append((m.start(), m.end()))
+                pos = m.end()
+            else:
+                pos += 1
+        assert got == ref, (pat_txt, text, got, ref)
 
 
 def test_nested_differential_vs_regex():
