@@ -119,13 +119,14 @@ _CHECK_FIRST = (
     "q53_match_alternated_sequences",
     "tx14_source_diversity",
     "q54_match_desc_tie_order",
-    # (d) oldest r5-dated entries (vec01 displaced by q54 → r9 set)
+    "q55_match_permute_wide",
+    # (d) oldest r5-dated entries (vec01 and dd14 displaced by
+    # q54/q55 → r9 set)
     "dd05_simhash_signatures",
     "dd06_dup_clusters",
     "dd07_embed_neardup_docs",
     "dd08_simhash_neardup_pairs",
     "dd09_chunk_dedup",
-    "dd14_exact_substr_dup",
 )
 
 

@@ -923,12 +923,56 @@ def _run_matcher(
                             return c2(i2 + 1, a2 + [payload])
                         return False
                     if kind == "perm":
-                        # lazy permutation walk: orderings enumerate
-                        # lexicographically (original order first) as
-                        # the OUTERMOST choice — one ordering's
-                        # element-internal backtracking is exhausted
-                        # before the next ordering is tried, exactly
-                        # the eager k!-branch alternation expansion's
+                        # All-simple-atom PERMUTE (the common case:
+                        # PERMUTE(A, B, C)): every element consumes
+                        # exactly one row with no internal choice, so
+                        # each ordering's search tree is a single
+                        # path and the used-set DFS (try UNUSED
+                        # elements in original order at each step)
+                        # finds the same first match as enumerating
+                        # whole orderings lexicographically — while
+                        # pruning shared prefixes, turning the k!
+                        # scan at non-matching positions into a
+                        # first-row define check.
+                        atoms = [
+                            el[0][0][1]
+                            for el in payload
+                            if len(el) == 1
+                            and len(el[0]) == 1
+                            and el[0][0][0] == "atom"
+                            and el[0][0][2] == "1"
+                        ]
+                        if len(atoms) == len(payload):
+                            k = len(atoms)
+                            full = (1 << k) - 1
+
+                            def pw(used, i3, a3):
+                                nonlocal ran_out
+                                if used == full:
+                                    return c2(i3, a3)
+                                if i3 >= n:
+                                    ran_out = True
+                                    return False
+                                for j in range(k):
+                                    if used & (1 << j):
+                                        continue
+                                    if ok(atoms[j], a3, i3) and pw(
+                                        used | (1 << j),
+                                        i3 + 1,
+                                        a3 + [atoms[j]],
+                                    ):
+                                        return True
+                                return False
+
+                            return pw(0, i2, a2)
+                        # general case (quantified / alternated
+                        # elements — internal choice exists):
+                        # orderings enumerate lexicographically
+                        # (original order first) as the OUTERMOST
+                        # choice — one ordering's element-internal
+                        # backtracking is exhausted before the next
+                        # ordering is tried, exactly the eager
+                        # k!-branch alternation expansion's
                         # preference (Flink docs
                         # queries/match_recognize §PERMUTE) — but
                         # only one ordering's node list exists at a
@@ -1883,6 +1927,92 @@ WHERE value < 30.0 AND v1 >= 60.0
 """
 
 
+# --------------------------------------------------------------------------
+# q55 — PERMUTE at width 6 (round 8, late): past the old eager-
+# expansion cap (5), possible only because the walker enumerates
+# orderings lazily. Six disjoint value bands (integer sextile edges
+# of the events.value distribution: 9/21/35/55/88) must appear in
+# six consecutive rows in ANY order; SKIP TO NEXT ROW keeps every
+# 6-row window independently checkable, so the oracle is a pure
+# 6-step LEAD window. The V0/V5 binding measures + CLASSIFIER()
+# gate which row each band captured and the ordering's last step.
+# --------------------------------------------------------------------------
+
+Q55_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES
+    FIRST(V0.event_id) AS lo_id,
+    FIRST(V5.event_id) AS top_id,
+    CLASSIFIER() AS last_var
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (PERMUTE(V0, V1, V2, V3, V4, V5))
+  DEFINE V0 AS V0.value < 9.0,
+         V1 AS V1.value >= 9.0 AND V1.value < 21.0,
+         V2 AS V2.value >= 21.0 AND V2.value < 35.0,
+         V3 AS V3.value >= 35.0 AND V3.value < 55.0,
+         V4 AS V4.value >= 55.0 AND V4.value < 88.0,
+         V5 AS V5.value >= 88.0
+"""
+
+
+def q55_match_permute_wide(spark, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE PERMUTE at width 6 — 720 orderings, walked
+    lazily (Flink docs queries/match_recognize §PERMUTE; the eager
+    k!-branch expansion would have refused this width). A match is
+    six consecutive rows covering all six disjoint value bands in
+    any order."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    spec = parse_match_recognize(Q55_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q55 = """
+WITH ordered AS (
+  SELECT user_id, event_id,
+         (CASE WHEN value >= 9.0 THEN 1 ELSE 0 END
+        + CASE WHEN value >= 21.0 THEN 1 ELSE 0 END
+        + CASE WHEN value >= 35.0 THEN 1 ELSE 0 END
+        + CASE WHEN value >= 55.0 THEN 1 ELSE 0 END
+        + CASE WHEN value >= 88.0 THEN 1 ELSE 0 END) AS cls,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+win AS (
+  SELECT user_id,
+         event_id AS id0, cls AS c0,
+         LEAD(event_id, 1) OVER w2 AS id1, LEAD(cls, 1) OVER w2 AS c1,
+         LEAD(event_id, 2) OVER w2 AS id2, LEAD(cls, 2) OVER w2 AS c2,
+         LEAD(event_id, 3) OVER w2 AS id3, LEAD(cls, 3) OVER w2 AS c3,
+         LEAD(event_id, 4) OVER w2 AS id4, LEAD(cls, 4) OVER w2 AS c4,
+         LEAD(event_id, 5) OVER w2 AS id5, LEAD(cls, 5) OVER w2 AS c5
+  FROM ordered
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+)
+SELECT user_id,
+       CASE WHEN c0 = 0 THEN id0 WHEN c1 = 0 THEN id1
+            WHEN c2 = 0 THEN id2 WHEN c3 = 0 THEN id3
+            WHEN c4 = 0 THEN id4 ELSE id5 END AS lo_id,
+       CASE WHEN c0 = 5 THEN id0 WHEN c1 = 5 THEN id1
+            WHEN c2 = 5 THEN id2 WHEN c3 = 5 THEN id3
+            WHEN c4 = 5 THEN id4 ELSE id5 END AS top_id,
+       'V' || CAST(c5 AS VARCHAR) AS last_var
+FROM win
+WHERE c5 IS NOT NULL
+  AND c0 + c1 + c2 + c3 + c4 + c5 = 15
+  AND c0 <> c1 AND c0 <> c2 AND c0 <> c3 AND c0 <> c4 AND c0 <> c5
+  AND c1 <> c2 AND c1 <> c3 AND c1 <> c4 AND c1 <> c5
+  AND c2 <> c3 AND c2 <> c4 AND c2 <> c5
+  AND c3 <> c4 AND c3 <> c5 AND c4 <> c5
+"""
+
+
 QUERIES = {
     "q45_match_recognize": q45_match_recognize,
     "q47_match_alternation": q47_match_alternation,
@@ -1893,6 +2023,7 @@ QUERIES = {
     "q52_match_within": q52_match_within,
     "q53_match_alternated_sequences": q53_match_alternated_sequences,
     "q54_match_desc_tie_order": q54_match_desc_tie_order,
+    "q55_match_permute_wide": q55_match_permute_wide,
 }
 ORACLES = {
     "q45_match_recognize": ORACLE_Q45,
@@ -1904,6 +2035,7 @@ ORACLES = {
     "q52_match_within": ORACLE_Q52,
     "q53_match_alternated_sequences": ORACLE_Q53,
     "q54_match_desc_tie_order": ORACLE_Q54,
+    "q55_match_permute_wide": ORACLE_Q55,
 }
 
 

@@ -1169,6 +1169,40 @@ def test_permute_too_wide_is_loud():
         _letters_spec("PERMUTE(A, B, C, A, B, C, A, B, C, A, B)")
 
 
+def test_permute_atom_dfs_equals_general_path():
+    """The all-simple-atom PERMUTE fast path (used-set DFS with
+    prefix pruning) must equal the general ordering-outermost walk.
+    ``PERMUTE((A), (B))`` parses each element as an alt GROUP, which
+    routes the same semantics through the general path — 150 random
+    trials with OVERLAPPING classes (S is undefined → always true),
+    the case where ordering preference decides the binding."""
+    import random
+
+    rng = random.Random(2024)
+    for _ in range(150):
+        k = rng.randint(2, 4)
+        vars_ = [rng.choice(["A", "B", "C", "S"]) for _ in range(k)]
+        fast = "PERMUTE(" + ", ".join(vars_) + ")"
+        slow = "PERMUTE(" + ", ".join(f"({v})" for v in vars_) + ")"
+        vals = [float(rng.randint(0, 9)) for _ in range(rng.randint(4, 16))]
+
+        def run(pattern):
+            spec = cep.parse_match_recognize(f"""
+              PARTITION BY k ORDER BY seq
+              MEASURES COUNT(*) AS n, CLASSIFIER() AS lv
+              ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+              PATTERN ({pattern})
+              DEFINE A AS A.v < 3, B AS B.v >= 3 AND B.v < 7,
+                     C AS C.v >= 7
+            """)
+            got, _ = cep._run_matcher(_matcher_rows(vals), spec)
+            # spans AND the binding-sensitive CLASSIFIER measure
+            return [(s, e, tuple(sorted(o.items())))
+                    for s, e, outs, _ in got for o in outs]
+
+        assert run(fast) == run(slow), (fast, vals)
+
+
 def test_permute_differential_vs_eager_expansion():
     """The native used-set PERMUTE walk must equal the eager
     lexicographic alternation expansion it replaced — reference =
