@@ -1203,6 +1203,41 @@ def test_permute_atom_dfs_equals_general_path():
         assert run(fast) == run(slow), (fast, vals)
 
 
+def test_permute_composes_with_quantifiers_and_groups():
+    """PERMUTE is an ordinary pattern factor: quantified directly,
+    nested inside alternation branches, and inside a bounded nested
+    group — each repetition picks its own ordering."""
+    # one-or-more AB pairs, per-pair order free: ab ba ab
+    assert _spans([1, 4, 4, 1, 1, 4], "PERMUTE(A, B)+") == [(0, 6)]
+    # inside a group alternation (leftmost branch matches here)
+    assert _spans([1, 4, 8], "(PERMUTE(A, B) C | C)") == [(0, 3)]
+    # inside a bounded nested group: exactly two pairs then C
+    assert _spans(
+        [1, 4, 4, 1, 8], "(PERMUTE(A, B)){2} C"
+    ) == [(0, 5)]
+
+
+def test_permute_respects_within():
+    """PATTERN (PERMUTE(...)) WITHIN: the time bound applies to the
+    whole match exactly as for any other pattern."""
+    spec = cep.parse_match_recognize("""
+      PARTITION BY k ORDER BY ts
+      MEASURES COUNT(*) AS n
+      ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (PERMUTE(A, B)) WITHIN INTERVAL '10' SECOND
+      DEFINE A AS A.v < 3, B AS B.v >= 3
+    """)
+    # (b a) spans 5 s → match; the next (a b) spans 20 s → rejected
+    rows = [
+        {"k": 1, "ts": 0.0, "v": 5.0},
+        {"k": 1, "ts": 5.0, "v": 1.0},
+        {"k": 1, "ts": 30.0, "v": 1.0},
+        {"k": 1, "ts": 50.0, "v": 5.0},
+    ]
+    got, _ = cep._run_matcher(rows, spec)
+    assert [(s, e) for s, e, _, _ in got] == [(0, 2)]
+
+
 def test_permute_differential_vs_eager_expansion():
     """The native used-set PERMUTE walk must equal the eager
     lexicographic alternation expansion it replaced — reference =
