@@ -59,3 +59,38 @@ FROM ticks MATCH_RECOGNIZE (
     UP AS UP.price > PREV(UP.price),
     DOWN AS DOWN.price < PREV(DOWN.price)
 );
+
+CREATE TABLE ticks_g (
+  symbol STRING,
+  seq BIGINT,
+  price DOUBLE,
+  grp AS CAST(FLOOR(seq / 3.0) AS BIGINT)
+) WITH (
+  'connector' = 'filesystem',
+  'path' = '${data_dir}/ticks',
+  'format' = 'json'
+);
+
+CREATE TABLE dips (
+  symbol STRING, lo_seq BIGINT, hi_seq BIGINT
+) WITH ('connector' = 'memory');
+
+-- DESC on a SECONDARY ordering column (the first column must stay
+-- ascending — Flink's event-time-attribute rule): within each grp
+-- tie-group the scan runs seq-DESCENDING, so which tick FOLLOWS
+-- which flips vs ASC and different LO→HI adjacencies match
+INSERT INTO dips
+SELECT symbol, lo_seq, hi_seq
+FROM ticks_g MATCH_RECOGNIZE (
+  PARTITION BY symbol
+  ORDER BY grp, seq DESC
+  MEASURES
+    FIRST(LO.seq) AS lo_seq,
+    FIRST(HI.seq) AS hi_seq
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (LO HI)
+  DEFINE
+    LO AS LO.price < 10.0,
+    HI AS HI.price >= 20.0
+);

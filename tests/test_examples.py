@@ -526,3 +526,12 @@ def test_demo12_permute_patterns_runs(spark, tmp_path):
     ]
     # 5→15→8→22→12: two whole up-down pairs from seq 2
     assert osc == [(2, 2)]
+    dips = sorted(
+        (r["lo_seq"], r["hi_seq"])
+        for r in spark.table("dips").collect()
+    )
+    # grp ties scan seq-DESCENDING: grp0 orders (2, 1) so the
+    # 5.0-tick at seq 2 is FOLLOWED by the 25.0-tick at seq 1 —
+    # an adjacency that doesn't exist under ASC (which would pair
+    # (4, 5) instead)
+    assert dips == [(2, 1)]
