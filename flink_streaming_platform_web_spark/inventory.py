@@ -120,13 +120,13 @@ _CHECK_FIRST = (
     "tx14_source_diversity",
     "q54_match_desc_tie_order",
     "q55_match_permute_wide",
-    # (d) oldest r5-dated entries (vec01 and dd14 displaced by
-    # q54/q55 → r9 set)
+    "st21_stream_match_desc",
+    # (d) oldest r5-dated entries (vec01, dd14, dd09 displaced by
+    # q54/q55/st21 → r9 set)
     "dd05_simhash_signatures",
     "dd06_dup_clusters",
     "dd07_embed_neardup_docs",
     "dd08_simhash_neardup_pairs",
-    "dd09_chunk_dedup",
 )
 
 

@@ -1476,7 +1476,121 @@ def st20_stream_match_within(
     )
 
 
+def _events_daybucket_stream(
+    spark: SparkSession, sf_dir: str, tag: str, files: int = 3
+) -> str:
+    """Day-GRANULAR event-time staging for the DESC tie-order entry:
+    the day bucket ``d`` itself is the watermarked column (Flink's
+    time attribute can be any event-time column — here a coarse one,
+    so each (user, day) group is a multi-row TIE the secondary
+    ``event_id DESC`` ordering must break). Files cut on day
+    boundaries, then every chunk's second-to-last day is displaced
+    into the NEXT file (24 h late — inside the 2-day watermark delay
+    the st21 DDL declares), so the buffered front end must reorder
+    whole tie-groups, not just rows. Tail days never pass the
+    watermark and flush via stop-with-drain."""
+    import os
+    import tempfile
+
+    import pandas as _pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_streaming_platform_web_spark.tables import load
+
+    path = (
+        f"{tempfile.gettempdir()}/spark_graft_{tag}_"
+        f"{int(time.time() * 1e6)}"
+    )
+    os.makedirs(path)
+    pdf = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+    )
+    pdf["d"] = pdf["ts"].dt.floor("D")
+    pdf = (
+        pdf.drop(columns=["ts"])
+        .sort_values(["d", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n = len(pdf)
+    cuts = [0]
+    for i in range(1, files):
+        c = i * n // files
+        while c < n and pdf["d"].iloc[c] == pdf["d"].iloc[c - 1]:
+            c += 1
+        cuts.append(c)
+    cuts.append(n)
+    chunks = _displace_across_cuts(
+        [pdf.iloc[cuts[i]:cuts[i + 1]] for i in range(files)],
+        "d",
+        _pd.Timedelta(hours=36),
+    )
+    now = time.time()
+    for i, chunk in enumerate(chunks):
+        tbl = pa.Table.from_pandas(chunk, preserve_index=False)
+        i_d = tbl.schema.get_field_index("d")
+        tbl = tbl.set_column(
+            i_d, "d", tbl.column("d").cast(pa.timestamp("us"))
+        )
+        f = f"{path}/c{i}.parquet"
+        pq.write_table(tbl, f)
+        os.utime(f, (now + i, now + i))
+    return path
+
+
+def st21_stream_match_desc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE with DESC secondary ordering
+    (round 8, late): the q54 shape — scan day-ascending but
+    event_id-DESCENDING within a day, matching a low value
+    immediately followed by a high one — through the runner's SQL
+    route over a day-granular watermarked source with whole
+    tie-groups displaced across micro-batches. Matches can never
+    overlap (the two value bands are disjoint, so candidate pairs
+    never share a row), which makes SKIP PAST LAST ROW equal q54's
+    SKIP TO NEXT ROW and the DuckDB oracle the identical pure LEAD
+    window over the (day ASC, event_id DESC) ordering."""
+    path = _events_daybucket_stream(spark, sf_dir, "st21")
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        f"""
+        CREATE TABLE st21_events (
+          user_id BIGINT, event_id BIGINT, d TIMESTAMP,
+          value DOUBLE,
+          WATERMARK FOR d AS d - INTERVAL '2' DAY
+        ) WITH ('connector' = 'filesystem', 'path' = '{path}',
+                'format' = 'parquet',
+                'source.max-files-per-trigger' = '1');
+        CREATE TABLE st21_sink (
+          user_id BIGINT, lo_id BIGINT, hi_id BIGINT
+        ) WITH ('connector' = 'memory');
+        INSERT INTO st21_sink
+        SELECT user_id, lo_id, hi_id
+        FROM st21_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY d, event_id DESC
+          MEASURES
+            FIRST(LO.event_id) AS lo_id,
+            FIRST(HI.event_id) AS hi_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (LO HI)
+          DEFINE LO AS LO.value < 30.0,
+                 HI AS HI.value >= 60.0
+        );
+        """,
+    )
+    return spark.table("st21_sink").select(
+        "user_id", "lo_id", "hi_id"
+    )
+
+
 QUERIES = {
+    "st21_stream_match_desc": st21_stream_match_desc,
     "st01_stream_tumble_window": st01_stream_tumble_window,
     "st19_stream_match_permute": st19_stream_match_permute,
     "st20_stream_match_within": st20_stream_match_within,
@@ -1523,6 +1637,13 @@ ORACLES = {
         "flink_streaming_platform_web_spark.operators.cep",
         fromlist=["ORACLE_Q52"],
     ).ORACLE_Q52,
+    # st21 converges to exactly q54's batch result: disjoint value
+    # bands make matches overlap-free, so SKIP PAST LAST ROW ==
+    # SKIP TO NEXT ROW and the pure LEAD-window oracle carries over
+    "st21_stream_match_desc": __import__(
+        "flink_streaming_platform_web_spark.operators.cep",
+        fromlist=["ORACLE_Q54"],
+    ).ORACLE_Q54,
     "st09_stream_window_tvf": ORACLE_ST09,
     "st08_stream_cdc_latest": ORACLE_ST08,
     "st07_stream_interval_join": ORACLE_ST07,
