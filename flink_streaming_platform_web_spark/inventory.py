@@ -121,12 +121,12 @@ _CHECK_FIRST = (
     "q54_match_desc_tie_order",
     "q55_match_permute_wide",
     "st21_stream_match_desc",
-    # (d) oldest r5-dated entries (vec01, dd14, dd09 displaced by
-    # q54/q55/st21 → r9 set)
+    "q56_match_running_final",
+    # (d) oldest r5-dated entries (vec01, dd14, dd09, dd08 displaced
+    # by q54/q55/st21/q56 → r9 set)
     "dd05_simhash_signatures",
     "dd06_dup_clusters",
     "dd07_embed_neardup_docs",
-    "dd08_simhash_neardup_pairs",
 )
 
 

@@ -16,7 +16,12 @@ matcher per key. The supported surface (round 6 completed the Flink
     MEASURES  <expr> AS name, ...  -- FIRST/LAST(V.col), COUNT(V.*),
                                    -- COUNT(*), SUM/MIN/MAX/AVG(V.col),
                                    -- CLASSIFIER()
-    ONE ROW PER MATCH | ALL ROWS PER MATCH   -- all-rows = RUNNING
+    ONE ROW PER MATCH | ALL ROWS PER MATCH   -- all-rows = RUNNING;
+                                   -- measures accept an explicit
+                                   -- RUNNING/FINAL prefix (§RUNNING
+                                   -- and FINAL): FINAL sees the
+                                   -- complete match in all-rows
+                                   -- mode, no-op in one-row mode
     AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
                  | SKIP TO FIRST <var> | SKIP TO LAST <var>
     PATTERN (A (B|C)+ D* E? F{2,5})
@@ -94,6 +99,10 @@ class MatchSpec:
     #: attribute — Flink's constraint); secondary columns may be
     #: False (DESC tie ordering within a timestamp).
     order_asc: list[bool] = field(default_factory=list)
+    #: measure names marked FINAL — in ALL ROWS PER MATCH they
+    #: evaluate over the COMPLETE match instead of rows-so-far
+    #: (SQL/RPR RUNNING/FINAL; RUNNING is the all-rows default)
+    final_measures: set[str] = field(default_factory=set)
     skip_past_last: bool = True
     output_schema: str = ""  # filled by match_recognize from a sample
     raw_measures: list[tuple[str, str]] = field(default_factory=list)
@@ -227,6 +236,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         r"(?:(?:ONE|ALL)\s+ROWS?\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN)",
     )
     measures, raw = [], []
+    final_measures: set[str] = set()
     for item in re.split(r",(?![^()]*\))", measures_txt):
         m = re.match(
             r"(.+?)\s+AS\s+`?(\w+)`?\s*$", item.strip(),
@@ -234,8 +244,21 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         )
         if not m:
             raise ValueError(f"MATCH_RECOGNIZE: bad measure {item!r}")
-        measures.append((_xlate(m.group(1)), m.group(2)))
-        raw.append((m.group(1).strip(), m.group(2)))
+        expr, name = m.group(1).strip(), m.group(2)
+        # SQL/RPR RUNNING/FINAL semantics keyword (Flink docs:
+        # queries/match_recognize §RUNNING and FINAL): meaningful in
+        # ALL ROWS PER MATCH, where RUNNING (the default) sees the
+        # rows matched SO FAR and FINAL the complete match; in ONE
+        # ROW PER MATCH every measure evaluates at match completion,
+        # so both keywords are accepted no-ops there.
+        kw = re.match(r"(RUNNING|FINAL)\s+(.+)$", expr,
+                      re.IGNORECASE | re.DOTALL)
+        if kw:
+            if kw.group(1).upper() == "FINAL":
+                final_measures.add(name)
+            expr = kw.group(2).strip()
+        measures.append((_xlate(expr), name))
+        raw.append((expr, name))
     skip_mode, skip_var = "past_last", None
     am = re.search(
         r"AFTER\s+MATCH\s+SKIP\s+(?:"
@@ -312,6 +335,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         partition_by=part,
         order_by=order,
         order_asc=order_asc,
+        final_measures=final_measures,
         measures=measures,
         pattern=pattern,
         define=define,
@@ -1138,14 +1162,23 @@ def _run_matcher(
             if spec.all_rows:
                 # one output row per matched row, measures with
                 # RUNNING semantics (context sees the rows matched so
-                # far — the SQL/RPR default Flink implements)
+                # far — the SQL/RPR default Flink implements);
+                # FINAL-marked measures see the complete match
+                cf = (
+                    _match_ctx(rows, start, assigned)
+                    if spec.final_measures
+                    else None
+                )
                 outs = []
                 for off in range(len(assigned)):
                     c = _match_ctx(rows, start, assigned[: off + 1])
                     row_out = dict(rows[start + off])
                     for code, name in measure_code:
                         row_out[name] = eval(  # noqa: S307
-                            code, {"__builtins__": {}}, c
+                            code, {"__builtins__": {}},
+                            cf
+                            if name in spec.final_measures
+                            else c,
                         )
                     outs.append(row_out)
             else:
@@ -2013,6 +2046,81 @@ WHERE c5 IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# q56 — RUNNING/FINAL measure semantics (round 8, late; Flink docs:
+# queries/match_recognize §RUNNING and FINAL): q48's all-rows streak
+# shape with an explicit RUNNING count next to FINAL aggregates, so
+# every output row carries both the rows-so-far view and the
+# complete-match view. The oracle replays FINAL as full-island
+# window aggregates next to q48's running ones.
+# --------------------------------------------------------------------------
+
+Q56_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts_s, event_id
+  MEASURES
+    RUNNING COUNT(*) AS step_no,
+    FINAL COUNT(*) AS match_len,
+    FINAL LAST(UP.value) AS peak_val
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (STRT UP+)
+  DEFINE UP AS UP.value > PREV(UP.value)
+"""
+
+
+def q56_match_running_final(spark, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE explicit RUNNING/FINAL measures in ALL ROWS
+    PER MATCH: ``RUNNING COUNT(*)`` counts rows so far while ``FINAL
+    COUNT(*)`` / ``FINAL LAST(UP.value)`` are constant per match —
+    the complete-match length and peak stamped onto every row. Same
+    µs-string timestamp carrier as q48."""
+    from flink_streaming_platform_web_spark.operators._portable import (
+        ts_str,
+    )
+    from flink_streaming_platform_web_spark.tables import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        ts_str(F.col("ts")).alias("ts_s"),
+        "value",
+    )
+    spec = parse_match_recognize(Q56_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q56 = """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN value > LAG(value) OVER w THEN 0 ELSE 1 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (
+      PARTITION BY user_id ORDER BY rn) AS island
+  FROM ordered
+),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY user_id, island) AS isl_n
+  FROM isl
+)
+SELECT user_id, event_id, ts_s, value,
+       CAST(ROW_NUMBER() OVER wi AS BIGINT) AS step_no,
+       CAST(isl_n AS BIGINT) AS match_len,
+       LAST_VALUE(value) OVER (
+         PARTITION BY user_id, island ORDER BY rn
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS peak_val
+FROM sized WHERE isl_n >= 2
+WINDOW wi AS (PARTITION BY user_id, island ORDER BY rn)
+"""
+
+
 QUERIES = {
     "q45_match_recognize": q45_match_recognize,
     "q47_match_alternation": q47_match_alternation,
@@ -2024,6 +2132,7 @@ QUERIES = {
     "q53_match_alternated_sequences": q53_match_alternated_sequences,
     "q54_match_desc_tie_order": q54_match_desc_tie_order,
     "q55_match_permute_wide": q55_match_permute_wide,
+    "q56_match_running_final": q56_match_running_final,
 }
 ORACLES = {
     "q45_match_recognize": ORACLE_Q45,
@@ -2036,6 +2145,7 @@ ORACLES = {
     "q53_match_alternated_sequences": ORACLE_Q53,
     "q54_match_desc_tie_order": ORACLE_Q54,
     "q55_match_permute_wide": ORACLE_Q55,
+    "q56_match_running_final": ORACLE_Q56,
 }
 
 

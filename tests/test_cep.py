@@ -280,6 +280,54 @@ def test_desc_order_equals_explicit_preorder():
         ], (pat, shuffled)
 
 
+def test_running_final_measures():
+    """Explicit RUNNING/FINAL measure keywords (Flink docs:
+    queries/match_recognize §RUNNING and FINAL) in ALL ROWS mode:
+    RUNNING sees rows-so-far (the default), FINAL the complete
+    match — constant per match, NULL-free even on the STRT row."""
+    spec = cep.parse_match_recognize("""
+      PARTITION BY k ORDER BY seq
+      MEASURES RUNNING COUNT(*) AS r_n, FINAL COUNT(*) AS f_n,
+               FINAL LAST(U.v) AS f_last, LAST(U.v) AS r_last
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (S U+)
+      DEFINE U AS U.v > PREV(U.v)
+    """)
+    assert spec.final_measures == {"f_n", "f_last"}
+    rows = [
+        {"k": 1, "seq": i, "v": float(v)}
+        for i, v in enumerate([1, 3, 5, 2])
+    ]
+    got, _ = cep._run_matcher(rows, spec)
+    out = [
+        (o["seq"], o["r_n"], o["f_n"], o["f_last"], o["r_last"])
+        for _, _, outs, _ in got
+        for o in outs
+    ]
+    assert out == [
+        (0, 1, 3, 5.0, None),
+        (1, 2, 3, 5.0, 3.0),
+        (2, 3, 3, 5.0, 5.0),
+    ]
+    # ONE ROW PER MATCH: both keywords accepted, both evaluate at
+    # match completion (SQL/RPR: everything is FINAL there)
+    one = cep.parse_match_recognize("""
+      PARTITION BY k ORDER BY seq
+      MEASURES RUNNING COUNT(*) AS n, FINAL LAST(U.v) AS peak
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (S U+)
+      DEFINE U AS U.v > PREV(U.v)
+    """)
+    got1, _ = cep._run_matcher(rows, one)
+    assert [
+        (o["n"], o["peak"])
+        for _, _, outs, _ in got1
+        for o in outs
+    ] == [(3, 5.0)]
+
+
 def test_unsupported_surface_is_loud(spark):
     with pytest.raises(ValueError, match="ascending"):
         cep.parse_match_recognize(
