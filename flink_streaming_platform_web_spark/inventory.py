@@ -122,11 +122,11 @@ _CHECK_FIRST = (
     "q55_match_permute_wide",
     "st21_stream_match_desc",
     "q56_match_running_final",
-    # (d) oldest r5-dated entries (vec01, dd14, dd09, dd08 displaced
-    # by q54/q55/st21/q56 → r9 set)
+    "q57_match_rowtime",
+    # (d) oldest r5-dated entries (vec01, dd14, dd09, dd08, dd07
+    # displaced by q54/q55/st21/q56/q57 → r9 set)
     "dd05_simhash_signatures",
     "dd06_dup_clusters",
-    "dd07_embed_neardup_docs",
 )
 
 

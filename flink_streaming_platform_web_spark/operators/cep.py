@@ -135,6 +135,14 @@ def _xlate(expr: str) -> str:
         r"CLASSIFIER\s*\(\s*\)", "__classifier()", s,
         flags=re.IGNORECASE,
     )
+    # MATCH_ROWTIME() — the event-time attribute (first ORDER BY
+    # column) of the last row mapped so far (Flink docs:
+    # match_recognize §Time attributes; RUNNING semantics under
+    # ALL ROWS, the match's last row in ONE ROW mode)
+    s = re.sub(
+        r"MATCH_ROWTIME\s*\(\s*\)", "__match_rowtime()", s,
+        flags=re.IGNORECASE,
+    )
     # PREV(V.col) / PREV(V.col, n) — relative to the CURRENT row
     s = re.sub(
         r"PREV\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
@@ -584,6 +592,7 @@ def _match_ctx(
     assigned: list[str],
     cur_idx: int | None = None,
     cur_var: str | None = None,
+    ts_col: str | None = None,
 ) -> dict:
     """Evaluation context shared by DEFINE (cur_idx/cur_var set: the
     candidate row under test) and MEASURES (cur unset: bare V.col
@@ -637,6 +646,12 @@ def _match_ctx(
             return cur_var
         return assigned[-1] if assigned else None
 
+    def __match_rowtime():
+        # the event-time attribute of the last row mapped so far
+        if ts_col is None or not assigned:
+            return None
+        return rows[start_idx + len(assigned) - 1][ts_col]
+
     return {
         "__cur": __cur,
         "__prev": __prev,
@@ -644,6 +659,7 @@ def _match_ctx(
         "__last": __last,
         "__agg": __agg,
         "__classifier": __classifier,
+        "__match_rowtime": __match_rowtime,
     }
 
 
@@ -1165,13 +1181,19 @@ def _run_matcher(
                 # far — the SQL/RPR default Flink implements);
                 # FINAL-marked measures see the complete match
                 cf = (
-                    _match_ctx(rows, start, assigned)
+                    _match_ctx(
+                        rows, start, assigned,
+                        ts_col=spec.order_by[0],
+                    )
                     if spec.final_measures
                     else None
                 )
                 outs = []
                 for off in range(len(assigned)):
-                    c = _match_ctx(rows, start, assigned[: off + 1])
+                    c = _match_ctx(
+                        rows, start, assigned[: off + 1],
+                        ts_col=spec.order_by[0],
+                    )
                     row_out = dict(rows[start + off])
                     for code, name in measure_code:
                         row_out[name] = eval(  # noqa: S307
@@ -1182,7 +1204,9 @@ def _run_matcher(
                         )
                     outs.append(row_out)
             else:
-                c = _match_ctx(rows, start, assigned)
+                c = _match_ctx(
+                    rows, start, assigned, ts_col=spec.order_by[0]
+                )
                 row_out = {
                     k: rows[start][k] for k in spec.partition_by
                 }
@@ -1313,6 +1337,12 @@ def infer_output_schema(spec: MatchSpec, df: DataFrame) -> str:
             r"CLASSIFIER\s*\(\s*\)", raw.strip(), re.IGNORECASE
         ):
             parts.append(f"{name} string")
+            continue
+        if re.fullmatch(
+            r"MATCH_ROWTIME\s*\(\s*\)", raw.strip(), re.IGNORECASE
+        ):
+            # the event-time attribute's own type
+            parts.append(f"{name} {src[spec.order_by[0]]}")
             continue
         bare = re.fullmatch(r"(\w+)\.(\w+)", raw.strip())
         if bare:  # bare V.col (= LAST(V.col)) keeps the column type
@@ -2121,6 +2151,70 @@ WINDOW wi AS (PARTITION BY user_id, island ORDER BY rn)
 """
 
 
+# --------------------------------------------------------------------------
+# q57 — MATCH_ROWTIME() (round 8, late; Flink docs:
+# queries/match_recognize §Time attributes): the event-time
+# attribute of the match's last row, the handle Flink gives for
+# chaining windowing onto match results. Ordered by the µs-string
+# carrier, so the measure crosses the hash gate as the same string
+# DuckDB's LEAD produces.
+# --------------------------------------------------------------------------
+
+Q57_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts_s, event_id
+  MEASURES
+    FIRST(LO.event_id) AS lo_id,
+    MATCH_ROWTIME() AS mr
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (LO HI)
+  DEFINE LO AS LO.value < 30.0,
+         HI AS HI.value >= 60.0
+"""
+
+
+def q57_match_rowtime(spark, sf_dir: str) -> DataFrame:
+    """MATCH_ROWTIME() in MEASURES: each low→high adjacency reports
+    the event time of its LAST matched row (the HI row) — in ONE ROW
+    PER MATCH mode that is the match's rowtime, the value Flink
+    exposes for downstream event-time windowing over matches."""
+    from flink_streaming_platform_web_spark.operators._portable import (
+        ts_str,
+    )
+    from flink_streaming_platform_web_spark.tables import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        ts_str(F.col("ts")).alias("ts_s"),
+        "value",
+    )
+    spec = parse_match_recognize(Q57_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q57 = """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+win AS (
+  SELECT user_id, event_id AS lo_id, value,
+         LEAD(value) OVER w2 AS v1,
+         LEAD(ts_s) OVER w2 AS mr
+  FROM ordered WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+)
+SELECT user_id, lo_id, mr
+FROM win
+WHERE value < 30.0 AND v1 >= 60.0
+"""
+
+
 QUERIES = {
     "q45_match_recognize": q45_match_recognize,
     "q47_match_alternation": q47_match_alternation,
@@ -2133,6 +2227,7 @@ QUERIES = {
     "q54_match_desc_tie_order": q54_match_desc_tie_order,
     "q55_match_permute_wide": q55_match_permute_wide,
     "q56_match_running_final": q56_match_running_final,
+    "q57_match_rowtime": q57_match_rowtime,
 }
 ORACLES = {
     "q45_match_recognize": ORACLE_Q45,
@@ -2146,6 +2241,7 @@ ORACLES = {
     "q54_match_desc_tie_order": ORACLE_Q54,
     "q55_match_permute_wide": ORACLE_Q55,
     "q56_match_running_final": ORACLE_Q56,
+    "q57_match_rowtime": ORACLE_Q57,
 }
 
 

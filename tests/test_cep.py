@@ -328,6 +328,31 @@ def test_running_final_measures():
     ] == [(3, 5.0)]
 
 
+def test_match_rowtime_measure():
+    """MATCH_ROWTIME() (Flink docs queries/match_recognize §Time
+    attributes) returns the event-time attribute of the last row
+    mapped so far — RUNNING under ALL ROWS, the match's last row in
+    ONE ROW mode, FINAL-prefixable like any measure."""
+    spec = cep.parse_match_recognize("""
+      PARTITION BY k ORDER BY seq
+      MEASURES MATCH_ROWTIME() AS mr, FINAL MATCH_ROWTIME() AS mrf
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (S U+)
+      DEFINE U AS U.v > PREV(U.v)
+    """)
+    rows = [
+        {"k": 1, "seq": i, "v": float(v)}
+        for i, v in enumerate([1, 3, 5, 2])
+    ]
+    got, _ = cep._run_matcher(rows, spec)
+    assert [
+        (o["seq"], o["mr"], o["mrf"])
+        for _, _, outs, _ in got
+        for o in outs
+    ] == [(0, 0, 2), (1, 1, 2), (2, 2, 2)]
+
+
 def test_unsupported_surface_is_loud(spark):
     with pytest.raises(ValueError, match="ascending"):
         cep.parse_match_recognize(
