@@ -123,10 +123,10 @@ _CHECK_FIRST = (
     "st21_stream_match_desc",
     "q56_match_running_final",
     "q57_match_rowtime",
-    # (d) oldest r5-dated entries (vec01, dd14, dd09, dd08, dd07
-    # displaced by q54/q55/st21/q56/q57 → r9 set)
+    "tx15_top_trigram_chars",
+    # (d) oldest r5-dated entries (vec01, dd14, dd09, dd08, dd07,
+    # dd06 displaced by q54/q55/st21/q56/q57/tx15 → r9 set)
     "dd05_simhash_signatures",
-    "dd06_dup_clusters",
 )
 
 

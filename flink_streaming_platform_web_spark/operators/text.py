@@ -864,8 +864,105 @@ FROM c GROUP BY source
 """
 
 
+# Trigram array built per row — the bigram zip extended one tail
+# further; docs with <3 tokens yield an empty array.
+_TRIGRAMS_EXPR = (
+    "zip_with("
+    " zip_with(slice(toks, 1, size(toks) - 2),"
+    "          slice(toks, 2, size(toks) - 2),"
+    "          (x, y) -> concat(x, ' ', y)),"
+    " slice(toks, 3, size(toks) - 2),"
+    " (xy, z) -> concat(xy, ' ', z))"
+)
+
+
+def _trigram_top() -> "F.Column":
+    """(max multiplicity, argmax trigram) over the row's `trigrams`
+    array — tx07's sorted-array run-length fold extended to carry the
+    ARG: `arg` replaces only on a STRICTLY longer run, so with equal
+    strings adjacent after array_sort the first (lexicographically
+    smallest) max-count trigram wins, matching a
+    (count DESC, trigram ASC) rank. Zero Exchange, whole-stage
+    codegen."""
+    return F.expr(
+        "aggregate(array_sort(trigrams),"
+        " named_struct('prev', cast(null as string), 'run', 0L,"
+        "              'best', 0L, 'arg', cast(null as string)),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', if(x <=> acc.prev, acc.run + 1L, 1L),"
+        "   'best', greatest(acc.best,"
+        "                    if(x <=> acc.prev, acc.run + 1L, 1L)),"
+        "   'arg', if(if(x <=> acc.prev, acc.run + 1L, 1L) > acc.best,"
+        "             x, acc.arg)),"
+        " acc -> named_struct('cnt', acc.best, 'tg', acc.arg))"
+    )
+
+
+def tx15_top_trigram_chars(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gopher's top n-gram CHARACTER fraction at n=3 (Rae et al.
+    2021, repetition filters): the fraction of a document's
+    characters covered by its single most frequent word trigram
+    (count × trigram length / total chars) — the length-weighted
+    repetition signal that catches long boilerplate phrases tx07's
+    occurrence fraction underweights. Same zero-shuffle shape as
+    tx07: trigrams built array-side per row, the (count, argmax)
+    fold runs in whole-stage codegen, integer sufficient statistics
+    then ONE IEEE division (_portable.py rule 2)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.length("text").alias("tot"),
+        F.split("text", " ").alias("toks"),
+    ).filter(F.size("toks") >= 3)
+    tg = t.select(
+        "doc_id", "tot", F.expr(_TRIGRAMS_EXPR).alias("trigrams")
+    )
+    top = tg.select("doc_id", "tot", _trigram_top().alias("t"))
+    covered = F.col("t.cnt") * F.length("t.tg")
+    return top.select(
+        "doc_id",
+        F.col("t.tg").alias("top_tg"),
+        F.col("t.cnt").cast("bigint").alias("cn"),
+        covered.cast("bigint").alias("covered_chars"),
+        (covered.cast("double") / F.col("tot").cast("double")).alias(
+            "char_frac"
+        ),
+    )
+
+
+ORACLE_TX15 = """
+WITH t AS (
+  SELECT doc_id, length(text) AS tot, string_split(text, ' ') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, tot,
+         unnest(list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+           AS tg
+  FROM t WHERE len(toks) >= 3
+), counts AS (
+  SELECT doc_id, tot, tg, COUNT(*) AS n
+  FROM g GROUP BY doc_id, tot, tg
+), top AS (
+  SELECT doc_id, tot, tg, n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n DESC, tg ASC) AS rnk
+  FROM counts
+)
+SELECT doc_id, tg AS top_tg, CAST(n AS BIGINT) AS cn,
+       CAST(n * length(tg) AS BIGINT) AS covered_chars,
+       CAST(n * length(tg) AS DOUBLE) / CAST(tot AS DOUBLE)
+         AS char_frac
+FROM top WHERE rnk = 1
+"""
+
+
 QUERIES = {
     "tx01_langid": tx01_langid,
+    "tx15_top_trigram_chars": tx15_top_trigram_chars,
     "tx13_bigram_novelty": tx13_bigram_novelty,
     "tx14_source_diversity": tx14_source_diversity,
     "tx11_idf_table": tx11_idf_table,
@@ -883,6 +980,7 @@ QUERIES = {
 
 ORACLES = {
     "tx01_langid": ORACLE_TX01,
+    "tx15_top_trigram_chars": ORACLE_TX15,
     "tx13_bigram_novelty": ORACLE_TX13,
     "tx14_source_diversity": ORACLE_TX14,
     "tx11_idf_table": ORACLE_TX11,

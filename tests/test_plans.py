@@ -231,6 +231,21 @@ def test_tx07_bigram_repetition_zero_shuffle(spark, sf_dir):
     assert "Python" not in plan
 
 
+def test_tx15_top_trigram_chars_zero_shuffle(spark, sf_dir):
+    """tx15 is a per-document statistic like tx07: the trigram
+    histogram and its argmax are computed array-side (sorted-array
+    run-length fold carrying the arg), so the plan must stay a pure
+    scan rewrite — no Exchange, no Python."""
+    from flink_streaming_platform_web_spark.operators.text import (
+        tx15_top_trigram_chars,
+    )
+    from flink_streaming_platform_web_spark.plans import executed_plan
+
+    plan = executed_plan(tx15_top_trigram_chars(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
 def test_tx10_quality_filter_zero_shuffle(spark, sf_dir):
     """tx10 used to left-join tx07's per-doc agg back onto documents —
     a self-shuffle of the same scan. With tx07 per-row, the repetition
