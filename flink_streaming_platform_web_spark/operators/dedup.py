@@ -835,17 +835,22 @@ def dd13_jaccard_prefix_filter(
     ).select("doc_id", "shingle")
     a = prefix.alias("a")
     b = prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
+    # NO distinct here: pairs sharing several prefix shingles appear
+    # multiply, but measured dup factor is ~5% (430k → 409k at
+    # sf0.1) — deduping the candidate stream costs a full
+    # candidate-sized exchange to save 5% of the verify volume.
+    # Verification is deterministic per pair, so duplicates collapse
+    # in the FINAL distinct over the (tiny) surviving pair set —
+    # replacing a 409k-row shuffle with a ~256-row one at sf0.1, and
+    # at 100 TB removing the only candidate-cardinality exchange
+    # between discovery and verify.
+    cand = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
     )
     sets = _doc_shingle_arrays(spark, sf_dir)
     sa = sets.select(
@@ -873,7 +878,7 @@ def dd13_jaccard_prefix_filter(
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    return verified.select("doc_a", "doc_b", "jaccard").distinct()
 
 
 ORACLE_DD13 = f"""
