@@ -30,7 +30,8 @@ def main() -> None:
     args = sys.argv[1:]
     mode = "agg"
     if args and args[0] in (
-        "rank", "over", "over_buffered", "temporal", "cep"
+        "rank", "over", "over_buffered", "temporal", "cep",
+        "cep_coarse",
     ):
         mode = args[0]
         args = args[1:]
@@ -122,6 +123,41 @@ def main() -> None:
             keyed, spec, "k bigint, n bigint, bsum bigint",
             buffered=True,
         )
+    elif mode == "cep_coarse":
+        from flink_streaming_platform_web_spark.operators.cep import (
+            parse_match_recognize,
+            stream_match_recognize,
+        )
+
+        # the st21 shape: COARSE event time (2-second buckets) with a
+        # DESC secondary sort — whole multi-row tie-groups sit in the
+        # pending buffer and release at one watermark tick, the
+        # burstiest release pattern the buffered front end has
+        # (~2·rps/1000 rows per key-bucket at the offered rate)
+        bucket = (
+            (F.col("timestamp").cast("long") - F.col("timestamp")
+             .cast("long") % 2).cast("timestamp")
+        )
+        keyed = src.select(
+            (F.col("value") % 1000).alias("k"),
+            bucket.alias("ts"),
+            F.col("value").alias("v"),
+        ).withWatermark("ts", "5 seconds")
+        spec = parse_match_recognize(
+            """
+            PARTITION BY k
+            ORDER BY ts, v DESC
+            MEASURES COUNT(*) AS n, SUM(B.v) AS bsum
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE B AS B.v <= FIRST(A.v)
+            """
+        )
+        agg = stream_match_recognize(
+            keyed, spec, "k bigint, n bigint, bsum bigint",
+            buffered=True,
+        )
     elif mode == "temporal":
         from flink_streaming_platform_web_spark.streaming.temporal import (
             event_time_temporal_join,
@@ -162,7 +198,8 @@ def main() -> None:
         # the window agg emit updates
         .outputMode(
             "append"
-            if mode in ("over", "over_buffered", "temporal", "cep")
+            if mode in ("over", "over_buffered", "temporal", "cep",
+                        "cep_coarse")
             else "update"
         )
         .trigger(processingTime="1 second")
@@ -196,6 +233,7 @@ def main() -> None:
                     "over_buffered": "rate_over_buffered_throughput",
                     "temporal": "rate_temporal_join_throughput",
                     "cep": "rate_cep_buffered_throughput",
+                    "cep_coarse": "rate_cep_coarse_tie_throughput",
                     "agg": "rate_window_agg_throughput",
                 }[mode],
                 "rows_processed": rows,
