@@ -32,6 +32,18 @@ _FN_REWRITES: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"\bLOCALTIMESTAMP\b(?!\()", re.IGNORECASE), "localtimestamp()"),
     (re.compile(r"\bNOW\s*\(\s*\)", re.IGNORECASE), "current_timestamp()"),
     # Flink CURRENT_TIMESTAMP is ltz; Spark's matches under UTC session tz
+    # Flink's one-arg LISTAGG(x) joins with ',' (docs:
+    # functions/systemfunctions); Spark's listagg(x) concatenates
+    # bare — inject Flink's default separator. Two-arg forms pass
+    # through untouched (the signatures match). Conservative match:
+    # a simple (optionally DISTINCT) column argument only.
+    (
+        re.compile(
+            r"\bLISTAGG\s*\(\s*((?:DISTINCT\s+)?[\w.`]+)\s*\)",
+            re.IGNORECASE,
+        ),
+        r"listagg(\1, ',')",
+    ),
 ]
 
 

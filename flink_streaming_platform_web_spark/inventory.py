@@ -124,9 +124,10 @@ _CHECK_FIRST = (
     "q56_match_running_final",
     "q57_match_rowtime",
     "tx15_top_trigram_chars",
-    # (d) oldest r5-dated entries (vec01, dd14, dd09, dd08, dd07,
-    # dd06 displaced by q54/q55/st21/q56/q57/tx15 → r9 set)
-    "dd05_simhash_signatures",
+    "q58_listagg",
+    # the (d) oldest-r5 slots are fully displaced by the eight late
+    # entries (q54/q55/st21/q56/q57/tx15/q58 + the dd11 re-pin):
+    # vec01, dd14, dd09, dd08, dd07, dd06, dd05 → the named r9 set
 )
 
 

@@ -97,14 +97,53 @@ FROM documents
 """
 
 
+def q58_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's LISTAGG string aggregate (docs: functions/system
+    functions) — Spark 4 ships ``listagg`` natively with the same
+    two-arg signature; the one-arg Flink form defaults the separator
+    to ',' via the translate_expr rewrite (flink_compat.py). The
+    deterministic entry pins the ordered form against DuckDB's
+    string_agg: per source, the comma-joined sorted list of that
+    source's distinct languages. (Distinctness comes from a
+    pre-aggregated subquery: Spark 4.1's ``listagg(DISTINCT x, sep)
+    WITHIN GROUP`` next to another distinct aggregate hits a
+    ClassCastException in ListAgg.withNewChildrenInternal — the
+    subquery form is also the plan that scales, one exchange for
+    both aggregates.)"""
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "q58_documents"
+    )
+    return spark.sql(
+        """
+        SELECT source,
+               listagg(lang, ',')
+                 WITHIN GROUP (ORDER BY lang) AS langs,
+               COUNT(*) AS n_langs
+        FROM (SELECT DISTINCT source, lang FROM q58_documents)
+        GROUP BY source
+        """
+    )
+
+
+ORACLE_Q58 = """
+SELECT source,
+       string_agg(lang, ',' ORDER BY lang) AS langs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs
+FROM (SELECT DISTINCT source, lang FROM documents)
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q33_flink_datetime_compat": q33_flink_datetime_compat,
     "q34_udf_json_bucket": q34_udf_json_bucket,
     "q37_flink_builtin_suite": q37_flink_builtin_suite,
+    "q58_listagg": q58_listagg,
 }
 
 ORACLES = {
     "q33_flink_datetime_compat": ORACLE_Q33,
     "q34_udf_json_bucket": ORACLE_Q34,
     "q37_flink_builtin_suite": ORACLE_Q37,
+    "q58_listagg": ORACLE_Q58,
 }
