@@ -210,8 +210,37 @@ def datagen_batch(spark: SparkSession, table: TableDef) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_AVRO_PROVIDER = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+def resolve_fs_format(spark: SparkSession, fmt: str) -> str:
+    """Map a Flink format name to the Spark provider to use. Avro is
+    the special case: the 'avro' SHORT name is only registered by the
+    external spark-avro artifact's service file, but the pyspark
+    assembly carries the implementation classes themselves — when the
+    provider class loads, route through its full class name (LIVE
+    avro read/write with no extra jar); when it genuinely is not on
+    the classpath, fail LOUDLY at plan-build time instead of Spark's
+    generic first-action 'failed to find data source' (the kafka
+    broker jar's ConnectorUnavailable contract)."""
+    if fmt != "avro":
+        return fmt
+    try:
+        spark._jvm.java.lang.Class.forName(_AVRO_PROVIDER)
+        return _AVRO_PROVIDER
+    except Exception:
+        raise ConnectorUnavailable(
+            "format 'avro' needs the spark-avro module"
+            " (external since Spark 2.4) on the classpath —"
+            " submit with --packages org.apache.spark:"
+            "spark-avro_2.13:<spark-version>"
+        ) from None
+
+
 def filesystem_batch(spark: SparkSession, table: TableDef) -> DataFrame:
-    fmt = table.options.get("format", "parquet")
+    fmt = resolve_fs_format(
+        spark, table.options.get("format", "parquet")
+    )
     reader = spark.read.format(fmt)
     if fmt in ("csv", "json"):
         reader = reader.schema(table.schema_ddl())
@@ -222,7 +251,9 @@ def filesystem_batch(spark: SparkSession, table: TableDef) -> DataFrame:
 
 
 def filesystem_stream(spark: SparkSession, table: TableDef) -> DataFrame:
-    fmt = table.options.get("format", "parquet")
+    fmt = resolve_fs_format(
+        spark, table.options.get("format", "parquet")
+    )
     reader = (
         spark.readStream.format(fmt)
         .schema(table.schema_ddl())

@@ -527,8 +527,15 @@ class JobRunner:
                 elif c == "filesystem":
                     # streaming overwrite was rejected upstream —
                     # every micro-batch appends
+                    from flink_streaming_platform_web_spark.sources.registry import (  # noqa: E501
+                        resolve_fs_format,
+                    )
+
                     w = out.write.format(
-                        sink.options.get("format", "parquet")
+                        resolve_fs_format(
+                            self.spark,
+                            sink.options.get("format", "parquet"),
+                        )
                     )
                     if sink.partitioned_by:
                         w = w.partitionBy(*sink.partitioned_by)
@@ -682,7 +689,16 @@ class JobRunner:
                 out.write.format("noop").mode("overwrite").save()
             elif sink.connector == "filesystem":
                 # streaming overwrite rejected upstream — append only
-                w = out.write.format(sink.options.get("format", "parquet"))
+                from flink_streaming_platform_web_spark.sources.registry import (  # noqa: E501
+                    resolve_fs_format,
+                )
+
+                w = out.write.format(
+                    resolve_fs_format(
+                        self.spark,
+                        sink.options.get("format", "parquet"),
+                    )
+                )
                 if sink.partitioned_by:
                     w = w.partitionBy(*sink.partitioned_by)
                 w.mode("append").save(sink.options["path"])
@@ -2052,7 +2068,15 @@ class JobRunner:
             df.write.format("noop").mode("overwrite").save()
             result.batch_results[sink.name] = -1
         elif c == "filesystem":
-            writer = df.write.format(sink.options.get("format", "parquet"))
+            from flink_streaming_platform_web_spark.sources.registry import (  # noqa: E501
+                resolve_fs_format,
+            )
+
+            writer = df.write.format(
+                resolve_fs_format(
+                    self.spark, sink.options.get("format", "parquet")
+                )
+            )
             if sink.partitioned_by:
                 writer = writer.partitionBy(*sink.partitioned_by)
             writer.mode("overwrite" if job.overwrite else "append").save(

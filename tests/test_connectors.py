@@ -44,6 +44,66 @@ def test_jdbc_option_mapping():
     }
 
 
+def test_filesystem_avro_roundtrip(spark, tmp_path):
+    """Flink's avro format LIVE: the 'avro' short name is only
+    registered by the external spark-avro artifact's service file,
+    but the pyspark assembly carries the implementation classes —
+    resolve_fs_format routes through the provider's full class name,
+    so an avro filesystem SINK then SOURCE work end to end through
+    the runner with no extra jar (a truly class-less deployment gets
+    the loud ConnectorUnavailable instead)."""
+    from flink_streaming_platform_web_spark.sources.registry import (
+        resolve_fs_format,
+    )
+    from flink_streaming_platform_web_spark.streaming.runner import (
+        JobRunner,
+    )
+
+    assert resolve_fs_format(spark, "avro").endswith("AvroFileFormat")
+    assert resolve_fs_format(spark, "parquet") == "parquet"
+    src = tmp_path / "av_src"
+    src.mkdir()
+    (src / "t.json").write_text(
+        '{"a": 1, "s": "x"}\n{"a": 2, "s": "y"}\n'
+    )
+    runner = JobRunner(spark, mode="batch")
+    runner.execute_script(
+        f"""
+        CREATE TABLE av_in (a BIGINT, s STRING)
+          WITH ('connector'='filesystem','path'='{src}',
+                'format'='json');
+        CREATE TABLE av_out (a BIGINT, s STRING)
+          WITH ('connector'='filesystem','path'='{tmp_path}/av_out',
+                'format'='avro');
+        INSERT INTO av_out SELECT a, upper(s) AS s FROM av_in;
+        """
+    )
+    t = parse_create_table(
+        f"""CREATE TABLE av_rd (a BIGINT, s STRING) WITH
+            ('connector'='filesystem', 'path'='{tmp_path}/av_out',
+             'format'='avro')"""
+    )
+    got = sorted(
+        (r["a"], r["s"]) for r in filesystem_batch(spark, t).collect()
+    )
+    assert got == [(1, "X"), (2, "Y")]
+    # streaming read of the same avro files
+    sdf = filesystem_stream(spark, t)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("av_mem")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got_s = sorted(
+        (r["a"], r["s"]) for r in spark.table("av_mem").collect()
+    )
+    assert got_s == [(1, "X"), (2, "Y")]
+
+
 def test_filesystem_roundtrip_batch(spark, tmp_path):
     path = f"{tmp_path}/fs"
     spark.range(10).selectExpr("id AS a").write.parquet(path)
