@@ -220,7 +220,10 @@ def parse_match_recognize(clause: str) -> MatchSpec:
     order_txt = grab("ORDER\\s+BY", "MEASURES")
     order, order_asc = [], []
     for c in order_txt.split(","):
-        c = c.strip().strip("`")
+        # strip the trailing ASC/DESC keyword FIRST, then backticks —
+        # the other way round leaves a trailing backtick on a quoted
+        # column with an explicit direction (`col` DESC → "col`")
+        c = c.strip()
         if re.search(r"\sDESC$", c, re.IGNORECASE):
             if not order:
                 # Flink: the first ordering field must be an
@@ -235,7 +238,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         else:
             order_asc.append(True)
             c = re.sub(r"\s+ASC$", "", c, flags=re.IGNORECASE)
-        order.append(c)
+        order.append(c.strip().strip("`"))
     all_rows = bool(
         re.search(r"ALL\s+ROWS\s+PER\s+MATCH", clause, re.IGNORECASE)
     )
@@ -713,6 +716,11 @@ class _VecXform(ast.NodeTransformer):
     def __init__(self, var: str):
         self.var = var
         self.cols: set[str] = set()
+        # deepest PREV offset — head rows [0, max_shift) see None
+        # scalar-side but NaN elementwise, whose ==/!= semantics
+        # differ (None == None is True, NaN == NaN is False), so the
+        # bitmap builder re-evaluates those rows on the scalar path
+        self.max_shift = 0
 
     def visit_Call(self, node):
         fn = node.func.id if isinstance(node.func, ast.Name) else None
@@ -729,6 +737,8 @@ class _VecXform(ast.NodeTransformer):
             )
         if fn == "__prev":
             self.cols.add(node.args[0].value)
+            k = node.args[1].value if len(node.args) > 1 else 1
+            self.max_shift = max(self.max_shift, int(k))
             return ast.Call(
                 func=ast.Name("__shift", ast.Load()),
                 args=[self.visit(a) for a in node.args], keywords=[],
@@ -806,7 +816,11 @@ def _vector_define(src: str, var: str):
         xf = _VecXform(var)
         tree = xf.visit(tree)
         ast.fix_missing_locations(tree)
-        return compile(tree, "<vecdefine>", "eval"), frozenset(xf.cols)
+        return (
+            compile(tree, "<vecdefine>", "eval"),
+            frozenset(xf.cols),
+            xf.max_shift,
+        )
     except (_VecReject, SyntaxError):
         return None
 
@@ -848,7 +862,7 @@ def _define_bitmaps(rows, spec: MatchSpec, frame=None) -> dict:
 
     n = len(frame)
     out = {}
-    for var, (code, cols) in vec.items():
+    for var, (code, cols, max_shift) in vec.items():
         if any(
             c not in frame.columns or frame[c].dtype == object
             for c in cols
@@ -860,9 +874,27 @@ def _define_bitmaps(rows, spec: MatchSpec, frame=None) -> dict:
                 {"__col": __col, "__shift": __shift},
             )
             if isinstance(r, pd.Series):
-                out[var] = r.fillna(False).to_numpy(dtype=bool)
+                bm = r.fillna(False).to_numpy(dtype=bool)
             else:  # constant-folded define
-                out[var] = np.full(n, bool(r))
+                bm = np.full(n, bool(r))
+            if max_shift:
+                # head rows see None from __prev scalar-side but NaN
+                # elementwise; ==/!= between two such terms diverge
+                # (None == None True vs NaN == NaN False). Replay the
+                # scalar evaluator on those rows so the bitmap stays
+                # bit-for-bit exact.
+                scode = compile(spec.define[var], "<define>", "eval")
+                for i in range(min(max_shift, n)):
+                    try:
+                        bm[i] = bool(
+                            eval(  # noqa: S307 — same subset
+                                scode, {"__builtins__": {}},
+                                _match_ctx(rows, i, [], i, var),
+                            )
+                        )
+                    except TypeError:
+                        bm[i] = False
+            out[var] = bm
         except Exception:
             continue  # build failure → scalar path, same answers
     return out

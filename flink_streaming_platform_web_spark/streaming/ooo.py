@@ -202,11 +202,52 @@ def watermark_buffered(
     )
 
 
+def _buffered_operator_id(
+    spark: SparkSession, checkpoint_loc: str
+) -> "int | None":
+    """Resolve the ``watermark_buffered`` operator's id from the
+    checkpoint's state metadata instead of assuming 0: the runner
+    replays the user's outer SELECT around the buffered view, and if
+    that adds another stateful operator (GROUP BY, dedup, …) the
+    buffered ``applyInPandasWithState`` may not be the first operator
+    in the plan — reading operator 0's state would then unpickle
+    garbage or fail on the groupState column. Returns None when the
+    metadata reader has nothing (no committed batch); raises when the
+    plan holds more than one applyInPandasWithState operator (ambiguous
+    — drain cannot guess which one carries the buffer)."""
+    try:
+        ops = (
+            spark.read.format("state-metadata")
+            .load(checkpoint_loc)
+            .select("operatorId", "operatorName")
+            .distinct()
+            .collect()
+        )
+    except Exception:
+        return None  # no committed batch → no state metadata
+    cands = [
+        int(r.operatorId)
+        for r in ops
+        if r.operatorName == "applyInPandasWithState"
+    ]
+    if len(cands) == 1:
+        return cands[0]
+    if not cands:
+        return None
+    raise ValueError(
+        "stop-with-drain: checkpoint holds"
+        f" {len(cands)} applyInPandasWithState operators"
+        f" (ids {sorted(cands)}) — cannot resolve which one is the"
+        " watermark buffer; stop without drain"
+        " (SET graft.stop.drain = false) and restart instead"
+    )
+
+
 def drain_pending(
     spark: SparkSession,
     checkpoint_loc: str,
     spec: DrainSpec,
-    operator_id: int = 0,
+    operator_id: "int | None" = None,
 ) -> "DataFrame | None":
     """Flink's MAX_WATERMARK / ``stop --drain`` analog for a stopped
     ``watermark_buffered`` query: read the operator's last committed
@@ -222,6 +263,10 @@ def drain_pending(
 
     from pyspark.sql import functions as F
 
+    if operator_id is None:
+        operator_id = _buffered_operator_id(spark, checkpoint_loc)
+        if operator_id is None:
+            return None  # no committed batch → nothing pending
     try:
         st = (
             spark.read.format("statestore")
@@ -230,6 +275,18 @@ def drain_pending(
         )
     except Exception:
         return None  # no committed batch → no state → nothing pending
+    # schema guard: the buffered operator's state is the single binary
+    # field "s" — anything else means the resolved operator is NOT the
+    # watermark buffer, and unpickling it would yield garbage
+    gs = st.schema["value"].dataType["groupState"].dataType
+    if [f.name for f in gs.fields] != ["s"] or (
+        gs["s"].dataType.typeName() != "binary"
+    ):
+        raise ValueError(
+            f"stop-with-drain: operator {operator_id} state schema is"
+            f" {gs.simpleString()}, not the watermark buffer's"
+            " (s binary) — refusing to unpickle foreign state"
+        )
     # resolve the schema's field names once, driver-side (out_schema
     # may be a DDL string)
     struct = (

@@ -154,6 +154,11 @@ class JobRunner:
         # fan-out/replan foreachBatch paths (append semantics parity
         # with the default path's format("memory") sink)
         self._memory_rows: dict[str, list] = {}
+        # memory/console sinks are DEBUG channels (the reference's
+        # print connector) that collect to the driver — cap them so a
+        # big stream pointed at one fails loudly instead of OOMing the
+        # driver (SET graft.memory-sink.max-rows; 0 = uncapped)
+        self._memory_max_rows = 100_000
         # Flink catalog name → Spark catalog name (CREATE CATALOG maps
         # 'hive' catalogs onto the session's hive-enabled spark_catalog;
         # Spark catalogs are session-static plugins, not DDL-creatable)
@@ -863,6 +868,9 @@ class JobRunner:
             # checkpoint stays resumable — pending rows emit on the
             # resumed run's eventual drained stop)
             self._stop_drain = val.strip().lower() != "false"
+        elif key == "graft.memory-sink.max-rows":
+            # debug-sink driver-collect cap (0 disables the guard)
+            self._memory_max_rows = int(val)
         elif key == "graft.topn.state-ttl-batches":
             # rank-state eviction: drop a rank PARTITION's state after
             # N batches without updates (the watermark-eviction proxy
@@ -1657,8 +1665,24 @@ class JobRunner:
         accumulate=True (the per-micro-batch fan-out/replan callers)
         APPENDS across batches like the default path's
         format("memory") sink — replacing per batch kept only the
-        last micro-batch's rows."""
-        rows = out.collect()
+        last micro-batch's rows. Guarded by the debug-sink row cap
+        (``SET graft.memory-sink.max-rows``): memory is a
+        driver-resident debug channel, and an unbounded stream pointed
+        at one must fail loudly, not OOM the driver silently."""
+        cap = self._memory_max_rows
+        held = len(self._memory_rows.get(sink.name, ())) if accumulate else 0
+        if cap:
+            rows = out.limit(cap - held + 1).collect()
+            if held + len(rows) > cap:
+                raise ValueError(
+                    f"memory sink {sink.name!r} exceeded"
+                    f" {cap} rows — memory/print are driver-resident"
+                    " DEBUG sinks; raise `SET"
+                    " graft.memory-sink.max-rows` (0 = uncapped) or"
+                    " write to a filesystem/jdbc/kafka sink"
+                )
+        else:
+            rows = out.collect()
         if accumulate:
             acc = self._memory_rows.setdefault(sink.name, [])
             acc.extend(rows)
@@ -1801,7 +1825,15 @@ class JobRunner:
             # at-least-once, the same contract Flink gives
             # non-transactional file sinks on drain.
             self._collapse_sink_manifest(sink.options["path"])
-            w = df.write.format(sink.options.get("format", "parquet"))
+            from flink_streaming_platform_web_spark.sources.registry import (  # noqa: E501
+                resolve_fs_format,
+            )
+
+            w = df.write.format(
+                resolve_fs_format(
+                    self.spark, sink.options.get("format", "parquet")
+                )
+            )
             if sink.partitioned_by:
                 w = w.partitionBy(*sink.partitioned_by)
             w.mode("append").save(sink.options["path"])
@@ -2176,8 +2208,17 @@ class JobRunner:
                 .outputMode("complete" if _is_aggregated(df) else "append")
             )
         elif c == "filesystem":
+            from flink_streaming_platform_web_spark.sources.registry import (  # noqa: E501
+                resolve_fs_format,
+            )
+
             writer = (
-                df.writeStream.format(sink.options.get("format", "parquet"))
+                df.writeStream.format(
+                    resolve_fs_format(
+                        self.spark,
+                        sink.options.get("format", "parquet"),
+                    )
+                )
                 .option("path", sink.options["path"])
                 .outputMode("append")
             )

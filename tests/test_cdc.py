@@ -8,7 +8,7 @@ import json
 
 from flink_streaming_platform_web_spark.streaming.cdc import (
     decode_debezium,
-    foreach_batch_apply_changelog,
+    _scaffold_apply_changelog,
     materialize_latest,
 )
 from flink_streaming_platform_web_spark.streaming.upsert import KeyedStore
@@ -56,7 +56,7 @@ def test_decode_debezium_envelope(spark):
 
 def test_changelog_apply_converges(spark):
     store = KeyedStore(["id"])
-    foreach_batch_apply_changelog(store)(_decoded(spark), 0)
+    _scaffold_apply_changelog(store)(_decoded(spark), 0)
     got = {
         k[0]: (v["name"], v["description"]) for k, v in store.rows.items()
     }
@@ -67,7 +67,7 @@ def test_changelog_apply_is_replay_idempotent(spark):
     """EXACTLY_ONCE analog: re-delivering the same batch must not
     change the converged state (SURVEY §7.3 sink idempotency)."""
     store = KeyedStore(["id"])
-    apply = foreach_batch_apply_changelog(store)
+    apply = _scaffold_apply_changelog(store)
     batch = _decoded(spark)
     apply(batch, 0)
     apply(batch, 0)  # replay
@@ -296,3 +296,28 @@ def test_kafka_maxwell_stream_latest_state(spark, tmp_path):
         for r in runner.upsert_stores["snap_mx"].to_df(spark).collect()
     }
     assert got == {1: "a2"}
+
+
+def test_runner_route_never_uses_the_driver_loop_scaffold():
+    """VERDICT r8 item 4: `_scaffold_apply_changelog` loops collect()
+    rows on the driver and exists ONLY as the differential twin of the
+    StateTable merge. No package-internal code may call it — the
+    runner's CDC route must resolve to foreach_batch_merge_changelog."""
+    import pathlib
+
+    import flink_streaming_platform_web_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    hits = []
+    for py in root.rglob("*.py"):
+        text = py.read_text()
+        for i, line in enumerate(text.splitlines(), 1):
+            if (
+                "_scaffold_apply_changelog(" in line
+                and "def _scaffold_apply_changelog" not in line
+            ):
+                hits.append(f"{py.relative_to(root)}:{i}")
+    assert hits == [], f"production caller(s) of the scaffold: {hits}"
+    # and the runner route references the StateTable merge
+    runner_src = (root / "streaming" / "runner.py").read_text()
+    assert "foreach_batch_merge_changelog" in runner_src

@@ -11,7 +11,7 @@ import json
 
 from flink_streaming_platform_web_spark.streaming.cdc import (
     decode_debezium,
-    foreach_batch_apply_changelog,
+    _scaffold_apply_changelog,
 )
 from flink_streaming_platform_web_spark.streaming.upsert import KeyedStore
 
@@ -71,7 +71,7 @@ SHIPMENT_OPS = [
 def _apply(spark, ops, ddl, keys) -> KeyedStore:
     raw = spark.createDataFrame([(v,) for v in ops], "value STRING")
     store = KeyedStore(keys)
-    foreach_batch_apply_changelog(store)(decode_debezium(raw, ddl), 0)
+    _scaffold_apply_changelog(store)(decode_debezium(raw, ddl), 0)
     return store
 
 

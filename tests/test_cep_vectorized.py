@@ -252,3 +252,44 @@ def test_full_matcher_identical_with_bitmaps_disabled(monkeypatch):
             spec,
         )
     )
+
+
+def test_double_prev_eq_head_rows_match_scalar():
+    """ADVICE r8: ==/!= between two PREV terms at the partition head —
+    scalar sees None (None == None True, None != None False) while an
+    unpatched elementwise path sees NaN (inverted). The bitmap builder
+    must replay the scalar evaluator on the head rows."""
+    for op in ("<>", "="):
+        clause = (
+            "PARTITION BY k ORDER BY ts"
+            " MEASURES V.a AS a ONE ROW PER MATCH"
+            " AFTER MATCH SKIP PAST LAST ROW PATTERN (V)"
+            f" DEFINE V AS PREV(V.a) {op} PREV(V.b, 2)"
+        )
+        spec = parse_match_recognize(clause)
+        rows = [
+            {"k": 1, "ts": i, "a": float(i % 3), "b": float(i % 2)}
+            for i in range(100)
+        ]
+        frame = pd.DataFrame(rows)
+        bms = _define_bitmaps(rows, spec, frame)
+        assert "V" in bms  # still vectorized, not rejected
+        src = spec.define["V"]
+        for i in range(len(rows)):
+            assert bool(bms["V"][i]) == _scalar(rows, src, "V", i), (
+                op, i,
+            )
+
+
+def test_order_by_backtick_with_explicit_direction():
+    """ADVICE r8: `col` DESC used to leave a trailing backtick in the
+    parsed column name (strip order bug)."""
+    clause = (
+        "PARTITION BY k ORDER BY `ts` ASC, `px` DESC"
+        " MEASURES A.px AS apx ONE ROW PER MATCH"
+        " AFTER MATCH SKIP PAST LAST ROW PATTERN (A)"
+        " DEFINE A AS A.px > 0"
+    )
+    spec = parse_match_recognize(clause)
+    assert spec.order_by == ["ts", "px"]
+    assert spec.order_asc == [True, False]

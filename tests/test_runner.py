@@ -496,3 +496,37 @@ def test_read_once_memory_sink_accumulates_batches(spark, tmp_path):
         q.awaitTermination(60)
     got = sorted(r["k"] for r in spark.table("m_acc").collect())
     assert got == [1, 2], got
+
+
+def test_memory_sink_row_cap_overflows_loudly(spark, tmp_path):
+    """VERDICT r8 item 5: memory is a driver-resident DEBUG sink — a
+    stream bigger than `graft.memory-sink.max-rows` must raise a loud
+    error instead of silently OOMing the driver."""
+    import pytest
+
+    src = f"{tmp_path}/cap_src"
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "k BIGINT"
+    ).write.parquet(src)
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(
+        f"""
+        SET graft.statement-set.read-once = 'true';
+        SET graft.memory-sink.max-rows = '5';
+        CREATE TABLE s_cap (k BIGINT) WITH ('connector'='filesystem',
+          'path'='{src}', 'format'='parquet');
+        CREATE TABLE m_cap (k BIGINT) WITH ('connector'='memory');
+        CREATE TABLE m_cap2 (k BIGINT) WITH ('connector'='memory');
+        BEGIN STATEMENT SET;
+        INSERT INTO m_cap SELECT k FROM s_cap;
+        INSERT INTO m_cap2 SELECT k FROM s_cap WHERE k < 3;
+        END;
+        """
+    )
+    with pytest.raises(Exception, match="memory-sink.max-rows"):
+        for q in result.streaming_queries:
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(60)
+            if (e := q.exception()) is not None:
+                raise e
