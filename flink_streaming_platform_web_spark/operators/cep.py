@@ -900,8 +900,106 @@ def _define_bitmaps(rows, spec: MatchSpec, frame=None) -> dict:
     return out
 
 
+class _ColRows:
+    """Column-array-backed replacement for ``pdf.to_dict('records')``
+    over a [start, stop) slice of a chunk frame: the matcher's hot
+    loop (bitmap lookups, walk recursion) never touches row data, so
+    materializing one dict per input row — the measured round-8
+    dominant cost of the batch CEP family — is wasted work for every
+    row that never lands in a match. ``rows[i]`` returns a lazy view;
+    values come straight out of per-column numpy arrays (datetime64
+    boxed to pd.Timestamp so measure/DEFINE scalar evals see exactly
+    the types ``to_dict('records')`` produced)."""
+
+    __slots__ = ("_arrays", "_names", "_box", "_base", "_n")
+
+    def __init__(self, frame, start: int = 0, stop: "int | None" = None):
+        import numpy as np
+
+        self._names = list(frame.columns)
+        self._arrays = {}
+        self._box = {}
+        for c in self._names:
+            s = frame[c]
+            self._arrays[c] = s.to_numpy()
+            if np.issubdtype(s.dtype, np.datetime64):
+                import pandas as pd
+
+                self._box[c] = pd.Timestamp
+        self._base = start
+        self._n = (stop if stop is not None else len(frame)) - start
+
+    def slice(self, start: int, stop: int) -> "_ColRows":
+        out = _ColRows.__new__(_ColRows)
+        out._arrays = self._arrays
+        out._names = self._names
+        out._box = self._box
+        out._base = self._base + start
+        out._n = stop - start
+        return out
+
+    def value(self, col: str, i: int):
+        v = self._arrays[col][self._base + i]
+        box = self._box.get(col)
+        return box(v) if box is not None else v
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i: int) -> "_RowView":
+        return _RowView(self, i)
+
+
+class _RowView:
+    """Mapping-shaped lazy row: supports ``row[col]``, ``dict(row)``
+    (via keys()) — the two accesses _match_ctx and the ALL ROWS output
+    builder perform."""
+
+    __slots__ = ("_cr", "_i")
+
+    def __init__(self, cr: _ColRows, i: int):
+        self._cr = cr
+        self._i = i
+
+    def __getitem__(self, col: str):
+        return self._cr.value(col, self._i)
+
+    def keys(self):
+        return self._cr._names
+
+    def __iter__(self):
+        return iter(self._cr._names)
+
+    def __len__(self):
+        return len(self._cr._names)
+
+
+def _within_vals(frame, col: str):
+    """(values, valid, divisor) for O(1) WITHIN elapsed-time checks:
+    datetime64 keeps int64 nanoseconds (subtract first, divide after —
+    dividing epoch floats first loses the boundary comparison to
+    cancellation) with NaT masked; numeric columns pass through. The
+    elapsed computation reproduces pd.Timedelta.total_seconds()
+    (ns difference / 1e9) bit-for-bit."""
+    import numpy as np
+
+    s = frame[col]
+    if np.issubdtype(s.dtype, np.datetime64):
+        return (
+            s.astype("int64").to_numpy(),
+            (~s.isna()).to_numpy(),
+            1e9,
+        )
+    return s.to_numpy(), None, 1.0
+
+
 def _run_matcher(
-    rows: list[dict], spec: MatchSpec, frame=None
+    rows,
+    spec: MatchSpec,
+    frame=None,
+    bitmaps=None,
+    within_vals=None,
+    collector=None,
 ) -> tuple[list[tuple[int, int, dict, bool]], int | None]:
     """Sequential greedy-with-backtracking scan over one partition's
     ordered rows. Returns (matches, earliest_viable):
@@ -935,8 +1033,11 @@ def _run_matcher(
         for e, name in spec.measures
     ]
     # row-local defines collapse to precomputed bitmaps — ok() then
-    # skips the per-candidate context build + eval entirely
-    bitmaps = _define_bitmaps(rows, spec, frame)
+    # skips the per-candidate context build + eval entirely. The
+    # chunked batch route passes group-sliced, head-patched bitmaps
+    # built once per Arrow chunk; everyone else builds per partition.
+    if bitmaps is None:
+        bitmaps = _define_bitmaps(rows, spec, frame)
 
     def try_match(start_idx: int):
         """(longest greedy assignment or None, ran_out_of_rows)."""
@@ -948,14 +1049,27 @@ def _run_matcher(
                 # WITHIN bound: a row outside the time window from the
                 # match's first row can never extend the match
                 # (Flink's state-bounding semantics)
-                a = rows[start_idx][spec.order_by[0]]
-                b = rows[idx][spec.order_by[0]]
-                try:
-                    elapsed = (b - a).total_seconds()
-                except AttributeError:
-                    elapsed = float(b - a)
-                if elapsed > spec.within_seconds:
-                    return False
+                if within_vals is not None:
+                    vals, valid, div = within_vals
+                    if valid is None or (
+                        valid[start_idx] and valid[idx]
+                    ):
+                        # ints subtract exactly; /1e9 IS
+                        # total_seconds(); NaT pairs fall through
+                        # (nan > bound is False scalar-side too)
+                        if (
+                            vals[idx] - vals[start_idx]
+                        ) / div > spec.within_seconds:
+                            return False
+                else:
+                    a = rows[start_idx][spec.order_by[0]]
+                    b = rows[idx][spec.order_by[0]]
+                    try:
+                        elapsed = (b - a).total_seconds()
+                    except AttributeError:
+                        elapsed = float(b - a)
+                    if elapsed > spec.within_seconds:
+                        return False
             code = define_code.get(var)
             if code is None:
                 return True  # undefined variable is always-true
@@ -1207,7 +1321,52 @@ def _run_matcher(
         assigned, ran_out = try_match(start)
         if assigned:
             end = start + len(assigned)
-            if spec.all_rows:
+            if collector is not None:
+                # columnar collection (the chunked batch route):
+                # append frame row indices + per-measure value lists;
+                # the caller assembles ONE DataFrame per chunk via
+                # frame.iloc — no per-row dicts anywhere
+                base, idx_acc, meas_acc = collector
+                if spec.all_rows:
+                    cf = (
+                        _match_ctx(
+                            rows, start, assigned,
+                            ts_col=spec.order_by[0],
+                        )
+                        if spec.final_measures
+                        else None
+                    )
+                    for off in range(len(assigned)):
+                        c = _match_ctx(
+                            rows, start, assigned[: off + 1],
+                            ts_col=spec.order_by[0],
+                        )
+                        idx_acc.append(base + start + off)
+                        for mi, (code, name) in enumerate(
+                            measure_code
+                        ):
+                            meas_acc[mi].append(
+                                eval(  # noqa: S307
+                                    code, {"__builtins__": {}},
+                                    cf
+                                    if name in spec.final_measures
+                                    else c,
+                                )
+                            )
+                else:
+                    c = _match_ctx(
+                        rows, start, assigned,
+                        ts_col=spec.order_by[0],
+                    )
+                    idx_acc.append(base + start)
+                    for mi, (code, _name) in enumerate(measure_code):
+                        meas_acc[mi].append(
+                            eval(  # noqa: S307
+                                code, {"__builtins__": {}}, c
+                            )
+                        )
+                outs: list = []
+            elif spec.all_rows:
                 # one output row per matched row, measures with
                 # RUNNING semantics (context sees the rows matched so
                 # far — the SQL/RPR default Flink implements);
@@ -1292,51 +1451,215 @@ def _match_partition(
         for out in outs
     ]
 
+def _chunk_bitmaps(frame, spec: MatchSpec) -> dict:
+    """Row-local DEFINE bitmaps over a WHOLE sorted chunk (many
+    groups): var → (bitmap, max_shift, scalar_code). One elementwise
+    pandas eval per chunk replaces one per group — the round-8 profile
+    showed the per-group Series/eval overhead dwarfing the saved
+    scalar evals on this corpus's ~70-row groups. The chunk-global
+    shift() leaks the previous group's tail into each group's first
+    ``max_shift`` rows; the caller patches exactly those rows with the
+    scalar evaluator (which also preserves the None-vs-NaN ==/!= head
+    semantics — see _define_bitmaps)."""
+    import numpy as np
+    import pandas as pd
+
+    vec = {
+        v: r
+        for v, src in spec.define.items()
+        if (r := _vector_define(src, v)) is not None
+    }
+    if not vec or not len(frame):
+        return {}
+    series: dict = {}
+
+    def __col(c):
+        if c not in series:
+            series[c] = pd.Series(frame[c].to_numpy())
+        return series[c]
+
+    def __shift(c, k=1):
+        return __col(c).shift(k)
+
+    n = len(frame)
+    out = {}
+    for var, (code, cols, max_shift) in vec.items():
+        if any(
+            c not in frame.columns or frame[c].dtype == object
+            for c in cols
+        ):
+            continue
+        try:
+            r = eval(  # noqa: S307 — same translated subset as ok()
+                code, {"__builtins__": {}},
+                {"__col": __col, "__shift": __shift},
+            )
+            bm = (
+                r.fillna(False).to_numpy(dtype=bool)
+                if isinstance(r, pd.Series)
+                else np.full(n, bool(r))
+            )
+            out[var] = (
+                bm,
+                max_shift,
+                compile(spec.define[var], "<define>", "eval"),
+            )
+        except Exception:
+            continue  # build failure → scalar path, same answers
+    return out
+
+
+def _group_starts(frame, keys: list[str]):
+    """Start index of every PARTITION BY group in a (key, order)-sorted
+    frame — null-safe (NaN/NaT/None keys group together, matching
+    Spark's groupBy null semantics)."""
+    import numpy as np
+
+    n = len(frame)
+    change = np.zeros(n, dtype=bool)
+    if n:
+        change[0] = True
+    for k in keys:
+        s = frame[k]
+        prev = s.shift()
+        eq = (s == prev) | (s.isna() & prev.isna())
+        change |= ~eq.to_numpy(dtype=bool)
+    if n:
+        change[0] = True
+    return np.flatnonzero(change)
+
+
+def _match_chunk(frame, spec: MatchSpec, starts):
+    """Run the matcher over every complete group in ``frame`` (group
+    start offsets in ``starts``), sharing ONE chunk-level bitmap
+    build and ONE column-array view across all of them. Returns the
+    assembled output DataFrame (columns: base + measures) or None —
+    row data flows ``frame.iloc[matched indices]``-style, never
+    through per-row dicts."""
+    n = len(frame)
+    if not n:
+        return None
+    cols = _ColRows(frame)
+    cbms = _chunk_bitmaps(frame, spec)
+    wvals = (
+        _within_vals(frame, spec.order_by[0])
+        if spec.within_seconds is not None
+        else None
+    )
+    idx_acc: list[int] = []
+    meas_acc: list[list] = [[] for _ in spec.measures]
+    bounds = list(starts) + [n]
+    for gi in range(len(bounds) - 1):
+        g0, g1 = int(bounds[gi]), int(bounds[gi + 1])
+        rows = cols.slice(g0, g1)
+        bms = {}
+        for var, (bm, max_shift, scode) in cbms.items():
+            s = bm[g0:g1]
+            if max_shift:
+                # patch the group-head rows the chunk-global shift
+                # polluted (and where scalar None semantics apply)
+                s = s.copy()
+                for i in range(min(max_shift, g1 - g0)):
+                    try:
+                        s[i] = bool(
+                            eval(  # noqa: S307 — same subset
+                                scode, {"__builtins__": {}},
+                                _match_ctx(rows, i, [], i, var),
+                            )
+                        )
+                    except TypeError:
+                        s[i] = False
+            bms[var] = s
+        wv = None
+        if wvals is not None:
+            vals, valid, div = wvals
+            wv = (
+                vals[g0:g1],
+                valid[g0:g1] if valid is not None else None,
+                div,
+            )
+        _run_matcher(
+            rows,
+            spec,
+            bitmaps=bms,
+            within_vals=wv,
+            collector=(g0, idx_acc, meas_acc),
+        )
+    if not idx_acc:
+        return None
+    base = (
+        frame if spec.all_rows else frame[list(spec.partition_by)]
+    )
+    out = base.iloc[idx_acc].reset_index(drop=True)
+    for (_, name), vals in zip(spec.measures, meas_acc):
+        out[name] = vals
+    return out
+
+
 def match_recognize(
     df: DataFrame, spec: MatchSpec, output_schema: str
 ) -> DataFrame:
-    """Apply the spec per partition: one shuffle on PARTITION BY, the
-    match loop runs Arrow-batched inside each executor."""
+    """Apply the spec Spark-first: ONE shuffle on PARTITION BY, a
+    JVM-side (Tungsten) sort within partitions on (keys, ORDER BY),
+    then a chunked ``mapInPandas`` matcher. Groups are contiguous
+    after the sort, so every Arrow chunk carries many groups and the
+    per-group pandas overhead that dominated the round-8 profile
+    (sort_values + to_dict('records') + per-group bitmap builds on
+    ~70-row groups) collapses to one vectorized pass per chunk; row
+    data is read lazily through column arrays (_ColRows), so rows
+    never touched by a match are never materialized. A group split
+    across Arrow chunks is carried into the next chunk (chunks arrive
+    in partition order), so results are chunking-invariant.
 
-    def run(pdf):
+    Reference semantics: Flink 1.13 MATCH_RECOGNIZE
+    (docs/queries/match_recognize; reference pins Flink 1.13 in
+    pom.xml:41)."""
+    from pyspark.sql import functions as F
+
+    keys = list(spec.partition_by)
+    asc = spec.order_asc or [True] * len(spec.order_by)
+    sort_cols = [F.col(k).asc() for k in keys] + [
+        F.col(c).asc() if a else F.col(c).desc()
+        for c, a in zip(spec.order_by, asc)
+    ]
+    def run(it):
+        import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values(
-            spec.order_by,
-            ascending=spec.order_asc or True,
-            kind="mergesort",
-        )
-        rows = pdf.to_dict("records")
-        base_cols = (
-            list(pdf.columns)
-            if spec.all_rows
-            else list(spec.partition_by)
-        )
-        return pd.DataFrame(
-            # the sorted pdf rides along so row-local DEFINE bitmaps
-            # build from the existing frame instead of rebuilding one
-            _match_partition(rows, spec, frame=pdf)
-            or {
-                # empty: typed empty frame matching the schema
-                name: pd.Series(dtype="object")
-                for name in [
-                    *base_cols,
-                    *[n for _, n in spec.measures],
-                ]
-            }
-        )
+        held = None
+        for pdf in it:
+            if held is not None:
+                pdf = pd.concat([held, pdf], ignore_index=True)
+                held = None
+            if not len(pdf):
+                continue
+            starts = _group_starts(pdf, keys)
+            last0 = int(starts[-1])
+            # the trailing group may continue in the next chunk —
+            # hold it back (it is re-prepended above)
+            held = pdf.iloc[last0:].reset_index(drop=True)
+            if last0:
+                work = pdf.iloc[:last0].reset_index(drop=True)
+                out = _match_chunk(
+                    work, spec, starts[: len(starts) - 1]
+                )
+                if out is not None:
+                    yield out
+        if held is not None and len(held):
+            out = _match_chunk(held, spec, np.array([0]))
+            if out is not None:
+                yield out
 
     # explicit REPARTITION_BY_NUM on the keys: AQE's byte-based
     # coalescing sees tiny shuffle partitions and would collapse the
-    # matcher onto 1-2 tasks, serializing the (python-side, per-row)
-    # match loop; a user-numbered repartition is exempt from
-    # coalescing and the groupBy reuses its clustering, so no second
-    # exchange appears
+    # matcher onto 1-2 tasks, serializing the python-side match loop;
+    # a user-numbered repartition is exempt from coalescing and the
+    # sortWithinPartitions reuses its clustering — no second exchange
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.repartition(par, *spec.partition_by)
-        .groupBy(*spec.partition_by)
-        .applyInPandas(run, output_schema)
+        df.repartition(par, *keys)
+        .sortWithinPartitions(*sort_cols)
+        .mapInPandas(run, output_schema)
     )
 
 

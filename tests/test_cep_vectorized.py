@@ -293,3 +293,54 @@ def test_order_by_backtick_with_explicit_direction():
     spec = parse_match_recognize(clause)
     assert spec.order_by == ["ts", "px"]
     assert spec.order_asc == [True, False]
+
+
+def test_chunked_runner_is_chunking_invariant(spark):
+    """The mapInPandas batch route must produce identical results when
+    Arrow chunks split groups mid-stream: force tiny
+    maxRecordsPerBatch so every group straddles chunk boundaries and
+    compare against the single-chunk run."""
+    import pandas as pd
+
+    from flink_streaming_platform_web_spark.operators.cep import (
+        infer_output_schema,
+        match_recognize,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for k in range(6):
+        for i in range(40):
+            rows.append(
+                {
+                    "k": k,
+                    "ts": i,
+                    "v": round(rng.uniform(0, 100), 2),
+                }
+            )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    clause = (
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(DOWN.ts) AS s_ts, LAST(UP.ts) AS e_ts,"
+        " COUNT(UP.*) AS n_up"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (DOWN{2,} UP+)"
+        " DEFINE DOWN AS DOWN.v < PREV(DOWN.v),"
+        " UP AS UP.v > PREV(UP.v)"
+    )
+    spec = parse_match_recognize(clause)
+    schema = infer_output_schema(spec, df)
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "7")  # every group spans ≥5 chunks
+        tiny = {
+            tuple(r) for r in match_recognize(df, spec, schema).collect()
+        }
+    finally:
+        spark.conf.set(conf, old)
+    whole = {
+        tuple(r) for r in match_recognize(df, spec, schema).collect()
+    }
+    assert tiny == whole
+    assert whole, "pattern never fired — vacuous gate"

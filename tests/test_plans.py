@@ -513,10 +513,11 @@ def test_pp06_rollup_is_lang_sized(spark, sf_dir):
 
 
 def test_cep_round8_entries_single_key_shuffle(spark, sf_dir):
-    """q50/q51/q52 share the CEP plumbing: one keyed repartition on
-    PARTITION BY into the Arrow-batched matcher — no cartesian, no
-    row-at-a-time Python UDF in the plan (the matcher is a single
-    FlatMapGroupsInPandas), no extra exchanges."""
+    """q50/q51/q52 share the CEP plumbing (round 9: chunked
+    mapInPandas): one keyed repartition on PARTITION BY, a JVM-side
+    sort within partitions, then a single MapInPandas matcher — no
+    cartesian, no row-at-a-time Python UDF, no extra exchanges, and
+    the per-group pandas sort is gone (no FlatMapGroupsInPandas)."""
     from flink_streaming_platform_web_spark.operators.cep import (
         q50_match_permute,
         q51_match_nested_group,
@@ -528,7 +529,8 @@ def test_cep_round8_entries_single_key_shuffle(spark, sf_dir):
         plan = _physical(q(spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan  # no per-row Python
-        assert plan.count("FlatMapGroupsInPandas") == 1
+        assert plan.count("MapInPandas") == 1
+        assert "Sort" in plan  # Tungsten sort, not pandas sort_values
         # exactly the keyed repartition the semantics require
         assert plan.count("Exchange") == 1, plan
 
