@@ -49,12 +49,26 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings parquet is dense-but-small on disk (one row-group →
     one input partition), which would serialize every numpy block
     kernel downstream; the repartition is a one-time tiny shuffle that
-    buys full parallelism for the scoring stages."""
-    emb = load(spark, sf_dir, "embeddings")
-    return emb.repartition(spark.sparkContext.defaultParallelism).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    buys full parallelism for the scoring stages. Memoized persisted
+    per (session, sf_dir): the k-means trainer, the IVF assignment and
+    every ANN kernel scan this same relation — without the memo each
+    of their jobs re-read, re-parsed and re-shuffled the corpus (at
+    100 TB: N re-reads of the lake for one pipeline; locally: one
+    scheduler-floor exchange per job, the round-8 dd11 cost)."""
+    from flink_streaming_platform_web_spark.operators._cache import memo_df
+
+    def build() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        return emb.repartition(
+            spark.sparkContext.defaultParallelism
+        ).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
+
+    return memo_df(spark, sf_dir, "vecs_spread", build)
 
 
 @pandas_udf(DoubleType())

@@ -109,16 +109,27 @@ def _km_assign_means(spark: SparkSession, vecs: DataFrame, labels, C):
             yield pd.concat(out, ignore_index=True)
 
     part = vecs.mapInPandas(partials, "cell int, d int, s long, cnt long")
-    return (
-        part.groupBy("cell", "d")
-        .agg(
-            (
-                (F.sum("s").cast("double") / F.lit(1e9))
-                / F.sum("cnt").cast("double")
-            ).alias("m")
-        )
-        .collect()
-    )
+    # fold the (partitions × k × dim) partials on the DRIVER instead
+    # of a groupBy exchange: the partial set is k·dim-bounded (never
+    # corpus-bounded — the treeReduce shape), and int64 addition is
+    # associative, so the driver sum is bit-identical to F.sum while
+    # costing ONE single-stage job instead of two stages + shuffle
+    # (the measured round-8 k-means scheduler floor, VERDICT r8 #3).
+    # The final (SUM/1e9)/COUNT division sequence is the same IEEE
+    # expression the groupBy computed — oracles unchanged.
+    acc: dict[tuple[int, int], list[int]] = {}
+    for r in part.collect():
+        key = (r["cell"], r["d"])
+        slot = acc.get(key)
+        if slot is None:
+            acc[key] = [int(r["s"]), int(r["cnt"])]
+        else:
+            slot[0] += int(r["s"])
+            slot[1] += int(r["cnt"])
+    return [
+        {"cell": cell, "d": d, "m": (float(s) / 1e9) / float(cnt)}
+        for (cell, d), (s, cnt) in acc.items()
+    ]
 
 
 def km_centroids(spark: SparkSession, sf_dir: str, k: int = KM_K):

@@ -566,3 +566,24 @@ def test_mm_round8_pipelines_zero_exchange(spark, sf_dir):
         plan = _physical(q(spark, sf_dir))
         assert "Exchange" not in plan, plan
         assert "CartesianProduct" not in plan
+
+
+def test_q21_tpch_q5_shape_aqe_broadcasts(spark, sf_dir):
+    """q21 (the TPC-H Q5 shape) is the most expensive pure-relational
+    entry: pin the AQE runtime plan so a future change can't silently
+    revert the dimension joins to a 6-way sort-merge cascade. nation/
+    region are explicit broadcasts; customer and supplier must convert
+    to broadcast at runtime (AQE localShuffleReader), leaving at most
+    the orders⋈lineitem fact join on a shuffle."""
+    from flink_streaming_platform_web_spark.operators.relational import (
+        q21_local_supplier_volume,
+    )
+    from flink_streaming_platform_web_spark.plans import executed_plan
+
+    df = q21_local_supplier_volume(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only at execution
+    plan = executed_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
