@@ -47,87 +47,80 @@ _MODULES = (
 # The driver's correctness gate walks queries() in dict insertion order
 # and checks the first 50 entries per round. Rotate per round so the
 # union of rounds gives every entry a green row dated after its last
-# operator rewrite. Round-8 rotation: (a) ALL 20 r4-dated entries —
-# stalled through r6/r7 (VERDICT r7 item 3) and now three rounds
-# without a driver row — lead unconditionally; (b) the entries whose
-# code or fixtures CHANGED this round: st16/st17/st18 (fixtures
-# disordered, advancer sentinels removed, stop-with-drain tail),
-# st14 (rewritten onto the runner's buffered streaming
-# MATCH_RECOGNIZE route) and q45/q47/q48/q49 (cep.py fold gained the
-# final-drain arm — batch path shares the module), plus st08/q25
-# (cdc.py incremental-agg migration this round) and dd11 (the
-# round-8 trainer fuse rewrote its k-means assignment+means pass); (c) the NEW
-# round-8 entries q50/q51/st19/q52/q53/tx13/tx14/mm04/mm05/
-# mm06/pp07/st20 (PERMUTE
-# + nested group + WITHIN + bigram novelty + image resize +
-# feature extraction + audio frame energy + cross-modal prep +
-# streaming WITHIN + alternated sequences + source diversity —
-# never
-# driver-checked, so they outrank everything already green); (d) the
-# remaining slots go to the OLDEST r5-dated entries (dedup/text/
-# vector families untouched since r5 plus the q05-family joins),
-# leaving the other r5 rows (ann02/03/05, pp04/pp05, q07/q10/
-# q16-q20, q38-q42, st01-st07, and q46/st15/q37/tx12/tx11/q08/q06/q05/vec03/vec02/dd10/tx08/tx09
-# — displaced by the twelve new entries and the dd11 re-pin, all heavily pytest-pinned) to
-# front r9 — every entry then holds a row from r7 or r8 except that
-# named r9 set. Exactly 50.
+# operator rewrite. Round-9 rotation (rule: any entry whose code OR
+# transitive helpers changed this round MUST re-enter, then the oldest
+# stale rows fill the rest):
+# (a) CHANGED this round — cep.py was rewritten onto the chunked
+#     mapInPandas runner (bitmap head-patch, columnar collector,
+#     _ColRows): every batch CEP entry q45/q47-q57 re-enters, plus the
+#     streaming CEP routes st14/st19/st20/st21 (shared matcher fold)
+#     and st16/st17/st18 (ooo.drain_pending now resolves the operator
+#     id from state-metadata). similarity._vecs is now memoized
+#     persisted and vectors._km_assign_means folds partials on the
+#     driver, so every _vecs consumer re-enters: vec01-vec04,
+#     ann01-ann05, dd07, dd11, q32. (31 slots)
+# (b) OLDEST stale rows (r5-dated, VERDICT r8 item 2): st01-st07,
+#     st15, q46, dd05/dd06/dd08/dd09/dd10/dd14, pp04/pp05, q05/q06.
+#     (19 slots)
+# Still r5-dated after this round — front them in r10: q07, q08, q10,
+# q16-q20, q37-q42, tx08, tx09, tx11, tx12 (17 entries, all heavily
+# pytest-pinned and covered by local full-sweep parity).
+# Exactly 50.
 _CHECK_FIRST = (
-    # (a) the 20 r4-stale entries, three rounds without a driver row
-    "q09_scalar_datetime",
-    "q13_window_over",
-    "q22_tumble_window",
-    "q23_hop_window",
-    "q33_flink_datetime_compat",
-    "q34_udf_json_bucket",
-    "q35_pivot_api",
-    "q43_cumulate_tvf",
-    "q44_window_topn",
-    "tx01_langid",
-    "tx02_quality_score",
-    "tx03_token_count",
-    "tx04_fingerprint",
-    "tx05_corpus_stats_by_lang",
-    "tx06_topk_vocab",
-    "tx07_bigram_repetition",
-    "tx10_quality_filter",
-    "mm02_decode_pipeline",
-    "pp01_training_mix",
-    "pp02_shard_packing",
-    # (b) code/fixtures changed this round
-    "st14_stream_match_recognize",
-    "st16_stream_over_agg",
-    "st17_stream_temporal_join",
-    "st18_stream_over_rows",
+    # (a) changed: batch CEP family (chunked mapInPandas runner)
     "q45_match_recognize",
     "q47_match_alternation",
     "q48_match_all_rows",
     "q49_match_bounded_quant",
-    "st08_stream_cdc_latest",
-    "q25_cdc_latest_state",
-    "dd11_embed_neardup_kmeans",
-    # (c) new round-8 entries — never checked
     "q50_match_permute",
     "q51_match_nested_group",
-    "st19_stream_match_permute",
     "q52_match_within",
-    "tx13_bigram_novelty",
-    "mm04_resize_pipeline",
-    "mm05_feature_extract",
-    "mm06_audio_frame_energy",
-    "pp07_multimodal_prep",
-    "st20_stream_match_within",
     "q53_match_alternated_sequences",
-    "tx14_source_diversity",
     "q54_match_desc_tie_order",
     "q55_match_permute_wide",
-    "st21_stream_match_desc",
     "q56_match_running_final",
     "q57_match_rowtime",
-    "tx15_top_trigram_chars",
-    "q58_listagg",
-    # the (d) oldest-r5 slots are fully displaced by the eight late
-    # entries (q54/q55/st21/q56/q57/tx15/q58 + the dd11 re-pin):
-    # vec01, dd14, dd09, dd08, dd07, dd06, dd05 → the named r9 set
+    # (a) changed: streaming CEP + drain operator-id resolution
+    "st14_stream_match_recognize",
+    "st19_stream_match_permute",
+    "st20_stream_match_within",
+    "st21_stream_match_desc",
+    "st16_stream_over_agg",
+    "st17_stream_temporal_join",
+    "st18_stream_over_rows",
+    # (a) changed: _vecs memo + driver-folded k-means partials
+    "vec01_kmeans",
+    "vec02_quantize_int8",
+    "vec03_dim_stats",
+    "vec04_gram_matrix",
+    "ann01_brute_topk",
+    "ann02_embed_neardup_pairs",
+    "ann03_lsh_bucketed_neardup",
+    "ann04_ivf_search",
+    "ann05_ivf_multiprobe",
+    "dd07_embed_neardup_docs",
+    "dd11_embed_neardup_kmeans",
+    "q32_embedding_centroids",
+    # (b) oldest stale (r5-dated)
+    "st01_stream_tumble_window",
+    "st02_stream_upsert_agg",
+    "st03_stream_session_window",
+    "st04_stream_session_custom",
+    "st05_stream_hop_window",
+    "st06_stream_dedup",
+    "st07_stream_interval_join",
+    "st15_stream_window_join",
+    "q46_window_join",
+    "dd05_simhash_signatures",
+    "dd06_dup_clusters",
+    "dd08_simhash_neardup_pairs",
+    "dd09_chunk_dedup",
+    "dd10_minhash_est_jaccard",
+    "dd14_exact_substr_dup",
+    "pp04_neardup_prep",
+    "pp05_mixture_weights",
+    "q05_gmv_join_coupon",
+    "q06_lookup_join",
 )
 
 

@@ -320,6 +320,24 @@ def _file_kafka_options(table: TableDef, path: str) -> dict[str, str]:
     return out
 
 
+def kafka_jar_available(spark: SparkSession) -> bool:
+    """True when spark-sql-kafka is on the JVM classpath — the moment
+    a deployment ships the jar (``spark.jars.packages=
+    org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>`` or a
+    vendored jar in $SPARK_HOME/jars), every ``host:port`` bootstrap
+    routes through the real ``format("kafka")`` with the SAME option
+    mapping the file transport exercises (kafka_reader_options).
+    tests/test_kafka_file.py carries the skip-unless-jar e2e that
+    lights up automatically."""
+    try:
+        spark._sc._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def kafka_stream(spark: SparkSession, table: TableDef) -> DataFrame:
     from flink_streaming_platform_web_spark.sources import kafka_file
 

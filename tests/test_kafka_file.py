@@ -447,3 +447,53 @@ def test_kafka_option_spelling_parity_between_transports():
         }
         shared_file = {k: v for k, v in file.items() if k != "path"}
         assert shared_jvm == shared_file
+
+
+def test_live_broker_route_lights_up_with_jar(spark):
+    """Skip-unless-jar e2e (VERDICT r8 item 6): with spark-sql-kafka
+    on the classpath, a host:port bootstrap must route demo_1.md's
+    exact kafka DDL through the real format('kafka') reader — same
+    option mapping the file transport exercises. In this container
+    (no jar) the registry must report unavailability and kafka_stream
+    must raise the loud ConnectorUnavailable."""
+    import pytest
+
+    from flink_streaming_platform_web_spark.sources.ddl import (
+        parse_create_table,
+    )
+    from flink_streaming_platform_web_spark.sources.registry import (
+        ConnectorUnavailable,
+        kafka_jar_available,
+        kafka_stream,
+    )
+
+    ddl = """
+    create table flink_test_1 (
+      id BIGINT,
+      day_time VARCHAR,
+      amnount BIGINT,
+      proctime AS PROCTIME ()
+    ) with (
+      'connector' = 'kafka',
+      'topic' = 'flink_test',
+      'properties.bootstrap.servers' = 'broker-1:9092',
+      'properties.group.id' = 'flink_gp_test1',
+      'scan.startup.mode' = 'earliest-offset',
+      'format' = 'json',
+      'json.fail-on-missing-field' = 'false',
+      'json.ignore-parse-errors' = 'true'
+    )
+    """
+    t = parse_create_table(ddl)
+    if not kafka_jar_available(spark):
+        with pytest.raises(ConnectorUnavailable, match="spark-sql-kafka"):
+            kafka_stream(spark, t)
+        pytest.skip(
+            "spark-sql-kafka jar absent — loud-failure contract"
+            " verified; ship the jar to run the live route"
+        )
+    # jar present: the reader must build a streaming plan with the
+    # kafka schema (no broker contact happens at plan time)
+    df = kafka_stream(spark, t)
+    assert df.isStreaming
+    assert {"id", "day_time", "amnount"} <= set(df.columns)

@@ -31,7 +31,7 @@ def main() -> None:
     mode = "agg"
     if args and args[0] in (
         "rank", "over", "over_buffered", "temporal", "cep",
-        "cep_coarse",
+        "cep_coarse", "cep_permute",
     ):
         mode = args[0]
         args = args[1:]
@@ -158,6 +158,40 @@ def main() -> None:
             keyed, spec, "k bigint, n bigint, bsum bigint",
             buffered=True,
         )
+    elif mode == "cep_permute":
+        from flink_streaming_platform_web_spark.operators.cep import (
+            parse_match_recognize,
+            stream_match_recognize,
+        )
+
+        # buffered PERMUTE (VERDICT r8 item 7): the used-set DFS walks
+        # all 3! orderings at every start position — the widest
+        # per-row search the streaming NFA runs; defines are row-local
+        # (class membership by value band) so the bitmap path engages
+        # once buffers pass the size gate
+        keyed = src.select(
+            (F.col("value") % 1000).alias("k"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("v"),
+            (F.col("value") % 10).alias("m"),
+        ).withWatermark("ts", "2 seconds")
+        spec = parse_match_recognize(
+            """
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES COUNT(*) AS n, SUM(A.v) AS asum
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (PERMUTE(A, B, C))
+            DEFINE A AS A.m < 3,
+                   B AS B.m >= 3 AND B.m < 7,
+                   C AS C.m >= 7
+            """
+        )
+        agg = stream_match_recognize(
+            keyed, spec, "k bigint, n bigint, asum bigint",
+            buffered=True,
+        )
     elif mode == "temporal":
         from flink_streaming_platform_web_spark.streaming.temporal import (
             event_time_temporal_join,
@@ -199,7 +233,7 @@ def main() -> None:
         .outputMode(
             "append"
             if mode in ("over", "over_buffered", "temporal", "cep",
-                        "cep_coarse")
+                        "cep_coarse", "cep_permute")
             else "update"
         )
         .trigger(processingTime="1 second")
@@ -234,6 +268,7 @@ def main() -> None:
                     "temporal": "rate_temporal_join_throughput",
                     "cep": "rate_cep_buffered_throughput",
                     "cep_coarse": "rate_cep_coarse_tie_throughput",
+                    "cep_permute": "rate_cep_permute_throughput",
                     "agg": "rate_window_agg_throughput",
                 }[mode],
                 "rows_processed": rows,
