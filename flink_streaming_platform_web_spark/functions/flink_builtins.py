@@ -51,6 +51,10 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     "sha256": ("(s STRING) RETURNS STRING", "sha2(s, 256)"),
     "sha384": ("(s STRING) RETURNS STRING", "sha2(s, 384)"),
     "sha512": ("(s STRING) RETURNS STRING", "sha2(s, 512)"),
+    # NOTE: Flink 1.13's TO_TIMESTAMP_LTZ(numeric, precision) is NOT
+    # here — Spark ships a NATIVE to_timestamp_ltz (string parsing)
+    # that a SQL UDF cannot shadow; the numeric form rewrites in
+    # flink_compat.translate_expr (timestamp_seconds/timestamp_millis).
     # Flink CONVERT_TZ(ts_string, from_tz, to_tz) → string
     "convert_tz": (
         "(s STRING, tz_from STRING, tz_to STRING) RETURNS STRING",

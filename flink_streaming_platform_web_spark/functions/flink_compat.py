@@ -44,6 +44,28 @@ _FN_REWRITES: list[tuple[re.Pattern[str], str]] = [
         ),
         r"listagg(\1, ',')",
     ),
+    # Flink 1.13's TO_TIMESTAMP_LTZ(numeric, precision) — FLINK-21869,
+    # the release's datetime headliner. Spark's NATIVE to_timestamp_ltz
+    # parses strings, so the numeric form must rewrite (a SQL UDF
+    # cannot shadow a builtin): precision 0 → timestamp_seconds,
+    # 3 → timestamp_millis (the only precisions Flink accepts).
+    # Spark's TIMESTAMP is the LTZ type, so the conversion is exact.
+    (
+        re.compile(
+            r"\bTO_TIMESTAMP_LTZ\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)"
+            r"\s*,\s*0\s*\)",
+            re.IGNORECASE,
+        ),
+        r"timestamp_seconds(\1)",
+    ),
+    (
+        re.compile(
+            r"\bTO_TIMESTAMP_LTZ\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)"
+            r"\s*,\s*3\s*\)",
+            re.IGNORECASE,
+        ),
+        r"timestamp_millis(\1)",
+    ),
 ]
 
 

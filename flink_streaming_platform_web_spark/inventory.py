@@ -61,10 +61,15 @@ _MODULES = (
 #     ann01-ann05, dd07, dd11, q32. (31 slots)
 # (b) OLDEST stale rows (r5-dated, VERDICT r8 item 2): st01-st07,
 #     st15, q46, dd05/dd06/dd08/dd09/dd10/dd14, pp04/pp05, q05/q06.
-#     (19 slots)
+#     (17 slots)
+# (c) NEW round-9 entries — never driver-checked, outrank everything
+#     green: mm07 scene keyframes, q59 TO_TIMESTAMP_LTZ. (2 slots)
 # Still r5-dated after this round — front them in r10: q07, q08, q10,
-# q16-q20, q37-q42, tx08, tx09, tx11, tx12 (17 entries, all heavily
-# pytest-pinned and covered by local full-sweep parity).
+# q16-q20, q37-q42, tx08, tx09, tx11, tx12 + dd05, dd10 (19 entries,
+# all heavily pytest-pinned and covered by local full-sweep parity;
+# dd05/dd10 ceded their slots to the two new entries — their
+# signature/estimate math is pinned by tests and dd08 gates the same
+# simhash signatures this round).
 # Exactly 50.
 _CHECK_FIRST = (
     # (a) changed: batch CEP family (chunked mapInPandas runner)
@@ -111,16 +116,17 @@ _CHECK_FIRST = (
     "st07_stream_interval_join",
     "st15_stream_window_join",
     "q46_window_join",
-    "dd05_simhash_signatures",
     "dd06_dup_clusters",
     "dd08_simhash_neardup_pairs",
     "dd09_chunk_dedup",
-    "dd10_minhash_est_jaccard",
     "dd14_exact_substr_dup",
     "pp04_neardup_prep",
     "pp05_mixture_weights",
     "q05_gmv_join_coupon",
     "q06_lookup_join",
+    # (c) new round-9 entries
+    "mm07_scene_keyframes",
+    "q59_timestamp_ltz",
 )
 
 

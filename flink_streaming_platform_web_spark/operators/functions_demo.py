@@ -134,11 +134,52 @@ GROUP BY source
 """
 
 
+def q59_timestamp_ltz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink 1.13's TO_TIMESTAMP_LTZ (FLINK-21869, the release's
+    datetime headliner — reference pins Flink 1.13 in pom.xml:41):
+    epoch seconds (precision 0) and epoch milliseconds (precision 3)
+    convert to the local-zone timestamp type. Spark's NATIVE
+    to_timestamp_ltz parses strings, so the numeric Flink form goes
+    through translate_expr — the same path a reference user's script
+    takes — which rewrites it onto timestamp_seconds/timestamp_millis
+    (exact: Spark's TIMESTAMP is the LTZ type). Session timezone is
+    pinned UTC (session.py), so the formatted round trips are
+    deterministic; the oracle rebuilds both from the same epoch
+    values with make_timestamp (exact integer µs)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("q59_events")
+    flink_sql = """
+        SELECT event_id,
+               ms,
+               date_format(TO_TIMESTAMP_LTZ(ms, 3),
+                           'yyyy-MM-dd HH:mm:ss.SSS') AS ltz_ms_str,
+               date_format(TO_TIMESTAMP_LTZ(ms DIV 1000, 0),
+                           'yyyy-MM-dd HH:mm:ss') AS ltz_s_str
+        FROM (SELECT event_id,
+                     unix_millis(CAST(ts AS TIMESTAMP)) AS ms
+              FROM q59_events)
+        """
+    # ts loads as TIMESTAMP_NTZ; the cast to (LTZ) TIMESTAMP is
+    # value-identical under the pinned-UTC session timezone
+    return spark.sql(translate_expr(flink_sql))
+
+
+ORACLE_Q59 = """
+SELECT event_id,
+       epoch_ms(ts) AS ms,
+       strftime(make_timestamp(epoch_ms(ts) * 1000),
+                '%Y-%m-%d %H:%M:%S.%g') AS ltz_ms_str,
+       strftime(make_timestamp((epoch_ms(ts) // 1000) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS ltz_s_str
+FROM events
+"""
+
+
 QUERIES = {
     "q33_flink_datetime_compat": q33_flink_datetime_compat,
     "q34_udf_json_bucket": q34_udf_json_bucket,
     "q37_flink_builtin_suite": q37_flink_builtin_suite,
     "q58_listagg": q58_listagg,
+    "q59_timestamp_ltz": q59_timestamp_ltz,
 }
 
 ORACLES = {
@@ -146,4 +187,5 @@ ORACLES = {
     "q34_udf_json_bucket": ORACLE_Q34,
     "q37_flink_builtin_suite": ORACLE_Q37,
     "q58_listagg": ORACLE_Q58,
+    "q59_timestamp_ltz": ORACLE_Q59,
 }

@@ -555,6 +555,95 @@ FROM documents,
 """
 
 
+# --------------------------------------------------------------------------
+# mm07 — scene-change keyframe extraction: the temporal-downsampling
+# stage of a video pipeline (pick frames where the content jumps, drop
+# near-static spans). Frames are mm03's stride-byte chunks; per-frame
+# INTENSITY is the unsigned byte sum (exact int64), a cut opens a new
+# scene when the intensity jumps more than KEYFRAME_DELTA from the
+# previous frame (frame 0 always opens scene 1). Everything is
+# per-document local, so the whole operator is ONE scan-bound
+# mapInPandas — zero exchanges at any corpus size; a real decoder
+# (ffmpeg frame luma) swaps in through the same seam. ASCII corpus →
+# codepoint == byte, so the DuckDB oracle recomputes intensities with
+# ord() and replays the cut rule as a LAG window.
+# --------------------------------------------------------------------------
+
+KEYFRAME_DELTA = 400
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("intensity", LongType()),
+        StructField("scene_id", IntegerType()),
+    ]
+)
+
+
+def scene_keyframes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    stride: int = FRAME_STRIDE,
+    delta: int = KEYFRAME_DELTA,
+) -> DataFrame:
+    """mapInPandas frame intensities + sequential scene-cut fold —
+    per-document state never leaves the executor."""
+    import numpy as np
+
+    def scenes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in SCENE_SCHEMA.fields
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = np.frombuffer(
+                    bytes(payload), dtype=np.uint8
+                ).astype(np.int64)
+                scene = 0
+                prev = None
+                for idx in range(0, -(-len(data) // stride)):
+                    inten = int(data[idx * stride:(idx + 1) * stride].sum())
+                    if prev is None or abs(inten - prev) > delta:
+                        scene += 1
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["intensity"].append(inten)
+                    out["scene_id"].append(scene)
+                    prev = inten
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(scenes, SCENE_SCHEMA)
+
+
+def mm07_scene_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return scene_keyframes(with_binary_payload(docs))
+
+
+ORACLE_MM07 = f"""
+WITH j AS (
+  SELECT doc_id, text AS txt,
+         unnest(range(0, octet_length(encode(text)))) AS p
+  FROM documents
+), f AS (
+  SELECT doc_id, CAST(p // {FRAME_STRIDE} AS INT) AS frame_idx,
+         SUM(ord(substr(txt, CAST(p AS INT) + 1, 1))) AS inten
+  FROM j GROUP BY 1, 2
+), d AS (
+  SELECT doc_id, frame_idx, CAST(inten AS BIGINT) AS intensity,
+         CASE WHEN LAG(inten) OVER w IS NULL
+                OR abs(inten - LAG(inten) OVER w) > {KEYFRAME_DELTA}
+              THEN 1 ELSE 0 END AS cut
+  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+)
+SELECT doc_id, frame_idx, intensity,
+       CAST(SUM(cut) OVER (
+         PARTITION BY doc_id ORDER BY frame_idx) AS INT) AS scene_id
+FROM d
+"""
+
+
 QUERIES = {
     "mm01_binary_meta": mm01_binary_meta,
     "mm02_decode_pipeline": mm02_decode_pipeline,
@@ -562,6 +651,7 @@ QUERIES = {
     "mm04_resize_pipeline": mm04_resize_pipeline,
     "mm05_feature_extract": mm05_feature_extract,
     "mm06_audio_frame_energy": mm06_audio_frame_energy,
+    "mm07_scene_keyframes": mm07_scene_keyframes,
 }
 
 ORACLES = {
@@ -571,4 +661,5 @@ ORACLES = {
     "mm04_resize_pipeline": ORACLE_MM04,
     "mm05_feature_extract": ORACLE_MM05,
     "mm06_audio_frame_energy": ORACLE_MM06,
+    "mm07_scene_keyframes": ORACLE_MM07,
 }

@@ -363,3 +363,25 @@ def test_split_index_negative_returns_null(spark):
     assert row["ok"] == "b"
     assert row["neg1"] is None and row["neg2"] is None
     assert row["oob"] is None
+
+
+def test_translate_to_timestamp_ltz():
+    """Flink 1.13's TO_TIMESTAMP_LTZ(numeric, precision) rewrites onto
+    timestamp_seconds/timestamp_millis (Spark's NATIVE to_timestamp_ltz
+    parses strings, so the numeric form cannot pass through). Other
+    precisions and the string form pass untouched."""
+    assert (
+        translate_expr("TO_TIMESTAMP_LTZ(ms, 3)") == "timestamp_millis(ms)"
+    )
+    assert (
+        translate_expr("TO_TIMESTAMP_LTZ(s, 0)") == "timestamp_seconds(s)"
+    )
+    assert (
+        translate_expr("TO_TIMESTAMP_LTZ(ms DIV 1000, 0)")
+        == "timestamp_seconds(ms DIV 1000)"
+    )
+    # Spark's native string-parsing form is untouched
+    assert (
+        translate_expr("to_timestamp_ltz('2021-01-01')")
+        == "to_timestamp_ltz('2021-01-01')"
+    )

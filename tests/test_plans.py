@@ -559,10 +559,11 @@ def test_mm_round8_pipelines_zero_exchange(spark, sf_dir):
         mm04_resize_pipeline,
         mm05_feature_extract,
         mm06_audio_frame_energy,
+        mm07_scene_keyframes,
     )
 
     for q in (mm04_resize_pipeline, mm05_feature_extract,
-              mm06_audio_frame_energy):
+              mm06_audio_frame_energy, mm07_scene_keyframes):
         plan = _physical(q(spark, sf_dir))
         assert "Exchange" not in plan, plan
         assert "CartesianProduct" not in plan
