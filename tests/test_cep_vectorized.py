@@ -344,3 +344,95 @@ def test_chunked_runner_is_chunking_invariant(spark):
     }
     assert tiny == whole
     assert whole, "pattern never fired — vacuous gate"
+
+
+def test_chunked_runner_randomized_equals_per_group_reference(spark):
+    """Randomized differential for the round-9 chunked mapInPandas
+    route: random data + a rotating pattern set, random Arrow chunk
+    sizes (so group-carry engages at arbitrary boundaries), compared
+    against the per-group scalar reference (_match_partition over
+    pandas-sorted groups with bitmaps disabled)."""
+    import pandas as pd
+
+    from flink_streaming_platform_web_spark.operators.cep import (
+        _match_partition,
+        infer_output_schema,
+        match_recognize,
+    )
+
+    clauses = [
+        # greedy quantifiers + SKIP PAST LAST ROW
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(A.ts) AS s_ts, COUNT(B.*) AS n_b"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+)"
+        " DEFINE A AS A.v < 30, B AS B.v > PREV(B.v)",
+        # ALL ROWS + CLASSIFIER + context-dependent define
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES CLASSIFIER() AS cls, RUNNING COUNT(*) AS rn"
+        " ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (LO HI{1,2})"
+        " DEFINE LO AS LO.v < 40, HI AS HI.v > FIRST(LO.v) + 20",
+        # PERMUTE + SKIP TO NEXT ROW
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(X.v) AS xv, LAST(Z.v) AS zv"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (PERMUTE(X, Y, Z))"
+        " DEFINE X AS X.v < 33, Y AS Y.v >= 33 AND Y.v < 66,"
+        " Z AS Z.v >= 66",
+    ]
+    rng = random.Random(23)
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    try:
+        for trial, clause in enumerate(clauses):
+            spec = parse_match_recognize(clause)
+            rows = [
+                {
+                    "k": rng.randint(0, 4),
+                    "ts": i,
+                    "v": float(rng.randint(0, 99)),
+                }
+                for i in range(300)
+            ]
+            pdf = pd.DataFrame(rows)
+            df = spark.createDataFrame(pdf)
+            schema = infer_output_schema(spec, df)
+            spark.conf.set(conf, str(rng.choice([5, 17, 64])))
+            with pytest.MonkeyPatch.context() as mp:
+                # reference: per-group pandas route, scalar evals only
+                mp.setattr(cep, "_define_bitmaps", lambda *a, **kw: {})
+                ref = []
+                for _, g in pdf.groupby("k"):
+                    g = g.sort_values(["ts"], kind="mergesort")
+                    ref.extend(
+                        _match_partition(g.to_dict("records"), spec)
+                    )
+            want = {
+                tuple(r[c] for c in [f.split(" ")[0] for f in schema.split(", ")])
+                for r in ref
+            }
+            got = {
+                tuple(r) for r in match_recognize(df, spec, schema).collect()
+            }
+            assert got == want, f"trial {trial}"
+            assert got, f"trial {trial} vacuous"
+    finally:
+        spark.conf.set(conf, old)
+
+
+def test_group_starts_null_keys_group_together():
+    """NaN/None partition keys must form ONE group (Spark's groupBy
+    null semantics) — a bare != comparison would split every null row
+    into its own group."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_streaming_platform_web_spark.operators.cep import (
+        _group_starts,
+    )
+
+    obj = pd.DataFrame({"k": ["a", "a", None, None, "b"]})
+    assert list(_group_starts(obj, ["k"])) == [0, 2, 4]
+    flt = pd.DataFrame({"k": [1.0, 1.0, np.nan, np.nan, 2.0]})
+    assert list(_group_starts(flt, ["k"])) == [0, 2, 4]

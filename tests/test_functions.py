@@ -385,3 +385,21 @@ def test_translate_to_timestamp_ltz():
         translate_expr("to_timestamp_ltz('2021-01-01')")
         == "to_timestamp_ltz('2021-01-01')"
     )
+
+
+def test_timestampdiff_timestampadd_passthrough(spark):
+    """Flink's TIMESTAMPDIFF/TIMESTAMPADD (docs: functions/system
+    functions, temporal section) share Spark's native names AND
+    argument order, so reference scripts pass through the translator
+    untouched — pin both the no-rewrite and the semantics."""
+    expr = "TIMESTAMPDIFF(MINUTE, t1, t2)"
+    assert translate_expr(expr) == expr
+    row = spark.sql(
+        "SELECT timestampdiff(MINUTE, TIMESTAMP '2024-01-01 00:00:00',"
+        " TIMESTAMP '2024-01-01 02:30:00') AS d,"
+        " date_format(timestampadd(HOUR, 3,"
+        " TIMESTAMP '2024-01-01 00:00:00'),"
+        " 'yyyy-MM-dd HH:mm:ss') AS t"
+    ).collect()[0]
+    assert row["d"] == 150
+    assert row["t"] == "2024-01-01 03:00:00"
