@@ -629,3 +629,91 @@ def test_streaming_random_nested_patterns_equal_batch(spark, tmp_path):
             for r in spark.table(f"snk_{tag}").collect()
         )
         assert got == expected, (pat, seed, got, expected)
+
+
+def test_drain_resolves_buffered_operator_behind_second_stateful_op(
+    spark, tmp_path
+):
+    """ADVICE r8 (medium): when a SECOND stateful operator shares the
+    buffered query's checkpoint (here dropDuplicates downstream of the
+    watermark buffer), the buffered applyInPandasWithState may not be
+    operator 0 — drain_pending must resolve its id from the
+    state-metadata reader and flush the pending tail, never unpickle
+    the dedup operator's state."""
+    import pandas as pd
+
+    from flink_streaming_platform_web_spark.streaming import ooo
+
+    rows = [
+        {"k": 1, "ts": "2024-01-01 00:00:05", "v": 1.0},
+        {"k": 1, "ts": "2024-01-01 00:00:25", "v": 2.0},
+        {"k": 2, "ts": "2024-01-01 00:00:35", "v": 3.0},
+    ]
+    p = str(tmp_path / "src")
+    _write_files(p, [rows[:2], rows[2:]])
+    src = (
+        spark.readStream.format("json")
+        .schema("k BIGINT, ts TIMESTAMP, v DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .load(p)
+        .withWatermark("ts", "60 seconds")
+    )
+
+    def fold(inner, new, final=False):
+        n = (inner or 0) + len(new)
+        out = (
+            new.assign(n=range(n - len(new) + 1, n + 1))[
+                ["k", "ts", "n"]
+            ]
+            if len(new)
+            else None
+        )
+        return n, out
+
+    drains: list = []
+    buffered = ooo.watermark_buffered(
+        src, ["k"], "ts", ["ts"], fold,
+        "k BIGINT, ts TIMESTAMP, n BIGINT", drain_out=drains,
+    )
+    # the second stateful operator in the SAME query
+    out = buffered.dropDuplicates(["k", "ts"])
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drain2op")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    # the watermark (delay 60s) never passed any row — everything is
+    # pending; the drain must find the buffer among TWO operators
+    ops = (
+        spark.read.format("state-metadata")
+        .load(ckpt)
+        .select("operatorId", "operatorName")
+        .distinct()
+        .collect()
+    )
+    assert len(ops) >= 2, ops  # the scenario is real: two stateful ops
+    by_name = {r["operatorName"]: r["operatorId"] for r in ops}
+    # the plan puts the dedup at operator 0 and the buffer at 1 — the
+    # pre-fix hardcoded id 0 would have read the WRONG operator
+    assert by_name["applyInPandasWithState"] != 0 or len(by_name) == 1
+    drained = ooo.drain_pending(spark, ckpt, drains[0])
+    assert drained is not None
+    got = {(r["k"], r["n"]) for r in drained.collect()}
+    assert got == {(1, 1), (1, 2), (2, 1)}, got
+    # and pointing drain at the dedup operator trips the schema guard
+    # instead of unpickling foreign state
+    import pytest
+
+    wrong = by_name["dedupe"]
+    with pytest.raises(Exception, match="refusing|groupState|schema"):
+        out = ooo.drain_pending(
+            spark, ckpt, drains[0], operator_id=wrong
+        )
+        if out is not None:  # the guard may also surface at collect
+            out.collect()
