@@ -535,3 +535,33 @@ def test_demo12_permute_patterns_runs(spark, tmp_path):
     # an adjacency that doesn't exist under ASC (which would pair
     # (4, 5) instead)
     assert dips == [(2, 1)]
+
+
+def test_demo13_timestamp_ltz_runs(spark, tmp_path):
+    """Flink 1.13's TO_TIMESTAMP_LTZ + TIMESTAMPDIFF through the full
+    script route (translator rewrite of the numeric LTZ form, temporal
+    scalar pass-through) — session tz pinned UTC, so the formatted
+    values are exact."""
+    src = tmp_path / "clicks"
+    src.mkdir()
+    base = 1704067200000  # 2024-01-01 00:00:00 UTC in epoch ms
+    (src / "c.json").write_text(
+        "\n".join(
+            json.dumps({"id": i, "epoch_ms": base + i * 90_000 + 250})
+            for i in range(3)
+        )
+    )
+    runner = JobRunner(spark, mode="batch")
+    runner.execute_script(
+        (EXAMPLES / "demo_13_timestamp_ltz.sql").read_text(),
+        variables={"data_dir": str(tmp_path)},
+    )
+    got = {
+        r["id"]: (r["at_ms"], r["at_s"], r["mins_in"])
+        for r in spark.table("click_times").collect()
+    }
+    assert got == {
+        0: ("2024-01-01 00:00:00.250", "2024-01-01 00:00:00", 0),
+        1: ("2024-01-01 00:01:30.250", "2024-01-01 00:01:30", 1),
+        2: ("2024-01-01 00:03:00.250", "2024-01-01 00:03:00", 3),
+    }, got
