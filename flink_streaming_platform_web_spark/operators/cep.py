@@ -119,6 +119,9 @@ class MatchSpec:
     #: matched row (error if that would not advance — SQL/RPR)
     skip_mode: str = "past_last"
     skip_var: str | None = None
+    #: DEFINE bodies as the user's raw SQL text (pre-_xlate) — the
+    #: fixed-length JVM tier re-emits them as Spark SQL conditions
+    raw_define: dict[str, str] = field(default_factory=dict)
 
 
 _FUN = r"(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG|PREV)"
@@ -325,6 +328,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         r"DEFINE\s+(.*)$", clause, re.IGNORECASE | re.DOTALL
     )
     define = {}
+    raw_define: dict[str, str] = {}
     if define_txt:
         for item in re.split(r",(?![^()]*\))", define_txt.group(1)):
             m = re.match(
@@ -336,6 +340,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
                     f"MATCH_RECOGNIZE: bad DEFINE {item!r}"
                 )
             define[m.group(1)] = _xlate(m.group(2))
+            raw_define[m.group(1)] = m.group(2).strip()
     pat_vars = _pattern_vars(pattern)
     if skip_var is not None and skip_var not in pat_vars:
         raise ValueError(
@@ -356,6 +361,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         all_rows=all_rows,
         skip_mode=skip_mode,
         skip_var=skip_var,
+        raw_define=raw_define,
     )
 
 
@@ -1596,6 +1602,150 @@ def _match_chunk(frame, spec: MatchSpec, starts):
     return out
 
 
+#: function-ish tokens that make a DEFINE context-dependent or outside
+#: the JVM tier's verbatim-SQL subset
+_TIER_REJECT = re.compile(
+    r"\b(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG|PREV|CLASSIFIER|"
+    r"MATCH_ROWTIME)\s*\(|\w+\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _fixed_len_sql(
+    df: DataFrame, spec: MatchSpec, output_schema: str
+) -> "DataFrame | None":
+    """JVM fast tier: compile a FIXED-LENGTH pattern to pure window
+    functions — no Python anywhere in the plan. Eligible shapes
+    (None for everything else — the NFA matcher is the general path):
+
+    - every pattern element is a single variable consuming exactly
+      one row (no quantifiers, alternation, groups, PERMUTE);
+    - ONE ROW PER MATCH + AFTER MATCH SKIP TO NEXT ROW + no WITHIN —
+      matches are then independent per start row (no consumption
+      coupling), so "match starting at row i" is a row-local
+      predicate over LEAD offsets;
+    - every DEFINE references only its own variable's columns with
+      comparison/boolean/arithmetic operators (no PREV — SQL NULL <>
+      semantics at the partition head differ from the scalar
+      evaluator's None handling — and no aggregates/functions);
+    - every measure is FIRST/LAST(V.col), a bare V.col (= LAST),
+      MATCH_ROWTIME(), COUNT(*) / COUNT(V.*), or CLASSIFIER().
+
+    This is the analog of Flink's logical rewrites that keep simple
+    patterns out of the NFA operator: at 100 TB the plan is one
+    keyed shuffle + Tungsten sort + whole-stage-codegen projection —
+    scan-speed, zero Arrow hops. Bit-for-bit equality with the NFA
+    matcher on eligible shapes is pinned by
+    tests/test_cep_vectorized.py's randomized tier differential.
+    Reference semantics: Flink 1.13 MATCH_RECOGNIZE (docs:
+    queries/match_recognize — reference pins 1.13 in pom.xml:41)."""
+    if (
+        spec.all_rows
+        or spec.skip_mode != "to_next"
+        or spec.within_seconds is not None
+        or isinstance(spec.pattern, PatternAST)
+    ):
+        return None
+    vars_seq: list[str] = []
+    for alts, quant in spec.pattern:
+        if len(alts) != 1 or quant != "1":
+            return None
+        vars_seq.append(alts[0])
+    k = len(vars_seq)
+    if k == 0:
+        return None
+    cols = set(df.columns)
+    # window spec shared by every LEAD
+    asc = spec.order_asc or [True] * len(spec.order_by)
+    order_sql = ", ".join(
+        f"`{c}`" + ("" if a else " DESC")
+        for c, a in zip(spec.order_by, asc)
+    )
+    part_sql = ", ".join(f"`{c}`" for c in spec.partition_by)
+    win = f"(PARTITION BY {part_sql} ORDER BY {order_sql})"
+
+    def lead(col: str, off: int) -> str:
+        return (
+            f"`{col}`" if off == 0 else f"LEAD(`{col}`, {off}) OVER {win}"
+        )
+
+    # defines → per-offset conditions
+    conds: list[str] = []
+    for off, v in enumerate(vars_seq):
+        src = spec.raw_define.get(v)
+        if src is None:
+            continue  # always-true variable
+        if _TIER_REJECT.search(src):
+            return None
+        # identifier-dotted refs only — a numeric literal like 30.0
+        # must not parse as a variable reference
+        refs = re.findall(
+            r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", src
+        )
+        if any(var != v or col not in cols for var, col in refs):
+            return None  # other-variable reference → NFA path
+        cond = re.sub(
+            rf"\b{re.escape(v)}\.(\w+)\b",
+            lambda m, _o=off: lead(m.group(1), _o),
+            src,
+        )
+        conds.append(f"({cond})")
+    # boundary guard: offsets past the partition end are NULL — an
+    # all-always-true pattern would otherwise match phantom suffixes
+    conds.append(f"{lead(spec.order_by[0], k - 1)} IS NOT NULL")
+
+    # measures → offset projections
+    offsets: dict[str, list[int]] = {}
+    for off, v in enumerate(vars_seq):
+        offsets.setdefault(v, []).append(off)
+    sels: list[str] = [f"`{c}`" for c in spec.partition_by]
+    for raw_m, name in spec.raw_measures:
+        t = raw_m.strip()
+        m = re.fullmatch(
+            r"(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)", t, re.IGNORECASE
+        )
+        if m:
+            v, col = m.group(2), m.group(3)
+            if v not in offsets or col not in cols:
+                return None
+            off = (
+                offsets[v][0]
+                if m.group(1).upper() == "FIRST"
+                else offsets[v][-1]
+            )
+            sels.append(f"{lead(col, off)} AS `{name}`")
+            continue
+        m = re.fullmatch(r"(\w+)\.(\w+)", t)
+        if m:  # bare V.col = LAST(V.col)
+            v, col = m.group(1), m.group(2)
+            if v not in offsets or col not in cols:
+                return None
+            sels.append(f"{lead(col, offsets[v][-1])} AS `{name}`")
+            continue
+        if re.fullmatch(r"MATCH_ROWTIME\s*\(\s*\)", t, re.IGNORECASE):
+            sels.append(
+                f"{lead(spec.order_by[0], k - 1)} AS `{name}`"
+            )
+            continue
+        if re.fullmatch(r"COUNT\s*\(\s*\*\s*\)", t, re.IGNORECASE):
+            sels.append(f"CAST({k} AS BIGINT) AS `{name}`")
+            continue
+        m = re.fullmatch(
+            r"COUNT\s*\(\s*(\w+)\.\*\s*\)", t, re.IGNORECASE
+        )
+        if m:
+            n = len(offsets.get(m.group(1), ()))
+            sels.append(f"CAST({n} AS BIGINT) AS `{name}`")
+            continue
+        if re.fullmatch(r"CLASSIFIER\s*\(\s*\)", t, re.IGNORECASE):
+            sels.append(f"'{vars_seq[-1]}' AS `{name}`")
+            continue
+        return None  # measure outside the tier's subset → NFA path
+    return df.selectExpr(
+        *sels, f"({' AND '.join(conds)}) AS `__match__`"
+    ).where("`__match__`").drop("__match__")
+
+
 def match_recognize(
     df: DataFrame, spec: MatchSpec, output_schema: str
 ) -> DataFrame:
@@ -1613,7 +1763,11 @@ def match_recognize(
 
     Reference semantics: Flink 1.13 MATCH_RECOGNIZE
     (docs/queries/match_recognize; reference pins Flink 1.13 in
-    pom.xml:41)."""
+    pom.xml:41). Fixed-length SKIP-TO-NEXT-ROW shapes with row-local
+    defines take the pure-JVM window tier first (_fixed_len_sql)."""
+    fast = _fixed_len_sql(df, spec, output_schema)
+    if fast is not None:
+        return fast
     from pyspark.sql import functions as F
 
     keys = list(spec.partition_by)

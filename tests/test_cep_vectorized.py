@@ -436,3 +436,104 @@ def test_group_starts_null_keys_group_together():
     assert list(_group_starts(obj, ["k"])) == [0, 2, 4]
     flt = pd.DataFrame({"k": [1.0, 1.0, np.nan, np.nan, 2.0]})
     assert list(_group_starts(flt, ["k"])) == [0, 2, 4]
+
+
+def test_fixed_len_jvm_tier_equals_nfa_matcher(spark):
+    """The round-9 JVM window tier (_fixed_len_sql) must be invisible:
+    identical output to the NFA matcher on every eligible shape —
+    randomized data incl. NULL values and partition-boundary rows,
+    DESC secondary order, repeated variables, always-true variables,
+    and every measure form the tier accepts."""
+    import pandas as pd
+
+    from flink_streaming_platform_web_spark.operators.cep import (
+        _fixed_len_sql,
+        infer_output_schema,
+        match_recognize,
+    )
+
+    clauses = [
+        # repeated var + COUNT forms + CLASSIFIER
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(A.v) AS fa, LAST(A.v) AS la, B.v AS bv,"
+        " COUNT(*) AS n, COUNT(A.*) AS na, CLASSIFIER() AS cls"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A A B)"
+        " DEFINE A AS A.v < 60, B AS B.v >= 20",
+        # DESC secondary order + MATCH_ROWTIME + always-true var
+        "PARTITION BY k ORDER BY d, ts DESC"
+        " MEASURES FIRST(LO.ts) AS lo_ts, MATCH_ROWTIME() AS mr"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (LO ANYROW HI)"
+        " DEFINE LO AS LO.v < 30, HI AS HI.v >= 70",
+    ]
+    rng = random.Random(31)
+    for trial, clause in enumerate(clauses):
+        spec = parse_match_recognize(clause)
+        rows = []
+        for i in range(400):
+            rows.append(
+                {
+                    "k": rng.randint(0, 5),
+                    "d": rng.randint(0, 3),
+                    "ts": i,
+                    "v": (
+                        None
+                        if rng.random() < 0.06
+                        else float(rng.randint(0, 99))
+                    ),
+                }
+            )
+        df = spark.createDataFrame(
+            pd.DataFrame(rows).astype({"v": "float64"})
+        )
+        schema = infer_output_schema(spec, df)
+        fast = match_recognize(df, spec, schema)
+        assert _fixed_len_sql(df, spec, schema) is not None
+        assert "MapInPandas" not in fast._jdf.queryExecution().executedPlan().toString()
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(cep, "_fixed_len_sql", lambda *a: None)
+            slow = match_recognize(df, spec, schema)
+            assert "MapInPandas" in slow._jdf.queryExecution().executedPlan().toString()
+            want = {tuple(r) for r in slow.collect()}
+        got = {tuple(r) for r in fast.collect()}
+        assert got == want, f"trial {trial}"
+        assert got, f"trial {trial} vacuous"
+
+
+def test_fixed_len_tier_rejects_ineligible_shapes(spark):
+    """Shapes outside the tier's contract must return None (NFA
+    path), never a silently-different plan."""
+    import pandas as pd
+
+    from flink_streaming_platform_web_spark.operators.cep import (
+        _fixed_len_sql,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1], "ts": [1], "v": [1.0], "w": [2.0]}
+        )
+    )
+    base = (
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(A.v) AS fa"
+        " ONE ROW PER MATCH AFTER MATCH {skip}"
+        " PATTERN ({pat})"
+        " DEFINE {defs}"
+    )
+    for skip, pat, defs in [
+        # SKIP PAST LAST ROW couples matches — NFA
+        ("SKIP PAST LAST ROW", "A B", "A AS A.v < 5, B AS B.v > 1"),
+        # quantifier — not fixed length
+        ("SKIP TO NEXT ROW", "A B+", "A AS A.v < 5, B AS B.v > 1"),
+        # other-variable reference — context-dependent
+        ("SKIP TO NEXT ROW", "A B", "A AS A.v < 5, B AS B.v > A.v"),
+        # PREV — head NULL semantics differ
+        ("SKIP TO NEXT ROW", "A B",
+         "A AS A.v < 5, B AS B.v > PREV(B.v)"),
+    ]:
+        spec = parse_match_recognize(
+            base.format(skip=skip, pat=pat, defs=defs)
+        )
+        assert _fixed_len_sql(df, spec, "") is None, (skip, pat, defs)
