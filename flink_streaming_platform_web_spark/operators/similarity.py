@@ -90,8 +90,27 @@ def _cos_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
 
+def _dot_fold(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product: aggregate starts at 0.0 and
+    adds element products in array order — the exact IEEE sequence of
+    _cos_kernel's dimension loop and the oracle's list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _cosine(a: Column, b: Column) -> Column:
-    return _cos_kernel(a, b)
+    """Pure-Catalyst cosine (round 9 — replaces the pandas-UDF hop):
+    whole-stage-codegen-eligible and bit-identical to ``_cos_kernel``
+    (same per-dimension accumulation order, same division/sqrt
+    composition — pinned by tests/test_similarity.py's randomized
+    kernel differential). ANN joins that score pairs JVM-side no
+    longer ship every candidate pair through Arrow into Python."""
+    return _dot_fold(a, b) / (
+        F.sqrt(_dot_fold(a, a)) * F.sqrt(_dot_fold(b, b))
+    )
 
 
 # DuckDB side: explicit same-shape arithmetic (list_dot_product order ==

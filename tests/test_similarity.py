@@ -99,3 +99,50 @@ def test_dd11_scaled_kmeans_recall_vs_exact(spark, sf_dir):
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.90, f"scaled-IVF recall degraded: {recall:.3f}"
     assert ivf <= exact
+
+
+def test_jvm_cosine_bitwise_equals_pandas_kernel(spark):
+    """The round-9 pure-Catalyst _cosine must be bit-for-bit the
+    pandas kernel (same per-dimension accumulation order, same
+    division/sqrt composition) — randomized 64-dim pairs, compared as
+    raw IEEE bit patterns."""
+    import struct
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_platform_web_spark.operators import (
+        similarity as S,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (
+            i,
+            rng.uniform(-1, 1, 64).tolist(),
+            rng.uniform(-1, 1, 64).tolist(),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    jvm = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", S._cosine(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    ker = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", S._cos_kernel(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    bad = [
+        i
+        for i in jvm
+        if struct.pack("<d", jvm[i]) != struct.pack("<d", ker[i])
+    ]
+    assert bad == [], bad[:5]
