@@ -1605,8 +1605,11 @@ def _match_chunk(frame, spec: MatchSpec, starts):
 #: function-ish tokens that make a DEFINE context-dependent or outside
 #: the JVM tier's verbatim-SQL subset
 _TIER_REJECT = re.compile(
+    # aggregates/navigation → context-dependent; any call → outside
+    # the verbatim subset; / and % → SQL yields NULL on zero where the
+    # scalar evaluator raises (same cut _VecXform makes)
     r"\b(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG|PREV|CLASSIFIER|"
-    r"MATCH_ROWTIME)\s*\(|\w+\s*\(",
+    r"MATCH_ROWTIME)\s*\(|\w+\s*\(|[/%]",
     re.IGNORECASE,
 )
 
@@ -1741,9 +1744,12 @@ def _fixed_len_sql(
             sels.append(f"'{vars_seq[-1]}' AS `{name}`")
             continue
         return None  # measure outside the tier's subset → NFA path
+    flag = "__match_9f3a__"  # fixed + unlikely; input collision guarded
+    if flag in cols:
+        return None
     return df.selectExpr(
-        *sels, f"({' AND '.join(conds)}) AS `__match__`"
-    ).where("`__match__`").drop("__match__")
+        *sels, f"({' AND '.join(conds)}) AS `{flag}`"
+    ).where(f"`{flag}`").drop(flag)
 
 
 def match_recognize(

@@ -1672,7 +1672,9 @@ class JobRunner:
         cap = self._memory_max_rows
         held = len(self._memory_rows.get(sink.name, ())) if accumulate else 0
         if cap:
-            rows = out.limit(cap - held + 1).collect()
+            # held can exceed a cap LOWERED mid-run by SET — clamp so
+            # limit() never sees a negative
+            rows = out.limit(max(cap - held, 0) + 1).collect()
             if held + len(rows) > cap:
                 raise ValueError(
                     f"memory sink {sink.name!r} exceeded"
