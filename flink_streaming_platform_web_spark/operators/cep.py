@@ -1623,10 +1623,11 @@ def _fixed_len_sql(
 
     - every pattern element is a single variable consuming exactly
       one row (no quantifiers, alternation, groups, PERMUTE);
-    - ONE ROW PER MATCH + AFTER MATCH SKIP TO NEXT ROW + no WITHIN —
-      matches are then independent per start row (no consumption
-      coupling), so "match starting at row i" is a row-local
-      predicate over LEAD offsets;
+    - ONE ROW PER MATCH + AFTER MATCH SKIP TO NEXT ROW — matches are
+      then independent per start row (no consumption coupling), so
+      "match starting at row i" is a row-local predicate over LEAD
+      offsets; WITHIN folds in as an exact integer-microsecond bound
+      on the (first, last) offset pair;
     - every DEFINE references only its own variable's columns with
       comparison/boolean/arithmetic operators (no PREV — SQL NULL <>
       semantics at the partition head differ from the scalar
@@ -1645,7 +1646,6 @@ def _fixed_len_sql(
     if (
         spec.all_rows
         or spec.skip_mode != "to_next"
-        or spec.within_seconds is not None
         or isinstance(spec.pattern, PatternAST)
     ):
         return None
@@ -1696,6 +1696,35 @@ def _fixed_len_sql(
     # boundary guard: offsets past the partition end are NULL — an
     # all-always-true pattern would otherwise match phantom suffixes
     conds.append(f"{lead(spec.order_by[0], k - 1)} IS NOT NULL")
+    if spec.within_seconds is not None:
+        # WITHIN: elapsed time between the match's first and last row.
+        # The first ORDER BY column is ascending (Flink's event-time
+        # constraint), so the k-1 offset carries the max elapsed — the
+        # single bound reproduces the NFA's per-offset check. Integer
+        # microseconds subtract exactly (the scalar evaluator computes
+        # ns/1e9 on the small DIFFERENCE — same value); the reject
+        # fires only when the comparison is definitely TRUE, matching
+        # the scalar path's nan/None no-reject behavior.
+        o0 = spec.order_by[0]
+        dt = df.schema[o0].dataType.typeName()
+        f_, l_ = lead(o0, 0), lead(o0, k - 1)
+        if dt in ("timestamp", "timestamp_ntz"):
+            el = (
+                f"(unix_micros(CAST({l_} AS TIMESTAMP))"
+                f" - unix_micros(CAST({f_} AS TIMESTAMP)))"
+            )
+            bound = repr(spec.within_seconds * 1e6)
+        elif dt in (
+            "long", "integer", "short", "byte", "double", "float",
+        ):
+            el = f"(CAST({l_} AS DOUBLE) - CAST({f_} AS DOUBLE))"
+            bound = repr(spec.within_seconds)
+        else:
+            return None  # dates/strings keep the NFA path
+        conds.append(
+            f"(({f_} IS NULL) OR ({l_} IS NULL)"
+            f" OR NOT({el} > {bound}))"
+        )
 
     # measures → offset projections
     offsets: dict[str, list[int]] = {}

@@ -537,3 +537,56 @@ def test_fixed_len_tier_rejects_ineligible_shapes(spark):
             base.format(skip=skip, pat=pat, defs=defs)
         )
         assert _fixed_len_sql(df, spec, "") is None, (skip, pat, defs)
+
+
+def test_fixed_len_tier_within_equals_nfa(spark):
+    """WITHIN through the JVM tier: exact integer-microsecond bound on
+    the (first, last) offsets — randomized timestamps incl. boundary
+    values exactly AT the bound, vs the NFA matcher."""
+    import pandas as pd
+
+    from flink_streaming_platform_web_spark.operators.cep import (
+        _fixed_len_sql,
+        infer_output_schema,
+        match_recognize,
+    )
+
+    clause = (
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(A.ts) AS a_ts, LAST(C.ts) AS c_ts"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B C) WITHIN INTERVAL '90' SECOND"
+        " DEFINE A AS A.v < 40, C AS C.v >= 40"
+    )
+    spec = parse_match_recognize(clause)
+    assert spec.within_seconds == 90.0
+    rng = random.Random(41)
+    rows, t = [], pd.Timestamp("2024-01-01")
+    for i in range(400):
+        # steps chosen so (first,last) spans land exactly AT 90s often
+        t = t + pd.Timedelta(seconds=rng.choice([15, 30, 45, 45]))
+        rows.append(
+            {"k": rng.randint(0, 3), "ts": t, "v": float(rng.randint(0, 99))}
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    schema = infer_output_schema(spec, df)
+    fast = match_recognize(df, spec, schema)
+    assert _fixed_len_sql(df, spec, schema) is not None
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(cep, "_fixed_len_sql", lambda *a: None)
+        want = {tuple(r) for r in match_recognize(df, spec, schema).collect()}
+    got = {tuple(r) for r in fast.collect()}
+    assert got == want
+    assert got, "vacuous"
+    # the bound is load-bearing: without WITHIN more matches exist
+    clause_nb = clause.replace(" WITHIN INTERVAL '90' SECOND", "")
+    spec_nb = parse_match_recognize(clause_nb)
+    nb = {
+        tuple(r)
+        for r in match_recognize(
+            df, spec_nb, infer_output_schema(spec_nb, df)
+        ).collect()
+    }
+    assert len(nb) > len(got)
