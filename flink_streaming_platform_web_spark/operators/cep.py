@@ -1602,38 +1602,337 @@ def _match_chunk(frame, spec: MatchSpec, starts):
     return out
 
 
-#: function-ish tokens that make a DEFINE context-dependent or outside
-#: the JVM tier's verbatim-SQL subset
+#: PREV(V.col[, n]) physical-offset navigation — the one call shape
+#: the JVM tiers compile (everything else context-dependent / outside
+#: the verbatim subset)
+_PREV_NAV = re.compile(
+    r"PREV\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+))?\s*\)", re.IGNORECASE
+)
+
+#: tokens outside the tiers' exactness-safe verbatim-SQL subset,
+#: scanned AFTER PREV(...) calls are masked out:
+#: - any remaining call → aggregates/navigation/functions are
+#:   context-dependent (this also rejects `AND (`-style grouped
+#:   boolean terms — conservative, they stay on the NFA path);
+#: - / and % → SQL yields NULL on zero where the scalar evaluator
+#:   raises (same cut _VecXform makes);
+#: - <> / != / NOT / IS → SQL three-valued logic diverges from the
+#:   scalar/bitmap evaluators on NULLs (None != x → True and
+#:   ~False → True python-side, but NULL <> x → NULL → no-match
+#:   SQL-side; ADVICE r9 finding 2). Without NOT, AND/OR over
+#:   NULL-is-False atoms are monotone, so Kleene NULLs and scalar
+#:   False agree at the top level;
+#: - NULL literals, BETWEEN/LIKE/IN/CASE → outside the subset.
 _TIER_REJECT = re.compile(
-    # aggregates/navigation → context-dependent; any call → outside
-    # the verbatim subset; / and % → SQL yields NULL on zero where the
-    # scalar evaluator raises (same cut _VecXform makes)
-    r"\b(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG|PREV|CLASSIFIER|"
-    r"MATCH_ROWTIME)\s*\(|\w+\s*\(|[/%]",
+    r"\w+\s*\(|[/%]|<>|!=|\|\||"
+    r"\b(NOT|IS|NULL|BETWEEN|LIKE|IN|CASE|EXISTS|DISTINCT)\b",
     re.IGNORECASE,
 )
+
+#: a bare `=` (not <=, >=, !=) — exactness-safe only on numeric /
+#: datetime columns (see _tier_condition)
+_TIER_EQ = re.compile(r"(?<![<>!=])=")
+
+_DOTTED_REF = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b")
+_BARE_ID = re.compile(r"\b[A-Za-z_]\w*\b")
+
+#: Spark type names whose NULLs surface as NaN/NaT (never None) in
+#: the pandas matcher, so `=` agrees across all three evaluators
+_EQ_SAFE_TYPES = frozenset((
+    "long", "integer", "short", "byte", "double", "float",
+    "timestamp", "timestamp_ntz", "date",
+))
+
+
+def _tier_condition(src, var, off, cols, eq_safe, lead):
+    """Compile one ROW-LOCAL raw DEFINE to a SQL boolean where the
+    variable's own row sits at offset ``off`` from the anchor row
+    (``lead(col, o)`` renders an offset reference; negative offsets
+    render as LAG). Returns None when the define is outside the
+    exactness-safe subset — the caller falls back to the NFA path.
+
+    Exactness notes (vs the scalar/bitmap evaluators, pinned by the
+    randomized tier differential in tests/test_cep_vectorized.py):
+
+    - ordering comparisons on NULL: SQL NULL → no-match = scalar
+      TypeError→False = bitmap NaN→False;
+    - `=`: NaN == x / NaN == NaN are False scalar-side, NULL = x is
+      no-match SQL-side — but None == None is True, which can only
+      arise from object-dtype columns or __prev past the partition
+      head compared against an object column, so `=` is admitted
+      only when every referenced column's NULLs are NaN/NaT
+      (numeric/datetime types);
+    - PREV at the partition head: LAG → NULL → no-match, matching
+      the scalar evaluator's None (TypeError→False under orderings);
+    - bare (non-dotted) input-column identifiers would evaluate at
+      the anchor row instead of the variable's own offset; the NFA
+      path fails loudly on them (NameError), so they stay there
+      (ADVICE r9 finding 4).
+    """
+    prevs: list[tuple[str, int]] = []
+
+    def _cap(m):
+        prevs.append((m.group(2), int(m.group(3) or 1)))
+        return f" __prevref{len(prevs) - 1}x "
+
+    masked = _PREV_NAV.sub(_cap, src)
+    if _TIER_REJECT.search(masked):
+        return None
+    refs = _DOTTED_REF.findall(masked)
+    if any(v != var or c not in cols for v, c in refs):
+        return None  # other-variable reference → NFA path
+    if any(c not in cols for c, _ in prevs):
+        return None
+    if _TIER_EQ.search(masked) and (
+        any(c not in eq_safe for _, c in refs)
+        or any(c not in eq_safe for c, _ in prevs)
+    ):
+        return None
+    rest = _DOTTED_REF.sub(" ", masked)
+    rest = re.sub(r"__prevref\d+x", " ", rest)
+    if any(t in cols for t in _BARE_ID.findall(rest)):
+        return None  # bare column ref — loud NFA NameError, not 0-offset
+    cond = _DOTTED_REF.sub(lambda m: lead(m.group(2), off), masked)
+    for i, (c, n) in enumerate(prevs):
+        cond = cond.replace(f"__prevref{i}x", lead(c, off - n))
+    return f"({cond})"
+
+
+def _tier_window(df, spec):
+    """(win, lead, cols, eq_safe, col_types) shared by every tier.
+    ORDER BY renders NULLS LAST to mirror the pandas matcher's
+    NaT/NaN-last placement (ADVICE r9 finding 5); negative lead
+    offsets render as LAG (PREV reaching before the match start)."""
+    cols = set(df.columns)
+    eq_safe = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in _EQ_SAFE_TYPES
+    }
+    col_types = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }
+    asc = spec.order_asc or [True] * len(spec.order_by)
+    order_sql = ", ".join(
+        f"`{c}`" + (" NULLS LAST" if a else " DESC")
+        for c, a in zip(spec.order_by, asc)
+    )
+    part_sql = ", ".join(f"`{c}`" for c in spec.partition_by)
+    win = f"(PARTITION BY {part_sql} ORDER BY {order_sql})"
+
+    def lead(col: str, off: int) -> str:
+        if off == 0:
+            return f"`{col}`"
+        if off > 0:
+            return f"LEAD(`{col}`, {off}) OVER {win}"
+        return f"LAG(`{col}`, {-off}) OVER {win}"
+
+    return win, part_sql, lead, cols, eq_safe, col_types
+
+
+def _tier_elements(df, spec, lead, cols, eq_safe):
+    """Fixed-length eligibility: every pattern element consumes
+    exactly one row — a single variable or a flat alternation of
+    single variables (ordered choice; with row-local defines the
+    rest of the pattern cannot depend on WHICH alternative matched,
+    so first-true = the NFA's backtracking preference). Returns
+    (elem_info, conds) or None."""
+    elem_info: list[tuple] = []
+    conds: list[str] = []
+    for off, (alts, quant) in enumerate(spec.pattern):
+        if quant != "1":
+            return None
+        if len(alts) == 1:
+            v = alts[0]
+            src = spec.raw_define.get(v)
+            if src is None:
+                elem_info.append(("single", v, None))
+                continue
+            cond = _tier_condition(src, v, off, cols, eq_safe, lead)
+            if cond is None:
+                return None
+            elem_info.append(("single", v, cond))
+            conds.append(cond)
+        else:
+            branches: list[tuple[str, str]] = []
+            for a in alts:
+                src = spec.raw_define.get(a)
+                if src is None:
+                    # define-free alternative is always-true; the
+                    # NFA's ordered preference makes later
+                    # alternatives unreachable
+                    branches.append((a, "TRUE"))
+                    break
+                c = _tier_condition(src, a, off, cols, eq_safe, lead)
+                if c is None:
+                    return None
+                branches.append((a, c))
+            cls = (
+                "(CASE "
+                + " ".join(f"WHEN {c} THEN '{a}'" for a, c in branches)
+                + " END)"
+            )
+            elem_info.append(("alt", branches, cls))
+            if branches[-1][1] != "TRUE":
+                conds.append(
+                    "(" + " OR ".join(c for _, c in branches) + ")"
+                )
+    return elem_info, conds
+
+
+def _var_occurrences(elem_info):
+    """var → [(offset, guard-SQL-or-None)] in pattern order; guard
+    None means the variable unconditionally owns that offset."""
+    occ: dict[str, list[tuple[int, "str | None"]]] = {}
+    for off, e in enumerate(elem_info):
+        if e[0] == "single":
+            occ.setdefault(e[1], []).append((off, None))
+        else:
+            _, branches, cls = e
+            for a, _c in branches:
+                occ.setdefault(a, []).append((off, f"{cls} = '{a}'"))
+    return occ
+
+
+def _pref_case(pairs):
+    """First-match-wins selection over (guard, value) pairs; a None
+    guard is unconditional and terminates the chain (NULL when no
+    guard fires — the scalar evaluator's None for an unmatched
+    variable)."""
+    if pairs and pairs[0][0] is None:
+        return pairs[0][1]
+    parts = []
+    for g, val in pairs:
+        if g is None:
+            parts.append(f"ELSE {val}")
+            break
+        parts.append(f"WHEN {g} THEN {val}")
+    return "(CASE " + " ".join(parts) + " END)"
+
+
+def _tier_measure(raw, occ, elem_info, lead, k, order0, col_types, cols):
+    """One raw MEASURE → a SQL projection over the anchor row's LEAD
+    offsets, or None when outside the tier subset. SUM/MIN/MAX/AVG
+    are admitted only when the variable owns exactly one offset (a
+    one-row aggregate is the value itself; SUM widens ints to BIGINT
+    and AVG casts to DOUBLE to match infer_output_schema)."""
+    t = raw.strip()
+    m = re.fullmatch(
+        r"(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)", t, re.IGNORECASE
+    )
+    if m:
+        v, col = m.group(2), m.group(3)
+        if v not in occ or col not in cols:
+            return None
+        pairs = [(g, lead(col, off)) for off, g in occ[v]]
+        if m.group(1).upper() == "LAST":
+            pairs = pairs[::-1]
+        return _pref_case(pairs)
+    m = re.fullmatch(r"(\w+)\.(\w+)", t)
+    if m:  # bare V.col = LAST(V.col)
+        v, col = m.group(1), m.group(2)
+        if v not in occ or col not in cols:
+            return None
+        return _pref_case([(g, lead(col, off)) for off, g in occ[v]][::-1])
+    if re.fullmatch(r"MATCH_ROWTIME\s*\(\s*\)", t, re.IGNORECASE):
+        return lead(order0, k - 1)
+    if re.fullmatch(r"COUNT\s*\(\s*\*\s*\)", t, re.IGNORECASE):
+        return f"CAST({k} AS BIGINT)"
+    m = re.fullmatch(r"COUNT\s*\(\s*(\w+)\.\*\s*\)", t, re.IGNORECASE)
+    if m:
+        base = sum(1 for _, g in occ.get(m.group(1), ()) if g is None)
+        parts = [
+            f" + (CASE WHEN {g} THEN 1 ELSE 0 END)"
+            for _, g in occ.get(m.group(1), ())
+            if g is not None
+        ]
+        return f"CAST({base}{''.join(parts)} AS BIGINT)"
+    m = re.fullmatch(
+        r"(SUM|MIN|MAX|AVG)\s*\(\s*(\w+)\.(\w+)\s*\)", t, re.IGNORECASE
+    )
+    if m:
+        fn, v, col = m.group(1).upper(), m.group(2), m.group(3)
+        if v not in occ or col not in cols or len(occ[v]) != 1:
+            return None
+        off, g = occ[v][0]
+        val = lead(col, off)
+        if g is not None:
+            val = f"(CASE WHEN {g} THEN {val} END)"
+        ct = col_types.get(col)
+        if fn == "SUM":
+            if ct in ("int", "smallint", "tinyint"):
+                return f"CAST({val} AS BIGINT)"
+            if ct in ("bigint", "double", "float"):
+                return val
+            return None  # decimal widening diverges → NFA
+        if fn == "AVG":
+            if ct in (
+                "int", "smallint", "tinyint", "bigint", "double",
+                "float",
+            ):
+                return f"CAST({val} AS DOUBLE)"
+            return None
+        return val  # MIN/MAX of one row is the row's value
+    if re.fullmatch(r"CLASSIFIER\s*\(\s*\)", t, re.IGNORECASE):
+        last = elem_info[-1]
+        return f"'{last[1]}'" if last[0] == "single" else last[2]
+    return None  # measure outside the tier's subset → NFA path
+
+
+def _within_bound(df, spec, lead, k):
+    """WITHIN conjunct: '' when no WITHIN clause, None when the
+    ORDER-BY dtype is unsupported (caller falls back to the NFA).
+    Elapsed time between the match's first and last row; the first
+    ORDER BY column is ascending (Flink's event-time constraint), so
+    the k-1 offset carries the max elapsed. Integer microseconds
+    subtract exactly (the scalar evaluator computes ns/1e9 on the
+    small DIFFERENCE — same value); the reject fires only when the
+    comparison is definitely TRUE, matching the scalar path's
+    nan/None no-reject behavior."""
+    if spec.within_seconds is None:
+        return ""
+    o0 = spec.order_by[0]
+    dt = df.schema[o0].dataType.typeName()
+    f_, l_ = lead(o0, 0), lead(o0, k - 1)
+    if dt in ("timestamp", "timestamp_ntz"):
+        el = (
+            f"(unix_micros(CAST({l_} AS TIMESTAMP))"
+            f" - unix_micros(CAST({f_} AS TIMESTAMP)))"
+        )
+        bound = repr(spec.within_seconds * 1e6)
+    elif dt in ("long", "integer", "short", "byte", "double", "float"):
+        el = f"(CAST({l_} AS DOUBLE) - CAST({f_} AS DOUBLE))"
+        bound = repr(spec.within_seconds)
+    else:
+        return None  # dates/strings keep the NFA path
+    return (
+        f"(({f_} IS NULL) OR ({l_} IS NULL) OR NOT({el} > {bound}))"
+    )
 
 
 def _fixed_len_sql(
     df: DataFrame, spec: MatchSpec, output_schema: str
 ) -> "DataFrame | None":
-    """JVM fast tier: compile a FIXED-LENGTH pattern to pure window
-    functions — no Python anywhere in the plan. Eligible shapes
-    (None for everything else — the NFA matcher is the general path):
+    """JVM fast tier A: compile a FIXED-LENGTH pattern under AFTER
+    MATCH SKIP TO NEXT ROW to pure window functions — no Python
+    anywhere in the plan. Eligible shapes (None for everything else —
+    the NFA matcher is the general path):
 
-    - every pattern element is a single variable consuming exactly
-      one row (no quantifiers, alternation, groups, PERMUTE);
-    - ONE ROW PER MATCH + AFTER MATCH SKIP TO NEXT ROW — matches are
-      then independent per start row (no consumption coupling), so
-      "match starting at row i" is a row-local predicate over LEAD
-      offsets; WITHIN folds in as an exact integer-microsecond bound
-      on the (first, last) offset pair;
-    - every DEFINE references only its own variable's columns with
-      comparison/boolean/arithmetic operators (no PREV — SQL NULL <>
-      semantics at the partition head differ from the scalar
-      evaluator's None handling — and no aggregates/functions);
+    - every pattern element consumes exactly one row: a single
+      variable or a flat alternation of single variables (no
+      quantifiers, groups, PERMUTE);
+    - SKIP TO NEXT ROW makes matches independent per start row (no
+      consumption coupling), so "match starting at row i" is a
+      row-local predicate over LEAD offsets; WITHIN folds in as an
+      exact integer-microsecond bound on the (first, last) offset
+      pair;
+    - every DEFINE is row-local: its own variable's columns plus
+      PREV(col[, n]) physical navigation (round 10 — PREV renders as
+      LEAD/LAG with SQL NULL-at-head semantics matching the scalar
+      evaluator; see _tier_condition's exactness notes);
     - every measure is FIRST/LAST(V.col), a bare V.col (= LAST),
-      MATCH_ROWTIME(), COUNT(*) / COUNT(V.*), or CLASSIFIER().
+      MATCH_ROWTIME(), COUNT(*) / COUNT(V.*), CLASSIFIER(), or a
+      single-offset SUM/MIN/MAX/AVG(V.col).
 
     This is the analog of Flink's logical rewrites that keep simple
     patterns out of the NFA operator: at 100 TB the plan is one
@@ -1649,136 +1948,322 @@ def _fixed_len_sql(
         or isinstance(spec.pattern, PatternAST)
     ):
         return None
-    vars_seq: list[str] = []
-    for alts, quant in spec.pattern:
-        if len(alts) != 1 or quant != "1":
-            return None
-        vars_seq.append(alts[0])
-    k = len(vars_seq)
+    win, _part_sql, lead, cols, eq_safe, col_types = _tier_window(
+        df, spec
+    )
+    te = _tier_elements(df, spec, lead, cols, eq_safe)
+    if te is None:
+        return None
+    elem_info, conds = te
+    k = len(elem_info)
     if k == 0:
         return None
-    cols = set(df.columns)
-    # window spec shared by every LEAD
-    asc = spec.order_asc or [True] * len(spec.order_by)
-    order_sql = ", ".join(
-        f"`{c}`" + ("" if a else " DESC")
-        for c, a in zip(spec.order_by, asc)
-    )
-    part_sql = ", ".join(f"`{c}`" for c in spec.partition_by)
-    win = f"(PARTITION BY {part_sql} ORDER BY {order_sql})"
-
-    def lead(col: str, off: int) -> str:
-        return (
-            f"`{col}`" if off == 0 else f"LEAD(`{col}`, {off}) OVER {win}"
-        )
-
-    # defines → per-offset conditions
-    conds: list[str] = []
-    for off, v in enumerate(vars_seq):
-        src = spec.raw_define.get(v)
-        if src is None:
-            continue  # always-true variable
-        if _TIER_REJECT.search(src):
-            return None
-        # identifier-dotted refs only — a numeric literal like 30.0
-        # must not parse as a variable reference
-        refs = re.findall(
-            r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", src
-        )
-        if any(var != v or col not in cols for var, col in refs):
-            return None  # other-variable reference → NFA path
-        cond = re.sub(
-            rf"\b{re.escape(v)}\.(\w+)\b",
-            lambda m, _o=off: lead(m.group(1), _o),
-            src,
-        )
-        conds.append(f"({cond})")
-    # boundary guard: offsets past the partition end are NULL — an
-    # all-always-true pattern would otherwise match phantom suffixes
-    conds.append(f"{lead(spec.order_by[0], k - 1)} IS NOT NULL")
-    if spec.within_seconds is not None:
-        # WITHIN: elapsed time between the match's first and last row.
-        # The first ORDER BY column is ascending (Flink's event-time
-        # constraint), so the k-1 offset carries the max elapsed — the
-        # single bound reproduces the NFA's per-offset check. Integer
-        # microseconds subtract exactly (the scalar evaluator computes
-        # ns/1e9 on the small DIFFERENCE — same value); the reject
-        # fires only when the comparison is definitely TRUE, matching
-        # the scalar path's nan/None no-reject behavior.
-        o0 = spec.order_by[0]
-        dt = df.schema[o0].dataType.typeName()
-        f_, l_ = lead(o0, 0), lead(o0, k - 1)
-        if dt in ("timestamp", "timestamp_ntz"):
-            el = (
-                f"(unix_micros(CAST({l_} AS TIMESTAMP))"
-                f" - unix_micros(CAST({f_} AS TIMESTAMP)))"
-            )
-            bound = repr(spec.within_seconds * 1e6)
-        elif dt in (
-            "long", "integer", "short", "byte", "double", "float",
-        ):
-            el = f"(CAST({l_} AS DOUBLE) - CAST({f_} AS DOUBLE))"
-            bound = repr(spec.within_seconds)
-        else:
-            return None  # dates/strings keep the NFA path
-        conds.append(
-            f"(({f_} IS NULL) OR ({l_} IS NULL)"
-            f" OR NOT({el} > {bound}))"
-        )
-
-    # measures → offset projections
-    offsets: dict[str, list[int]] = {}
-    for off, v in enumerate(vars_seq):
-        offsets.setdefault(v, []).append(off)
+    conds = list(conds)
+    if k > 1:
+        # boundary guard: a LEAD over a CONSTANT distinguishes "past
+        # the partition end" from "ORDER BY value is NULL" — rows
+        # with NULL order keys sort last but still exist and must
+        # stay matchable (ADVICE r9 finding 3)
+        conds.append(f"LEAD(1, {k - 1}) OVER {win} IS NOT NULL")
+    wb = _within_bound(df, spec, lead, k)
+    if wb is None:
+        return None
+    if wb:
+        conds.append(wb)
+    occ = _var_occurrences(elem_info)
     sels: list[str] = [f"`{c}`" for c in spec.partition_by]
     for raw_m, name in spec.raw_measures:
-        t = raw_m.strip()
-        m = re.fullmatch(
-            r"(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)", t, re.IGNORECASE
+        e = _tier_measure(
+            raw_m, occ, elem_info, lead, k, spec.order_by[0],
+            col_types, cols,
         )
-        if m:
-            v, col = m.group(2), m.group(3)
-            if v not in offsets or col not in cols:
-                return None
-            off = (
-                offsets[v][0]
-                if m.group(1).upper() == "FIRST"
-                else offsets[v][-1]
-            )
-            sels.append(f"{lead(col, off)} AS `{name}`")
-            continue
-        m = re.fullmatch(r"(\w+)\.(\w+)", t)
-        if m:  # bare V.col = LAST(V.col)
-            v, col = m.group(1), m.group(2)
-            if v not in offsets or col not in cols:
-                return None
-            sels.append(f"{lead(col, offsets[v][-1])} AS `{name}`")
-            continue
-        if re.fullmatch(r"MATCH_ROWTIME\s*\(\s*\)", t, re.IGNORECASE):
-            sels.append(
-                f"{lead(spec.order_by[0], k - 1)} AS `{name}`"
-            )
-            continue
-        if re.fullmatch(r"COUNT\s*\(\s*\*\s*\)", t, re.IGNORECASE):
-            sels.append(f"CAST({k} AS BIGINT) AS `{name}`")
-            continue
-        m = re.fullmatch(
-            r"COUNT\s*\(\s*(\w+)\.\*\s*\)", t, re.IGNORECASE
-        )
-        if m:
-            n = len(offsets.get(m.group(1), ()))
-            sels.append(f"CAST({n} AS BIGINT) AS `{name}`")
-            continue
-        if re.fullmatch(r"CLASSIFIER\s*\(\s*\)", t, re.IGNORECASE):
-            sels.append(f"'{vars_seq[-1]}' AS `{name}`")
-            continue
-        return None  # measure outside the tier's subset → NFA path
+        if e is None:
+            return None
+        sels.append(f"{e} AS `{name}`")
+    pred = " AND ".join(conds) if conds else "TRUE"
     flag = "__match_9f3a__"  # fixed + unlikely; input collision guarded
     if flag in cols:
         return None
     return df.selectExpr(
-        *sels, f"({' AND '.join(conds)}) AS `{flag}`"
+        *sels, f"({pred}) AS `{flag}`"
     ).where(f"`{flag}`").drop(flag)
+
+
+#: auxiliary column names used by tiers B/C; input collision → NFA
+_TIER_AUX = ("__mr_rn__", "__mr_grp__", "__mr_pos__", "__mr_ok__",
+             "__mr_head__", "__mr_n__")
+
+
+def _fixed_len_past_sql(
+    df: DataFrame, spec: MatchSpec, output_schema: str
+) -> "DataFrame | None":
+    """JVM fast tier B: FIXED-LENGTH pattern (k ≤ 2) under AFTER
+    MATCH SKIP PAST LAST ROW. The start-row predicate is the same
+    row-local LEAD compilation as tier A, but consumption couples
+    matches: the greedy scan claims the first predicate-true row,
+    skips k rows, and resumes. Within each maximal run of
+    predicate-true start rows that is exactly a stride-k walk, so
+    matches are the rows at (pos - 1) % k == 0 inside each run
+    (gaps-and-islands + parity — the same independent formulation
+    the q47/q52 DuckDB oracles use).
+
+    k is capped at 2: for k ≥ 3 a match can consume a
+    predicate-false row FOLLOWED by a predicate-true row inside its
+    span, so the next run's head may start on a consumed row and the
+    parity rewrite over-produces (e.g. k=3, pred true at p and p+2
+    only: the NFA's next attempt is p+3, not p+2). k = 2 has a
+    single interior row, so any pred-true interior position is
+    necessarily in the same run and the stride covers it; k = 1 is
+    consumption-free (≡ SKIP TO NEXT ROW). Measures are computed in
+    the first window pass (they are row-local), then carried through
+    the island filter unchanged."""
+    if (
+        spec.all_rows
+        or spec.skip_mode != "past_last"
+        or isinstance(spec.pattern, PatternAST)
+    ):
+        return None
+    win, part_sql, lead, cols, eq_safe, col_types = _tier_window(
+        df, spec
+    )
+    te = _tier_elements(df, spec, lead, cols, eq_safe)
+    if te is None:
+        return None
+    elem_info, conds = te
+    k = len(elem_info)
+    if k == 0 or k > 2:
+        return None
+    conds = list(conds)
+    if k > 1:
+        conds.append(f"LEAD(1, {k - 1}) OVER {win} IS NOT NULL")
+    wb = _within_bound(df, spec, lead, k)
+    if wb is None:
+        return None
+    if wb:
+        conds.append(wb)
+    if not conds:
+        return None  # all-always-true → whole-partition stride; NFA
+    occ = _var_occurrences(elem_info)
+    names: list[str] = []
+    sels: list[str] = [f"`{c}`" for c in spec.partition_by]
+    for raw_m, name in spec.raw_measures:
+        e = _tier_measure(
+            raw_m, occ, elem_info, lead, k, spec.order_by[0],
+            col_types, cols,
+        )
+        if e is None:
+            return None
+        sels.append(f"{e} AS `{name}`")
+        names.append(name)
+    if any(a in cols or a in names for a in _TIER_AUX):
+        return None
+    out_cols = [f"`{c}`" for c in spec.partition_by] + [
+        f"`{n}`" for n in names
+    ]
+    pred = " AND ".join(conds)
+    s1 = df.selectExpr(
+        *sels,
+        f"({pred}) AS `__mr_ok__`",
+        f"ROW_NUMBER() OVER {win} AS `__mr_rn__`",
+    ).where("`__mr_ok__`")
+    if k == 1:
+        return s1.selectExpr(*out_cols)
+    s2 = s1.selectExpr(
+        "*",
+        f"`__mr_rn__` - ROW_NUMBER() OVER (PARTITION BY {part_sql}"
+        f" ORDER BY `__mr_rn__`) AS `__mr_grp__`",
+    )
+    s3 = s2.selectExpr(
+        "*",
+        f"ROW_NUMBER() OVER (PARTITION BY {part_sql}, `__mr_grp__`"
+        f" ORDER BY `__mr_rn__`) AS `__mr_pos__`",
+    )
+    return s3.where(f"(`__mr_pos__` - 1) % {k} = 0").selectExpr(
+        *out_cols
+    )
+
+
+def _trailing_agg_measure(
+    raw, s_var, b_var, order0, col_types, cols, min_n
+):
+    """One raw MEASURE → a SQL aggregate over one island group (tier
+    C), or None. The island's min-__mr_rn__ row is the prefix
+    variable's row (the head); every later row belongs to the
+    trailing quantified variable."""
+    t = raw.strip()
+    b_filter = "FILTER (WHERE `__mr_rn__` > `__mr_head__`)"
+
+    def head_val(col):
+        return f"min_by(`{col}`, `__mr_rn__`)"
+
+    m = re.fullmatch(
+        r"(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)", t, re.IGNORECASE
+    )
+    bare = re.fullmatch(r"(\w+)\.(\w+)", t)
+    if m or bare:
+        if m:
+            fn, v, col = m.group(1).upper(), m.group(2), m.group(3)
+        else:
+            fn, v, col = "LAST", bare.group(1), bare.group(2)
+        if col not in cols:
+            return None
+        if v == s_var:
+            return head_val(col)
+        if v != b_var:
+            return None
+        agg = "min_by" if fn == "FIRST" else "max_by"
+        return f"{agg}(`{col}`, `__mr_rn__`) {b_filter}"
+    if re.fullmatch(r"COUNT\s*\(\s*\*\s*\)", t, re.IGNORECASE):
+        return "count(*)"
+    m = re.fullmatch(r"COUNT\s*\(\s*(\w+)\.\*\s*\)", t, re.IGNORECASE)
+    if m:
+        if m.group(1) == s_var:
+            return "CAST(1 AS BIGINT)"
+        if m.group(1) == b_var:
+            return "(count(*) - CAST(1 AS BIGINT))"
+        return None
+    m = re.fullmatch(
+        r"(SUM|MIN|MAX|AVG)\s*\(\s*(\w+)\.(\w+)\s*\)", t, re.IGNORECASE
+    )
+    if m:
+        fn, v, col = m.group(1).upper(), m.group(2), m.group(3)
+        if col not in cols:
+            return None
+        ct = col_types.get(col)
+        num_ok = ct in (
+            "int", "smallint", "tinyint", "bigint", "double", "float",
+        )
+        if v == s_var:  # one-row aggregate = the head row's value
+            val = head_val(col)
+            if fn == "SUM":
+                if ct in ("int", "smallint", "tinyint"):
+                    return f"CAST({val} AS BIGINT)"
+                return val if num_ok else None
+            if fn == "AVG":
+                return f"CAST({val} AS DOUBLE)" if num_ok else None
+            return val
+        if v != b_var:
+            return None
+        if fn in ("SUM", "AVG") and not num_ok:
+            return None  # decimal widening diverges → NFA
+        return f"{fn.lower()}(`{col}`) {b_filter}"
+    if re.fullmatch(r"CLASSIFIER\s*\(\s*\)", t, re.IGNORECASE):
+        if min_n >= 2:
+            return f"'{b_var}'"
+        return (
+            f"(CASE WHEN count(*) >= 2 THEN '{b_var}'"
+            f" ELSE '{s_var}' END)"
+        )
+    if re.fullmatch(r"MATCH_ROWTIME\s*\(\s*\)", t, re.IGNORECASE):
+        return f"max_by(`{order0}`, `__mr_rn__`)"
+    return None
+
+
+def _trailing_plus_sql(
+    df: DataFrame, spec: MatchSpec, output_schema: str
+) -> "DataFrame | None":
+    """JVM fast tier C: ``PATTERN (S B+)`` / ``(S B*)`` under AFTER
+    MATCH SKIP PAST LAST ROW with a define-free prefix variable and a
+    row-local trailing define — the Ticker rising-streak shape (q45).
+    Greedy B consumes the maximal run of define-true rows, and with S
+    always-true every run break starts the next attempt, so matches
+    are EXACTLY the gaps-and-islands decomposition: break rows (rows
+    whose define is not TRUE, including the partition head via LAG →
+    NULL) head their islands, trailing define-true rows attach, and
+    islands of size ≥ 1 + lo(B) are matches. One window pass computes
+    the define and the running island head; the group-by on
+    (partition, head) reuses the window's hash partitioning — ONE
+    exchange total, zero Python.
+
+    A DEFINED prefix variable is rejected: a failed head retries
+    INSIDE the island (consumption recursion the window rewrite
+    cannot express). WITHIN is rejected: the time bound truncates
+    greedy consumption mid-island. Exactness vs the NFA matcher is
+    pinned by the randomized tier differential; aggregate measures
+    fold in __mr_rn__ order (contiguous sorted rows), so float SUM/
+    AVG accumulate in the same sequential IEEE order as the scalar
+    path."""
+    if (
+        spec.all_rows
+        or spec.skip_mode != "past_last"
+        or isinstance(spec.pattern, PatternAST)
+        or spec.within_seconds is not None
+        or len(spec.pattern) != 2
+    ):
+        return None
+    (a0, q0), (a1, q1) = spec.pattern
+    if len(a0) != 1 or len(a1) != 1 or q0 != "1" or q1 not in ("+", "*"):
+        return None
+    s_var, b_var = a0[0], a1[0]
+    if spec.raw_define.get(s_var) is not None:
+        return None
+    src = spec.raw_define.get(b_var)
+    if src is None:
+        return None  # always-true B consumes whole partitions — NFA
+    win, part_sql, lead, cols, eq_safe, col_types = _tier_window(
+        df, spec
+    )
+    cond = _tier_condition(src, b_var, 0, cols, eq_safe, lead)
+    if cond is None:
+        return None
+    min_n = 2 if q1 == "+" else 1
+    aggs: list[tuple[str, str]] = []
+    for raw_m, name in spec.raw_measures:
+        e = _trailing_agg_measure(
+            raw_m, s_var, b_var, spec.order_by[0], col_types, cols,
+            min_n,
+        )
+        if e is None:
+            return None
+        aggs.append((e, name))
+    if any(
+        a in cols or any(n == a for _, n in aggs) for a in _TIER_AUX
+    ):
+        return None
+    from pyspark.sql import functions as F
+
+    s1 = df.selectExpr(
+        "*", f"ROW_NUMBER() OVER {win} AS `__mr_rn__`"
+    )
+    # running island head: the latest row whose define is NOT true
+    # (CASE falls through on both FALSE and NULL — LAG at the
+    # partition head, NULL operands — exactly the scalar evaluator's
+    # no-match outcomes); COALESCE covers a define-true run at the
+    # very head of the partition (possible only for PREV-free
+    # defines), whose head is row 1
+    s2 = s1.selectExpr(
+        "*",
+        f"COALESCE(MAX(CASE WHEN {cond} THEN CAST(NULL AS BIGINT)"
+        f" ELSE `__mr_rn__` END) OVER (PARTITION BY {part_sql}"
+        f" ORDER BY `__mr_rn__` ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        f" CURRENT ROW), CAST(1 AS BIGINT)) AS `__mr_head__`",
+    )
+    grouped = s2.groupBy(
+        *[F.col(c) for c in spec.partition_by], F.col("__mr_head__")
+    ).agg(
+        F.expr("count(*)").alias("__mr_n__"),
+        *[F.expr(e).alias(n) for e, n in aggs],
+    )
+    return grouped.where(
+        F.col("__mr_n__") >= min_n
+    ).select(*spec.partition_by, *[n for _, n in aggs])
+
+
+def _tier_schema_ok(result: DataFrame, output_schema: str) -> bool:
+    """Belt-and-braces: a tier result must carry EXACTLY the schema
+    the NFA path would produce (names + types, nullability ignored) —
+    a mismatch falls back to the NFA rather than shipping a
+    differently-typed answer."""
+    try:
+        from pyspark.sql.types import _parse_datatype_string
+
+        exp = _parse_datatype_string(output_schema)
+    except Exception:
+        return True  # parser unavailable — keep the tier result
+    got = result.schema
+    return [(f.name, f.dataType) for f in exp.fields] == [
+        (f.name, f.dataType) for f in got.fields
+    ]
 
 
 def match_recognize(
@@ -1798,17 +2283,28 @@ def match_recognize(
 
     Reference semantics: Flink 1.13 MATCH_RECOGNIZE
     (docs/queries/match_recognize; reference pins Flink 1.13 in
-    pom.xml:41). Fixed-length SKIP-TO-NEXT-ROW shapes with row-local
-    defines take the pure-JVM window tier first (_fixed_len_sql)."""
-    fast = _fixed_len_sql(df, spec, output_schema)
-    if fast is not None:
-        return fast
+    pom.xml:41). Row-local shapes take a pure-JVM window tier first:
+    fixed-length SKIP TO NEXT ROW (_fixed_len_sql), fixed-length k≤2
+    SKIP PAST LAST ROW (_fixed_len_past_sql), and the trailing-
+    quantifier Ticker shape (_trailing_plus_sql); a tier result whose
+    schema deviates from the NFA's falls back rather than shipping a
+    differently-typed answer."""
+    for tier in (
+        _fixed_len_sql, _fixed_len_past_sql, _trailing_plus_sql,
+    ):
+        fast = tier(df, spec, output_schema)
+        if fast is not None and _tier_schema_ok(fast, output_schema):
+            return fast
     from pyspark.sql import functions as F
 
     keys = list(spec.partition_by)
     asc = spec.order_asc or [True] * len(spec.order_by)
+    # nulls LAST under asc (Spark's default is first) — the round-8
+    # per-group pandas sort_values put NaT/NaN last, and the
+    # streaming buffered path still sorts with pandas; keep all three
+    # routes ordering NULL keys identically (ADVICE r9 finding 5)
     sort_cols = [F.col(k).asc() for k in keys] + [
-        F.col(c).asc() if a else F.col(c).desc()
+        F.col(c).asc_nulls_last() if a else F.col(c).desc()
         for c, a in zip(spec.order_by, asc)
     ]
     def run(it):

@@ -523,20 +523,84 @@ def test_fixed_len_tier_rejects_ineligible_shapes(spark):
         " DEFINE {defs}"
     )
     for skip, pat, defs in [
-        # SKIP PAST LAST ROW couples matches — NFA
+        # SKIP PAST LAST ROW couples matches — tier B's job, not A's
         ("SKIP PAST LAST ROW", "A B", "A AS A.v < 5, B AS B.v > 1"),
         # quantifier — not fixed length
         ("SKIP TO NEXT ROW", "A B+", "A AS A.v < 5, B AS B.v > 1"),
         # other-variable reference — context-dependent
         ("SKIP TO NEXT ROW", "A B", "A AS A.v < 5, B AS B.v > A.v"),
-        # PREV — head NULL semantics differ
+        # <> — SQL NULL <> x is no-match, scalar None != x is True
         ("SKIP TO NEXT ROW", "A B",
-         "A AS A.v < 5, B AS B.v > PREV(B.v)"),
+         "A AS A.v < 5, B AS B.v <> 1"),
+        # != — same three-valued-logic divergence
+        ("SKIP TO NEXT ROW", "A B",
+         "A AS A.v < 5, B AS B.v != 1"),
+        # NOT — ~False over a NULL comparison flips to True scalar-side
+        ("SKIP TO NEXT ROW", "A B",
+         "A AS A.v < 5, B AS NOT B.v = 1"),
+        # bare (non-dotted) input-column identifier — would evaluate
+        # at the match's start row instead of B's own offset; the NFA
+        # path fails loudly (NameError) instead
+        ("SKIP TO NEXT ROW", "A B", "A AS A.v < 5, B AS v > 1"),
     ]:
         spec = parse_match_recognize(
             base.format(skip=skip, pat=pat, defs=defs)
         )
         assert _fixed_len_sql(df, spec, "") is None, (skip, pat, defs)
+
+
+def test_past_last_tier_rejects_ineligible_shapes(spark):
+    """Tier B (fixed-length SKIP PAST LAST ROW) and tier C (trailing
+    quantifier) reject everything outside their proven subsets."""
+    import pandas as pd
+
+    from flink_streaming_platform_web_spark.operators.cep import (
+        _fixed_len_past_sql,
+        _trailing_plus_sql,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": [1], "v": [1.0], "w": [2.0]})
+    )
+    base = (
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(A.v) AS fa"
+        " ONE ROW PER MATCH AFTER MATCH {skip}"
+        " PATTERN ({pat}){within}"
+        " DEFINE {defs}"
+    )
+    for skip, pat, within, defs in [
+        # k = 3: the stride-parity rewrite over-produces when a run
+        # head lands on a consumed row (see _fixed_len_past_sql)
+        ("SKIP PAST LAST ROW", "A B C", "",
+         "A AS A.v < 5, B AS B.v > 1, C AS C.v > 0"),
+        # SKIP TO NEXT is tier A's job
+        ("SKIP TO NEXT ROW", "A B", "", "A AS A.v < 5, B AS B.v > 1"),
+    ]:
+        spec = parse_match_recognize(
+            base.format(skip=skip, pat=pat, within=within, defs=defs)
+        )
+        assert _fixed_len_past_sql(df, spec, "") is None, (skip, pat)
+    for pat, within, defs in [
+        # a DEFINED prefix re-anchors retries inside islands
+        ("A B+", "", "A AS A.v < 5, B AS B.v > PREV(B.v)"),
+        # bounded quantifier — max bound truncates islands mid-run
+        ("A B{1,3}", "", "B AS B.v > PREV(B.v)"),
+        # reluctant — minimal consumption, not maximal runs
+        ("A B+?", "", "B AS B.v > PREV(B.v)"),
+        # WITHIN truncates greedy consumption mid-island
+        ("A B+", " WITHIN INTERVAL '1' HOUR",
+         "B AS B.v > PREV(B.v)"),
+        # always-true B consumes whole partitions — NFA
+        ("A B+", "", "A AS A.v < 5"),
+    ]:
+        spec = parse_match_recognize(
+            base.format(
+                skip="SKIP PAST LAST ROW", pat=pat, within=within,
+                defs=defs,
+            )
+        )
+        assert _trailing_plus_sql(df, spec, "") is None, (pat, defs)
 
 
 def test_fixed_len_tier_within_equals_nfa(spark):
@@ -590,3 +654,172 @@ def test_fixed_len_tier_within_equals_nfa(spark):
         ).collect()
     }
     assert len(nb) > len(got)
+
+
+def _force_nfa(mp):
+    """Disable every JVM tier so match_recognize runs the chunked NFA."""
+    mp.setattr(cep, "_fixed_len_sql", lambda *a: None)
+    mp.setattr(cep, "_fixed_len_past_sql", lambda *a: None)
+    mp.setattr(cep, "_trailing_plus_sql", lambda *a: None)
+
+
+def _tier_vs_nfa(spark, clause, rows, tier_fn, expect_nonempty=True):
+    """Shared harness: the clause MUST route through ``tier_fn`` (and
+    carry no Python in the plan), and its output must equal the NFA
+    matcher's bit-for-bit (multiset compare — NULLs are unorderable)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from flink_streaming_platform_web_spark.operators.cep import (
+        infer_output_schema,
+        match_recognize,
+        parse_match_recognize,
+    )
+
+    spec = parse_match_recognize(clause)
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    schema = infer_output_schema(spec, df)
+    assert tier_fn(df, spec, schema) is not None, clause
+    fast = match_recognize(df, spec, schema)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan
+    with pytest.MonkeyPatch.context() as mp:
+        _force_nfa(mp)
+        slow = match_recognize(df, spec, schema)
+        assert "MapInPandas" in (
+            slow._jdf.queryExecution().executedPlan().toString()
+        )
+        want = Counter(map(tuple, slow.collect()))
+    got = Counter(map(tuple, fast.collect()))
+    assert got == want, clause
+    if expect_nonempty:
+        assert got, f"vacuous differential: {clause}"
+
+
+def _rand_rows(rng, n=400, null_v=0.08, null_ts=0.0):
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "k": rng.randint(0, 5),
+                "ts": (
+                    None
+                    if rng.random() < null_ts
+                    else float(i)
+                ),
+                "v": (
+                    None
+                    if rng.random() < null_v
+                    else float(rng.randint(0, 99))
+                ),
+            }
+        )
+    return rows
+
+
+def test_tier_a_prev_defines_equal_nfa(spark):
+    """Round-10: PREV-based row-local defines through tier A — LAG at
+    the partition head (SQL NULL) must match the scalar evaluator's
+    None no-match, including NULL data values and PREV reaching
+    BEFORE the match's start row."""
+    rng = random.Random(107)
+    for clause in [
+        # PREV inside the first variable: LAG reaches before the match
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(A.v) AS fa, LAST(B.v) AS lb"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B)"
+        " DEFINE A AS A.v > PREV(A.v), B AS B.v < PREV(B.v)",
+        # PREV(col, 2) + mixed plain comparison
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES COUNT(*) AS n, MATCH_ROWTIME() AS mr"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B)"
+        " DEFINE A AS A.v < 70, B AS B.v >= PREV(B.v, 2)",
+    ]:
+        _tier_vs_nfa(
+            spark, clause, _rand_rows(rng), cep._fixed_len_sql
+        )
+
+
+def test_tier_b_past_last_equals_nfa(spark):
+    """Round-10 tier B: fixed-length k≤2 SKIP PAST LAST ROW — the
+    gaps-and-islands + stride-parity rewrite vs the consuming NFA
+    scan, over plain, PREV-based, and alternation shapes (q47/q52's
+    families), with NULL values and NULL order keys."""
+    rng = random.Random(211)
+    clauses = [
+        # plain 2-step
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(A.v) AS fa, LAST(B.v) AS lb"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B)"
+        " DEFINE A AS A.v < 50, B AS B.v >= 50",
+        # PREV pair (q52 shape minus WITHIN)
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(S.v) AS sv, FIRST(U.v) AS uv"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (S U)"
+        " DEFINE U AS U.v > PREV(U.v)",
+        # alternation with per-branch COUNT/SUM (q47 shape)
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(S.v) AS sv, COUNT(U.*) AS nu,"
+        " COUNT(D.*) AS nd, SUM(U.v) AS su, MIN(D.v) AS md,"
+        " CLASSIFIER() AS cls"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (S (U|D))"
+        " DEFINE U AS U.v > PREV(U.v), D AS D.v < PREV(D.v)",
+        # WITHIN bound over a numeric order column
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(A.ts) AS a_ts, LAST(B.ts) AS b_ts"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B) WITHIN INTERVAL '2' SECOND"
+        " DEFINE A AS A.v < 50, B AS B.v >= 50",
+        # single-row k=1 (consumption-free degenerate)
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES A.v AS av"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A)"
+        " DEFINE A AS A.v > 80",
+    ]
+    for trial, clause in enumerate(clauses):
+        _tier_vs_nfa(
+            spark,
+            clause,
+            _rand_rows(rng, null_ts=0.03 if trial == 0 else 0.0),
+            cep._fixed_len_past_sql,
+        )
+
+
+def test_tier_c_trailing_plus_equals_nfa(spark):
+    """Round-10 tier C: (S B+) / (S B*) greedy streaks under SKIP
+    PAST LAST ROW — islands + group-by vs the NFA, over PREV and
+    plain defines (a plain define can be true at the partition head,
+    exercising the COALESCE first-island path), every aggregate
+    measure form, and NULL values."""
+    rng = random.Random(307)
+    clauses = [
+        # the q45 Ticker shape, all aggregate forms
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(S.ts) AS s_ts, LAST(U.ts) AS e_ts,"
+        " COUNT(U.*) AS nu, COUNT(*) AS n, LAST(U.v) AS peak,"
+        " FIRST(U.v) AS fu, SUM(U.v) AS su, MIN(U.v) AS mn,"
+        " MAX(U.v) AS mx, AVG(U.v) AS av, SUM(S.v) AS ss,"
+        " CLASSIFIER() AS cls, MATCH_ROWTIME() AS mr"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (S U+)"
+        " DEFINE U AS U.v > PREV(U.v)",
+        # PREV-free define — first island can start at the partition
+        # head (COALESCE path); B* admits head-only matches
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(S.v) AS sv, COUNT(U.*) AS nu,"
+        " LAST(U.v) AS lu, CLASSIFIER() AS cls"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (S U*)"
+        " DEFINE U AS U.v >= 60",
+    ]
+    for clause in clauses:
+        _tier_vs_nfa(
+            spark, clause, _rand_rows(rng), cep._trailing_plus_sql
+        )

@@ -8,7 +8,7 @@ streaming/cdc.py:
   last-row-wins per key) — the distributed scale path.
 - ``cdc_incremental_agg``: retraction-aware continuous aggregation —
   signed-delta shuffle per batch, folded into the keyed store.
-- ``foreach_batch_apply_changelog``: ordered per-row apply into the
+- ``_scaffold_apply_changelog``: ordered per-row apply into the
   mock KeyedStore — the test-channel analog of a server-side MERGE
   (jdbc sinks use jdbc_upsert_foreach_batch instead; this path's
   collect() is bounded by the micro-batch size by design).
@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from flink_streaming_platform_web_spark.session import get_spark
 from flink_streaming_platform_web_spark.streaming.cdc import (
     cdc_incremental_agg,
-    foreach_batch_apply_changelog,
+    _scaffold_apply_changelog,
     materialize_latest,
 )
 from flink_streaming_platform_web_spark.streaming.upsert import KeyedStore
@@ -154,7 +154,7 @@ def main() -> None:
     # measured on a slice: it is driver-side by design and priced
     # accordingly
     store2 = KeyedStore(key_cols=["id"])
-    apply_rows = foreach_batch_apply_changelog(store2)
+    apply_rows = _scaffold_apply_changelog(store2)
     slice_n = min(n, 50_000)
     small = log.limit(slice_n)
     t0 = time.perf_counter()
