@@ -555,7 +555,9 @@ def _max_cell_chunks(
     return max(1, -(-biggest // DD07_CHUNK))
 
 
-def _blocked_cell_pairs(assigned: DataFrame, c: int) -> DataFrame:
+def _blocked_cell_pairs(
+    assigned: DataFrame, c: int, n_cells: "int | None" = None
+) -> DataFrame:
     """Within-cell all-pairs ≥ τ over (vec_id, cell, v) rows, with the
     dense block bounded by hash-chunking — shared by dd07 (label-cell
     IVF) and dd11 (scaled k-means IVF).
@@ -565,13 +567,27 @@ def _blocked_cell_pairs(assigned: DataFrame, c: int) -> DataFrame:
     group (ci, cj) holds both sides and a pair is computed in
     exactly one group — within-chunk pairs in (k, k), cross-chunk
     in (min, max). Fan-out is ×c rows (the price of bounding the
-    dense block); compute totals are unchanged. c == 1 degenerates
-    to one group per cell."""
+    dense block); compute totals are unchanged — the chunk layout
+    partitions the pair space, so the output set is c-invariant.
+    c == 1 degenerates to one group per cell.
+
+    Round 10: when ``n_cells`` is known and small, c is ALSO raised
+    to a parallelism floor (so n_cells·c(c+1)/2 group-blocks cover
+    the cores) and the group exchange is pinned with a user-numbered
+    repartition — AQE's byte-based coalescing saw the tiny shuffle
+    and packed all blocks onto 1-2 tasks, serializing the python
+    BLAS (the same lesson as the CEP chunked runner). At scale
+    n_cells grows with the corpus (dd11's k-scaling), so the floor
+    never fires there and c stays memory-bound."""
     import numpy as np
     import pandas as pd
 
     from flink_streaming_platform_web_spark.operators import similarity
 
+    par = assigned.sparkSession.sparkContext.defaultParallelism
+    if n_cells is not None and n_cells > 0:
+        while c < 8 and n_cells * c * (c + 1) // 2 < par:
+            c += 1
     chunked = assigned.withColumn(
         "chunk", F.pmod(F.xxhash64("vec_id"), F.lit(c)).cast("int")
     ).withColumn(
@@ -624,7 +640,8 @@ def _blocked_cell_pairs(assigned: DataFrame, c: int) -> DataFrame:
         )
 
     return (
-        chunked.groupBy("cell", "ci", "cj")
+        chunked.repartition(par, "cell", "ci", "cj")
+        .groupBy("cell", "ci", "cj")
         .applyInPandas(block, "id_a long, id_b long, cos_sim double")
         .distinct()
     )
@@ -634,13 +651,16 @@ def dd07_embed_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_streaming_platform_web_spark.operators import similarity
 
     vecs = similarity._vecs(spark, sf_dir)
+    labels, _C = similarity._centroids(spark, sf_dir)
     assigned = similarity.cell_assign(
-        spark, vecs, sf_dir, DD07_NPROBE
+        spark, vecs, sf_dir, DD07_NPROBE, centroids=(labels, _C)
     )
     # chunk count from the LARGEST cell (skew-safe); c == 1 (every
     # tested SF ≤ 0.1) degenerates to the one-group-per-cell plan
+    # before the round-10 parallelism floor raises it (see
+    # _blocked_cell_pairs)
     c = _max_cell_chunks(spark, sf_dir, assigned, "dd07_max_cell")
-    pairs = _blocked_cell_pairs(assigned, c)
+    pairs = _blocked_cell_pairs(assigned, c, n_cells=len(labels))
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     da = docs.select(
         F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")
@@ -1148,17 +1168,20 @@ DD11_NPROBE = 4
 def dd11_embed_neardup_kmeans(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from flink_streaming_platform_web_spark.operators import similarity
-    from flink_streaming_platform_web_spark.operators._cache import memo_obj
+    from flink_streaming_platform_web_spark.operators import (
+        similarity,
+        vectors as vectors_mod,
+    )
+    from flink_streaming_platform_web_spark.operators._cache import memo_df
     from flink_streaming_platform_web_spark.operators.vectors import (
         KM_K,
         km_centroids,
     )
 
-    from flink_streaming_platform_web_spark.operators._cache import memo_df
-
     vecs = similarity._vecs(spark, sf_dir)
-    n_vecs = memo_obj(spark, sf_dir, "n_vecs", vecs.count)
+    # corpus size rides the trainer sample — no count job until the
+    # sample saturates (round 10)
+    n_vecs = vectors_mod.corpus_size(spark, sf_dir)
     k = max(KM_K, -(-n_vecs * DD11_NPROBE // DD07_CHUNK))
     labels, C = km_centroids(spark, sf_dir, k)
     # persisted: the skew measurement below materializes the probe
@@ -1173,7 +1196,7 @@ def dd11_embed_neardup_kmeans(
         ),
     )
     c = _max_cell_chunks(spark, sf_dir, assigned, "dd11_max_cell")
-    return _blocked_cell_pairs(assigned, c)
+    return _blocked_cell_pairs(assigned, c, n_cells=len(labels))
 
 
 def _oracle_dd11() -> str:

@@ -100,6 +100,39 @@ def test_q21_whole_stage_codegen(spark, sf_dir):
     # no Python evaluation in the relational inventory's hot path
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+    # the join STRATEGY is load-bearing (VERDICT r9 item 4): the
+    # TPC-H-Q5 shape must broadcast its dimension sides on the
+    # EXECUTED AQE plan — a silent revert to a 6-way sort-merge join
+    # would have passed the codegen check above
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q21_broadcast_gate_discriminates(spark, sf_dir):
+    """The q21 broadcast assertion must actually bite: with
+    autoBroadcastJoinThreshold forced off (and AQE's own broadcast
+    conversion disabled) the same query plans sort-merge joins — if
+    this stops discriminating, the gate above is vacuous."""
+    conf = spark.conf
+    old_t = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    old_a = conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = q21_local_supplier_volume(spark, sf_dir)
+        df.collect()
+        plan = _physical(df)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_t)
+        if old_a is None:
+            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_a
+            )
 
 
 def test_dd02_two_shuffles_no_python(spark, sf_dir):
@@ -513,19 +546,18 @@ def test_pp06_rollup_is_lang_sized(spark, sf_dir):
 
 
 def test_cep_round8_entries_single_key_shuffle(spark, sf_dir):
-    """q50/q51/q52 share the CEP plumbing (round 9: chunked
-    mapInPandas): one keyed repartition on PARTITION BY, a JVM-side
-    sort within partitions, then a single MapInPandas matcher — no
-    cartesian, no row-at-a-time Python UDF, no extra exchanges, and
-    the per-group pandas sort is gone (no FlatMapGroupsInPandas)."""
+    """q50/q51 (PERMUTE / nested groups — NFA-only shapes) share the
+    CEP plumbing (round 9: chunked mapInPandas): one keyed
+    repartition on PARTITION BY, a JVM-side sort within partitions,
+    then a single MapInPandas matcher — no cartesian, no row-at-a-time
+    Python UDF, no extra exchanges, and the per-group pandas sort is
+    gone (no FlatMapGroupsInPandas)."""
     from flink_streaming_platform_web_spark.operators.cep import (
         q50_match_permute,
         q51_match_nested_group,
-        q52_match_within,
     )
 
-    for q in (q50_match_permute, q51_match_nested_group,
-              q52_match_within):
+    for q in (q50_match_permute, q51_match_nested_group):
         plan = _physical(q(spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan  # no per-row Python
@@ -533,6 +565,31 @@ def test_cep_round8_entries_single_key_shuffle(spark, sf_dir):
         assert "Sort" in plan  # Tungsten sort, not pandas sort_values
         # exactly the keyed repartition the semantics require
         assert plan.count("Exchange") == 1, plan
+
+
+def test_cep_jvm_tier_entries_pure_jvm_single_exchange(spark, sf_dir):
+    """q45/q47/q52/q54/q57 route through the round-10 JVM tiers: ZERO
+    Python in the plan (no MapInPandas / FlatMapGroupsInPandas /
+    BatchEvalPython) and exactly ONE exchange — the PARTITION BY
+    shuffle the semantics require (tier C's group-by reuses the
+    window's hash partitioning; a second exchange here is a
+    regression)."""
+    from flink_streaming_platform_web_spark.operators.cep import (
+        q45_match_recognize,
+        q47_match_alternation,
+        q52_match_within,
+        q54_match_desc_tie_order,
+        q57_match_rowtime,
+    )
+
+    for q in (q45_match_recognize, q47_match_alternation,
+              q52_match_within, q54_match_desc_tie_order,
+              q57_match_rowtime):
+        plan = _physical(q(spark, sf_dir))
+        assert "MapInPandas" not in plan, q.__name__
+        assert "FlatMapGroupsInPandas" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert plan.count("Exchange") == 1, (q.__name__, plan)
 
 
 def test_tx13_novelty_combiner_aggs_and_tiny_broadcast(spark, sf_dir):
