@@ -7,7 +7,12 @@ sequential pattern matching, which maps exactly onto
 matcher per key. The supported surface (round 6 completed the Flink
 1.13 clause set):
 
-    PARTITION BY k1[, k2 ...]
+    [PARTITION BY k1[, k2 ...]]    -- optional (round 10): a missing
+                                   -- clause is Flink's GLOBAL
+                                   -- pattern, run through a constant
+                                   -- grouping key — one group,
+                                   -- matching Flink's parallelism-1
+                                   -- semantics for that shape
     ORDER BY c1[, c2 [DESC] ...]   -- first column ascending (the
                                    -- event-time attribute, Flink's
                                    -- constraint); secondary columns
@@ -216,10 +221,21 @@ def parse_match_recognize(clause: str) -> MatchSpec:
             raise ValueError(f"MATCH_RECOGNIZE: missing {name}")
         return m.group(1).strip()
 
-    part = [
-        c.strip().strip("`")
-        for c in grab("PARTITION\\s+BY", "ORDER\\s+BY").split(",")
-    ]
+    # PARTITION BY is OPTIONAL in Flink 1.13 (docs:
+    # queries/match_recognize — a global pattern over the whole
+    # input, parallelism 1 in Flink's own runtime). Missing clause →
+    # empty keys; match_recognize routes that through a constant
+    # grouping key (one group = Flink's single-task semantics).
+    pm_part = re.search(
+        r"PARTITION\s+BY\s+(.*?)\s*(?=ORDER\s+BY)",
+        clause,
+        re.IGNORECASE | re.DOTALL,
+    )
+    part = (
+        [c.strip().strip("`") for c in pm_part.group(1).split(",")]
+        if pm_part
+        else []
+    )
     order_txt = grab("ORDER\\s+BY", "MEASURES")
     order, order_asc = [], []
     for c in order_txt.split(","):
@@ -2288,7 +2304,30 @@ def match_recognize(
     SKIP PAST LAST ROW (_fixed_len_past_sql), and the trailing-
     quantifier Ticker shape (_trailing_plus_sql); a tier result whose
     schema deviates from the NFA's falls back rather than shipping a
-    differently-typed answer."""
+    differently-typed answer.
+
+    A GLOBAL pattern (no PARTITION BY — Flink 1.13 allows it) routes
+    through a constant grouping key: one group, which is exactly
+    Flink's own semantics there (the pattern runs at parallelism 1).
+    The caveat is inherent to the semantics, not this implementation
+    — a totally ordered global match cannot parallelize."""
+    if not spec.partition_by:
+        import dataclasses
+
+        from pyspark.sql import functions as F
+
+        gk = "__mr_gk__"
+        if gk in df.columns:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: input column {gk!r} collides with"
+                " the global-pattern grouping key"
+            )
+        keyed = dataclasses.replace(spec, partition_by=[gk])
+        kdf = df.withColumn(gk, F.lit(0))
+        out = match_recognize(
+            kdf, keyed, infer_output_schema(keyed, kdf)
+        )
+        return out.drop(gk)
     for tier in (
         _fixed_len_sql, _fixed_len_past_sql, _trailing_plus_sql,
     ):
@@ -3322,6 +3361,29 @@ def stream_match_recognize(
             "stream_match_recognize supports AFTER MATCH SKIP PAST"
             " LAST ROW only"
         )
+    if not spec.partition_by:
+        # global pattern — constant key, one state group (Flink runs
+        # an unpartitioned streaming pattern at parallelism 1 too)
+        import dataclasses
+
+        from pyspark.sql import functions as F
+
+        gk = "__mr_gk__"
+        if gk in df.columns:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: input column {gk!r} collides with"
+                " the global-pattern grouping key"
+            )
+        keyed = dataclasses.replace(spec, partition_by=[gk])
+        kdf = df.withColumn(gk, F.lit(0))
+        out = stream_match_recognize(
+            kdf,
+            keyed,
+            infer_output_schema(keyed, kdf),
+            buffered=buffered,
+            drain_out=drain_out,
+        )
+        return out.drop(gk)
     ord0 = spec.order_by[0]
     base_names = (
         None if spec.all_rows else list(spec.partition_by)

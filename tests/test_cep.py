@@ -1491,3 +1491,124 @@ def test_zero_width_group_quantifier():
     rows = _matcher_rows([1.0, 8.0])
     matches, _ = cep._run_matcher(rows, spec)
     assert [(s, e) for s, e, _o, _r in matches] == [(0, 2)]
+
+
+def test_global_pattern_without_partition_by(spark):
+    """Flink 1.13 allows MATCH_RECOGNIZE without PARTITION BY (a
+    global pattern, parallelism 1 in Flink's own runtime). Round 10:
+    the missing clause routes through a constant grouping key — the
+    result must equal the same pattern run with an explicit constant
+    partition column, and the output schema must carry no key
+    column."""
+    import pandas as pd
+
+    from flink_streaming_platform_web_spark.operators.cep import (
+        infer_output_schema,
+        match_recognize,
+        parse_match_recognize,
+    )
+
+    import random
+
+    rng = random.Random(53)
+    rows = [
+        {"ts": i, "v": float(rng.randint(0, 99))} for i in range(300)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    body = (
+        " ORDER BY ts"
+        " MEASURES FIRST(S.ts) AS s_ts, LAST(U.v) AS peak,"
+        " COUNT(U.*) AS n_up"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (S U+)"
+        " DEFINE U AS U.v > PREV(U.v)"
+    )
+    spec = parse_match_recognize(body)
+    assert spec.partition_by == []
+    out = match_recognize(df, spec, infer_output_schema(spec, df))
+    assert out.columns == ["s_ts", "peak", "n_up"]
+    got = sorted(map(tuple, out.collect()))
+
+    from pyspark.sql import functions as F
+
+    kdf = df.withColumn("k", F.lit(1))
+    kspec = parse_match_recognize("PARTITION BY k" + body)
+    want = sorted(
+        tuple(r)[1:]  # drop the key column
+        for r in match_recognize(
+            kdf, kspec, infer_output_schema(kspec, kdf)
+        ).select("k", "s_ts", "peak", "n_up").collect()
+    )
+    assert got == want
+    assert got, "vacuous"
+
+
+def test_global_pattern_streaming(spark, tmp_path):
+    """Global (unpartitioned) streaming MATCH_RECOGNIZE: constant-key
+    state group, same matches as the batch run over the same rows."""
+    import pandas as pd
+
+    from flink_streaming_platform_web_spark.operators.cep import (
+        infer_output_schema,
+        match_recognize,
+        parse_match_recognize,
+        stream_match_recognize,
+    )
+
+    import random
+
+    rng = random.Random(59)
+    rows = [
+        {"ts": i, "v": float(rng.randint(0, 9))} for i in range(120)
+    ]
+    pdf = pd.DataFrame(rows)
+    src = tmp_path / "in"
+    src.mkdir()
+    # ts-ordered files (ordered-assert front end requires per-key
+    # order across micro-batches)
+    for i in range(0, 120, 40):
+        spark.createDataFrame(pdf.iloc[i: i + 40]).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+    body = (
+        " ORDER BY ts"
+        " MEASURES FIRST(S.ts) AS s_ts, COUNT(U.*) AS n_up"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (S U+)"
+        " DEFINE U AS U.v > PREV(U.v)"
+    )
+    spec = parse_match_recognize(body)
+    batch_df = spark.read.parquet(str(src))
+    want = sorted(
+        map(
+            tuple,
+            match_recognize(
+                batch_df, spec, infer_output_schema(spec, batch_df)
+            ).collect(),
+        )
+    )
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stream_match_recognize(
+        stream, spec, infer_output_schema(spec, batch_df)
+    )
+    qname = "global_cep_test"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql(f"SELECT * FROM {qname}").collect())
+    )
+    # the stream holds back the still-growable tail match; everything
+    # emitted must be a prefix of the batch result
+    assert got == want[: len(got)] or set(got) <= set(want)
+    assert len(got) >= len(want) - 2
+    assert got, "vacuous"
