@@ -31,6 +31,26 @@ OUTPUT_SCHEMA = "key string, n bigint, total double"
 STATE_SCHEMA = "n bigint, total double"
 
 
+def tws_available() -> "tuple[bool, str]":
+    """Capability on-ramp (same pattern as the kafka-jar probe in
+    sources/registry.py): transformWithStateInPandas talks to the
+    JVM state server over a protobuf protocol, so the live run needs
+    ``google.protobuf`` in the Python environment. Returns
+    ``(ok, reason)``; the reason names the missing capability and the
+    one-line enable recipe. The operator code itself imports and
+    plan-builds without it — only query START needs the protocol."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return False, (
+            "google.protobuf absent: transformWithStateInPandas's"
+            " state-server protocol cannot start in this environment."
+            " Enable with: pip install protobuf — then the live TWS"
+            " tests run unchanged."
+        )
+    return True, ""
+
+
 class RunningCountProcessor(StatefulProcessor):
     """Per-key running (count, sum) — the canonical stateful shape,
     now with typed ValueState and optional state TTL (the

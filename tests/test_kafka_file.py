@@ -490,7 +490,10 @@ def test_live_broker_route_lights_up_with_jar(spark):
             kafka_stream(spark, t)
         pytest.skip(
             "spark-sql-kafka jar absent — loud-failure contract"
-            " verified; ship the jar to run the live route"
+            " verified. Enable the live route with: spark-submit"
+            " --packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
+            "<spark-version> (or drop the jar into $SPARK_HOME/jars)"
+            " — kafka_jar_available() then flips the on-ramp."
         )
     # jar present: the reader must build a streaming plan with the
     # kafka schema (no broker contact happens at plan time)

@@ -139,14 +139,14 @@ def test_running_counts_v2_transform_with_state(spark, tmp_path):
     operator code itself is importable and plan-buildable)."""
     import pytest
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf absent: transformWithState "
-                    "state server cannot start in this container")
     from flink_streaming_platform_web_spark.streaming.stateful_v2 import (
         running_counts_v2,
+        tws_available,
     )
+
+    ok, reason = tws_available()
+    if not ok:
+        pytest.skip(reason)
 
     src = f"{tmp_path}/tws_src"
     _write(spark, src, [("a", 1.0), ("a", 2.0), ("b", 5.0)])
