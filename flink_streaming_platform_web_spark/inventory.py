@@ -47,32 +47,36 @@ _MODULES = (
 # The driver's correctness gate walks queries() in dict insertion order
 # and checks the first 50 entries per round. Rotate per round so the
 # union of rounds gives every entry a green row dated after its last
-# operator rewrite. Round-9 rotation (rule: any entry whose code OR
+# operator rewrite. Round-10 rotation (rule: any entry whose code OR
 # transitive helpers changed this round MUST re-enter, then the oldest
 # stale rows fill the rest):
-# (a) CHANGED this round — cep.py was rewritten onto the chunked
-#     mapInPandas runner (bitmap head-patch, columnar collector,
-#     _ColRows): every batch CEP entry q45/q47-q57 re-enters, plus the
-#     streaming CEP routes st14/st19/st20/st21 (shared matcher fold)
-#     and st16/st17/st18 (ooo.drain_pending now resolves the operator
-#     id from state-metadata). similarity._vecs is now memoized
-#     persisted and vectors._km_assign_means folds partials on the
-#     driver, so every _vecs consumer re-enters: vec01-vec04,
-#     ann01-ann05, dd07, dd11, q32. (31 slots)
-# (b) OLDEST stale rows (r5-dated, VERDICT r8 item 2): st01-st07,
-#     st15, q46, dd05/dd06/dd08/dd09/dd10/dd14, pp04/pp05, q05/q06.
-#     (17 slots)
-# (c) NEW round-9 entries — never driver-checked, outrank everything
-#     green: mm07 scene keyframes, q59 TO_TIMESTAMP_LTZ. (2 slots)
-# Still r5-dated after this round — front them in r10: q07, q08, q10,
-# q16-q20, q37-q42, tx08, tx09, tx11, tx12 + dd05, dd10 (19 entries,
-# all heavily pytest-pinned and covered by local full-sweep parity;
-# dd05/dd10 ceded their slots to the two new entries — their
-# signature/estimate math is pinned by tests and dd08 gates the same
-# simhash signatures this round).
+# (a) CHANGED this round -- the MATCH_RECOGNIZE JVM tier grew PREV /
+#     alternation / SKIP PAST LAST ROW / WITHIN / ALL ROWS PER MATCH
+#     compilation and the parser accepts global (no PARTITION BY)
+#     patterns, so every batch CEP entry re-enters: q45, q47-q57.
+#     (Streaming CEP st14/st19-st21 stay r9-dated: they route through
+#     the buffered scalar matcher, untouched by the tier work.)
+#     vectors.km_centroids was rewritten onto the sampled one-job
+#     trainer and dedup._blocked_cell_pairs gained the parallelism
+#     floor, so their consumers re-enter: vec01, dd07, dd11.
+#     (15 slots)
+# (b) ALL remaining r5-dated rows (VERDICT r9 item 1 -- the driver's
+#     hard signal must catch up): q07, q08, q10, q16-q20, q37-q42,
+#     dd05, dd10, tx08, tx09, tx11, tx12. (20 slots)
+# (c) OLDEST r7-dated rows fill the rest, fronting the streaming
+#     rank/dedup trio (VERDICT r9 item 6: st11/st12/st13 exercise the
+#     executor-state rank router the CEP refactor sits next to), q21
+#     (its plan gate gained the broadcast-strategy assertion this
+#     round -- pair the driver row with it), and the dedup/decontam
+#     family that shares helpers with (a): dd01-dd04, dd12, dd13,
+#     dd15, dc01, dc02, q26, q28. (15 slots)
+# Still r7-dated after this round -- front them in r11: mm01, mm03,
+# pp03, pp06, q01-q04, q11, q12, q14, q15, q24, q27, q29, q30, q31,
+# q36, st09, st10 (20 entries, all pytest-pinned and covered by local
+# full-sweep parity every round).
 # Exactly 50.
 _CHECK_FIRST = (
-    # (a) changed: batch CEP family (chunked mapInPandas runner)
+    # (a) changed: batch CEP family (JVM tier extension + global parse)
     "q45_match_recognize",
     "q47_match_alternation",
     "q48_match_all_rows",
@@ -85,48 +89,47 @@ _CHECK_FIRST = (
     "q55_match_permute_wide",
     "q56_match_running_final",
     "q57_match_rowtime",
-    # (a) changed: streaming CEP + drain operator-id resolution
-    "st14_stream_match_recognize",
-    "st19_stream_match_permute",
-    "st20_stream_match_within",
-    "st21_stream_match_desc",
-    "st16_stream_over_agg",
-    "st17_stream_temporal_join",
-    "st18_stream_over_rows",
-    # (a) changed: _vecs memo + driver-folded k-means partials
+    # (a) changed: sampled k-means trainer + pair-block floor
     "vec01_kmeans",
-    "vec02_quantize_int8",
-    "vec03_dim_stats",
-    "vec04_gram_matrix",
-    "ann01_brute_topk",
-    "ann02_embed_neardup_pairs",
-    "ann03_lsh_bucketed_neardup",
-    "ann04_ivf_search",
-    "ann05_ivf_multiprobe",
     "dd07_embed_neardup_docs",
     "dd11_embed_neardup_kmeans",
-    "q32_embedding_centroids",
-    # (b) oldest stale (r5-dated)
-    "st01_stream_tumble_window",
-    "st02_stream_upsert_agg",
-    "st03_stream_session_window",
-    "st04_stream_session_custom",
-    "st05_stream_hop_window",
-    "st06_stream_dedup",
-    "st07_stream_interval_join",
-    "st15_stream_window_join",
-    "q46_window_join",
-    "dd06_dup_clusters",
-    "dd08_simhash_neardup_pairs",
-    "dd09_chunk_dedup",
-    "dd14_exact_substr_dup",
-    "pp04_neardup_prep",
-    "pp05_mixture_weights",
-    "q05_gmv_join_coupon",
-    "q06_lookup_join",
-    # (c) new round-9 entries
-    "mm07_scene_keyframes",
-    "q59_timestamp_ltz",
+    # (b) all remaining r5-dated rows
+    "q07_enriched_orders",
+    "q08_cte_topk",
+    "q10_string_functions",
+    "q16_values_inline",
+    "q17_distinct_agg",
+    "q18_conditional_pivot",
+    "q19_minmax",
+    "q20_json_extract",
+    "q37_flink_builtin_suite",
+    "q38_approx_distinct_hll",
+    "q39_dedup_latest",
+    "q40_salted_join_agg",
+    "q41_correlated_subquery",
+    "q42_exists_semijoin",
+    "dd05_simhash_signatures",
+    "dd10_minhash_est_jaccard",
+    "tx08_stratified_sample",
+    "tx09_redact_denylist",
+    "tx11_idf_table",
+    "tx12_doc_top_terms",
+    # (c) oldest r7-dated rows
+    "st11_stream_window_topn",
+    "st12_stream_dedup_sql",
+    "st13_stream_topn_continuous",
+    "q21_local_supplier_volume",
+    "dd01_dedup_exact",
+    "dd02_ngram_jaccard_pairs",
+    "dd03_minhash_signatures",
+    "dd04_minhash_lsh_pairs",
+    "dd12_simhash64_neardup_pairs",
+    "dd13_jaccard_prefix_filter",
+    "dd15_cluster_representatives",
+    "dc01_contamination",
+    "dc02_fuzzy_contamination",
+    "q26_asof_join",
+    "q28_interval_join",
 )
 
 

@@ -1746,7 +1746,7 @@ def _tier_window(df, spec):
     return win, part_sql, lead, cols, eq_safe, col_types
 
 
-def _tier_elements(df, spec, lead, cols, eq_safe):
+def _tier_elements(pattern, raw_define, lead, cols, eq_safe):
     """Fixed-length eligibility: every pattern element consumes
     exactly one row — a single variable or a flat alternation of
     single variables (ordered choice; with row-local defines the
@@ -1755,12 +1755,12 @@ def _tier_elements(df, spec, lead, cols, eq_safe):
     (elem_info, conds) or None."""
     elem_info: list[tuple] = []
     conds: list[str] = []
-    for off, (alts, quant) in enumerate(spec.pattern):
+    for off, (alts, quant) in enumerate(pattern):
         if quant != "1":
             return None
         if len(alts) == 1:
             v = alts[0]
-            src = spec.raw_define.get(v)
+            src = raw_define.get(v)
             if src is None:
                 elem_info.append(("single", v, None))
                 continue
@@ -1772,7 +1772,7 @@ def _tier_elements(df, spec, lead, cols, eq_safe):
         else:
             branches: list[tuple[str, str]] = []
             for a in alts:
-                src = spec.raw_define.get(a)
+                src = raw_define.get(a)
                 if src is None:
                     # define-free alternative is always-true; the
                     # NFA's ordered preference makes later
@@ -1967,7 +1967,9 @@ def _fixed_len_sql(
     win, _part_sql, lead, cols, eq_safe, col_types = _tier_window(
         df, spec
     )
-    te = _tier_elements(df, spec, lead, cols, eq_safe)
+    te = _tier_elements(
+        spec.pattern, spec.raw_define, lead, cols, eq_safe
+    )
     if te is None:
         return None
     elem_info, conds = te
@@ -2005,9 +2007,269 @@ def _fixed_len_sql(
     ).where(f"`{flag}`").drop(flag)
 
 
+class _Unbounded(Exception):
+    """Pattern admits unboundedly many fixed-length expansions."""
+
+
+#: expansion-count cap for tier A′ — PERMUTE width 4 is 24; wider
+#: shapes (q55's width-6 PERMUTE = 720) keep the lazy NFA walker
+_EXPANSION_CAP = 24
+
+
+def _enumerate_expansions(pattern):
+    """Enumerate the pattern's finite row-sequences as ordered
+    variable lists, in the NFA's depth-first backtracking preference
+    order: a greedy quantifier tries one more repetition (with all
+    its continuations) before stopping, a reluctant one stops first,
+    alternation prefers the leftmost branch, and PERMUTE walks its
+    element orders lexicographically with the original order first —
+    exactly the AST walker's DFS. Returns None when the pattern is
+    unbounded (``+ * {n,}``), admits an empty match, or exceeds
+    ``_EXPANSION_CAP``; those shapes stay on the NFA path.
+
+    With every DEFINE row-local (the tiers' eligibility bar), the
+    NFA's first successful DFS path from a given start row is the
+    first expansion in this order whose full conjunction holds: a
+    tail's conditions never depend on WHICH earlier branch matched,
+    only on row values — the same argument :func:`_tier_elements`
+    makes for flat alternation, lifted to whole expansions."""
+    import itertools
+
+    def node_exps(node):
+        kind, body, quant = node
+        lo, hi, reluct = _quant_bounds(quant)
+        if hi is None:
+            raise _Unbounded
+        if kind == "atom":
+            unit = [[body]]
+        elif kind == "alt":
+            unit = []
+            for branch in body:
+                unit.extend(seq_exps(branch))
+                if len(unit) > _EXPANSION_CAP:
+                    raise _Unbounded
+        elif kind == "perm":
+            unit = []
+            for order in itertools.permutations(range(len(body))):
+                pseudo = [("alt", body[i], "1") for i in order]
+                unit.extend(seq_exps(pseudo))
+                if len(unit) > _EXPANSION_CAP:
+                    raise _Unbounded
+        else:  # pragma: no cover — the parser emits only the above
+            raise _Unbounded
+
+        def rep(n):
+            stop = [[]] if n >= lo else []
+            more = []
+            if n < hi:
+                for u in unit:
+                    for t in rep(n + 1):
+                        more.append(u + t)
+                        if len(more) > _EXPANSION_CAP:
+                            raise _Unbounded
+            return (stop + more) if reluct else (more + stop)
+
+        return rep(0)
+
+    def seq_exps(nodes):
+        # build right-to-left so earlier nodes vary slowest — the
+        # DFS visits the first node's first choice with every tail
+        # before moving on
+        out = [[]]
+        for node in reversed(nodes):
+            head = node_exps(node)
+            out = [h + t for h in head for t in out]
+            if len(out) > _EXPANSION_CAP:
+                raise _Unbounded
+        return out
+
+    try:
+        if isinstance(pattern, PatternAST):
+            exps = seq_exps(pattern.nodes)
+        else:
+            pseudo = []
+            for alts, quant in pattern:
+                if len(alts) == 1:
+                    pseudo.append(("atom", alts[0], quant))
+                else:
+                    pseudo.append((
+                        "alt",
+                        [[("atom", a, "1")] for a in alts],
+                        quant,
+                    ))
+            exps = seq_exps(pseudo)
+    except _Unbounded:
+        return None
+    if any(not e for e in exps):
+        return None  # empty match — Flink rejects these; NFA is loud
+    return exps
+
+
+def _tier_null_measure(raw, occ, col_types, cols, pat_vars):
+    """Typed NULL / zero-count for a measure over a variable the
+    SELECTED expansion never binds (the scalar evaluator's None for
+    an unmatched variable — q53's off-branch measures). Only fires
+    when the variable IS a pattern variable of some other expansion
+    but absent from this one's ``occ``; an unsupported measure FORM
+    still returns None so the caller falls back to the NFA."""
+    t = raw.strip()
+    m = re.fullmatch(
+        r"(FIRST|LAST|MIN|MAX)\s*\(\s*(\w+)\.(\w+)\s*\)",
+        t, re.IGNORECASE,
+    ) or re.fullmatch(r"()(\w+)\.(\w+)", t)
+    if m:
+        v, col = m.group(2), m.group(3)
+        if v in occ or v not in pat_vars or col not in cols:
+            return None
+        return f"CAST(NULL AS {col_types[col]})"
+    m = re.fullmatch(
+        r"(SUM|AVG)\s*\(\s*(\w+)\.(\w+)\s*\)", t, re.IGNORECASE
+    )
+    if m:
+        fn, v, col = m.group(1).upper(), m.group(2), m.group(3)
+        if v in occ or v not in pat_vars or col not in cols:
+            return None
+        ct = col_types.get(col)
+        if fn == "AVG":
+            return "CAST(NULL AS DOUBLE)"
+        if ct in ("int", "smallint", "tinyint"):
+            return "CAST(NULL AS BIGINT)"
+        return f"CAST(NULL AS {ct})"
+    return None
+
+
+def _multi_len_sql(
+    df: DataFrame, spec: MatchSpec, output_schema: str
+) -> "DataFrame | None":
+    """JVM fast tier A′: a BOUNDED-length pattern under AFTER MATCH
+    SKIP TO NEXT ROW — quantified elements, nested groups, sequence
+    alternation, PERMUTE — compiled by enumerating the pattern's
+    fixed-length expansions (:func:`_enumerate_expansions`, NFA DFS
+    preference order, ≤ ``_EXPANSION_CAP``) and selecting the FIRST
+    expansion whose LEAD-conjunction holds at each start row with
+    one ordered CASE. SKIP TO NEXT ROW keeps matches
+    consumption-free, so per-row first-true IS the NFA's DFS answer
+    for row-local defines. Every measure compiles per-expansion
+    (typed NULL / COUNT 0 when that expansion never binds the
+    variable) and folds through the same CASE; WITHIN folds in
+    per-expansion on each length's (first, last) offset pair.
+
+    Covers q50's 3-wide PERMUTE (6 expansions), q51's quantified
+    group ``STRT (HI LO){1,2}`` (greedy: the 5-row expansion is
+    enumerated before the 3-row one), and q53's sequence alternation
+    ``(A B C | D)`` (leftmost first). The physical plan is one keyed
+    shuffle + Tungsten sort + whole-stage-codegen projection — the
+    LEAD offsets are shared across expansions, so Catalyst computes
+    each distinct window expression once. Bit-for-bit equality with
+    the NFA on eligible shapes is pinned by the randomized tier
+    differential (tests/test_cep_vectorized.py). Reference
+    semantics: Flink 1.13 MATCH_RECOGNIZE (docs:
+    queries/match_recognize §Quantifiers, §PERMUTE — the reference
+    pins Flink 1.13 in pom.xml:41)."""
+    if spec.all_rows or spec.skip_mode != "to_next":
+        return None
+    if not isinstance(spec.pattern, PatternAST) and all(
+        q == "1" for _, q in spec.pattern
+    ):
+        return None  # plain fixed-length — tier A owns it
+    exps = _enumerate_expansions(spec.pattern)
+    if exps is None:
+        return None
+    win, _part_sql, lead, cols, eq_safe, col_types = _tier_window(
+        df, spec
+    )
+    per: list[tuple] = []
+    for exp in exps:
+        flat = [((v,), "1") for v in exp]
+        te = _tier_elements(flat, spec.raw_define, lead, cols, eq_safe)
+        if te is None:
+            return None
+        elem_info, conds = te
+        k = len(elem_info)
+        conds = list(conds)
+        if k > 1:
+            conds.append(f"LEAD(1, {k - 1}) OVER {win} IS NOT NULL")
+        wb = _within_bound(df, spec, lead, k)
+        if wb is None:
+            return None
+        if wb:
+            conds.append(wb)
+        cond = " AND ".join(conds) if conds else "TRUE"
+        per.append((elem_info, k, cond))
+    pat_vars = {v for exp in exps for v in exp}
+    sels: list[str] = [f"`{c}`" for c in spec.partition_by]
+    for raw_m, name in spec.raw_measures:
+        branches: list[tuple[str, str]] = []
+        for elem_info, k, cond in per:
+            occ = _var_occurrences(elem_info)
+            e = _tier_measure(
+                raw_m, occ, elem_info, lead, k, spec.order_by[0],
+                col_types, cols,
+            )
+            if e is None:
+                e = _tier_null_measure(
+                    raw_m, occ, col_types, cols, pat_vars
+                )
+            if e is None:
+                return None
+            branches.append((cond, e))
+        case = (
+            "(CASE "
+            + " ".join(f"WHEN {c} THEN {e}" for c, e in branches)
+            + " END)"
+        )
+        sels.append(f"{case} AS `{name}`")
+    flag = "__mr_exp__"
+    if flag in cols:
+        return None
+    any_cond = "(" + " OR ".join(f"({c})" for _, _, c in per) + ")"
+    return df.selectExpr(
+        *sels, f"{any_cond} AS `{flag}`"
+    ).where(f"`{flag}`").drop(flag)
+
+
 #: auxiliary column names used by tiers B/C; input collision → NFA
 _TIER_AUX = ("__mr_rn__", "__mr_grp__", "__mr_pos__", "__mr_ok__",
-             "__mr_head__", "__mr_n__")
+             "__mr_head__", "__mr_n__", "__mr_exp__")
+
+
+def _chain_expand(pattern, raw_define):
+    """For SKIP PAST LAST ROW at k ≥ 3: the stride-k islands rewrite
+    of :func:`_fixed_len_past_sql` is exact iff the start-row
+    predicate is k-CONVEX — pred(a) ∧ pred(b) with b−a < k implies
+    pred(t) for every a < t < b — because then maximal pred-true
+    runs are ≥ k apart and the greedy scan can never consume another
+    run's head. Convexity holds when every conjunct of pred(i) is a
+    fixed function of an ABSOLUTE row position shared across
+    overlapping anchors: pred(i) = ⋀_{j=1..k−1} f(i+j) gives
+    pred(t)'s conjuncts f(t+1..t+k−1) ⊆ f(a+1..b+k−1), all true.
+
+    That is exactly the shape ``HEAD TAIL{m,m}`` (k = m+1 ≥ 3) with
+    HEAD define-free (a HEAD define would add a conjunct at offset 0
+    — NOT shared — and break convexity: pred true at i and i+2 but
+    false at i+1 makes the stride rewrite over-produce) and TAIL's
+    define referencing only its own row and ``PREV(col, 1)`` — each
+    copy's condition is then the same function of one adjacent row
+    pair (q49's rising-run shape). Returns the expanded flat
+    pattern, or None."""
+    if len(pattern) != 2:
+        return None
+    (a0, q0), (a1, q1) = pattern
+    if len(a0) != 1 or len(a1) != 1 or q0 != "1":
+        return None
+    head, tail = a0[0], a1[0]
+    if raw_define.get(head) is not None:
+        return None
+    lo, hi, _rel = _quant_bounds(q1)
+    if hi is None or hi != lo or lo < 2:
+        return None
+    src = raw_define.get(tail)
+    if src is None:
+        return None  # all-always-true tail → whole-partition stride
+    for m in _PREV_NAV.finditer(src):
+        if int(m.group(3) or 1) != 1:
+            return None  # PREV(col, n≥2) spans 3 rows — not a chain
+    return [((head,), "1")] + [((tail,), "1")] * lo
 
 
 def _fixed_len_past_sql(
@@ -2032,22 +2294,43 @@ def _fixed_len_past_sql(
     necessarily in the same run and the stride covers it; k = 1 is
     consumption-free (≡ SKIP TO NEXT ROW). Measures are computed in
     the first window pass (they are row-local), then carried through
-    the island filter unchanged."""
+    the island filter unchanged.
+
+    Round 10: the k ≤ 2 cap lifts for the ``HEAD TAIL{m,m}`` chain
+    shape (q49's ``STRT UP{2}``), where the start-row predicate is
+    k-convex and the stride rewrite is exact at any k — see
+    :func:`_chain_expand` for the argument."""
     if (
         spec.all_rows
         or spec.skip_mode != "past_last"
         or isinstance(spec.pattern, PatternAST)
     ):
         return None
+    pattern = spec.pattern
+    chain = None
+    if not all(q == "1" for _, q in pattern):
+        # round 10: HEAD TAIL{m,m} chain shape — the stride rewrite
+        # is exact at ANY k there (k-convexity; see _chain_expand),
+        # which lifts the k ≤ 2 cap for q49's rising-run family.
+        # WITHIN adds a (first, last)-pair conjunct that is NOT
+        # shared across anchors, so it stays NFA.
+        if spec.within_seconds is not None:
+            return None
+        chain = _chain_expand(pattern, spec.raw_define)
+        if chain is None:
+            return None
+        pattern = chain
     win, part_sql, lead, cols, eq_safe, col_types = _tier_window(
         df, spec
     )
-    te = _tier_elements(df, spec, lead, cols, eq_safe)
+    te = _tier_elements(
+        pattern, spec.raw_define, lead, cols, eq_safe
+    )
     if te is None:
         return None
     elem_info, conds = te
     k = len(elem_info)
-    if k == 0 or k > 2:
+    if k == 0 or (k > 2 and chain is None):
         return None
     conds = list(conds)
     if k > 1:
@@ -2175,6 +2458,103 @@ def _trailing_agg_measure(
     return None
 
 
+def _trailing_allrows_measure(
+    raw, final, s_var, b_var, order0, col_types, cols, min_n,
+    wi, wi_full,
+):
+    """One raw MEASURE → a per-ROW window expression over one island
+    (tier C, ALL ROWS PER MATCH), or None. RUNNING (the default) sees
+    the island rows up to the current one; ``final`` sees the whole
+    island. ``wi`` is the running per-island window (ORDER BY
+    __mr_rn__), ``wi_full`` the unbounded-frame variant. Exactness
+    notes: running double SUM/AVG accumulate in frame order — the
+    scalar evaluator's row order; NTH_VALUE/LAST_VALUE return NULL
+    outside the frame exactly where the scalar path returns None for
+    a variable with no rows yet."""
+    t = raw.strip()
+    pos = f"ROW_NUMBER() OVER {wi}"
+    n_full = f"COUNT(1) OVER {wi_full}"
+    b_case = f"(CASE WHEN `__mr_rn__` > `__mr_head__` THEN {{c}} END)"
+
+    m = re.fullmatch(
+        r"(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)", t, re.IGNORECASE
+    )
+    bare = re.fullmatch(r"(\w+)\.(\w+)", t)
+    if m or bare:
+        if m:
+            fn, v, col = m.group(1).upper(), m.group(2), m.group(3)
+        else:
+            fn, v, col = "LAST", bare.group(1), bare.group(2)
+        if col not in cols:
+            return None
+        if v == s_var:  # the head row — available from pos 1 onward
+            return f"FIRST_VALUE(`{col}`) OVER {wi}"
+        if v != b_var:
+            return None
+        if fn == "FIRST":
+            w = wi_full if final else wi
+            return (
+                f"(CASE WHEN {n_full if final else pos} >= 2"
+                f" THEN NTH_VALUE(`{col}`, 2) OVER {w} END)"
+            )
+        if final:
+            return (
+                f"(CASE WHEN {n_full} >= 2"
+                f" THEN LAST_VALUE(`{col}`) OVER {wi_full} END)"
+            )
+        # RUNNING LAST(B.col): NULL on the head row, else this row
+        return f"(CASE WHEN {pos} > 1 THEN `{col}` END)"
+    if re.fullmatch(r"COUNT\s*\(\s*\*\s*\)", t, re.IGNORECASE):
+        return f"CAST({n_full if final else pos} AS BIGINT)"
+    m = re.fullmatch(r"COUNT\s*\(\s*(\w+)\.\*\s*\)", t, re.IGNORECASE)
+    if m:
+        if m.group(1) == s_var:
+            return "CAST(1 AS BIGINT)"
+        if m.group(1) == b_var:
+            return f"CAST(({n_full if final else pos}) - 1 AS BIGINT)"
+        return None
+    m = re.fullmatch(
+        r"(SUM|MIN|MAX|AVG)\s*\(\s*(\w+)\.(\w+)\s*\)", t, re.IGNORECASE
+    )
+    if m:
+        fn, v, col = m.group(1).upper(), m.group(2), m.group(3)
+        if col not in cols:
+            return None
+        ct = col_types.get(col)
+        num_ok = ct in (
+            "int", "smallint", "tinyint", "bigint", "double", "float",
+        )
+        if v == s_var:
+            val = f"FIRST_VALUE(`{col}`) OVER {wi}"
+            if fn == "SUM":
+                if ct in ("int", "smallint", "tinyint"):
+                    return f"CAST({val} AS BIGINT)"
+                return val if num_ok else None
+            if fn == "AVG":
+                return f"CAST({val} AS DOUBLE)" if num_ok else None
+            return val
+        if v != b_var:
+            return None
+        if fn in ("SUM", "AVG") and not num_ok:
+            return None  # decimal widening diverges → NFA
+        w = wi_full if final else wi
+        return f"{fn.lower()}({b_case.format(c=f'`{col}`')}) OVER {w}"
+    if re.fullmatch(r"CLASSIFIER\s*\(\s*\)", t, re.IGNORECASE):
+        if final:
+            if min_n >= 2:
+                return f"'{b_var}'"
+            return (
+                f"(CASE WHEN {n_full} >= 2 THEN '{b_var}'"
+                f" ELSE '{s_var}' END)"
+            )
+        return f"(CASE WHEN {pos} = 1 THEN '{s_var}' ELSE '{b_var}' END)"
+    if re.fullmatch(r"MATCH_ROWTIME\s*\(\s*\)", t, re.IGNORECASE):
+        if final:
+            return f"LAST_VALUE(`{order0}`) OVER {wi_full}"
+        return f"`{order0}`"  # last row so far = the current row
+    return None
+
+
 def _trailing_plus_sql(
     df: DataFrame, spec: MatchSpec, output_schema: str
 ) -> "DataFrame | None":
@@ -2198,10 +2578,17 @@ def _trailing_plus_sql(
     pinned by the randomized tier differential; aggregate measures
     fold in __mr_rn__ order (contiguous sorted rows), so float SUM/
     AVG accumulate in the same sequential IEEE order as the scalar
-    path."""
+    path.
+
+    ALL ROWS PER MATCH (q48/q56) keeps the same island decomposition
+    and swaps the group-by for per-island WINDOW functions: every
+    island row is emitted with RUNNING measures over the rows-so-far
+    frame and FINAL measures over the unbounded frame — still one
+    exchange, zero Python (the per-island windows cluster on a
+    superset of the partition keys, so the hash partitioning is
+    reused)."""
     if (
-        spec.all_rows
-        or spec.skip_mode != "past_last"
+        spec.skip_mode != "past_last"
         or isinstance(spec.pattern, PatternAST)
         or spec.within_seconds is not None
         or len(spec.pattern) != 2
@@ -2223,12 +2610,27 @@ def _trailing_plus_sql(
     if cond is None:
         return None
     min_n = 2 if q1 == "+" else 1
+    wi = (
+        f"(PARTITION BY {part_sql}, `__mr_head__`"
+        f" ORDER BY `__mr_rn__`)"
+    )
+    wi_full = (
+        f"(PARTITION BY {part_sql}, `__mr_head__`"
+        f" ORDER BY `__mr_rn__` ROWS BETWEEN UNBOUNDED PRECEDING"
+        f" AND UNBOUNDED FOLLOWING)"
+    )
     aggs: list[tuple[str, str]] = []
     for raw_m, name in spec.raw_measures:
-        e = _trailing_agg_measure(
-            raw_m, s_var, b_var, spec.order_by[0], col_types, cols,
-            min_n,
-        )
+        if spec.all_rows:
+            e = _trailing_allrows_measure(
+                raw_m, name in spec.final_measures, s_var, b_var,
+                spec.order_by[0], col_types, cols, min_n, wi, wi_full,
+            )
+        else:
+            e = _trailing_agg_measure(
+                raw_m, s_var, b_var, spec.order_by[0], col_types,
+                cols, min_n,
+            )
         if e is None:
             return None
         aggs.append((e, name))
@@ -2254,6 +2656,16 @@ def _trailing_plus_sql(
         f" ORDER BY `__mr_rn__` ROWS BETWEEN UNBOUNDED PRECEDING AND"
         f" CURRENT ROW), CAST(1 AS BIGINT)) AS `__mr_head__`",
     )
+    if spec.all_rows:
+        s3 = s2.selectExpr(
+            "*",
+            f"COUNT(1) OVER {wi_full} AS `__mr_n__`",
+            *[f"{e} AS `{n}`" for e, n in aggs],
+        )
+        base = [c for c in df.columns]
+        return s3.where(F.col("__mr_n__") >= min_n).select(
+            *base, *[n for _, n in aggs]
+        )
     grouped = s2.groupBy(
         *[F.col(c) for c in spec.partition_by], F.col("__mr_head__")
     ).agg(
@@ -2329,7 +2741,8 @@ def match_recognize(
         )
         return out.drop(gk)
     for tier in (
-        _fixed_len_sql, _fixed_len_past_sql, _trailing_plus_sql,
+        _fixed_len_sql, _multi_len_sql, _fixed_len_past_sql,
+        _trailing_plus_sql,
     ):
         fast = tier(df, spec, output_schema)
         if fast is not None and _tier_schema_ok(fast, output_schema):

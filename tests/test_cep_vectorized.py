@@ -659,6 +659,7 @@ def test_fixed_len_tier_within_equals_nfa(spark):
 def _force_nfa(mp):
     """Disable every JVM tier so match_recognize runs the chunked NFA."""
     mp.setattr(cep, "_fixed_len_sql", lambda *a: None)
+    mp.setattr(cep, "_multi_len_sql", lambda *a: None)
     mp.setattr(cep, "_fixed_len_past_sql", lambda *a: None)
     mp.setattr(cep, "_trailing_plus_sql", lambda *a: None)
 
@@ -822,4 +823,135 @@ def test_tier_c_trailing_plus_equals_nfa(spark):
     for clause in clauses:
         _tier_vs_nfa(
             spark, clause, _rand_rows(rng), cep._trailing_plus_sql
+        )
+
+
+def test_tier_c_all_rows_equals_nfa(spark):
+    """Round-10 tier C, ALL ROWS PER MATCH (q48/q56's family): every
+    island row emitted with RUNNING measures over the rows-so-far
+    frame and FINAL measures over the whole island — vs the NFA's
+    per-row emission, over PREV and plain defines, every measure
+    form, and NULL values."""
+    rng = random.Random(401)
+    clauses = [
+        # q48/q56 union: RUNNING + FINAL of each form
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES COUNT(*) AS step_no, FIRST(S.v) AS base_val,"
+        " LAST(U.v) AS run_val, FINAL COUNT(*) AS match_len,"
+        " FINAL LAST(U.v) AS peak_val, COUNT(U.*) AS nu,"
+        " SUM(U.v) AS su, FINAL SUM(U.v) AS fsu, MIN(U.v) AS mn,"
+        " FINAL AVG(U.v) AS fav, CLASSIFIER() AS cls,"
+        " FINAL CLASSIFIER() AS fcls, MATCH_ROWTIME() AS mr,"
+        " FINAL MATCH_ROWTIME() AS fmr, FIRST(U.v) AS fu,"
+        " FINAL FIRST(U.v) AS ffu"
+        " ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (S U+)"
+        " DEFINE U AS U.v > PREV(U.v)",
+        # PREV-free define + B* (head-only islands emit, FINAL LAST
+        # of an empty B must be NULL)
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES COUNT(*) AS n, FINAL LAST(U.v) AS flu,"
+        " FINAL CLASSIFIER() AS fcls"
+        " ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (S U*)"
+        " DEFINE U AS U.v >= 60",
+    ]
+    for clause in clauses:
+        _tier_vs_nfa(
+            spark, clause, _rand_rows(rng), cep._trailing_plus_sql
+        )
+
+
+def test_tier_a_prime_expansions_equal_nfa(spark):
+    """Round-10 tier A′ (_multi_len_sql): bounded-length patterns
+    under SKIP TO NEXT ROW — quantified elements, quantified groups,
+    sequence alternation, PERMUTE — vs the NFA, over random data
+    with NULLs. Each clause MUST route through the expansion tier."""
+    rng = random.Random(1009)
+    clauses = [
+        # q50's shape: width-3 PERMUTE of disjoint bands (6 expansions)
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(H.v) AS hv, FIRST(M.v) AS mv,"
+        " FIRST(L.v) AS lv, CLASSIFIER() AS cls"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (PERMUTE(H, M, L))"
+        " DEFINE H AS H.v >= 55, M AS M.v >= 20 AND M.v < 55,"
+        " L AS L.v < 20",
+        # q51's shape: quantified group, greedy (two pairs before one)
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES COUNT(*) AS n, COUNT(H.*) AS nh,"
+        " LAST(L.v) AS ll"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (S (H L){1,2})"
+        " DEFINE H AS H.v >= 55, L AS L.v < 20",
+        # q53's shape: sequence alternation of DIFFERENT lengths,
+        # leftmost preferred; off-branch measures are typed NULLs
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES COUNT(*) AS n, CLASSIFIER() AS cls,"
+        " FIRST(A.v) AS av, FIRST(D.v) AS dv, SUM(D.v) AS sd"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B C | D)"
+        " DEFINE A AS A.v < 20, B AS B.v >= 20 AND B.v < 55,"
+        " C AS C.v >= 55, D AS D.v >= 90",
+        # flat bounded quantifier incl. zero reps (greedy B{0,2}) +
+        # PREV in the tail
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES COUNT(*) AS n, COUNT(B.*) AS nb,"
+        " LAST(B.v) AS lb, MATCH_ROWTIME() AS mr"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B{0,2} C)"
+        " DEFINE A AS A.v < 30, B AS B.v > PREV(B.v), C AS C.v >= 60",
+        # reluctant bounded quantifier (fewer reps preferred)
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES COUNT(*) AS n, LAST(B.v) AS lb"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B{1,3}? C)"
+        " DEFINE A AS A.v < 30, B AS B.v >= 30, C AS C.v >= 30",
+        # quantifier over within-element alternation + WITHIN bound
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES COUNT(*) AS n, CLASSIFIER() AS cls"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (S (X | Y){2}) WITHIN INTERVAL '30' SECOND"
+        " DEFINE S AS S.v < 10, X AS X.v >= 50, Y AS Y.v >= 10",
+    ]
+    for clause in clauses:
+        rows = [
+            dict(r, ts=None if r["ts"] is None else
+                 pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=r["ts"]))
+            for r in _rand_rows(rng)
+        ] if "WITHIN" in clause else _rand_rows(rng)
+        _tier_vs_nfa(spark, clause, rows, cep._multi_len_sql)
+
+
+def test_tier_b_chain_stride_equals_nfa(spark):
+    """Round-10 tier B chain shape (q49's family): HEAD TAIL{m,m}
+    under SKIP PAST LAST ROW at k ≥ 3 — the stride rewrite must
+    reproduce the NFA's greedy consumption exactly (k-convexity),
+    for PREV-chain and row-local tail defines, m = 2 and 3, NULLs."""
+    rng = random.Random(4099)
+    clauses = [
+        # q49 verbatim shape: rising chain, m=2 (k=3)
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(S.v) AS sv, LAST(U.v) AS lu,"
+        " COUNT(U.*) AS nu, CLASSIFIER() AS cls"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (S U{2})"
+        " DEFINE U AS U.v > PREV(U.v)",
+        # m=3 (k=4), PREV chain
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(S.v) AS sv, LAST(U.v) AS lu, COUNT(*) AS n"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (S U{3})"
+        " DEFINE U AS U.v > PREV(U.v)",
+        # row-local tail define (no PREV) — still chain-convex
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(S.v) AS sv, FIRST(U.v) AS fu,"
+        " LAST(U.v) AS lu"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (S U{2})"
+        " DEFINE U AS U.v >= 40",
+    ]
+    for clause in clauses:
+        _tier_vs_nfa(
+            spark, clause, _rand_rows(rng), cep._fixed_len_past_sql
         )

@@ -546,25 +546,25 @@ def test_pp06_rollup_is_lang_sized(spark, sf_dir):
 
 
 def test_cep_round8_entries_single_key_shuffle(spark, sf_dir):
-    """q50/q51 (PERMUTE / nested groups — NFA-only shapes) share the
-    CEP plumbing (round 9: chunked mapInPandas): one keyed
-    repartition on PARTITION BY, a JVM-side sort within partitions,
-    then a single MapInPandas matcher — no cartesian, no row-at-a-time
-    Python UDF, no extra exchanges, and the per-group pandas sort is
-    gone (no FlatMapGroupsInPandas)."""
+    """q55 (width-6 PERMUTE — 720 orderings, beyond the expansion
+    tier's cap, so the lazy NFA walker is the right engine) keeps the
+    chunked-runner plumbing: one keyed repartition on PARTITION BY, a
+    JVM-side sort within partitions, then a single MapInPandas
+    matcher — no cartesian, no row-at-a-time Python UDF, no extra
+    exchanges, and no per-group pandas sort (FlatMapGroupsInPandas).
+    (q50/q51 moved to the round-10 expansion tier — covered by
+    test_cep_jvm_tier_entries_pure_jvm_single_exchange.)"""
     from flink_streaming_platform_web_spark.operators.cep import (
-        q50_match_permute,
-        q51_match_nested_group,
+        q55_match_permute_wide,
     )
 
-    for q in (q50_match_permute, q51_match_nested_group):
-        plan = _physical(q(spark, sf_dir))
-        assert "CartesianProduct" not in plan
-        assert "BatchEvalPython" not in plan  # no per-row Python
-        assert plan.count("MapInPandas") == 1
-        assert "Sort" in plan  # Tungsten sort, not pandas sort_values
-        # exactly the keyed repartition the semantics require
-        assert plan.count("Exchange") == 1, plan
+    plan = _physical(q55_match_permute_wide(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no per-row Python
+    assert plan.count("MapInPandas") == 1
+    assert "Sort" in plan  # Tungsten sort, not pandas sort_values
+    # exactly the keyed repartition the semantics require
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_cep_jvm_tier_entries_pure_jvm_single_exchange(spark, sf_dir):
@@ -577,12 +577,18 @@ def test_cep_jvm_tier_entries_pure_jvm_single_exchange(spark, sf_dir):
     from flink_streaming_platform_web_spark.operators.cep import (
         q45_match_recognize,
         q47_match_alternation,
+        q49_match_bounded_quant,
+        q50_match_permute,
+        q51_match_nested_group,
         q52_match_within,
+        q53_match_alternated_sequences,
         q54_match_desc_tie_order,
         q57_match_rowtime,
     )
 
     for q in (q45_match_recognize, q47_match_alternation,
+              q49_match_bounded_quant, q50_match_permute,
+              q51_match_nested_group, q53_match_alternated_sequences,
               q52_match_within, q54_match_desc_tie_order,
               q57_match_rowtime):
         plan = _physical(q(spark, sf_dir))
