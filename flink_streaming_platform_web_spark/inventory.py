@@ -69,11 +69,15 @@ _MODULES = (
 #     (its plan gate gained the broadcast-strategy assertion this
 #     round -- pair the driver row with it), and the dedup/decontam
 #     family that shares helpers with (a): dd01-dd04, dd12, dd13,
-#     dd15, dc01, dc02, q26, q28. (15 slots)
+#     dd15, dc01, dc02, q26. (14 slots)
+# (d) NEW round-10 entry — never driver-checked, outranks green
+#     re-checks: q60 global (no PARTITION BY) MATCH_RECOGNIZE.
+#     (1 slot; q28 ceded — it is r7-dated, pytest-pinned, and next
+#     in line for r11.)
 # Still r7-dated after this round -- front them in r11: mm01, mm03,
-# pp03, pp06, q01-q04, q11, q12, q14, q15, q24, q27, q29, q30, q31,
-# q36, st09, st10 (20 entries, all pytest-pinned and covered by local
-# full-sweep parity every round).
+# pp03, pp06, q01-q04, q11, q12, q14, q15, q24, q27, q28, q29, q30,
+# q31, q36, st09, st10 (21 entries, all pytest-pinned and covered by
+# local full-sweep parity every round).
 # Exactly 50.
 _CHECK_FIRST = (
     # (a) changed: batch CEP family (JVM tier extension + global parse)
@@ -129,7 +133,8 @@ _CHECK_FIRST = (
     "dc01_contamination",
     "dc02_fuzzy_contamination",
     "q26_asof_join",
-    "q28_interval_join",
+    # (d) new round-10 entry
+    "q60_match_global",
 )
 
 

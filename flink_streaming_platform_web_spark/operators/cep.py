@@ -3707,6 +3707,60 @@ WHERE value < 30.0 AND v1 >= 60.0
 """
 
 
+# --------------------------------------------------------------------------
+# q60 — GLOBAL pattern (no PARTITION BY), oracle-gated (round 10).
+# Flink 1.13 allows MATCH_RECOGNIZE without PARTITION BY (docs:
+# queries/match_recognize — the pattern then runs at parallelism 1);
+# the engine routes it through a constant grouping key, which is the
+# same single-task semantics. The totally-ordered 2-row adjacency
+# across ALL users is what a per-user partition could never see.
+# --------------------------------------------------------------------------
+
+Q60_CLAUSE = """
+  ORDER BY ts, event_id
+  MEASURES
+    FIRST(LO.event_id) AS lo_id,
+    FIRST(HI.event_id) AS hi_id,
+    FIRST(HI.value) AS hi_val
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (LO HI)
+  DEFINE LO AS LO.value < 20.0,
+         HI AS HI.value >= 80.0
+"""
+
+
+def q60_match_global(spark, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with NO PARTITION BY — a global pattern over
+    the total (ts, event_id) order of the whole events table: a
+    sub-20 row immediately followed by an 80+ row, across user
+    boundaries. Parallelism-1 by semantics (Flink's own behavior);
+    the constant-key route still compiles to the JVM fixed-length
+    tier, so the plan is one single-partition sort + codegen
+    projection, zero Python."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    spec = parse_match_recognize(Q60_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q60 = """
+WITH ordered AS (
+  SELECT event_id, value,
+         LEAD(event_id) OVER w AS nid,
+         LEAD(value) OVER w AS nv
+  FROM events
+  WINDOW w AS (ORDER BY ts, event_id)
+)
+SELECT event_id AS lo_id, nid AS hi_id, nv AS hi_val
+FROM ordered
+WHERE value < 20.0 AND nv >= 80.0
+"""
+
+
 QUERIES = {
     "q45_match_recognize": q45_match_recognize,
     "q47_match_alternation": q47_match_alternation,
@@ -3720,6 +3774,7 @@ QUERIES = {
     "q55_match_permute_wide": q55_match_permute_wide,
     "q56_match_running_final": q56_match_running_final,
     "q57_match_rowtime": q57_match_rowtime,
+    "q60_match_global": q60_match_global,
 }
 ORACLES = {
     "q45_match_recognize": ORACLE_Q45,
@@ -3734,6 +3789,7 @@ ORACLES = {
     "q55_match_permute_wide": ORACLE_Q55,
     "q56_match_running_final": ORACLE_Q56,
     "q57_match_rowtime": ORACLE_Q57,
+    "q60_match_global": ORACLE_Q60,
 }
 
 
