@@ -2299,10 +2299,24 @@ def _fixed_len_past_sql(
     Round 10: the k ≤ 2 cap lifts for the ``HEAD TAIL{m,m}`` chain
     shape (q49's ``STRT UP{2}``), where the start-row predicate is
     k-convex and the stride rewrite is exact at any k — see
-    :func:`_chain_expand` for the argument."""
+    :func:`_chain_expand` for the argument.
+
+    Round 10 (late): ``AFTER MATCH SKIP TO FIRST/LAST <var>`` is the
+    same greedy scan with the resume point at the variable's
+    first/last matched row instead of past the match end — i.e. the
+    identical islands rewrite with stride = that row's offset. The
+    consumed-row hazard depends only on the STRIDE (rows the scan
+    jumps over), not on k: stride 1 re-arms on the very next row
+    (every predicate-true row emits, no islands needed) and stride 2
+    skips a single interior row, which — if predicate-true — is
+    necessarily in the same island and covered by the parity walk.
+    Stride ≥ 3 has the same over-produce hazard as k ≥ 3 under PAST
+    LAST ROW and stays NFA; stride 0 (skip to the match's own first
+    row) is Flink's refuse-to-loop error and the NFA path raises it
+    loudly."""
     if (
         spec.all_rows
-        or spec.skip_mode != "past_last"
+        or spec.skip_mode not in ("past_last", "to_first", "to_last")
         or isinstance(spec.pattern, PatternAST)
     ):
         return None
@@ -2313,8 +2327,10 @@ def _fixed_len_past_sql(
         # is exact at ANY k there (k-convexity; see _chain_expand),
         # which lifts the k ≤ 2 cap for q49's rising-run family.
         # WITHIN adds a (first, last)-pair conjunct that is NOT
-        # shared across anchors, so it stays NFA.
-        if spec.within_seconds is not None:
+        # shared across anchors, so it stays NFA. Quantifiers under
+        # SKIP TO FIRST/LAST make the skip offset match-dependent —
+        # NFA path.
+        if spec.within_seconds is not None or spec.skip_mode != "past_last":
             return None
         chain = _chain_expand(pattern, spec.raw_define)
         if chain is None:
@@ -2330,8 +2346,24 @@ def _fixed_len_past_sql(
         return None
     elem_info, conds = te
     k = len(elem_info)
-    if k == 0 or (k > 2 and chain is None):
+    if k == 0:
         return None
+    occ0 = _var_occurrences(elem_info)
+    if spec.skip_mode == "past_last":
+        stride = k
+        if k > 2 and chain is None:
+            return None
+    else:
+        # stride = the skip variable's first/last UNCONDITIONAL
+        # offset; a guarded occurrence (alternation branch) makes the
+        # resume point depend on which branch matched — NFA path.
+        occs = occ0.get(spec.skip_var)
+        if not occs or any(g is not None for _, g in occs):
+            return None
+        offs = [o for o, _ in occs]
+        stride = min(offs) if spec.skip_mode == "to_first" else max(offs)
+        if stride < 1 or stride > 2:
+            return None
     conds = list(conds)
     if k > 1:
         conds.append(f"LEAD(1, {k - 1}) OVER {win} IS NOT NULL")
@@ -2342,7 +2374,7 @@ def _fixed_len_past_sql(
         conds.append(wb)
     if not conds:
         return None  # all-always-true → whole-partition stride; NFA
-    occ = _var_occurrences(elem_info)
+    occ = occ0
     names: list[str] = []
     sels: list[str] = [f"`{c}`" for c in spec.partition_by]
     for raw_m, name in spec.raw_measures:
@@ -2365,7 +2397,10 @@ def _fixed_len_past_sql(
         f"({pred}) AS `__mr_ok__`",
         f"ROW_NUMBER() OVER {win} AS `__mr_rn__`",
     ).where("`__mr_ok__`")
-    if k == 1:
+    if stride == 1:
+        # the scan re-arms on the very next row: every
+        # predicate-true row emits (k == 1, or SKIP TO a var at
+        # offset 1 — the boundary guard for k > 1 is in the pred)
         return s1.selectExpr(*out_cols)
     s2 = s1.selectExpr(
         "*",
@@ -2377,7 +2412,7 @@ def _fixed_len_past_sql(
         f"ROW_NUMBER() OVER (PARTITION BY {part_sql}, `__mr_grp__`"
         f" ORDER BY `__mr_rn__`) AS `__mr_pos__`",
     )
-    return s3.where(f"(`__mr_pos__` - 1) % {k} = 0").selectExpr(
+    return s3.where(f"(`__mr_pos__` - 1) % {stride} = 0").selectExpr(
         *out_cols
     )
 
@@ -2712,9 +2747,10 @@ def match_recognize(
     Reference semantics: Flink 1.13 MATCH_RECOGNIZE
     (docs/queries/match_recognize; reference pins Flink 1.13 in
     pom.xml:41). Row-local shapes take a pure-JVM window tier first:
-    fixed-length SKIP TO NEXT ROW (_fixed_len_sql), fixed-length k≤2
-    SKIP PAST LAST ROW (_fixed_len_past_sql), and the trailing-
-    quantifier Ticker shape (_trailing_plus_sql); a tier result whose
+    fixed-length SKIP TO NEXT ROW (_fixed_len_sql), fixed-length
+    SKIP PAST LAST ROW / SKIP TO FIRST/LAST <var> with stride ≤ 2
+    (_fixed_len_past_sql), and the trailing-quantifier Ticker shape
+    (_trailing_plus_sql); a tier result whose
     schema deviates from the NFA's falls back rather than shipping a
     differently-typed answer.
 
@@ -3761,6 +3797,79 @@ WHERE value < 20.0 AND nv >= 80.0
 """
 
 
+# --------------------------------------------------------------------------
+# q61 — AFTER MATCH SKIP TO LAST <var>, oracle-gated (round 10).
+# Flink 1.13 queries/match_recognize §After Match Strategy: resume
+# the scan AT the named variable's last matched row, so consecutive
+# matches SHARE that row — the Ticker doc's strategy for chaining
+# V-shapes. Here: rising 2-step segments chained end-to-start.
+# --------------------------------------------------------------------------
+
+Q61_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES
+    FIRST(STRT.event_id) AS start_id,
+    LAST(TOP.event_id) AS top_id,
+    LAST(TOP.value) AS top_val,
+    CLASSIFIER() AS last_var
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO LAST TOP
+  PATTERN (STRT UP TOP)
+  DEFINE UP AS UP.value > PREV(UP.value),
+         TOP AS TOP.value > PREV(TOP.value)
+"""
+
+
+def q61_match_skip_to_var(spark, sf_dir: str) -> DataFrame:
+    """``AFTER MATCH SKIP TO LAST TOP`` (Flink docs:
+    queries/match_recognize §After Match Strategy): each match is a
+    two-step rise and the next scan resumes AT the TOP row, so a
+    long rising run decomposes into chained segments sharing their
+    endpoints (run offsets 0-2, 2-4, 4-6, …) — semantics neither
+    SKIP TO NEXT ROW (every offset) nor SKIP PAST LAST ROW (offsets
+    0-2, 3-5) produce. Compiles to the JVM islands tier with
+    stride = TOP's offset (2); the DuckDB oracle replays the same
+    gaps-and-islands walk independently."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    spec = parse_match_recognize(Q61_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q61 = """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN value > LAG(value) OVER w THEN 0 ELSE 1 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (
+      PARTITION BY user_id ORDER BY rn) AS island
+  FROM ordered
+),
+pos AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, island ORDER BY rn) - 1 AS off
+  FROM isl
+)
+SELECT s.user_id,
+       s.event_id AS start_id,
+       e.event_id AS top_id,
+       e.value AS top_val,
+       'TOP' AS last_var
+FROM pos s JOIN pos e
+  ON e.user_id = s.user_id AND e.island = s.island
+ AND e.off = s.off + 2
+WHERE s.off % 2 = 0
+"""
+
+
 QUERIES = {
     "q45_match_recognize": q45_match_recognize,
     "q47_match_alternation": q47_match_alternation,
@@ -3775,6 +3884,7 @@ QUERIES = {
     "q56_match_running_final": q56_match_running_final,
     "q57_match_rowtime": q57_match_rowtime,
     "q60_match_global": q60_match_global,
+    "q61_match_skip_to_var": q61_match_skip_to_var,
 }
 ORACLES = {
     "q45_match_recognize": ORACLE_Q45,
@@ -3790,6 +3900,7 @@ ORACLES = {
     "q56_match_running_final": ORACLE_Q56,
     "q57_match_rowtime": ORACLE_Q57,
     "q60_match_global": ORACLE_Q60,
+    "q61_match_skip_to_var": ORACLE_Q61,
 }
 
 

@@ -955,3 +955,80 @@ def test_tier_b_chain_stride_equals_nfa(spark):
         _tier_vs_nfa(
             spark, clause, _rand_rows(rng), cep._fixed_len_past_sql
         )
+
+
+def test_tier_b_skip_to_var_equals_nfa(spark):
+    """Round-10 late: AFTER MATCH SKIP TO FIRST/LAST <var> through
+    tier B — the islands rewrite with stride = the variable's
+    offset. Strides 1 (re-arm next row) and 2 (one skipped interior
+    row, same-island by construction) vs the NFA's resume-at-row
+    scan, incl. q61's chained-rising shape, PREV defines, k=3 with
+    stride 2 (consumption past the resume point is irrelevant), and
+    NULL values/order keys."""
+    rng = random.Random(613)
+    clauses = [
+        # q61 shape: k=3, SKIP TO LAST TOP (stride 2), PREV defines
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(S.v) AS sv, LAST(T.v) AS tv,"
+        " CLASSIFIER() AS cls"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO LAST T"
+        " PATTERN (S U T)"
+        " DEFINE U AS U.v > PREV(U.v), T AS T.v > PREV(T.v)",
+        # stride 1: SKIP TO LAST B on (A B) — every pred-true row
+        " PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(A.v) AS fa, LAST(B.v) AS lb"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO LAST B"
+        " PATTERN (A B)"
+        " DEFINE A AS A.v < 50, B AS B.v >= 50",
+        # SKIP TO FIRST on a var at offset 2 of k=3, row-local defines
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(A.v) AS fa, LAST(C.v) AS lc"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO FIRST C"
+        " PATTERN (A B C)"
+        " DEFINE A AS A.v < 60, C AS C.v >= 30",
+    ]
+    for trial, clause in enumerate(clauses):
+        _tier_vs_nfa(
+            spark,
+            clause,
+            _rand_rows(rng, null_ts=0.03 if trial == 0 else 0.0),
+            cep._fixed_len_past_sql,
+        )
+
+
+def test_tier_b_skip_to_var_rejects_ineligible(spark):
+    """SKIP TO <var> shapes outside the stride ≤ 2 proof stay NFA:
+    stride ≥ 3, stride 0 (Flink's refuse-to-loop error — the NFA
+    raises it loudly), guarded (alternation-branch) skip targets,
+    and quantified patterns."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": [1], "v": [1.0]})
+    )
+    base = (
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(A.v) AS fa"
+        " ONE ROW PER MATCH AFTER MATCH {skip}"
+        " PATTERN ({pat})"
+        " DEFINE {defs}"
+    )
+    for skip, pat, defs in [
+        # stride 3 — the scan jumps over two rows; same over-produce
+        # hazard as k ≥ 3 under PAST LAST ROW
+        ("SKIP TO LAST D", "A B C D",
+         "A AS A.v < 5, B AS B.v > 1, C AS C.v > 0, D AS D.v > 0"),
+        # stride 0 — resume at the match's own first row
+        ("SKIP TO FIRST A", "A B", "A AS A.v < 5, B AS B.v > 1"),
+        # guarded occurrence: the resume point depends on the branch
+        ("SKIP TO LAST U", "S (U|D)",
+         "U AS U.v > 1, D AS D.v < 1"),
+        # quantifier makes the skip offset match-dependent
+        ("SKIP TO LAST B", "A B+", "A AS A.v < 5, B AS B.v > 1"),
+    ]:
+        spec = parse_match_recognize(
+            base.format(skip=skip, pat=pat, defs=defs)
+        )
+        assert cep._fixed_len_past_sql(df, spec, "") is None, (
+            skip, pat,
+        )
