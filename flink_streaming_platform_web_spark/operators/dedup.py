@@ -648,19 +648,19 @@ def _blocked_cell_pairs(
 
 
 def dd07_embed_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_streaming_platform_web_spark.operators import similarity
+    """Embedding near-dup pairs joined back to document metadata.
 
-    vecs = similarity._vecs(spark, sf_dir)
-    labels, _C = similarity._centroids(spark, sf_dir)
-    assigned = similarity.cell_assign(
-        spark, vecs, sf_dir, DD07_NPROBE, centroids=(labels, _C)
-    )
-    # chunk count from the LARGEST cell (skew-safe); c == 1 (every
-    # tested SF ≤ 0.1) degenerates to the one-group-per-cell plan
-    # before the round-10 parallelism floor raises it (see
-    # _blocked_cell_pairs)
-    c = _max_cell_chunks(spark, sf_dir, assigned, "dd07_max_cell")
-    pairs = _blocked_cell_pairs(assigned, c, n_cells=len(labels))
+    Round 10 (late): discovery rides the SCALED k-means cells (the
+    dd11 assignment — cell count grows with the corpus, per-cell
+    population ≈ DD07_CHUNK) instead of the fixed per-label
+    centroids. The label cells matched the comment's 100 TB posture
+    ("centroid count grows with the corpus") only for dd11; dd07's
+    own sf0.1→sf5 curve was superlinear (exp 1.07, in-cell work
+    n²/|labels|). Same nprobe, same verify kernel, recall re-pinned
+    by test_dd07_ivf_recall_vs_exact; the assignment/chunk memos are
+    shared with dd11, so a pipeline running both pays the probe scan
+    once."""
+    pairs = _scaled_cell_pairs(spark, sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     da = docs.select(
         F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")
@@ -676,15 +676,26 @@ def dd07_embed_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dd07() -> str:
+    """Same scaled-k-means replay as dd11's oracle (round 10 late:
+    dd07 rides the dd11 cells), plus the document-metadata join."""
     from flink_streaming_platform_web_spark.operators.similarity import (
         NEARDUP_COS,
-        ORACLE_CELL_RANKED,
         _ORACLE_COS,
     )
+    from flink_streaming_platform_web_spark.operators.vectors import (
+        _oracle_km_prefix,
+    )
 
+    cosq = _ORACLE_COS.format(a="e.v", b="c.cv")
     cos = _ORACLE_COS.format(a="a.v", b="b.v")
-    return f"""
-{ORACLE_CELL_RANKED},
+    return f"""{_oracle_km_prefix()},
+ranked AS (
+  SELECT e.vec_id, e.v, c.cid AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({cosq}, 6) DESC, c.cid ASC) AS rn
+  FROM e CROSS JOIN cent1 c
+),
 probes AS (SELECT vec_id, v, cell FROM ranked WHERE rn <= {DD07_NPROBE}),
 pairs AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1165,9 +1176,13 @@ FROM agree
 DD11_NPROBE = 4
 
 
-def dd11_embed_neardup_kmeans(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _scaled_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs over the SCALED k-means cells —
+    shared by dd11 (pairs as-is) and dd07 (pairs joined to document
+    metadata). Cell count grows with the corpus so per-cell
+    population stays ≈ DD07_CHUNK; the assignment and skew memos are
+    keyed once, so both consumers pay the probe scan a single time
+    per session."""
     from flink_streaming_platform_web_spark.operators import (
         similarity,
         vectors as vectors_mod,
@@ -1197,6 +1212,12 @@ def dd11_embed_neardup_kmeans(
     )
     c = _max_cell_chunks(spark, sf_dir, assigned, "dd11_max_cell")
     return _blocked_cell_pairs(assigned, c, n_cells=len(labels))
+
+
+def dd11_embed_neardup_kmeans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _scaled_cell_pairs(spark, sf_dir)
 
 
 def _oracle_dd11() -> str:
