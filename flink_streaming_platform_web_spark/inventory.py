@@ -71,13 +71,14 @@ _MODULES = (
 #     family that shares helpers with (a): dd01-dd04, dd12, dd13,
 #     dd15, dc01, dc02, q26. (14 slots)
 # (d) NEW round-10 entries — never driver-checked, outrank green
-#     re-checks: q60 global (no PARTITION BY) MATCH_RECOGNIZE and
-#     q61 AFTER MATCH SKIP TO LAST <var> (the stride tier).
-#     (2 slots; q28 and q26 ceded — both r7-dated, pytest-pinned,
-#     and next in line for r11.)
+#     re-checks: q60 global (no PARTITION BY) MATCH_RECOGNIZE,
+#     q61 AFTER MATCH SKIP TO LAST <var> (the stride tier), and
+#     st22 streaming SKIP TO LAST <var> (overlap frontier).
+#     (3 slots; q28, q26 and dc02 ceded — all r7-dated,
+#     pytest-pinned, and next in line for r11.)
 # Still r7-dated after this round -- front them in r11: mm01, mm03,
 # pp03, pp06, q01-q04, q11, q12, q14, q15, q24, q26, q27, q28, q29,
-# q30, q31, q36, st09, st10 (22 entries, all pytest-pinned and
+# q30, q31, q36, st09, st10, dc02 (23 entries, all pytest-pinned and
 # covered by local full-sweep parity every round).
 # Exactly 50.
 _CHECK_FIRST = (
@@ -132,10 +133,10 @@ _CHECK_FIRST = (
     "dd13_jaccard_prefix_filter",
     "dd15_cluster_representatives",
     "dc01_contamination",
-    "dc02_fuzzy_contamination",
     # (d) new round-10 entries
     "q60_match_global",
     "q61_match_skip_to_var",
+    "st22_stream_match_skip_to_var",
 )
 
 

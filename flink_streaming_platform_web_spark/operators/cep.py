@@ -3929,18 +3929,25 @@ def stream_match_recognize(
     passes them, folded in ORDER BY order, late rows dropped).
     Without a watermark the ordered-assert front end applies: rows
     must arrive per-key-ordered on the first ORDER BY column across
-    micro-batches, and disorder raises loudly. SKIP TO NEXT ROW would
-    emit overlapping matches whose later occurrences can still
-    change, so only SKIP PAST LAST ROW is supported here."""
+    micro-batches, and disorder raises loudly.
+
+    Every AFTER MATCH strategy is supported (round 10 late; Flink
+    streams all of them too). The one emission rule that is correct
+    for all of them: emit a match iff its START precedes the
+    frontier (the first scan position whose outcome can still change
+    — the first pending match's start or ran-out attempt). A match
+    starting before the frontier is closed by definition, and the
+    kept buffer suffix replays the scan from the frontier exactly —
+    overlapping matches (SKIP TO NEXT ROW / TO FIRST/LAST <var>)
+    re-found there were never emitted, because rows before the
+    frontier are dropped and the scan's attempts and resume targets
+    from an attempted position never reach backwards. For SKIP PAST
+    LAST ROW this start-based rule coincides with the previous
+    end-based one (disjoint matches: every later attempt position is
+    ≥ the match end)."""
     import pickle
 
     import pandas as pd
-
-    if not spec.skip_past_last:
-        raise ValueError(
-            "stream_match_recognize supports AFTER MATCH SKIP PAST"
-            " LAST ROW only"
-        )
     if not spec.partition_by:
         # global pattern — constant key, one state group (Flink runs
         # an unpartitioned streaming pattern at parallelism 1 too)
@@ -4005,10 +4012,12 @@ def stream_match_recognize(
             ]
             if pending:
                 frontier = min(frontier, pending[0])
+        # start-based: correct for overlapping skip modes too (see
+        # docstring); s < frontier ⇔ e ≤ frontier under PAST LAST ROW
         emit = [
             out
             for s, e, outs, _ in matches
-            if e <= frontier
+            if s < frontier
             for out in outs
         ]
         keep = buf[frontier:]

@@ -1589,8 +1589,60 @@ def st21_stream_match_desc(
     )
 
 
+def st22_stream_match_skip_to_var(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE with AFTER MATCH SKIP TO LAST <var>
+    (round 10, late): q61's chained-rising shape — consecutive
+    matches SHARE their endpoint row — over a WATERMARKED source
+    staged deliberately out-of-order (same displaced staging as
+    st14). Overlapping-match streaming rides the start-based emission
+    frontier: a match emits once no earlier scan position can still
+    change, and the shared resume row stays in keyed state so the
+    next match assembles across micro-batches. Converges to exactly
+    q61's batch result (ORACLE_Q61's islands + stride-2 walk)."""
+    path = _events_ordered_stream(spark, sf_dir, "st22")
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        f"""
+        CREATE TABLE st22_events (
+          user_id BIGINT, event_id BIGINT, ts TIMESTAMP,
+          value DOUBLE,
+          WATERMARK FOR ts AS ts - INTERVAL '30' MINUTE
+        ) WITH ('connector' = 'filesystem', 'path' = '{path}',
+                'format' = 'parquet',
+                'source.max-files-per-trigger' = '1');
+        CREATE TABLE st22_sink (
+          user_id BIGINT, start_id BIGINT, top_id BIGINT,
+          top_val DOUBLE, last_var STRING
+        ) WITH ('connector' = 'memory');
+        INSERT INTO st22_sink
+        SELECT user_id, start_id, top_id, top_val, last_var
+        FROM st22_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES
+            FIRST(STRT.event_id) AS start_id,
+            LAST(TOP.event_id) AS top_id,
+            LAST(TOP.value) AS top_val,
+            CLASSIFIER() AS last_var
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO LAST TOP
+          PATTERN (STRT UP TOP)
+          DEFINE UP AS UP.value > PREV(UP.value),
+                 TOP AS TOP.value > PREV(TOP.value)
+        );
+        """,
+    )
+    return spark.table("st22_sink").select(
+        "user_id", "start_id", "top_id", "top_val", "last_var"
+    )
+
+
 QUERIES = {
     "st21_stream_match_desc": st21_stream_match_desc,
+    "st22_stream_match_skip_to_var": st22_stream_match_skip_to_var,
     "st01_stream_tumble_window": st01_stream_tumble_window,
     "st19_stream_match_permute": st19_stream_match_permute,
     "st20_stream_match_within": st20_stream_match_within,
@@ -1644,6 +1696,13 @@ ORACLES = {
         "flink_streaming_platform_web_spark.operators.cep",
         fromlist=["ORACLE_Q54"],
     ).ORACLE_Q54,
+    # st22 converges to exactly q61's batch result — overlapping
+    # matches (SKIP TO LAST <var>) close behind the start-based
+    # frontier and drain-stop flushes the tail the way batch EOF does
+    "st22_stream_match_skip_to_var": __import__(
+        "flink_streaming_platform_web_spark.operators.cep",
+        fromlist=["ORACLE_Q61"],
+    ).ORACLE_Q61,
     "st09_stream_window_tvf": ORACLE_ST09,
     "st08_stream_cdc_latest": ORACLE_ST08,
     "st07_stream_interval_join": ORACLE_ST07,

@@ -523,6 +523,148 @@ def test_stream_match_recognize_spans_batches(spark, tmp_path):
     assert got == [(1, 3, 2)]
 
 
+def _mr_stream_run(spark, tmp_path, name, batches, clause, out_schema):
+    """Write each batch as a parquet file (one micro-batch each via
+    maxFilesPerTrigger=1), run stream_match_recognize, return the
+    converged memory-sink rows."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows]),
+                "t": pa.array([r[1] for r in rows], type=pa.int64()),
+                "v": pa.array([r[2] for r in rows], type=pa.float64()),
+            }
+        )
+        f = str(d / f"f{i}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (now + 2 * i, now + 2 * i))
+    spec = cep.parse_match_recognize(clause)
+    stream = (
+        spark.readStream.schema("k STRING, t BIGINT, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = cep.stream_match_recognize(stream, spec, out_schema)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    return spark.table(name).collect()
+
+
+def test_stream_match_skip_to_var_overlaps_across_batches(
+    spark, tmp_path
+):
+    """AFTER MATCH SKIP TO LAST <var> streaming (round 10 late):
+    consecutive matches SHARE the resume row, and the shared row sits
+    exactly on a micro-batch cut — the start-based emission frontier
+    must emit the first match while retaining its tail rows so the
+    second match (starting INSIDE the first) assembles from state."""
+    clause = """
+      PARTITION BY k
+      ORDER BY t
+      MEASURES FIRST(S.t) AS start_t, LAST(T.t) AS top_t,
+               LAST(T.v) AS top_v
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO LAST T
+      PATTERN (S U T)
+      DEFINE U AS U.v > PREV(U.v),
+             T AS T.v > PREV(T.v)
+    """
+    # rising run t=0..5 → matches (0-2) and (2-4) sharing t=2; the
+    # falling tail closes everything (the final attempt at the last
+    # row runs out, but no match starts at or after it)
+    rows = [("a", i, float(i + 1)) for i in range(6)] + [
+        ("a", 6, 0.5), ("a", 7, 0.4), ("a", 8, 0.3),
+    ]
+    got = sorted(
+        (r["start_t"], r["top_t"], r["top_v"])
+        for r in _mr_stream_run(
+            spark, tmp_path, "mr_tolast",
+            [rows[:4], rows[4:]],  # cut mid-second-match
+            clause,
+            "k string, start_t bigint, top_t bigint, top_v double",
+        )
+    )
+    assert got == [(0, 2, 3.0), (2, 4, 5.0)]
+    # batch semantics over the same rows agree (convergence)
+    import pandas as pd
+
+    spec = cep.parse_match_recognize(clause)
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "t", "v"])
+    )
+    batch = sorted(
+        (r["start_t"], r["top_t"], r["top_v"])
+        for r in cep.match_recognize(
+            df, spec, cep.infer_output_schema(spec, df)
+        ).collect()
+    )
+    assert got == batch
+
+
+def test_stream_match_to_next_overlaps_across_batches(spark, tmp_path):
+    """SKIP TO NEXT ROW streaming: every predicate-true position
+    emits, matches overlap freely, and a match whose rows straddle
+    the cut assembles from state without re-emitting its
+    predecessors."""
+    clause = """
+      PARTITION BY k
+      ORDER BY t
+      MEASURES FIRST(A.t) AS a_t, LAST(B.t) AS b_t
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A B)
+      DEFINE A AS A.v < 50, B AS B.v > PREV(B.v)
+    """
+    # rising run 1..4 at t=0..3: matches at t=0,1,2 (each pair
+    # rises); t=3 pairs with the 100.0 row — A.v < 50 holds at t=3,
+    # 100 > 4 rises → match (3,4); t=4 fails A (100 ≥ 50) with no
+    # ran-out, so everything closes
+    rows = [("a", i, float(i + 1)) for i in range(4)] + [
+        ("a", 4, 100.0), ("a", 5, 7.0),
+    ]
+    got = sorted(
+        (r["a_t"], r["b_t"])
+        for r in _mr_stream_run(
+            spark, tmp_path, "mr_tonext",
+            [rows[:2], rows[2:4], rows[4:]],
+            clause,
+            "k string, a_t bigint, b_t bigint",
+        )
+    )
+    import pandas as pd
+
+    spec = cep.parse_match_recognize(clause)
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "t", "v"])
+    )
+    batch = sorted(
+        (r["a_t"], r["b_t"])
+        for r in cep.match_recognize(
+            df, spec, cep.infer_output_schema(spec, df)
+        ).collect()
+    )
+    assert got == batch
+    assert (0, 1) in got and (1, 2) in got  # overlapping pair chain
+
+
 def test_stream_match_recognize_rejects_out_of_order(spark, tmp_path):
     """The ordered-ingest contract is asserted, not assumed: a batch
     starting before the buffered tail fails the query loudly."""
