@@ -986,6 +986,14 @@ def test_tier_b_skip_to_var_equals_nfa(spark):
         " ONE ROW PER MATCH AFTER MATCH SKIP TO FIRST C"
         " PATTERN (A B C)"
         " DEFINE A AS A.v < 60, C AS C.v >= 30",
+        # WITHIN composes with the stride: the bound is one more
+        # per-position conjunct of pred, and the islands argument is
+        # about consecutive pred-true positions whatever pred is
+        " PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(S.ts) AS s_ts, LAST(T.ts) AS t_ts"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO LAST T"
+        " PATTERN (S U T) WITHIN INTERVAL '3' SECOND"
+        " DEFINE U AS U.v > PREV(U.v), T AS T.v > PREV(T.v)",
     ]
     for trial, clause in enumerate(clauses):
         _tier_vs_nfa(
