@@ -31,10 +31,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from flink_streaming_platform_web_spark.operators._portable import (
-    fp_mean,
-    oracle_fp_mean,
-)
 from flink_streaming_platform_web_spark.tables import load
 
 TOP_K = 5
@@ -393,37 +389,29 @@ WHERE round({_ORACLE_COS.format(a='a.v', b='b.v')}, 6) >= {NEARDUP_COS}
 
 IVF_TOP_K = 3
 
+#: per-cell population target for the IVF coarse quantizer (the same
+#: budget the dedup family's blocked verifier uses): cell count grows
+#: with the corpus so a probe always brute-forces a bounded slice
+IVF_CELL_TARGET = 2048
 
-def _centroids(spark: SparkSession, sf_dir: str):
-    """label → centroid matrix, decimal-exact per-dimension means
-    (same arithmetic as q32, so the oracle reproduces them bitwise).
-    Memoized per session — ann04, ann05 and dd07 all quantize against
-    the same |labels|×dim matrix."""
-    from flink_streaming_platform_web_spark.operators._cache import memo_obj
 
-    return memo_obj(
-        spark, sf_dir, "ivf_centroids", lambda: _centroids_build(spark, sf_dir)
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    """Scaled k-means coarse quantizer for the IVF family (round 10
+    late): k = max(KM_K, ⌈n / IVF_CELL_TARGET⌉), trained by the
+    sampled one-job trainer vectors.km_centroids. The previous
+    per-label means were a FIXED cell count, so every query's probe
+    slice grew linearly with the corpus and the family's measured
+    sf0.1→sf5 exponents hit 0.97 (ann04) / 1.22 (ann05); with k ∝ n
+    the probe cost per query is constant. At every oracle-gated SF
+    (n ≤ 2048·KM_K/…) the formula floors at KM_K, which is exactly
+    the k the static DuckDB oracle replays."""
+    from flink_streaming_platform_web_spark.operators import (
+        vectors as vectors_mod,
     )
 
-
-def _centroids_build(spark: SparkSession, sf_dir: str):
-    emb = load(spark, sf_dir, "embeddings")
-    rows = (
-        emb.select("label", F.posexplode("embedding").alias("d", "x"))
-        .groupBy("label", "d")
-        .agg(fp_mean("x").alias("m"))
-        .collect()
-    )
-    if not rows:
-        raise ValueError(
-            "cannot build IVF centroids from an EMPTY embeddings table"
-        )
-    labels = sorted({r["label"] for r in rows})
-    dim = max(r["d"] for r in rows) + 1
-    C = np.zeros((len(labels), dim))
-    for r in rows:
-        C[labels.index(r["label"]), r["d"]] = r["m"]
-    return np.array(labels), C
+    n = vectors_mod.corpus_size(spark, sf_dir)
+    k = max(vectors_mod.KM_K, -(-n // IVF_CELL_TARGET))
+    return vectors_mod.km_centroids(spark, sf_dir, k)
 
 
 def _corpus_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,7 +425,13 @@ def _corpus_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "ivf_assigned1",
-        lambda: cell_assign(spark, _vecs(spark, sf_dir), sf_dir, 1),
+        lambda: cell_assign(
+            spark,
+            _vecs(spark, sf_dir),
+            sf_dir,
+            1,
+            centroids=_ivf_centroids(spark, sf_dir),
+        ),
     )
 
 
@@ -469,9 +463,10 @@ def ann04_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ORACLE_ANN04 is defined below on top of the shared ORACLE_CELL_RANKED
-# CTE (the quantizer text ann05/dd07 also reuse), so a carrier change
-# in the centroid fixed-point expression can never partially apply.
+# The ann04 oracle is built below on top of the shared k-means
+# ranked CTE (_oracle_km_ranked — ann05 reuses it), so a carrier
+# change in the centroid fixed-point expression can never partially
+# apply.
 
 
 # --------------------------------------------------------------------------
@@ -495,10 +490,12 @@ def cell_assign(
 ) -> DataFrame:
     """Assign each vector to its `n_cells` nearest centroid cells
     (vec_id, cell, v — one row per probe). The centroid matrix is
-    |labels|×dim (tiny) and broadcast; the corpus never shuffles here —
+    k×dim (tiny) and broadcast; the corpus never shuffles here —
     assignment is a mapInPandas projection."""
-    labels, C = centroids if centroids is not None else _centroids(
-        spark, sf_dir
+    labels, C = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(spark, sf_dir)
     )
     cb = spark.sparkContext.broadcast((labels, C))
 
@@ -535,6 +532,7 @@ def ann05_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             vecs.filter(F.col("vec_id") % QUERY_MOD == 0),
             sf_dir,
             N_PROBE,
+            centroids=_ivf_centroids(spark, sf_dir),
         )
         .select(
             F.col("vec_id").alias("query_id"),
@@ -562,36 +560,37 @@ def ann05_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared CTE text: per-label centroids + per-vector cell ranking —
-# the quantizer both ann05 and dd07 (dedup.py) mirror.
-ORACLE_CELL_RANKED = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-cent_long AS (
-  SELECT label, d,
-         {oracle_fp_mean('x')} AS m
-  FROM (SELECT label, d::INT - 1 AS d, embedding[d] AS x
-        FROM embeddings,
-             LATERAL (SELECT unnest(generate_series(1, len(embedding)))
-                      AS d))
-  GROUP BY label, d
-),
-cent AS (
-  SELECT label, list(m ORDER BY d) AS cv FROM cent_long GROUP BY label
-),
+# ann04/ann05 oracles replay the SAME scaled-k-means quantizer the
+# Spark side trains (round 10 late — previously per-label means): the
+# vectors._oracle_km_prefix CTE chain plus a per-vector cell ranking.
+# Built lazily (module __getattr__ below) because vectors.py imports
+# this module at its top level — a module-level build here would make
+# the import order load-bearing.
+
+
+def _oracle_km_ranked() -> str:
+    from flink_streaming_platform_web_spark.operators.vectors import (
+        _oracle_km_prefix,
+    )
+
+    cosq = _ORACLE_COS.format(a="e.v", b="c.cv")
+    return f"""{_oracle_km_prefix()},
 ranked AS (
-  SELECT e.vec_id, e.v, c.label AS cell,
+  SELECT e.vec_id, e.v, c.cid AS cell,
          ROW_NUMBER() OVER (
            PARTITION BY e.vec_id
-           ORDER BY round({_ORACLE_COS.format(a='e.v', b='c.cv')}, 6)
-                    DESC, c.label ASC) AS rn
-  FROM e CROSS JOIN cent c
+           ORDER BY round({cosq}, 6) DESC, c.cid ASC) AS rn
+  FROM e CROSS JOIN cent1 c
 )"""
 
-ORACLE_ANN04 = f"""{ORACLE_CELL_RANKED},
+
+def _oracle_ann04() -> str:
+    cos = _ORACLE_COS.format(a="q.v", b="a.v")
+    return f"""{_oracle_km_ranked()},
 assigned AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
 probed AS (
   SELECT q.vec_id AS query_id, a.cell, a.vec_id AS neighbor_id,
-         round({_ORACLE_COS.format(a='q.v', b='a.v')}, 6) AS cos_sim
+         round({cos}, 6) AS cos_sim
   FROM assigned q JOIN assigned a
     ON q.cell = a.cell AND a.vec_id != q.vec_id
   WHERE q.vec_id % {QUERY_MOD} = 0
@@ -603,7 +602,10 @@ SELECT query_id, cell, neighbor_id, rk, cos_sim FROM (
 ) WHERE rk <= {IVF_TOP_K}
 """
 
-ORACLE_ANN05 = f"""{ORACLE_CELL_RANKED},
+
+def _oracle_ann05() -> str:
+    cos = _ORACLE_COS.format(a="q.qv", b="a.v")
+    return f"""{_oracle_km_ranked()},
 corpus AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
 query_probes AS (
   SELECT vec_id AS query_id, v AS qv, cell
@@ -611,7 +613,7 @@ query_probes AS (
 ),
 probed AS (
   SELECT q.query_id, a.vec_id AS neighbor_id,
-         round({_ORACLE_COS.format(a='q.qv', b='a.v')}, 6) AS cos_sim
+         round({cos}, 6) AS cos_sim
   FROM query_probes q JOIN corpus a
     ON q.cell = a.cell AND a.vec_id != q.query_id
 )
@@ -631,10 +633,22 @@ QUERIES = {
     "ann05_ivf_multiprobe": ann05_ivf_multiprobe,
 }
 
-ORACLES = {
+_STATIC_ORACLES = {
     "ann01_brute_topk": ORACLE_ANN01,
     "ann02_embed_neardup_pairs": ORACLE_ANN02,
     "ann03_lsh_bucketed_neardup": ORACLE_ANN03,
-    "ann04_ivf_search": ORACLE_ANN04,
-    "ann05_ivf_multiprobe": ORACLE_ANN05,
 }
+
+
+def __getattr__(name: str):
+    # ORACLES is assembled on first access: ann04/ann05 replay the
+    # k-means quantizer whose CTE text lives in vectors.py, and
+    # vectors.py imports THIS module at its top level — building the
+    # dict at import time would make the package's import order
+    # load-bearing (PEP 562 lazy attribute instead).
+    if name == "ORACLES":
+        out = dict(_STATIC_ORACLES)
+        out["ann04_ivf_search"] = _oracle_ann04()
+        out["ann05_ivf_multiprobe"] = _oracle_ann05()
+        return out
+    raise AttributeError(name)
