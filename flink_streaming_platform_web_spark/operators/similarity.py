@@ -36,7 +36,6 @@ from flink_streaming_platform_web_spark.tables import load
 TOP_K = 5
 QUERY_MOD = 20  # vec_id % 20 == 0 → the query subset
 NEARDUP_COS = 0.4
-N_PLANES = 8
 DIM = 64
 
 
@@ -281,22 +280,46 @@ WHERE round({_ORACLE_COS.format(a='a.v', b='b.v')}, 6) >= {NEARDUP_COS}
 
 
 # --------------------------------------------------------------------------
-# ann03 — random-hyperplane LSH buckets + within-bucket verification.
+# ann03 — BANDED random-hyperplane LSH + within-bucket verification
+# (round 10 late: bands × scaled bits — the single fixed-width table
+# passed n²·0.5^8 chance pairs to the verifier, measured exponent
+# 0.95 at sf5). LSH_BANDS independent signature tables give the
+# recall OR (a true pair needs to collide in ANY band); bits PER band
+# scale as ⌈log2(n / LSH_BUCKET_TARGET)⌉ so per-bucket population —
+# and with it the verifier's chance-candidate load per row — stays
+# bounded as the corpus grows (the r ~ log n rule every production
+# LSH index applies). At every oracle-gated SF the bit count floors
+# at LSH_BITS_FLOOR, which is what the static DuckDB oracle replays.
 # Hyperplane weights are md5-derived (engine-portable, deterministic):
 # w(plane, dim) = (int(md5('plane:dim')[:15hex]) % 2001 - 1000) / 1000,
-# computed once on the driver (N_PLANES × DIM doubles — tiny) and
+# computed once on the driver (bands·bits × DIM doubles — tiny) and
 # embedded as array literals on BOTH engines, so no weight table ever
 # joins the corpus. Each plane's projection is an array-side SEQUENTIAL
 # fold (zip_with → aggregate): deterministic IEEE order per row (the
 # _portable.py "reduce exactly" rule — an unordered SUM could flip the
 # sign of a near-zero projection and with it the bucket bit), and the
-# whole bucket assignment is a pure projection — ZERO shuffle before
-# the bucket self-join, vs the old posexplode→join→groupBy plan that
-# shuffled corpus × DIM element rows.
+# whole signature assignment is a pure projection — ZERO shuffle
+# before the per-band self-join. Pairs colliding in several bands
+# carry bit-identical cosines (same fold), so DISTINCT collapses them
+# exactly (the dd07/dd11 multi-probe rule).
 # --------------------------------------------------------------------------
 
+LSH_BANDS = 4
+LSH_BITS_FLOOR = 8
+LSH_BUCKET_TARGET = 8
 
-def _hyperplanes() -> list[list[float]]:
+
+def _lsh_bits(n: int) -> int:
+    """Bits per band: per-bucket population n/2^bits ≤ TARGET."""
+    import math
+
+    return max(
+        LSH_BITS_FLOOR,
+        math.ceil(math.log2(max(n, 1) / LSH_BUCKET_TARGET)),
+    )
+
+
+def _hyperplanes(n_planes: int) -> list[list[float]]:
     import hashlib
 
     return [
@@ -309,72 +332,108 @@ def _hyperplanes() -> list[list[float]]:
             / 1000.0
             for d in range(1, DIM + 1)
         ]
-        for p in range(N_PLANES)
+        for p in range(n_planes)
     ]
 
 
-def _bucket_col() -> Column:
-    """bucket = Σ_p (proj_p > 0) << p as one Catalyst projection."""
-    bucket = F.lit(0).cast("bigint")
-    for p, w in enumerate(_hyperplanes()):
-        w_arr = F.array(*[F.lit(x) for x in w])
-        proj = F.aggregate(
-            F.zip_with(F.col("v"), w_arr, lambda x, wc: x * wc),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        bucket = bucket + (
-            F.when(proj > 0, F.lit(1 << p).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint"))
-        )
-    return bucket
+def _band_sig_cols(bits: int) -> "list[Column]":
+    """One signature column per band: sig_b = Σ_i (proj_{b·bits+i} > 0)
+    << i, each as one Catalyst projection."""
+    planes = _hyperplanes(LSH_BANDS * bits)
+    sigs = []
+    for b in range(LSH_BANDS):
+        sig = F.lit(0).cast("bigint")
+        for i in range(bits):
+            w = planes[b * bits + i]
+            w_arr = F.array(*[F.lit(x) for x in w])
+            proj = F.aggregate(
+                F.zip_with(F.col("v"), w_arr, lambda x, wc: x * wc),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            sig = sig + (
+                F.when(proj > 0, F.lit(1 << i).cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint"))
+            )
+        sigs.append(sig.alias(f"sig{b}"))
+    return sigs
 
 
 def ann03_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vecs(spark, sf_dir)
-    bv = vecs.withColumn("bucket", _bucket_col())
-    a = bv.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    from flink_streaming_platform_web_spark.operators import (
+        vectors as vectors_mod,
     )
-    b = bv.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+
+    bits = _lsh_bits(vectors_mod.corpus_size(spark, sf_dir))
+    vecs = _vecs(spark, sf_dir)
+    sv = vecs.select("vec_id", "v", *_band_sig_cols(bits))
+    long = sv.selectExpr(
+        "vec_id",
+        "v",
+        "stack("
+        + str(LSH_BANDS)
+        + ", "
+        + ", ".join(f"{b}, sig{b}" for b in range(LSH_BANDS))
+        + ") AS (band, sig)",
+    )
+    a = long.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        "band", "sig",
+    )
+    b = long.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        "band", "sig",
     )
     return (
-        a.join(b, ["bucket"])
+        a.join(b, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "bucket",
             "id_a",
             "id_b",
             F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= NEARDUP_COS)
+        .distinct()
     )
 
 
-def _oracle_bucket_sql() -> str:
-    """Mirror of _bucket_col: literal weights + list_reduce left fold
-    (list_reduce starts from element 1; Spark's aggregate starts from
-    0.0 + element 1 — identical IEEE sequence since 0.0 + x == x)."""
+def _oracle_band_sql(band: int, bits: int) -> str:
+    """Mirror of one band's signature: literal weights + list_reduce
+    left fold (list_reduce starts from element 1; Spark's aggregate
+    starts from 0.0 + element 1 — identical IEEE sequence since
+    0.0 + x == x)."""
+    planes = _hyperplanes(LSH_BANDS * bits)
     terms = []
-    for p, w in enumerate(_hyperplanes()):
+    for i in range(bits):
+        w = planes[band * bits + i]
         wl = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
         proj = (
             f"list_reduce(list_transform(range(1, {DIM + 1}), "
             f"i -> v[i] * ({wl})[i]), (a, b) -> a + b)"
         )
-        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-ORACLE_ANN03 = f"""
+def _oracle_ann03() -> str:
+    bands_sql = " UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band,"
+        f" {_oracle_band_sql(b, LSH_BITS_FLOOR)} AS sig FROM e"
+        for b in range(LSH_BANDS)
+    )
+    cos = _ORACLE_COS.format(a="a.v", b="b.v")
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bv AS (SELECT vec_id, v, {_oracle_bucket_sql()} AS bucket FROM e)
-SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-       round({_ORACLE_COS.format(a='a.v', b='b.v')}, 6) AS cos_sim
-FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round({_ORACLE_COS.format(a='a.v', b='b.v')}, 6) >= {NEARDUP_COS}
+long AS ({bands_sql})
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({cos}, 6) AS cos_sim
+FROM long a JOIN long b
+  ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE round({cos}, 6) >= {NEARDUP_COS}
 """
+
+
+ORACLE_ANN03 = _oracle_ann03()
 
 
 # --------------------------------------------------------------------------

@@ -158,27 +158,32 @@ def test_dd02_two_shuffles_no_python(spark, sf_dir):
 
 
 def test_ann03_bucket_projection_no_exchange(spark, sf_dir):
-    """ann03's bucket assignment must be a pure projection: the only
-    exchanges in the whole query are the bucket self-join's two hash
-    repartitions (plus the explicit corpus-spreading round-robin) —
-    NOT the r01 posexplode→join→groupBy pipeline that shuffled
-    corpus×64 element rows before bucketing."""
+    """ann03's signature assignment must be a pure projection: the
+    only exchanges in the whole query are the per-band self-join's
+    hash repartitions and the pair-dedup (plus the explicit
+    corpus-spreading round-robin) — NOT the r01
+    posexplode→join→groupBy pipeline that shuffled corpus×64 element
+    rows before bucketing."""
     from flink_streaming_platform_web_spark.operators.similarity import (
-        ann03_lsh_bucketed_neardup,
+        LSH_BITS_FLOOR,
+        _band_sig_cols,
         _vecs,
-        _bucket_col,
+        ann03_lsh_bucketed_neardup,
     )
     from flink_streaming_platform_web_spark.plans import (
         executed_plan,
         shuffle_count,
     )
 
-    # bucket computation alone: zero exchanges of any kind
-    buckets = _vecs(spark, sf_dir).select("vec_id", _bucket_col().alias("b"))
-    plan = executed_plan(buckets)
+    # signature computation alone: zero exchanges of any kind
+    sigs = _vecs(spark, sf_dir).select(
+        "vec_id", *_band_sig_cols(LSH_BITS_FLOOR)
+    )
+    plan = executed_plan(sigs)
     assert "Exchange hashpartitioning" not in plan
-    # full query: just the self-join's exchanges
-    assert shuffle_count(ann03_lsh_bucketed_neardup(spark, sf_dir)) <= 2
+    # full query: the (band, sig) self-join + the multi-band pair
+    # DISTINCT — nothing corpus×DIM-sized
+    assert shuffle_count(ann03_lsh_bucketed_neardup(spark, sf_dir)) <= 3
 
 
 def test_dd07_no_driver_side_corpus(spark, sf_dir):
