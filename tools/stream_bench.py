@@ -31,7 +31,7 @@ def main() -> None:
     mode = "agg"
     if args and args[0] in (
         "rank", "over", "over_buffered", "temporal", "cep",
-        "cep_coarse", "cep_permute",
+        "cep_coarse", "cep_permute", "cep_overlap",
     ):
         mode = args[0]
         args = args[1:]
@@ -192,6 +192,38 @@ def main() -> None:
             keyed, spec, "k bigint, n bigint, asum bigint",
             buffered=True,
         )
+    elif mode == "cep_overlap":
+        from flink_streaming_platform_web_spark.operators.cep import (
+            parse_match_recognize,
+            stream_match_recognize,
+        )
+
+        # buffered SKIP TO LAST <var> (round 10: the overlap
+        # frontier): consecutive matches share their endpoint row, so
+        # state retention keeps the shared tail and the start-based
+        # emission rule gates every batch — q61's chained-rising
+        # shape over the rate stream
+        keyed = src.select(
+            (F.col("value") % 1000).alias("k"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 97).cast("double").alias("v"),
+        ).withWatermark("ts", "2 seconds")
+        spec = parse_match_recognize(
+            """
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES FIRST(S.v) AS sv, LAST(T.v) AS tv
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO LAST T
+            PATTERN (S U T)
+            DEFINE U AS U.v > PREV(U.v),
+                   T AS T.v > PREV(T.v)
+            """
+        )
+        agg = stream_match_recognize(
+            keyed, spec, "k bigint, sv double, tv double",
+            buffered=True,
+        )
     elif mode == "temporal":
         from flink_streaming_platform_web_spark.streaming.temporal import (
             event_time_temporal_join,
@@ -233,7 +265,7 @@ def main() -> None:
         .outputMode(
             "append"
             if mode in ("over", "over_buffered", "temporal", "cep",
-                        "cep_coarse", "cep_permute")
+                        "cep_coarse", "cep_permute", "cep_overlap")
             else "update"
         )
         .trigger(processingTime="1 second")
@@ -269,6 +301,7 @@ def main() -> None:
                     "cep": "rate_cep_buffered_throughput",
                     "cep_coarse": "rate_cep_coarse_tie_throughput",
                     "cep_permute": "rate_cep_permute_throughput",
+                    "cep_overlap": "rate_cep_overlap_throughput",
                     "agg": "rate_window_agg_throughput",
                 }[mode],
                 "rows_processed": rows,
