@@ -3945,9 +3945,6 @@ def stream_match_recognize(
     LAST ROW this start-based rule coincides with the previous
     end-based one (disjoint matches: every later attempt position is
     ≥ the match end)."""
-    import pickle
-
-    import pandas as pd
     if not spec.partition_by:
         # global pattern — constant key, one state group (Flink runs
         # an unpartitioned streaming pattern at parallelism 1 too)
@@ -3971,6 +3968,43 @@ def stream_match_recognize(
             drain_out=drain_out,
         )
         return out.drop(gk)
+    fold = _stream_fold(spec)
+    ord0 = spec.order_by[0]
+
+    from flink_streaming_platform_web_spark.streaming.ooo import (
+        ordered_assert_apply,
+        watermark_buffered,
+    )
+
+    if buffered:
+        return watermark_buffered(
+            df,
+            list(spec.partition_by),
+            ord0,
+            list(spec.order_by),
+            fold,
+            output_schema,
+            drain_out=drain_out,
+            sort_asc=spec.order_asc or None,
+        )
+    return ordered_assert_apply(
+        df,
+        list(spec.partition_by),
+        list(spec.order_by),
+        fold,
+        output_schema,
+        sort_asc=spec.order_asc or None,
+    )
+
+
+def _stream_fold(spec: MatchSpec):
+    """Per-key streaming fold (state bytes, new rows, final) →
+    (state bytes, emitted rows) — module-level so the randomized
+    batch-cut convergence test can drive it directly."""
+    import pickle
+
+    import pandas as pd
+
     ord0 = spec.order_by[0]
     base_names = (
         None if spec.all_rows else list(spec.partition_by)
@@ -4029,27 +4063,4 @@ def stream_match_recognize(
             out = pd.DataFrame(emit, columns=out_names)
         return pickle.dumps(keep), out
 
-    from flink_streaming_platform_web_spark.streaming.ooo import (
-        ordered_assert_apply,
-        watermark_buffered,
-    )
-
-    if buffered:
-        return watermark_buffered(
-            df,
-            list(spec.partition_by),
-            ord0,
-            list(spec.order_by),
-            fold,
-            output_schema,
-            drain_out=drain_out,
-            sort_asc=spec.order_asc or None,
-        )
-    return ordered_assert_apply(
-        df,
-        list(spec.partition_by),
-        list(spec.order_by),
-        fold,
-        output_schema,
-        sort_asc=spec.order_asc or None,
-    )
+    return fold

@@ -665,6 +665,82 @@ def test_stream_match_to_next_overlaps_across_batches(spark, tmp_path):
     assert (0, 1) in got and (1, 2) in got  # overlapping pair chain
 
 
+def test_stream_fold_randomized_converges_to_batch():
+    """Randomized batch-cut convergence for EVERY AFTER MATCH
+    strategy: feeding a key's rows through the streaming fold in
+    random chunks (plus the final drain) must emit exactly the batch
+    matcher's output — whatever the cut points. This is the pin for
+    the start-based emission frontier (overlapping matches must
+    neither drop nor duplicate across cuts)."""
+    import random
+
+    import pandas as pd
+
+    clauses = [
+        # disjoint matches (the old end-based rule's domain)
+        "PARTITION BY k ORDER BY t"
+        " MEASURES FIRST(S.t) AS st, COUNT(U.*) AS nu"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (S U+) DEFINE U AS U.v > PREV(U.v)",
+        # fully overlapping
+        "PARTITION BY k ORDER BY t"
+        " MEASURES FIRST(A.t) AS at, LAST(B.v) AS bv"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B) DEFINE B AS B.v > PREV(B.v)",
+        # endpoint-sharing (q61's shape)
+        "PARTITION BY k ORDER BY t"
+        " MEASURES FIRST(S.t) AS st, LAST(T.v) AS tv"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO LAST T"
+        " PATTERN (S U T)"
+        " DEFINE U AS U.v > PREV(U.v), T AS T.v > PREV(T.v)",
+        # SKIP TO FIRST with a quantified middle
+        "PARTITION BY k ORDER BY t"
+        " MEASURES FIRST(A.t) AS at, COUNT(B.*) AS nb"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO FIRST C"
+        " PATTERN (A B* C)"
+        " DEFINE A AS A.v < 40, C AS C.v >= 70",
+        # ALL ROWS PER MATCH under an overlapping strategy
+        "PARTITION BY k ORDER BY t"
+        " MEASURES COUNT(*) AS nsofar"
+        " ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B) DEFINE A AS A.v < 50, B AS B.v >= 50",
+    ]
+    rng = random.Random(1009)
+    for clause in clauses:
+        spec = cep.parse_match_recognize(clause)
+        fold = cep._stream_fold(spec)
+        for trial in range(6):
+            rows = [
+                {"k": 1, "t": i, "v": float(rng.randint(0, 99))}
+                for i in range(rng.randint(30, 80))
+            ]
+            want = sorted(
+                tuple(sorted(d.items()))
+                for d in cep._match_partition(rows, spec)
+            )
+            # random cut points, then stream + drain
+            cuts = sorted(
+                rng.sample(range(1, len(rows)), rng.randint(1, 5))
+            )
+            chunks, prev = [], 0
+            for c in cuts + [len(rows)]:
+                chunks.append(rows[prev:c])
+                prev = c
+            state, got = None, []
+            for ch in chunks:
+                state, out = fold(state, pd.DataFrame(ch))
+                if out is not None:
+                    got.extend(out.to_dict("records"))
+            _, out = fold(
+                state, pd.DataFrame([], columns=["k", "t", "v"]), True
+            )
+            if out is not None:
+                got.extend(out.to_dict("records"))
+            got_s = sorted(tuple(sorted(d.items())) for d in got)
+            assert got_s == want, (clause, trial, cuts)
+        assert want or clause, clause
+
+
 def test_stream_match_recognize_rejects_out_of_order(spark, tmp_path):
     """The ordered-ingest contract is asserted, not assumed: a batch
     starting before the buffered tail fails the query loudly."""
