@@ -59,7 +59,9 @@ _MODULES = (
 #     vectors.km_centroids was rewritten onto the sampled one-job
 #     trainer and dedup._blocked_cell_pairs gained the parallelism
 #     floor, so their consumers re-enter: vec01, dd07, dd11.
-#     (15 slots)
+#     LATE round-10 scale fixes: dd07 rides dd11's scaled cells, the
+#     IVF quantizer scales (ann04/ann05), ann03 is banded — all three
+#     ann entries re-enter. (18 slots)
 # (b) ALL remaining r5-dated rows (VERDICT r9 item 1 -- the driver's
 #     hard signal must catch up): q07, q08, q10, q16-q20, q37-q42,
 #     dd05, dd10, tx08, tx09, tx11, tx12. (20 slots)
@@ -68,8 +70,10 @@ _MODULES = (
 #     executor-state rank router the CEP refactor sits next to), q21
 #     (its plan gate gained the broadcast-strategy assertion this
 #     round -- pair the driver row with it), and the dedup/decontam
-#     family that shares helpers with (a): dd01-dd04, dd12, dd13,
-#     dd15, dc01, dc02, q26. (14 slots)
+#     entries that share helpers with (a): dd02, dd04, dd12, dd13,
+#     dc01. (9 slots; dd01/dd03/dd15/dc02/q26 ceded to r11 for the
+#     late (a) re-entries and (d) — all pytest-pinned + full-sweep
+#     covered.)
 # (d) NEW round-10 entries — never driver-checked, outrank green
 #     re-checks: q60 global (no PARTITION BY) MATCH_RECOGNIZE,
 #     q61 AFTER MATCH SKIP TO LAST <var> (the stride tier), and
@@ -78,8 +82,8 @@ _MODULES = (
 #     pytest-pinned, and next in line for r11.)
 # Still r7-dated after this round -- front them in r11: mm01, mm03,
 # pp03, pp06, q01-q04, q11, q12, q14, q15, q24, q26, q27, q28, q29,
-# q30, q31, q36, st09, st10, dc02 (23 entries, all pytest-pinned and
-# covered by local full-sweep parity every round).
+# q30, q31, q36, st09, st10, dc02, dd01, dd03, dd15 (26 entries, all
+# pytest-pinned and covered by local full-sweep parity every round).
 # Exactly 50.
 _CHECK_FIRST = (
     # (a) changed: batch CEP family (JVM tier extension + global parse)
@@ -95,10 +99,14 @@ _CHECK_FIRST = (
     "q55_match_permute_wide",
     "q56_match_running_final",
     "q57_match_rowtime",
-    # (a) changed: sampled k-means trainer + pair-block floor
+    # (a) changed: sampled k-means trainer + pair-block floor; late
+    # round-10 scale fixes (scaled IVF quantizer, banded LSH)
     "vec01_kmeans",
     "dd07_embed_neardup_docs",
     "dd11_embed_neardup_kmeans",
+    "ann03_lsh_bucketed_neardup",
+    "ann04_ivf_search",
+    "ann05_ivf_multiprobe",
     # (b) all remaining r5-dated rows
     "q07_enriched_orders",
     "q08_cte_topk",
@@ -125,13 +133,10 @@ _CHECK_FIRST = (
     "st12_stream_dedup_sql",
     "st13_stream_topn_continuous",
     "q21_local_supplier_volume",
-    "dd01_dedup_exact",
     "dd02_ngram_jaccard_pairs",
-    "dd03_minhash_signatures",
     "dd04_minhash_lsh_pairs",
     "dd12_simhash64_neardup_pairs",
     "dd13_jaccard_prefix_filter",
-    "dd15_cluster_representatives",
     "dc01_contamination",
     # (d) new round-10 entries
     "q60_match_global",
