@@ -70,20 +70,22 @@ _MODULES = (
 #     executor-state rank router the CEP refactor sits next to), q21
 #     (its plan gate gained the broadcast-strategy assertion this
 #     round -- pair the driver row with it), and the dedup/decontam
-#     entries that share helpers with (a): dd02, dd04, dd12, dd13,
-#     dc01. (9 slots; dd01/dd03/dd15/dc02/q26 ceded to r11 for the
+#     entries that share helpers with (a): dd02, dd04, dd12, dd13.
+#     (8 slots; dd01/dd03/dd15/dc01/dc02/q26 ceded to r11 for the
 #     late (a) re-entries and (d) — all pytest-pinned + full-sweep
 #     covered.)
 # (d) NEW round-10 entries — never driver-checked, outrank green
 #     re-checks: q60 global (no PARTITION BY) MATCH_RECOGNIZE,
-#     q61 AFTER MATCH SKIP TO LAST <var> (the stride tier), and
-#     st22 streaming SKIP TO LAST <var> (overlap frontier).
-#     (3 slots; q28, q26 and dc02 ceded — all r7-dated,
+#     q61 AFTER MATCH SKIP TO LAST <var> (the stride tier),
+#     st22 streaming SKIP TO LAST <var> (overlap frontier), and
+#     st23 streaming global pattern (constant-key state group).
+#     (4 slots; q28, q26, dc02 and dc01 ceded — all r7-dated,
 #     pytest-pinned, and next in line for r11.)
 # Still r7-dated after this round -- front them in r11: mm01, mm03,
 # pp03, pp06, q01-q04, q11, q12, q14, q15, q24, q26, q27, q28, q29,
-# q30, q31, q36, st09, st10, dc02, dd01, dd03, dd15 (26 entries, all
-# pytest-pinned and covered by local full-sweep parity every round).
+# q30, q31, q36, st09, st10, dc01, dc02, dd01, dd03, dd15 (27
+# entries, all pytest-pinned and covered by local full-sweep parity
+# every round).
 # Exactly 50.
 _CHECK_FIRST = (
     # (a) changed: batch CEP family (JVM tier extension + global parse)
@@ -137,11 +139,11 @@ _CHECK_FIRST = (
     "dd04_minhash_lsh_pairs",
     "dd12_simhash64_neardup_pairs",
     "dd13_jaccard_prefix_filter",
-    "dc01_contamination",
     # (d) new round-10 entries
     "q60_match_global",
     "q61_match_skip_to_var",
     "st22_stream_match_skip_to_var",
+    "st23_stream_match_global",
 )
 
 

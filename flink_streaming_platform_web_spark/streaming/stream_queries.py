@@ -1640,9 +1640,55 @@ def st22_stream_match_skip_to_var(
     )
 
 
+def st23_stream_match_global(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE with NO PARTITION BY (round 10,
+    late): q60's global low→high adjacency over the total
+    (ts, event_id) order of the whole stream — Flink's
+    parallelism-1 global pattern, routed through the constant
+    grouping key so ONE state group holds the NFA across
+    micro-batches. Same displaced watermarked staging as st14;
+    converges to exactly q60's batch result (the pure LEAD-window
+    oracle)."""
+    path = _events_ordered_stream(spark, sf_dir, "st23")
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        f"""
+        CREATE TABLE st23_events (
+          user_id BIGINT, event_id BIGINT, ts TIMESTAMP,
+          value DOUBLE,
+          WATERMARK FOR ts AS ts - INTERVAL '30' MINUTE
+        ) WITH ('connector' = 'filesystem', 'path' = '{path}',
+                'format' = 'parquet',
+                'source.max-files-per-trigger' = '1');
+        CREATE TABLE st23_sink (
+          lo_id BIGINT, hi_id BIGINT, hi_val DOUBLE
+        ) WITH ('connector' = 'memory');
+        INSERT INTO st23_sink
+        SELECT lo_id, hi_id, hi_val
+        FROM st23_events MATCH_RECOGNIZE (
+          ORDER BY ts, event_id
+          MEASURES
+            FIRST(LO.event_id) AS lo_id,
+            FIRST(HI.event_id) AS hi_id,
+            FIRST(HI.value) AS hi_val
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (LO HI)
+          DEFINE LO AS LO.value < 20.0,
+                 HI AS HI.value >= 80.0
+        );
+        """,
+    )
+    return spark.table("st23_sink").select("lo_id", "hi_id", "hi_val")
+
+
 QUERIES = {
     "st21_stream_match_desc": st21_stream_match_desc,
     "st22_stream_match_skip_to_var": st22_stream_match_skip_to_var,
+    "st23_stream_match_global": st23_stream_match_global,
     "st01_stream_tumble_window": st01_stream_tumble_window,
     "st19_stream_match_permute": st19_stream_match_permute,
     "st20_stream_match_within": st20_stream_match_within,
@@ -1703,6 +1749,12 @@ ORACLES = {
         "flink_streaming_platform_web_spark.operators.cep",
         fromlist=["ORACLE_Q61"],
     ).ORACLE_Q61,
+    # st23 converges to exactly q60's batch result — the global
+    # (no PARTITION BY) pattern runs as one constant-key state group
+    "st23_stream_match_global": __import__(
+        "flink_streaming_platform_web_spark.operators.cep",
+        fromlist=["ORACLE_Q60"],
+    ).ORACLE_Q60,
     "st09_stream_window_tvf": ORACLE_ST09,
     "st08_stream_cdc_latest": ORACLE_ST08,
     "st07_stream_interval_join": ORACLE_ST07,
