@@ -85,7 +85,9 @@ _MODULES = (
 # pp03, pp06, q01-q04, q11, q12, q14, q15, q24, q26, q27, q28, q29,
 # q30, q31, q36, st09, st10, dc01, dc02, dd01, dd03, dd15 (27
 # entries, all pytest-pinned and covered by local full-sweep parity
-# every round).
+# every round). q62 (ALL ROWS × overlap, added after the r10 window
+# filled) is parity-green locally and MUST take an r11 (d) slot —
+# never driver-checked.
 # Exactly 50.
 _CHECK_FIRST = (
     # (a) changed: batch CEP family (JVM tier extension + global parse)

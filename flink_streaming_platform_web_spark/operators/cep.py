@@ -3870,6 +3870,68 @@ WHERE s.off % 2 = 0
 """
 
 
+# --------------------------------------------------------------------------
+# q62 — ALL ROWS PER MATCH under an OVERLAPPING strategy (round 10,
+# late). Flink emits every matched row of every match; with SKIP TO
+# NEXT ROW a row can belong to several matches and is emitted once
+# PER MATCH with that match's RUNNING measures — a true multiset
+# result (the driver's value hash is multiset-exact). The DuckDB
+# oracle replays it as a union of per-offset projections over the
+# adjacency predicate.
+# --------------------------------------------------------------------------
+
+Q62_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES
+    COUNT(*) AS n_sofar,
+    FIRST(A.value) AS a_val
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B)
+  DEFINE A AS A.value < 40.0,
+         B AS B.value > PREV(B.value)
+"""
+
+
+def q62_match_all_rows_overlap(spark, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH × SKIP TO NEXT ROW: every sub-40 row
+    followed by a rise emits BOTH rows, and a row that is the B of
+    one match and the A of the next appears twice with different
+    RUNNING measures — the multiset semantics Flink documents for
+    all-rows mode under overlapping strategies. Output = input
+    columns + measures (all-rows mode passes the row through)."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    spec = parse_match_recognize(Q62_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q62 = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         LAG(value) OVER w AS pv,
+         LAG(event_id) OVER w AS p_id,
+         LAG(ts) OVER w AS p_ts,
+         LEAD(value) OVER w AS nv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts, value,
+       CAST(1 AS BIGINT) AS n_sofar, value AS a_val
+FROM ordered
+WHERE value < 40.0 AND nv > value
+UNION ALL
+SELECT user_id, event_id, ts, value,
+       CAST(2 AS BIGINT) AS n_sofar, pv AS a_val
+FROM ordered
+WHERE pv < 40.0 AND value > pv
+"""
+
+
 QUERIES = {
     "q45_match_recognize": q45_match_recognize,
     "q47_match_alternation": q47_match_alternation,
@@ -3885,6 +3947,7 @@ QUERIES = {
     "q57_match_rowtime": q57_match_rowtime,
     "q60_match_global": q60_match_global,
     "q61_match_skip_to_var": q61_match_skip_to_var,
+    "q62_match_all_rows_overlap": q62_match_all_rows_overlap,
 }
 ORACLES = {
     "q45_match_recognize": ORACLE_Q45,
@@ -3901,6 +3964,7 @@ ORACLES = {
     "q57_match_rowtime": ORACLE_Q57,
     "q60_match_global": ORACLE_Q60,
     "q61_match_skip_to_var": ORACLE_Q61,
+    "q62_match_all_rows_overlap": ORACLE_Q62,
 }
 
 
