@@ -565,3 +565,39 @@ def test_demo13_timestamp_ltz_runs(spark, tmp_path):
         1: ("2024-01-01 00:01:30.250", "2024-01-01 00:01:30", 1),
         2: ("2024-01-01 00:03:00.250", "2024-01-01 00:03:00", 3),
     }, got
+
+
+def test_demo14_skip_strategies_runs(spark, tmp_path):
+    """All four AFTER MATCH strategies over the same rising-pair
+    pattern in one script — the consumption differences hand-computed
+    on one rising run (t=1..6) with a falling tail: PAST LAST ROW is
+    disjoint, TO NEXT ROW is every start, TO LAST TOP chains matches
+    sharing the TOP row, TO FIRST UP (offset 1) re-arms on the next
+    row like TO NEXT for this shape."""
+    src = tmp_path / "ticker"
+    src.mkdir()
+    prices = [1, 2, 3, 4, 5, 6, 3, 2]
+    (src / "t.json").write_text(
+        "\n".join(
+            json.dumps(
+                {"symbol": "ACME", "tstamp": i + 1, "price": float(p)}
+            )
+            for i, p in enumerate(prices)
+        )
+    )
+    runner = JobRunner(spark, mode="batch")
+    runner.execute_script(
+        (EXAMPLES / "demo_14_skip_strategies.sql").read_text(),
+        variables={"data_dir": str(tmp_path)},
+    )
+
+    def got(table):
+        return sorted(
+            (r["start_t"], r["top_t"])
+            for r in spark.table(table).collect()
+        )
+
+    assert got("past_last") == [(1, 3), (4, 6)]
+    assert got("to_next") == [(1, 3), (2, 4), (3, 5), (4, 6)]
+    assert got("to_last_top") == [(1, 3), (3, 5)]
+    assert got("to_first_up") == [(1, 3), (2, 4), (3, 5), (4, 6)]
