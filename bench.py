@@ -5,7 +5,15 @@ Prints ONE JSON line:
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {"q01_...": sec, ...}, "sf": 0.1,
      "floor_sec": <median do-nothing-job cost>,
-     "floor_total_sec": <floor_sec * n_queries>}
+     "floor_total_sec": <floor_sec * n_queries>,
+     "duckdb_oracle_sec": <same-session DuckDB total over the same
+      queries' oracle SQL>, "ratio_raw": spark/duck,
+     "ratio_floor_adjusted": (spark - floor*n)/duck}
+
+The oracle leg runs IN THE SAME INVOCATION as the Spark leg (VERDICT
+r10 item 3): pairing Spark and DuckDB totals from separately-timed
+runs let box drift decouple the sides (the r10 floor drifted 1.9×
+within 40 minutes). Disable with SPARK_GRAFT_BENCH_ORACLE=0.
 
 Timing is end-to-end per query: plan construction + execution to a
 driver-side count-style action (collect of the final, already-reduced
@@ -104,6 +112,59 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+
+    # --- same-session DuckDB oracle leg (VERDICT r10 item 3) -------
+    # Time each batch query's oracle SQL on DuckDB against the SAME
+    # parquet dir, in the SAME process, immediately after the Spark
+    # leg — one invocation emits both sides plus the floor, so box
+    # drift can never decouple the pair. Ratios are computed over the
+    # intersection (entries that have an oracle).
+    oracle_total = None
+    ratio_raw = None
+    ratio_adj = None
+    n_paired = 0
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
+        import duckdb
+
+        from flink_streaming_platform_web_spark.tables import TABLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        oracles = inventory.oracle_sql()
+        # warm the OS page cache symmetrically (the Spark leg already
+        # read every table); one throwaway run per oracle would hand
+        # DuckDB a warm-everything advantage Spark didn't get, so we
+        # warm only the smallest-SF shapes like the Spark leg does
+        duck_timings: dict[str, float] = {}
+        for name in timings:
+            sql = oracles.get(name)
+            if sql is None:
+                continue
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            duck_timings[name] = round(time.perf_counter() - t0, 4)
+        con.close()
+        n_paired = len(duck_timings)
+        oracle_total = round(sum(duck_timings.values()), 4)
+        spark_paired = round(
+            sum(timings[n] for n in duck_timings), 4
+        )
+        if oracle_total > 0:
+            ratio_raw = round(spark_paired / oracle_total, 4)
+            ratio_adj = round(
+                max(spark_paired - floor * n_paired, 0.0) / oracle_total,
+                4,
+            )
+        print(
+            f"# oracle leg: duckdb {oracle_total:.2f}s over {n_paired} "
+            f"queries (spark paired {spark_paired:.2f}s) -> raw "
+            f"{ratio_raw} adj {ratio_adj}",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {
@@ -118,6 +179,10 @@ def main() -> None:
                 # floor_sec * n_queries is the aggregate overhead)
                 "floor_sec": floor,
                 "floor_total_sec": round(floor * len(timings), 4),
+                "duckdb_oracle_sec": oracle_total,
+                "n_paired": n_paired,
+                "ratio_raw": ratio_raw,
+                "ratio_floor_adjusted": ratio_adj,
             }
         )
     )
@@ -134,6 +199,10 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": sf,
                 "floor_sec": floor,
+                "duckdb_oracle_sec": oracle_total,
+                "n_paired": n_paired,
+                "ratio_raw": ratio_raw,
+                "ratio_floor_adjusted": ratio_adj,
             }
         )
     )
