@@ -9,15 +9,14 @@ Scale shape (the one that matters at 100 TB):
 - the EVAL side is tiny by construction (benchmarks are a few MB even
   when the corpus is 100 TB), so its distinct-shingle union fits in a
   broadcast — the corpus never shuffles for the membership probe;
-- the TRAIN side reuses the per-session shingle product
-  (dedup._shingles_cached — at scale, a materialized intermediate
-  table shared with the MinHash/Jaccard dedup family), already carried
-  as 8-byte portable hashes;
-- the probe is `train ⋈ broadcast(eval_shingles)` — a broadcast hash
-  join evaluated at scan speed, emitting only COLLIDING shingle rows
-  (rare against a real eval set);
-- the per-doc collision count is a map-side-combinable aggregation
-  over those collision rows only.
+- the TRAIN side reuses the per-session doc-level shingle-set product
+  (dedup._shingle_arrs_cached — at scale, a materialized intermediate
+  table built by the same scan as the dedup family's shingle rows),
+  already carried as 8-byte portable hashes;
+- the probe is a scan-speed Arrow-batched membership count against the
+  broadcast eval union — the corpus never explodes to shingle rows and
+  never shuffles for this query (round 11; was a broadcast join + two
+  aggregation phases over exploded rows).
 
 The eval split here is a deterministic 5% slice of `documents`
 (doc_id % 20 = 7) standing in for an externally-supplied benchmark
@@ -37,7 +36,7 @@ from pyspark.sql import functions as F
 from flink_streaming_platform_web_spark.operators._cache import memo_df
 from flink_streaming_platform_web_spark.operators.dedup import (
     _ORACLE_SHINGLES,
-    _shingles_cached,
+    _shingle_arrs_cached,
 )
 
 # A train doc is contaminated when at least half its distinct shingles
@@ -50,25 +49,76 @@ _NUM, _DEN = 1, 2
 def dc01_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-train-doc eval-overlap report: distinct-shingle count,
     collision count against the eval union, and the contaminated flag
-    at overlap >= 1/2 (integer arithmetic — no float in the gate)."""
+    at overlap >= 1/2 (integer arithmetic — no float in the gate).
+
+    Round 11 (VERDICT r10 item 4): the probe runs at the DOC-ARRAY
+    level — the eval union (tiny by contract: benchmarks are a few MB
+    at any corpus size) is collected once as a sorted int64 vector and
+    broadcast into an Arrow-batched kernel that counts per-doc
+    membership with one searchsorted over the batch's flattened
+    shingle arrays. The train corpus is never exploded to shingle
+    ROWS and never shuffles at all for this query (the r10 shape paid
+    an explode + broadcast-join + two-phase groupBy — four stages of
+    scheduler floor for a membership count). Counts are exact set
+    intersections, identical to the join formulation."""
 
     def build() -> DataFrame:
-        sh = _shingles_cached(spark, sf_dir)
+        import numpy as np
+        import pandas as pd
+
+        arrs = _shingle_arrs_cached(spark, sf_dir)
         is_eval = F.col("doc_id") % 20 == 7
-        eval_sh = sh.filter(is_eval).select("shingle").distinct()
-        train = sh.filter(~is_eval)
-        hits = (
-            train.join(F.broadcast(eval_sh), "shingle")
-            .groupBy("doc_id", "n_sh")
-            .agg(F.count("*").alias("n_shared"))
+        # one single-stage job: the eval docs' shingle ARRAYS come back
+        # whole (bounded by the eval-set contract above) and the union
+        # is one np.unique — an exploded distinct would add an exchange
+        # stage to save driver bytes the contract already bounds
+        ev_rows = arrs.filter(is_eval).select("arr").collect()
+        ev = (
+            np.unique(np.concatenate([r[0] for r in ev_rows]))
+            .astype(np.int64)
+            if ev_rows
+            else np.array([], dtype=np.int64)
         )
-        return hits.select(
-            "doc_id",
-            F.col("n_sh").cast("bigint").alias("n_sh"),
-            F.col("n_shared").cast("bigint").alias("n_shared"),
-            (F.col("n_shared") * _DEN >= F.col("n_sh") * _NUM).alias(
-                "contaminated"
-            ),
+        bc = spark.sparkContext.broadcast(ev)
+
+        def probe(batches):
+            evs = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                arrs_l = pdf["arr"].to_list()
+                lens = np.array([len(a) for a in arrs_l], dtype=np.int64)
+                flat = (
+                    np.concatenate(arrs_l).astype(np.int64)
+                    if lens.sum()
+                    else np.array([], dtype=np.int64)
+                )
+                idx = np.searchsorted(evs, flat)
+                idx_c = np.minimum(idx, max(len(evs) - 1, 0))
+                hit = (
+                    (idx < len(evs)) & (evs[idx_c] == flat)
+                    if len(evs)
+                    else np.zeros(len(flat), dtype=bool)
+                )
+                seg = np.repeat(np.arange(len(pdf)), lens)
+                n_shared = np.bincount(
+                    seg[hit], minlength=len(pdf)
+                ).astype(np.int64)
+                out = pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                        "n_sh": lens,
+                        "n_shared": n_shared,
+                        "contaminated": n_shared * _DEN >= lens * _NUM,
+                    }
+                )
+                # the join formulation emits only docs with >=1 hit
+                yield out[out["n_shared"] > 0]
+
+        return arrs.filter(~is_eval).mapInPandas(
+            probe,
+            "doc_id long, n_sh bigint, n_shared bigint,"
+            " contaminated boolean",
         )
 
     return memo_df(spark, sf_dir, "dc01_contamination", build)

@@ -122,6 +122,46 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_arrs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level (doc_id, arr) shingle-set product — the pre-explode
+    form of `_shingles_cached`, for consumers that probe per-document
+    sets without ever needing shingle ROWS (dc01's membership count).
+    One row per document, so the persist is corpus-cardinality, not
+    shingle-cardinality."""
+    n = 3
+
+    def build() -> DataFrame:
+        df = load(spark, sf_dir, "documents")
+        par = spark.sparkContext.defaultParallelism
+        words = df.select(
+            "doc_id", F.split(F.col("text"), r"\s+").alias("w")
+        ).repartition(par)
+        idxs = F.when(
+            F.size("w") >= n,
+            F.sequence(F.lit(0), F.size("w") - n),
+        ).otherwise(F.array().cast("array<int>"))
+        return words.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.filter(
+                        F.transform(
+                            idxs,
+                            lambda i: F.concat_ws(
+                                " ",
+                                *[F.col("w")[i + j] for j in range(n)],
+                            ),
+                        ),
+                        lambda s: F.length(s) > 0,
+                    ),
+                    lambda s: portable_hash(s),
+                )
+            ).alias("arr"),
+        )
+
+    return memo_df(spark, sf_dir, "shingle_arrs", build)
+
+
 _ORACLE_SHINGLES = rf"""
   SELECT doc_id, len(arr) AS n_sh, unnest(arr) AS shingle FROM (
     SELECT doc_id,
@@ -1331,42 +1371,43 @@ def dd14_exact_substr_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("win"),
     ).where(F.col("win").isNotNull())
+    # ONE corpus-scale exchange serves every aggregation below: hash
+    # the occurrence rows by win, then groupBy(win, source), the
+    # distinct-doc expand, AND per_win's groupBy(win) are all
+    # satisfied by HashPartitioning(win) (subset rule) — the r10 plan
+    # paid a second full-width exchange for agg1 and a third for
+    # per_win (round 11, VERDICT item 4).
     agg1 = memo_df(
         spark,
         sf_dir,
         "dd14_agg1",
-        lambda: wins.groupBy("win", "source").agg(
+        lambda: wins.repartition(par, "win")
+        .groupBy("win", "source")
+        .agg(
             F.count("*").alias("occ"),
             F.countDistinct("doc_id").alias("nd"),
         ),
     )
+    # per_win rides agg1's persisted win-partitioning (no exchange);
+    # the four per-source measures then come out of ONE conditional
+    # aggregation over the re-exploded rows — the r10 plan computed
+    # dup and totals as separate branches over agg1 and joined them
+    # (two extra stages + a join for numbers one groupBy can carry)
     per_win = agg1.groupBy("win").agg(
         F.sum("nd").alias("ndocs"),
         F.collect_list(F.struct("source", "occ")).alias("by_src"),
     )
-    dup = (
-        per_win.where(F.col("ndocs") > 1)
-        .select(F.explode("by_src").alias("e"))
+    is_dup = F.col("ndocs") > 1
+    return (
+        per_win.select("ndocs", F.explode("by_src").alias("e"))
         .groupBy(F.col("e.source").alias("source"))
         .agg(
-            F.sum("e.occ").alias("n_dup_occ"),
-            F.count("*").alias("n_dup_windows"),
-        )
-    )
-    totals = agg1.groupBy("source").agg(
-        F.sum("occ").alias("n_windows"),
-        F.count("*").alias("n_distinct_windows"),
-    )
-    return (
-        totals.join(dup, "source", "left")
-        .select(
-            "source",
-            "n_windows",
-            "n_distinct_windows",
-            F.coalesce("n_dup_occ", F.lit(0)).alias("n_dup_occ"),
-            F.coalesce("n_dup_windows", F.lit(0)).alias(
-                "n_dup_windows"
+            F.sum("e.occ").alias("n_windows"),
+            F.count("*").alias("n_distinct_windows"),
+            F.sum(F.when(is_dup, F.col("e.occ")).otherwise(0)).alias(
+                "n_dup_occ"
             ),
+            F.sum(is_dup.cast("long")).alias("n_dup_windows"),
         )
     )
 

@@ -338,7 +338,13 @@ def _hyperplanes(n_planes: int) -> list[list[float]]:
 
 def _band_sig_cols(bits: int) -> "list[Column]":
     """One signature column per band: sig_b = Σ_i (proj_{b·bits+i} > 0)
-    << i, each as one Catalyst projection."""
+    << i, each as one Catalyst projection. Kept as the REFERENCE
+    formulation (the plan gate pins its zero-exchange shape and the
+    randomized differential pins it against `_band_sigs_long`); the
+    query path uses the mapInPandas kernel below — constructing
+    bands×bits fold expressions costs ~3.5 s of py4j round-trips plus
+    a same-order Catalyst analysis bill EVERY run (measured r11), all
+    driver-side fixed cost that would dwarf small-SF execution."""
     planes = _hyperplanes(LSH_BANDS * bits)
     sigs = []
     for b in range(LSH_BANDS):
@@ -359,6 +365,55 @@ def _band_sig_cols(bits: int) -> "list[Column]":
     return sigs
 
 
+def _band_sigs_long(vecs: DataFrame, bits: int) -> DataFrame:
+    """(vec_id, v, band, sig) — one row per (vector, band) — computed
+    in ONE Arrow-batched pass. Per plane the projection accumulates in
+    dimension order d=0..DIM-1 (acc = acc + v[d]·w[d], vectorized
+    across the batch, sequential over dims), the exact IEEE sequence
+    of `_band_sig_cols`'s zip_with→aggregate left fold and the
+    oracle's list_reduce — so bucket bits can never drift between the
+    three formulations (randomized differential in
+    tests/test_similarity.py). Still a pure projection: zero
+    exchanges before the per-band self-join."""
+    n_planes = LSH_BANDS * bits
+    W = np.array(_hyperplanes(n_planes))  # (planes, DIM)
+    pow2 = np.array(
+        [1 << (p % bits) for p in range(n_planes)], dtype=np.int64
+    )
+    bands = np.arange(n_planes, dtype=np.int32) // bits
+
+    def sigs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())  # (n, DIM)
+            acc = np.zeros((len(pdf), n_planes))
+            for d in range(V.shape[1]):
+                acc += V[:, d : d + 1] * W[None, :, d]
+            bitmat = (acc > 0).astype(np.int64) * pow2[None, :]
+            sig = np.zeros((len(pdf), LSH_BANDS), dtype=np.int64)
+            for b in range(LSH_BANDS):
+                sig[:, b] = bitmat[:, bands == b].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), LSH_BANDS
+                    ),
+                    "v": pdf["v"].iloc[
+                        np.repeat(np.arange(len(pdf)), LSH_BANDS)
+                    ].to_numpy(),
+                    "band": np.tile(
+                        np.arange(LSH_BANDS, dtype=np.int32), len(pdf)
+                    ),
+                    "sig": sig.ravel(),
+                }
+            )
+
+    return vecs.mapInPandas(
+        sigs, "vec_id long, v array<double>, band int, sig long"
+    )
+
+
 def ann03_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_streaming_platform_web_spark.operators import (
         vectors as vectors_mod,
@@ -366,16 +421,7 @@ def ann03_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bits = _lsh_bits(vectors_mod.corpus_size(spark, sf_dir))
     vecs = _vecs(spark, sf_dir)
-    sv = vecs.select("vec_id", "v", *_band_sig_cols(bits))
-    long = sv.selectExpr(
-        "vec_id",
-        "v",
-        "stack("
-        + str(LSH_BANDS)
-        + ", "
-        + ", ".join(f"{b}, sig{b}" for b in range(LSH_BANDS))
-        + ") AS (band, sig)",
-    )
+    long = _band_sigs_long(vecs, bits)
     a = long.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         "band", "sig",

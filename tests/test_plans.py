@@ -347,19 +347,19 @@ def test_vec01_kmeans_assignment_never_shuffles_corpus(spark, sf_dir):
     assert shuffle_count(df) <= 2
 
 
-def test_dc01_eval_set_broadcasts(spark, sf_dir):
-    """Decontamination probe: the eval shingle union must broadcast —
-    the corpus side is never sort-merge-joined. The only hash
-    exchanges are the tiny eval DISTINCT and the per-doc collision
-    roll-up (collision rows only, map-side combined)."""
+def test_dc01_probe_zero_shuffle(spark, sf_dir):
+    """Decontamination probe (round 11 shape): the train corpus is
+    probed at scan speed against the broadcast eval union inside one
+    Arrow kernel — NO join of any kind and NO hash exchange anywhere
+    in the probe plan (the r10 shape exploded the corpus and paid a
+    broadcast join plus a two-phase roll-up)."""
     from flink_streaming_platform_web_spark.operators.decontam import (
         dc01_contamination,
     )
 
     plan = _physical(dc01_contamination(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") == 1
-    assert "SortMergeJoin" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_pp02_packing_single_shuffle(spark, sf_dir):
@@ -395,16 +395,18 @@ def test_pp01_pipeline_no_joins_narrow_dedup_shuffle(spark, sf_dir):
 def test_pp03_prep_pipeline_broadcast_only_joins(spark, sf_dir):
     """pp03: contamination drop is a broadcast anti join (verdict set
     is eval-benchmark-sized), dedup/pack are window exchanges — no
-    sort-merge join anywhere and the pack roll-up reuses the source
-    partitioning (4 hash exchanges total incl. dc01's two)."""
+    sort-merge join anywhere. Round 11: dc01's probe is a zero-shuffle
+    Arrow kernel now, so the anti join is the ONLY join left and the
+    exchange budget drops to 3 (dedup window + pack window; roll-up
+    reuses the source partitioning)."""
     from flink_streaming_platform_web_spark.operators.pipeline import (
         pp03_prep_pipeline,
     )
 
     plan = _physical(pp03_prep_pipeline(spark, sf_dir))
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") == 2  # dc01 probe + anti
-    assert plan.count("Exchange hashpartitioning") <= 4
+    assert plan.count("BroadcastHashJoin") == 1  # the contamination anti
+    assert plan.count("Exchange hashpartitioning") <= 3
 
 
 def test_vec04_gram_single_tiny_exchange(spark, sf_dir):
@@ -467,12 +469,16 @@ def test_dd14_window_dedup_bounded_exchanges(spark, sf_dir):
     df.count()  # materialize the memoized agg1 product
     plan = _physical(df)
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
-    # the (win, source) occurrence table is the shared persisted
-    # product: BOTH downstream branches (per-window roll-up and the
-    # per-source totals) read it via InMemoryTableScan — the corpus
-    # explode runs once, not once per branch. (FileScan lines in the
-    # output belong to the cached relation's printed build subtree.)
-    assert plan.count("InMemoryTableScan") == 2
+    # round 11: the four per-source measures come out of ONE
+    # conditional aggregation over the re-exploded per-window rows —
+    # a single InMemoryTableScan of the persisted (win, source)
+    # product, no second branch and no join back. per_win rides the
+    # persisted win-partitioning, so the only hash exchange below the
+    # final roll-up is the tiny per-source one. (FileScan lines in
+    # the output belong to the cached relation's printed build
+    # subtree.)
+    assert plan.count("InMemoryTableScan") == 1
+    assert "Join" not in plan.split("InMemoryRelation")[0]
 
 
 def test_pp04_no_pinned_broadcast_on_losers(spark, sf_dir):

@@ -146,3 +146,34 @@ def test_jvm_cosine_bitwise_equals_pandas_kernel(spark):
         if struct.pack("<d", jvm[i]) != struct.pack("<d", ker[i])
     ]
     assert bad == [], bad[:5]
+
+
+def test_band_sig_kernel_bitwise_equals_catalyst_folds(spark):
+    """ann03's Arrow signature kernel (`_band_sigs_long`) must produce
+    EXACTLY the signatures of the reference Catalyst formulation
+    (`_band_sig_cols`) — the projection fold runs in the same IEEE
+    dimension order, so even near-zero projections land on the same
+    side of the bucket-bit threshold. Random vectors, all bands."""
+    import numpy as np
+
+    from flink_streaming_platform_web_spark.operators import (
+        similarity as S,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, rng.uniform(-1, 1, S.DIM).tolist()) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    bits = 8
+    ref = df.select("vec_id", *S._band_sig_cols(bits)).selectExpr(
+        "vec_id",
+        "stack("
+        + str(S.LSH_BANDS)
+        + ", "
+        + ", ".join(f"{b}, sig{b}" for b in range(S.LSH_BANDS))
+        + ") AS (band, sig)",
+    )
+    new = S._band_sigs_long(df, bits).select("vec_id", "band", "sig")
+    assert new.exceptAll(ref).count() == 0
+    assert ref.exceptAll(new).count() == 0
