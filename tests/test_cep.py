@@ -704,6 +704,21 @@ def test_stream_fold_randomized_converges_to_batch():
         " MEASURES COUNT(*) AS nsofar"
         " ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW"
         " PATTERN (A B) DEFINE A AS A.v < 50, B AS B.v >= 50",
+        # PREV on the FIRST pattern variable: the probe reaches BEFORE
+        # the match start, so a retained start right at the frontier
+        # must still see the pre-trim predecessor row (round-11
+        # lookback retention; the r10 fold trimmed it away)
+        "PARTITION BY k ORDER BY t"
+        " MEASURES FIRST(A.t) AS at, LAST(B.t) AS bt"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B)"
+        " DEFINE A AS A.v > PREV(A.v), B AS B.v < PREV(B.v)",
+        # PREV offset 2 in MEASURES: the anchor looks two rows back,
+        # possibly past the match start into the retained prefix
+        "PARTITION BY k ORDER BY t"
+        " MEASURES FIRST(A.t) AS at, PREV(A.v, 2) AS p2"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A) DEFINE A AS A.v >= 50",
     ]
     rng = random.Random(1009)
     for clause in clauses:
@@ -736,7 +751,28 @@ def test_stream_fold_randomized_converges_to_batch():
             )
             if out is not None:
                 got.extend(out.to_dict("records"))
-            got_s = sorted(tuple(sorted(d.items())) for d in got)
+
+            def _denan(v):
+                # the fold hands Spark a pandas frame, where a None
+                # measure in a float64 column is NaN; the raw batch
+                # matcher emits dicts that keep None. Both real routes
+                # (batch applyInPandas / streaming state fold) coerce
+                # identically, so the fold-level differential
+                # normalizes rather than distinguishing them.
+                return (
+                    None
+                    if isinstance(v, float) and v != v
+                    else v
+                )
+
+            got_s = sorted(
+                tuple((k2, _denan(v)) for k2, v in sorted(d.items()))
+                for d in got
+            )
+            want = sorted(
+                tuple((k2, _denan(v)) for k2, v in sorted(d.items()))
+                for d in (dict(t) for t in want)
+            )
             assert got_s == want, (clause, trial, cuts)
         assert want or clause, clause
 
