@@ -2255,7 +2255,236 @@ def _multi_len_sql(
 
 #: auxiliary column names used by tiers B/C; input collision → NFA
 _TIER_AUX = ("__mr_rn__", "__mr_grp__", "__mr_pos__", "__mr_ok__",
-             "__mr_head__", "__mr_n__", "__mr_exp__")
+             "__mr_head__", "__mr_n__", "__mr_exp__", "__mr_cls__")
+
+
+_BAND_TERM = re.compile(
+    r"^\s*(\w+)\.(\w+)\s*(<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)\s*$"
+)
+
+#: numeric ORDER-comparable input types the band prover admits; the
+#: cls CASE adds an isnan() guard for double/float so Spark's
+#: NaN-is-largest ordering can never classify a row the scalar
+#: matcher's NaN-comparisons-are-False left unclassified
+_BAND_NUM_TYPES = (
+    "int", "bigint", "smallint", "tinyint", "double", "float",
+)
+
+
+def _disjoint_bands(raw_define, vars_, col_types):
+    """Prove the PERMUTE variables' defines are pairwise-DISJOINT
+    intervals over ONE shared numeric column: each define must be a
+    bare AND-conjunction of ``V.col OP literal`` comparisons (no OR,
+    no parens, no PREV/navigation), all on the same column, and the
+    resulting intervals must not overlap. Returns (col, ordered list
+    of (var, interval)) or None. Disjointness is what collapses the
+    k! orderings: a window of k rows admits AT MOST ONE variable per
+    row, so the NFA's DFS preference order is irrelevant — the match
+    exists iff every row classifies and the classes are a
+    permutation."""
+    col = None
+    ivals: list[tuple] = []
+    inf = float("inf")
+    for v in vars_:
+        src = raw_define.get(v)
+        if src is None or re.search(r"\bOR\b|[()]", src, re.I):
+            return None
+        lo, lo_in, hi, hi_in = -inf, False, inf, False
+        for part in re.split(r"\s+AND\s+", src.strip(), flags=re.I):
+            m = _BAND_TERM.match(part)
+            if m is None or m.group(1) != v:
+                return None
+            c, op, lit = m.group(2), m.group(3), float(m.group(4))
+            if col is None:
+                if col_types.get(c) not in _BAND_NUM_TYPES:
+                    return None
+                col = c
+            elif c != col:
+                return None
+            if op == "<" and (lit, False) < (hi, hi_in):
+                hi, hi_in = lit, False
+            elif op == "<=" and (lit, True) < (hi, hi_in):
+                hi, hi_in = lit, True
+            elif op == ">" and (lit, False) > (lo, not lo_in):
+                lo, lo_in = lit, False
+            elif op == ">=" and (lit, True) > (lo, not lo_in):
+                lo, lo_in = lit, True
+        ivals.append((v, (lo, lo_in, hi, hi_in)))
+    if col is None:
+        return None
+    for i in range(len(ivals)):
+        for j in range(i + 1, len(ivals)):
+            la, lai, ha, hai = ivals[i][1]
+            lb, lbi, hb, hbi = ivals[j][1]
+            lo, lo_in = max((la, lai), (lb, lbi))
+            hi, hi_in = min((ha, hai), (hb, hbi))
+            if lo < hi or (lo == hi and lo_in and hi_in):
+                return None  # overlapping bands → NFA path
+    return col, ivals
+
+
+def _permute_bands_sql(
+    df: DataFrame, spec: MatchSpec, output_schema: str
+) -> "DataFrame | None":
+    """JVM fast tier P: ``PATTERN (PERMUTE(V0, .., Vk-1))`` of simple
+    atoms under AFTER MATCH SKIP TO NEXT ROW where every define is a
+    DISJOINT numeric band on one shared column (:func:`_disjoint_
+    bands`). Width is unbounded — the k! orderings (720 for q55's
+    width 6, past tier A′'s expansion cap) collapse to a per-row band
+    classification plus k−1 LEADs: a window matches iff every row
+    classifies and the class multiset is the full permutation, which
+    k shifted class columns summing ``1 << class`` to ``2^k − 1``
+    decide exactly (k powers of two reach the all-ones mask only
+    carry-free, i.e. all distinct). Each variable then binds exactly
+    one known row, so FIRST = LAST = the row where its class sits,
+    and CLASSIFIER() is the last row's class name. The plan is one
+    keyed exchange + Tungsten sort + codegen projection, zero Python
+    — same posture as tiers A/A′ (reference semantics: Flink 1.13
+    docs queries/match_recognize §PERMUTE; the scalar NFA walker
+    stays the general path and the randomized tier differential pins
+    equality on eligible shapes)."""
+    if spec.all_rows or spec.skip_mode != "to_next":
+        return None
+    if not isinstance(spec.pattern, PatternAST):
+        return None
+    nodes = spec.pattern.nodes
+    if len(nodes) != 1 or nodes[0][0] != "perm" or nodes[0][2] != "1":
+        return None
+    vars_: list[str] = []
+    for elem in nodes[0][1]:  # branch list per PERMUTE element
+        if (
+            len(elem) != 1
+            or len(elem[0]) != 1
+            or elem[0][0][0] != "atom"
+            or elem[0][0][2] != "1"
+        ):
+            return None
+        vars_.append(elem[0][0][1])
+    k = len(vars_)
+    if k < 2 or k > 16:  # 1<<k must stay in INT; width 1 is tier A
+        return None
+    cols = set(df.columns)
+    if any(a in cols for a in _TIER_AUX):
+        return None
+    col_types = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }
+    bands = _disjoint_bands(spec.raw_define, vars_, col_types)
+    if bands is None:
+        return None
+    band_col, ivals = bands
+    win, _part_sql, lead, cols, eq_safe, col_types2 = _tier_window(
+        df, spec
+    )
+    # per-row class on the BASE relation (one projection, LEADed k−1
+    # times); NaN guard: Spark orders NaN above every double, the
+    # scalar matcher's NaN comparisons are all False → unclassified
+    whens = []
+    if col_types.get(band_col) in ("double", "float"):
+        whens.append(f"WHEN isnan(`{band_col}`) THEN NULL")
+    for j, v in enumerate(vars_):
+        cond = _tier_condition(
+            spec.raw_define[v], v, 0, cols, eq_safe, lead
+        )
+        if cond is None:
+            return None
+        whens.append(f"WHEN {cond} THEN {j}")
+    cls = "(CASE " + " ".join(whens) + " END)"
+    aux = "__mr_cls__"
+    base = df.selectExpr("*", f"{cls} AS `{aux}`")
+    win2, _p2, lead2, _c2, _e2, _t2 = _tier_window(base, spec)
+    c_at = [lead2(aux, i) for i in range(k)]
+    mask = " + ".join(f"SHIFTLEFT(1, {c})" for c in c_at)
+    conds = [f"({mask}) = {(1 << k) - 1}"]
+    wb = _within_bound(base, spec, lead2, k)
+    if wb is None:
+        return None
+    if wb:
+        conds.append(wb)
+
+    def var_row(j: int, col: str) -> str:
+        # exactly one window row classifies as j inside a match
+        return (
+            "(CASE "
+            + " ".join(
+                f"WHEN {c_at[i]} = {j} THEN {lead2(col, i)}"
+                for i in range(k)
+            )
+            + " END)"
+        )
+
+    vidx = {v: j for j, v in enumerate(vars_)}
+    sels = [f"`{c}`" for c in spec.partition_by]
+    for raw_m, name in spec.raw_measures:
+        e = _permute_measure(
+            raw_m, vidx, var_row, c_at, lead2, k, spec.order_by[0],
+            col_types, cols,
+        )
+        if e is None:
+            return None
+        sels.append(f"{e} AS `{name}`")
+    flag = "__mr_ok__"
+    out = base.selectExpr(
+        *sels, f"({' AND '.join(conds)}) AS `{flag}`"
+    ).where(f"`{flag}`").drop(flag)
+    return out
+
+
+def _permute_measure(
+    raw, vidx, var_row, c_at, lead, k, order0, col_types, cols
+):
+    """One raw MEASURE → SQL over the permute tier's class columns,
+    or None when outside the subset. Every variable binds exactly one
+    row, so FIRST/LAST/bare/MIN/MAX collapse to the bound row's value
+    (SUM widens ints to BIGINT, AVG casts DOUBLE — mirroring
+    _tier_measure's one-offset aggregate rules)."""
+    t = raw.strip()
+    m = re.fullmatch(
+        r"(?:FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)", t, re.IGNORECASE
+    ) or re.fullmatch(r"(\w+)\.(\w+)", t)
+    if m:
+        v, col = m.group(1), m.group(2)
+        if v in vidx and col in cols:
+            return var_row(vidx[v], col)
+        return None
+    if re.fullmatch(r"CLASSIFIER\s*\(\s*\)", t, re.IGNORECASE):
+        inv = {j: v for v, j in vidx.items()}
+        return (
+            "(CASE "
+            + " ".join(
+                f"WHEN {c_at[k - 1]} = {j} THEN '{inv[j]}'"
+                for j in range(k)
+            )
+            + " END)"
+        )
+    if re.fullmatch(r"MATCH_ROWTIME\s*\(\s*\)", t, re.IGNORECASE):
+        return lead(order0, k - 1)
+    if re.fullmatch(r"COUNT\s*\(\s*\*\s*\)", t, re.IGNORECASE):
+        return f"CAST({k} AS BIGINT)"
+    m = re.fullmatch(r"COUNT\s*\(\s*(\w+)\.\*\s*\)", t, re.IGNORECASE)
+    if m and m.group(1) in vidx:
+        return "CAST(1 AS BIGINT)"
+    m = re.fullmatch(
+        r"(SUM|MIN|MAX|AVG)\s*\(\s*(\w+)\.(\w+)\s*\)", t, re.IGNORECASE
+    )
+    if m:
+        fn, v, col = m.group(1).upper(), m.group(2), m.group(3)
+        if v not in vidx or col not in cols:
+            return None
+        val = var_row(vidx[v], col)
+        ct = col_types.get(col)
+        if fn == "SUM":
+            if ct in ("int", "smallint", "tinyint"):
+                return f"CAST({val} AS BIGINT)"
+            if ct in ("bigint", "double", "float"):
+                return val
+            return None
+        if fn == "AVG":
+            if ct in _BAND_NUM_TYPES:
+                return f"CAST({val} AS DOUBLE)"
+            return None
+        return val
+    return None
 
 
 def _chain_expand(pattern, raw_define):
@@ -2802,8 +3031,8 @@ def match_recognize(
         )
         return out.drop(gk)
     for tier in (
-        _fixed_len_sql, _multi_len_sql, _fixed_len_past_sql,
-        _trailing_plus_sql,
+        _fixed_len_sql, _multi_len_sql, _permute_bands_sql,
+        _fixed_len_past_sql, _trailing_plus_sql,
     ):
         fast = tier(df, spec, output_schema)
         if fast is not None and _tier_schema_ok(fast, output_schema):

@@ -660,6 +660,7 @@ def _force_nfa(mp):
     """Disable every JVM tier so match_recognize runs the chunked NFA."""
     mp.setattr(cep, "_fixed_len_sql", lambda *a: None)
     mp.setattr(cep, "_multi_len_sql", lambda *a: None)
+    mp.setattr(cep, "_permute_bands_sql", lambda *a: None)
     mp.setattr(cep, "_fixed_len_past_sql", lambda *a: None)
     mp.setattr(cep, "_trailing_plus_sql", lambda *a: None)
 
@@ -1040,3 +1041,124 @@ def test_tier_b_skip_to_var_rejects_ineligible(spark):
         assert cep._fixed_len_past_sql(df, spec, "") is None, (
             skip, pat,
         )
+
+
+def test_tier_p_permute_bands_equals_nfa(spark):
+    """Round-11 tier P (_permute_bands_sql): wide PERMUTE of
+    pairwise-DISJOINT numeric bands under SKIP TO NEXT ROW — past
+    tier A′'s expansion cap, the k! orderings collapse to a per-row
+    band classification + k−1 LEADs. Vs the NFA over random data
+    with NULLs; every clause MUST route through the permute tier
+    (width ≥ 5 keeps A′ out: 120 expansions > its cap of 24)."""
+    rng = random.Random(6151)
+    clauses = [
+        # q55's shape at width 5: FIRST + CLASSIFIER measures
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(V0.v) AS lo, FIRST(V4.v) AS hi,"
+        " CLASSIFIER() AS cls"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (PERMUTE(V0, V1, V2, V3, V4))"
+        " DEFINE V0 AS V0.v < 15, V1 AS V1.v >= 15 AND V1.v < 35,"
+        " V2 AS V2.v >= 35 AND V2.v < 55,"
+        " V3 AS V3.v >= 55 AND V3.v < 80, V4 AS V4.v >= 80",
+        # aggregate measure subset + MATCH_ROWTIME + COUNTs
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES COUNT(*) AS n, COUNT(V2.*) AS n2,"
+        " SUM(V1.v) AS s1, MIN(V3.v) AS m3, AVG(V4.v) AS a4,"
+        " MATCH_ROWTIME() AS mr, V0.v AS bare0"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (PERMUTE(V0, V1, V2, V3, V4))"
+        " DEFINE V0 AS V0.v < 15, V1 AS V1.v >= 15 AND V1.v < 35,"
+        " V2 AS V2.v >= 35 AND V2.v < 55,"
+        " V3 AS V3.v >= 55 AND V3.v < 80, V4 AS V4.v >= 80",
+    ]
+    for clause in clauses:
+        _tier_vs_nfa(
+            spark, clause, _rand_rows(rng, n=500),
+            cep._permute_bands_sql,
+        )
+
+
+def test_tier_p_within_equals_nfa(spark):
+    """Tier P + WITHIN: the (first, last) elapsed bound folds in as
+    one extra conjunct, same rule as tiers A/A′."""
+    rng = random.Random(6151)
+    clause = (
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(V0.v) AS lo, CLASSIFIER() AS cls"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (PERMUTE(V0, V1, V2, V3, V4))"
+        " WITHIN INTERVAL '28' SECOND"
+        " DEFINE V0 AS V0.v < 15, V1 AS V1.v >= 15 AND V1.v < 35,"
+        " V2 AS V2.v >= 35 AND V2.v < 55,"
+        " V3 AS V3.v >= 55 AND V3.v < 80, V4 AS V4.v >= 80"
+    )
+    import pandas as pd
+
+    rows = [
+        dict(r, ts=None if r["ts"] is None else
+             pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=r["ts"]))
+        for r in _rand_rows(rng, n=500)
+    ]
+    _tier_vs_nfa(spark, clause, rows, cep._permute_bands_sql)
+
+
+def test_tier_p_rejects_ineligible_shapes(spark):
+    """Negative controls: overlapping bands, OR-defines, a missing
+    define, mixed columns, and non-to_next skip must all return None
+    (NFA path) — the disjointness PROOF is the tier's whole
+    eligibility argument."""
+    import pandas as pd
+
+    from flink_streaming_platform_web_spark.operators.cep import (
+        infer_output_schema,
+        parse_match_recognize,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [{"k": 1, "ts": float(i), "v": float(i), "w": float(i)}
+             for i in range(10)]
+        )
+    )
+    base = (
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(A.v) AS fa"
+        " ONE ROW PER MATCH AFTER MATCH {skip}"
+        " PATTERN (PERMUTE(A, B, C, D, E))"
+        " DEFINE {defs}"
+    )
+    disjoint = (
+        "A AS A.v < 10, B AS B.v >= 10 AND B.v < 20,"
+        " C AS C.v >= 20 AND C.v < 30,"
+        " D AS D.v >= 30 AND D.v < 40, E AS E.v >= 40"
+    )
+    bad = [
+        # overlapping bands (B reaches into C)
+        base.format(skip="SKIP TO NEXT ROW", defs=disjoint.replace(
+            "B.v < 20", "B.v < 25")),
+        # OR in a define
+        base.format(skip="SKIP TO NEXT ROW", defs=disjoint.replace(
+            "A AS A.v < 10", "A AS A.v < 10 OR A.v > 90")),
+        # define-free variable (matches everything — overlaps all)
+        base.format(skip="SKIP TO NEXT ROW", defs=(
+            "B AS B.v >= 10 AND B.v < 20,"
+            " C AS C.v >= 20 AND C.v < 30,"
+            " D AS D.v >= 30 AND D.v < 40, E AS E.v >= 40")),
+        # bands over two different columns
+        base.format(skip="SKIP TO NEXT ROW", defs=disjoint.replace(
+            "E AS E.v >= 40", "E AS E.w >= 40")),
+        # consumption-coupled skip mode
+        base.format(skip="SKIP PAST LAST ROW", defs=disjoint),
+    ]
+    for clause in bad:
+        spec = parse_match_recognize(clause)
+        schema = infer_output_schema(spec, df)
+        assert cep._permute_bands_sql(df, spec, schema) is None, clause
+    # sanity: the unmodified disjoint clause IS eligible
+    spec = parse_match_recognize(
+        base.format(skip="SKIP TO NEXT ROW", defs=disjoint)
+    )
+    assert cep._permute_bands_sql(
+        df, spec, infer_output_schema(spec, df)
+    ) is not None
