@@ -47,105 +47,89 @@ _MODULES = (
 # The driver's correctness gate walks queries() in dict insertion order
 # and checks the first 50 entries per round. Rotate per round so the
 # union of rounds gives every entry a green row dated after its last
-# operator rewrite. Round-10 rotation (rule: any entry whose code OR
-# transitive helpers changed this round MUST re-enter, then the oldest
-# stale rows fill the rest):
-# (a) CHANGED this round -- the MATCH_RECOGNIZE JVM tier grew PREV /
-#     alternation / SKIP PAST LAST ROW / WITHIN / ALL ROWS PER MATCH
-#     compilation and the parser accepts global (no PARTITION BY)
-#     patterns, so every batch CEP entry re-enters: q45, q47-q57.
-#     (Streaming CEP st14/st19-st21 stay r9-dated: they route through
-#     the buffered scalar matcher, untouched by the tier work.)
-#     vectors.km_centroids was rewritten onto the sampled one-job
-#     trainer and dedup._blocked_cell_pairs gained the parallelism
-#     floor, so their consumers re-enter: vec01, dd07, dd11.
-#     LATE round-10 scale fixes: dd07 rides dd11's scaled cells, the
-#     IVF quantizer scales (ann04/ann05), ann03 is banded — all three
-#     ann entries re-enter. (18 slots)
-# (b) ALL remaining r5-dated rows (VERDICT r9 item 1 -- the driver's
-#     hard signal must catch up): q07, q08, q10, q16-q20, q37-q42,
-#     dd05, dd10, tx08, tx09, tx11, tx12. (20 slots)
-# (c) OLDEST r7-dated rows fill the rest, fronting the streaming
-#     rank/dedup trio (VERDICT r9 item 6: st11/st12/st13 exercise the
-#     executor-state rank router the CEP refactor sits next to), q21
-#     (its plan gate gained the broadcast-strategy assertion this
-#     round -- pair the driver row with it), and the dedup/decontam
-#     entries that share helpers with (a): dd02, dd04, dd12, dd13.
-#     (8 slots; dd01/dd03/dd15/dc01/dc02/q26 ceded to r11 for the
-#     late (a) re-entries and (d) — all pytest-pinned + full-sweep
-#     covered.)
-# (d) NEW round-10 entries — never driver-checked, outrank green
-#     re-checks: q60 global (no PARTITION BY) MATCH_RECOGNIZE,
-#     q61 AFTER MATCH SKIP TO LAST <var> (the stride tier),
-#     st22 streaming SKIP TO LAST <var> (overlap frontier), and
-#     st23 streaming global pattern (constant-key state group).
-#     (4 slots; q28, q26, dc02 and dc01 ceded — all r7-dated,
-#     pytest-pinned, and next in line for r11.)
-# Still r7-dated after this round -- front them in r11: mm01, mm03,
-# pp03, pp06, q01-q04, q11, q12, q14, q15, q24, q26, q27, q28, q29,
-# q30, q31, q36, st09, st10, dc01, dc02, dd01, dd03, dd15 (27
-# entries, all pytest-pinned and covered by local full-sweep parity
-# every round). q62 (ALL ROWS × overlap, added after the r10 window
-# filled) is parity-green locally and MUST take an r11 (d) slot —
-# never driver-checked.
+# operator rewrite. Round-11 rotation (rule: any entry whose code OR
+# transitive helpers changed this round MUST re-enter, then the
+# oldest stale rows fill the rest). This round RETIRES THE ROTATION
+# DEBT COMPLETELY (VERDICT r10 item 1): after r11 no entry's latest
+# driver row predates r8, and q62 gets its first driver row ever.
+# (a) CHANGED this round (11 slots):
+#     - ann03: banded-LSH signatures moved to the Arrow kernel
+#       (_band_sigs_long; bitwise differential vs the Catalyst folds);
+#     - dc01: zero-shuffle doc-array membership probe + the new
+#       _shingle_arrs_cached product; pp03 composes dc01;
+#     - dd14: single win-hashed exchange + one conditional roll-up;
+#     - q55: routes through the new band-disjoint PERMUTE tier P;
+#     - st14, st19, st20, st21, st22, st23: the streaming fold gained
+#       the decided-attempt memo + PREV lookback retention (every
+#       streaming CEP entry rides _stream_fold).
+# (b) NEVER driver-checked: q62 (1 slot).
+# (c) ALL remaining r7-dated rows (25 slots; dc01/pp03 already in
+#     (a)): mm01, mm03, pp06, q01, q02, q03, q04, q11, q12, q14,
+#     q15, q24, q26, q27, q28, q29, q30, q31, q36, st09, st10,
+#     dc02, dd01, dd03, dd15.
+# (d) OLDEST r8-dated rows fill the rest (13 slots): pp01, pp02,
+#     pp07, mm02, mm04, mm05, mm06, q09, q13, q22, q23, q25, q33.
+#     Still r8-dated after this round -- front them in r12: q34,
+#     q35, q43, q44, q58, st08, tx01-tx07, tx10, tx13, tx14, tx15
+#     (17 entries, all pytest-pinned and covered by the full local
+#     parity sweeps recorded in PROGRESS.jsonl).
 # Exactly 50.
 _CHECK_FIRST = (
-    # (a) changed: batch CEP family (JVM tier extension + global parse)
-    "q45_match_recognize",
-    "q47_match_alternation",
-    "q48_match_all_rows",
-    "q49_match_bounded_quant",
-    "q50_match_permute",
-    "q51_match_nested_group",
-    "q52_match_within",
-    "q53_match_alternated_sequences",
-    "q54_match_desc_tie_order",
-    "q55_match_permute_wide",
-    "q56_match_running_final",
-    "q57_match_rowtime",
-    # (a) changed: sampled k-means trainer + pair-block floor; late
-    # round-10 scale fixes (scaled IVF quantizer, banded LSH)
-    "vec01_kmeans",
-    "dd07_embed_neardup_docs",
-    "dd11_embed_neardup_kmeans",
+    # (a) changed: ann03 kernel, dc01/pp03 probe, dd14, q55 tier P,
+    # streaming CEP fold (memo + lookback)
     "ann03_lsh_bucketed_neardup",
-    "ann04_ivf_search",
-    "ann05_ivf_multiprobe",
-    # (b) all remaining r5-dated rows
-    "q07_enriched_orders",
-    "q08_cte_topk",
-    "q10_string_functions",
-    "q16_values_inline",
-    "q17_distinct_agg",
-    "q18_conditional_pivot",
-    "q19_minmax",
-    "q20_json_extract",
-    "q37_flink_builtin_suite",
-    "q38_approx_distinct_hll",
-    "q39_dedup_latest",
-    "q40_salted_join_agg",
-    "q41_correlated_subquery",
-    "q42_exists_semijoin",
-    "dd05_simhash_signatures",
-    "dd10_minhash_est_jaccard",
-    "tx08_stratified_sample",
-    "tx09_redact_denylist",
-    "tx11_idf_table",
-    "tx12_doc_top_terms",
-    # (c) oldest r7-dated rows
-    "st11_stream_window_topn",
-    "st12_stream_dedup_sql",
-    "st13_stream_topn_continuous",
-    "q21_local_supplier_volume",
-    "dd02_ngram_jaccard_pairs",
-    "dd04_minhash_lsh_pairs",
-    "dd12_simhash64_neardup_pairs",
-    "dd13_jaccard_prefix_filter",
-    # (d) new round-10 entries
-    "q60_match_global",
-    "q61_match_skip_to_var",
+    "dc01_contamination",
+    "pp03_prep_pipeline",
+    "dd14_exact_substr_dup",
+    "q55_match_permute_wide",
+    "st14_stream_match_recognize",
+    "st19_stream_match_permute",
+    "st20_stream_match_within",
+    "st21_stream_match_desc",
     "st22_stream_match_skip_to_var",
     "st23_stream_match_global",
+    # (b) never driver-checked
+    "q62_match_all_rows_overlap",
+    # (c) all remaining r7-dated rows
+    "mm01_binary_meta",
+    "mm03_frame_sample",
+    "pp06_representative_prep",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_computed_columns",
+    "q04_daily_gmv",
+    "q11_case_having",
+    "q12_set_ops",
+    "q14_rollup",
+    "q15_semi_anti",
+    "q24_session_window",
+    "q26_asof_join",
+    "q27_grouping_sets",
+    "q28_interval_join",
+    "q29_percentiles",
+    "q30_explode_tokens",
+    "q31_topk_per_group",
+    "q36_cumulate_window",
+    "st09_stream_window_tvf",
+    "st10_stream_ttl_incremental_agg",
+    "dc02_fuzzy_contamination",
+    "dd01_dedup_exact",
+    "dd03_minhash_signatures",
+    "dd15_cluster_representatives",
+    # (d) oldest r8-dated rows
+    "pp01_training_mix",
+    "pp02_shard_packing",
+    "pp07_multimodal_prep",
+    "mm02_decode_pipeline",
+    "mm04_resize_pipeline",
+    "mm05_feature_extract",
+    "mm06_audio_frame_energy",
+    "q09_scalar_datetime",
+    "q13_window_over",
+    "q22_tumble_window",
+    "q23_hop_window",
+    "q25_cdc_latest_state",
+    "q33_flink_datetime_compat",
 )
 
 
