@@ -558,11 +558,10 @@ def test_pp06_rollup_is_lang_sized(spark, sf_dir):
 
 def test_cep_round8_entries_single_key_shuffle(spark, sf_dir):
     """q55 (width-6 PERMUTE — 720 orderings, beyond the expansion
-    tier's cap, so the lazy NFA walker is the right engine) keeps the
-    chunked-runner plumbing: one keyed repartition on PARTITION BY, a
-    JVM-side sort within partitions, then a single MapInPandas
-    matcher — no cartesian, no row-at-a-time Python UDF, no extra
-    exchanges, and no per-group pandas sort (FlatMapGroupsInPandas).
+    tier's cap) routes through the round-11 band-disjoint permute
+    tier: ZERO Python anywhere, a Tungsten sort, and exactly the one
+    PARTITION BY exchange the semantics require — the 720 orderings
+    collapse to a per-row band classification + 5 LEADs.
     (q50/q51 moved to the round-10 expansion tier — covered by
     test_cep_jvm_tier_entries_pure_jvm_single_exchange.)"""
     from flink_streaming_platform_web_spark.operators.cep import (
@@ -572,9 +571,10 @@ def test_cep_round8_entries_single_key_shuffle(spark, sf_dir):
     plan = _physical(q55_match_permute_wide(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # no per-row Python
-    assert plan.count("MapInPandas") == 1
+    assert "MapInPandas" not in plan  # pure JVM since tier P
+    assert "FlatMapGroupsInPandas" not in plan
     assert "Sort" in plan  # Tungsten sort, not pandas sort_values
-    # exactly the keyed repartition the semantics require
+    # exactly the keyed window shuffle the semantics require
     assert plan.count("Exchange") == 1, plan
 
 
