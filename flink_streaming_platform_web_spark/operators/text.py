@@ -960,6 +960,83 @@ FROM top WHERE rnk = 1
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# tx16 — vocabulary-coverage quality score (round 11): the fraction of
+# a document's tokens that fall inside the corpus's top-K vocabulary.
+# Low coverage is the classic gibberish/boilerplate/encoding-noise
+# signal corpus filters cut on (the integer-exact floor of the
+# KenLM-perplexity filters in CCNet/RefinedWeb-style pipelines — for
+# a unigram LM over a fixed vocabulary, ranking by coverage is
+# monotone in the model score without a single transcendental, so the
+# gate stays engine-exact). Shape at 100 TB: ONE map-side-combined
+# token-count exchange builds the vocabulary, the top-K is bounded by
+# construction (K rows — TakeOrdered, then broadcast), and the probe
+# is a scan-speed broadcast join + a per-doc combinable aggregation;
+# the corpus never joins anything corpus-sized. coverage_ppm is
+# integer arithmetic ((1e6 * n_common) DIV n_tok) — no float crosses
+# the oracle boundary.
+# --------------------------------------------------------------------------
+
+TX16_VOCAB_K = 1000
+TX16_LOW_PPM = 600000
+
+
+def tx16_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    cf = toks.groupBy("token").agg(F.count("*").alias("c"))
+    top = (
+        cf.orderBy(F.desc("c"), F.asc("token"))
+        .limit(TX16_VOCAB_K)
+        .select("token", F.lit(1).alias("__in_vocab__"))
+    )
+    flagged = toks.join(F.broadcast(top), "token", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.count("__in_vocab__").alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_common",
+            F.expr("(1000000 * n_common) DIV n_tok").alias(
+                "coverage_ppm"
+            ),
+            F.expr(
+                f"(1000000 * n_common) DIV n_tok < {TX16_LOW_PPM}"
+            ).alias("low_coverage"),
+        )
+    )
+
+
+ORACLE_TX16 = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), tok AS (SELECT * FROM toks WHERE token <> ''),
+cf AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+top AS (SELECT token FROM cf ORDER BY c DESC, token ASC
+        LIMIT {TX16_VOCAB_K}),
+flagged AS (
+  SELECT t.doc_id, (p.token IS NOT NULL) AS common
+  FROM tok t LEFT JOIN top p USING (token)
+)
+SELECT doc_id, COUNT(*) AS n_tok,
+       CAST(SUM(CASE WHEN common THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_common,
+       CAST((1000000 * SUM(CASE WHEN common THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS coverage_ppm,
+       ((1000000 * SUM(CASE WHEN common THEN 1 ELSE 0 END))
+            // COUNT(*)) < {TX16_LOW_PPM} AS low_coverage
+FROM flagged GROUP BY doc_id
+"""
+
 QUERIES = {
     "tx01_langid": tx01_langid,
     "tx15_top_trigram_chars": tx15_top_trigram_chars,
@@ -976,6 +1053,7 @@ QUERIES = {
     "tx08_stratified_sample": tx08_stratified_sample,
     "tx09_redact_denylist": tx09_redact_denylist,
     "tx10_quality_filter": tx10_quality_filter,
+    "tx16_vocab_coverage": tx16_vocab_coverage,
 }
 
 ORACLES = {
@@ -994,4 +1072,5 @@ ORACLES = {
     "tx08_stratified_sample": ORACLE_TX08,
     "tx09_redact_denylist": ORACLE_TX09,
     "tx10_quality_filter": ORACLE_TX10,
+    "tx16_vocab_coverage": ORACLE_TX16,
 }

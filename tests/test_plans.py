@@ -662,3 +662,19 @@ def test_q21_tpch_q5_shape_aqe_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_tx16_bounded_vocab_broadcast_only(spark, sf_dir):
+    """tx16: the top-K vocabulary is bounded by construction, so the
+    probe must be a broadcast join — never a sort-merge of the corpus
+    against its own vocabulary; the only hash exchanges are the two
+    map-side-combined aggs (token count, per-doc roll-up)."""
+    from flink_streaming_platform_web_spark.operators.text import (
+        tx16_vocab_coverage,
+    )
+
+    plan = _physical(tx16_vocab_coverage(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "TakeOrderedAndProject" in plan  # bounded top-K, no sort-all
