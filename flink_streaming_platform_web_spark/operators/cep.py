@@ -458,9 +458,53 @@ _AST_WORD = re.compile(r"\s*(\w+)")
 # walker enumerates the permutations LAZILY (used-set DFS) so the
 # pattern stays O(len) in memory, but with non-discriminating
 # defines the SEARCH is still factorial — cap the width as a
-# runtime-safety bound (Flink's CEP compiles the eager expansion and
-# degrades strictly earlier on wide PERMUTE)
+# runtime-safety bound ON THE NFA ROUTE only (Flink's CEP compiles
+# the eager expansion and degrades strictly earlier on wide
+# PERMUTE). Band-disjoint PERMUTE compiles to tier P at any width,
+# so the cap is checked where the factorial engine is actually
+# chosen (_reject_wide_permute), not at parse time.
 _PERMUTE_MAX = 10
+
+
+def _max_permute_width(pattern) -> int:
+    """Largest PERMUTE element count anywhere in the pattern (0 when
+    none / flat pattern)."""
+    if not isinstance(pattern, PatternAST):
+        return 0
+
+    def node_w(node) -> int:
+        kind, body, _q = node
+        if kind == "atom":
+            return 0
+        if kind == "perm":
+            # body: list of ELEMENTS, each element a branch list
+            return max(
+                [len(body)]
+                + [node_w(n) for el in body for br in el for n in br]
+            )
+        # alt: body is a list of branches (node lists)
+        return max(
+            [0] + [node_w(n) for br in body for n in br]
+        )
+
+    return max([0] + [node_w(n) for n in pattern.nodes])
+
+
+def _reject_wide_permute(spec: "MatchSpec") -> None:
+    """Loud factorial-safety bound for the NFA route: raise when the
+    pattern holds a PERMUTE wider than _PERMUTE_MAX. Callers invoke
+    this exactly when the scalar walker is about to be chosen — a
+    tier-P-compiled wide PERMUTE never reaches it."""
+    w = _max_permute_width(spec.pattern)
+    if w > _PERMUTE_MAX:
+        raise ValueError(
+            f"MATCH_RECOGNIZE: PERMUTE of {w} elements searches"
+            f" {w}! orderings on the NFA engine; the supported NFA"
+            f" width is {_PERMUTE_MAX}. Width is unlimited when"
+            " every PERMUTE variable is a pairwise-disjoint numeric"
+            " band on one column under AFTER MATCH SKIP TO NEXT ROW"
+            " (compiled to window SQL)."
+        )
 
 
 def _parse_pattern_ast(text: str) -> PatternAST:
@@ -544,12 +588,11 @@ def _parse_pattern_ast(text: str) -> PatternAST:
             if peek() != ")":
                 raise error("expected ')' closing PERMUTE")
             pos += 1
-            if len(elems) > _PERMUTE_MAX:
-                raise ValueError(
-                    f"MATCH_RECOGNIZE: PERMUTE of {len(elems)}"
-                    f" elements searches {len(elems)}! orderings;"
-                    f" the supported width is {_PERMUTE_MAX}"
-                )
+            # width is NOT capped here (round 11): a PERMUTE of
+            # pairwise-disjoint bands compiles to tier P at any width
+            # — the factorial-safety cap moved to the NFA route
+            # (_reject_wide_permute), the only engine whose search is
+            # factorial
             return ("perm", elems, quant_of())
         return ("atom", word, quant_of())
 
@@ -1059,6 +1102,7 @@ def _run_matcher(
     the same values it saw before the buffer was trimmed (they are
     never attempted — their matches were emitted in earlier
     batches)."""
+    _reject_wide_permute(spec)  # this IS the factorial engine
     n = len(rows)
     matches: list[tuple[int, int, dict, bool]] = []
     earliest_viable: int | None = None
@@ -3037,6 +3081,7 @@ def match_recognize(
         fast = tier(df, spec, output_schema)
         if fast is not None and _tier_schema_ok(fast, output_schema):
             return fast
+    _reject_wide_permute(spec)  # the NFA route is factorial in width
     from pyspark.sql import functions as F
 
     keys = list(spec.partition_by)
@@ -4286,6 +4331,7 @@ def stream_match_recognize(
             drain_out=drain_out,
         )
         return out.drop(gk)
+    _reject_wide_permute(spec)  # streaming always runs the NFA fold
     fold = _stream_fold(spec)
     ord0 = spec.order_by[0]
 

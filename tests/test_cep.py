@@ -1492,8 +1492,12 @@ def test_permute_too_wide_is_loud():
     assert _spans(
         [1, 4, 8, 1, 4, 8], "PERMUTE(A, B, C, A, B, C)"
     ) == [(0, 6)]
-    with pytest.raises(ValueError, match="PERMUTE"):
-        _letters_spec("PERMUTE(A, B, C, A, B, C, A, B, C, A, B)")
+    # round 11: the cap moved from parse time to the NFA engine
+    # (band-disjoint wide PERMUTE compiles to tier P instead) — the
+    # spec PARSES, the factorial walk refuses
+    spec = _letters_spec("PERMUTE(A, B, C, A, B, C, A, B, C, A, B)")
+    with pytest.raises(ValueError, match="11! orderings"):
+        cep._run_matcher(_matcher_rows([1, 4, 8]), spec)
 
 
 def test_permute_atom_dfs_equals_general_path():

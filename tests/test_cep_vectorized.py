@@ -1162,3 +1162,60 @@ def test_tier_p_rejects_ineligible_shapes(spark):
     assert cep._permute_bands_sql(
         df, spec, infer_output_schema(spec, df)
     ) is not None
+
+
+def test_wide_permute_band_disjoint_works_nfa_rejects(spark):
+    """Round 11: the factorial width cap moved from parse time to the
+    NFA route. A width-12 PERMUTE of disjoint bands compiles to tier
+    P and RUNS; the same width with non-disjoint defines raises the
+    loud NFA bound instead of searching 12! orderings. Streaming
+    (always the NFA fold) rejects the wide pattern regardless."""
+    import pandas as pd
+    import pytest as _pt
+
+    from flink_streaming_platform_web_spark.operators.cep import (
+        infer_output_schema,
+        match_recognize,
+        parse_match_recognize,
+        stream_match_recognize,
+    )
+
+    k = 12
+    vars_ = [f"V{j}" for j in range(k)]
+    bands = ", ".join(
+        f"V{j} AS V{j}.v >= {j * 10} AND V{j}.v < {j * 10 + 10}"
+        for j in range(k)
+    )
+    clause = (
+        "PARTITION BY g ORDER BY ts"
+        " MEASURES FIRST(V0.v) AS v0, CLASSIFIER() AS cls"
+        " ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        f" PATTERN (PERMUTE({', '.join(vars_)}))"
+        f" DEFINE {bands}"
+    )
+    # one full permutation 0..11 shuffled deterministically + noise
+    order = [7, 2, 9, 0, 4, 11, 1, 8, 3, 10, 6, 5]
+    rows = [
+        {"g": 1, "ts": i, "v": float(c * 10 + 3)}
+        for i, c in enumerate(order)
+    ] + [{"g": 1, "ts": 100 + i, "v": 3.0} for i in range(5)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    spec = parse_match_recognize(clause)
+    out = match_recognize(df, spec, infer_output_schema(spec, df))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan  # tier P, zero Python
+    got = out.collect()
+    assert len(got) == 1 and got[0]["v0"] == 3.0
+    assert got[0]["cls"] == f"V{order[-1]}"
+
+    # non-disjoint defines at the same width: loud NFA bound
+    bad = clause.replace("V1.v < 20", "V1.v < 25")
+    bad_spec = parse_match_recognize(bad)
+    with _pt.raises(ValueError, match="12! orderings"):
+        match_recognize(df, bad_spec, infer_output_schema(bad_spec, df))
+
+    # streaming: always the NFA fold -> rejected even when disjoint
+    with _pt.raises(ValueError, match="12! orderings"):
+        stream_match_recognize(
+            df, spec, infer_output_schema(spec, df)
+        )
