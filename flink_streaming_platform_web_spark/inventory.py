@@ -67,14 +67,15 @@ _MODULES = (
 #     (a)): mm01, mm03, pp06, q01, q02, q03, q04, q11, q12, q14,
 #     q15, q24, q26, q27, q28, q29, q30, q31, q36, st09, st10,
 #     dc02, dd01, dd03, dd15.
-# (d) NEW round-11 entry — never driver-checked, outranks green
-#     re-checks: tx16 vocabulary-coverage quality score (1 slot).
-# (e) OLDEST r8-dated rows fill the rest (12 slots): pp01, pp02,
-#     pp07, mm02, mm04, mm05, mm06, q09, q13, q22, q23, q25.
-#     Still r8-dated after this round -- front them in r12: q33,
-#     q34, q35, q43, q44, q58, st08, tx01-tx07, tx10, tx13, tx14,
-#     tx15 (18 entries, all pytest-pinned and covered by the full
-#     local parity sweeps recorded in PROGRESS.jsonl).
+# (d) NEW round-11 entries — never driver-checked, outrank green
+#     re-checks: tx16 vocabulary-coverage quality score and st24
+#     streaming quality-gated mix accounting (2 slots).
+# (e) OLDEST r8-dated rows fill the rest (11 slots): pp01, pp02,
+#     pp07, mm02, mm04, mm05, mm06, q09, q13, q22, q23.
+#     Still r8-dated after this round -- front them in r12: q25,
+#     q33, q34, q35, q43, q44, q58, st08, tx01-tx07, tx10, tx13,
+#     tx14, tx15 (19 entries, all pytest-pinned and covered by the
+#     full local parity sweeps recorded in PROGRESS.jsonl).
 # Exactly 50.
 _CHECK_FIRST = (
     # (a) changed: ann03 kernel, dc01/pp03 probe, dd14, q55 tier P,
@@ -118,8 +119,9 @@ _CHECK_FIRST = (
     "dd01_dedup_exact",
     "dd03_minhash_signatures",
     "dd15_cluster_representatives",
-    # (d) new round-11 entry
+    # (d) new round-11 entries
     "tx16_vocab_coverage",
+    "st24_stream_quality_mix",
     # (e) oldest r8-dated rows
     "pp01_training_mix",
     "pp02_shard_packing",
@@ -132,7 +134,6 @@ _CHECK_FIRST = (
     "q13_window_over",
     "q22_tumble_window",
     "q23_hop_window",
-    "q25_cdc_latest_state",
 )
 
 

@@ -1685,11 +1685,98 @@ def st23_stream_match_global(
     return spark.table("st23_sink").select("lo_id", "hi_id", "hi_val")
 
 
+_DOCS_DDL = """
+CREATE TABLE stream_docs (
+  doc_id BIGINT, text STRING, lang STRING, source STRING,
+  n_chars BIGINT
+) WITH ('connector' = 'filesystem', 'path' = '{path}',
+        'format' = 'parquet', 'source.max-files-per-trigger' = '1')
+"""
+
+
+def _docs_as_stream_source(
+    spark: SparkSession, sf_dir: str, tag: str, files: int = 2
+) -> str:
+    """The driver's documents table re-staged as a multi-file stream
+    directory (`files` files -> that many micro-batches)."""
+    import tempfile
+
+    from flink_streaming_platform_web_spark.tables import load
+
+    path = (
+        f"{tempfile.gettempdir()}/spark_graft_stream_{tag}_"
+        f"{int(time.time() * 1e6)}"
+    )
+    load(spark, sf_dir, "documents").repartition(files).write.parquet(
+        path
+    )
+    return path
+
+
+def st24_stream_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING training-mix accounting — the streaming half of
+    pp01's batch pipeline: the document corpus arrives as a
+    multi-file stream, a whitespace-token/length quality gate filters
+    each row at scan speed (pure projection — no state), and an
+    unwindowed (lang, source) roll-up maintains the mix in a
+    PRIMARY-KEY upsert store across micro-batches. Converged store ==
+    the batch gate+roll-up. The token rule is the suite-wide
+    whitespace tokenization (text.ws_token_count / ORACLE_WS_TOKENS);
+    at 100 TB the gate is evaluated on the ingest scan and the only
+    state is |lang|x|source| upsert rows."""
+    path = _docs_as_stream_source(spark, sf_dir, "st24")
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        _DOCS_DDL.format(path=path)
+        + """;
+        CREATE TABLE st24_sink (
+          lang STRING, source STRING, n_docs BIGINT,
+          total_tokens BIGINT,
+          PRIMARY KEY (lang, source) NOT ENFORCED
+        ) WITH ('connector' = 'jdbc');
+        INSERT INTO st24_sink
+        SELECT lang, source, COUNT(*) AS n_docs,
+               SUM(n_tok) AS total_tokens
+        FROM (
+          SELECT lang, source, n_chars,
+                 CAST(size(filter(split(text, '\\\\s+'),
+                                  t -> length(t) > 0)) AS BIGINT)
+                   AS n_tok
+          FROM stream_docs
+        )
+        WHERE n_tok >= 20 AND n_tok <= 90 AND n_chars >= 100
+        GROUP BY lang, source;
+        """,
+    )
+    return (
+        runner.upsert_stores["st24_sink"]
+        .to_df(spark)
+        .select("lang", "source", "n_docs", "total_tokens")
+    )
+
+
+def _oracle_st24() -> str:
+    from flink_streaming_platform_web_spark.operators.text import (
+        ORACLE_WS_TOKENS,
+    )
+
+    return f"""
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM (SELECT lang, source, n_chars, {ORACLE_WS_TOKENS} AS n_tok
+      FROM documents)
+WHERE n_tok >= 20 AND n_tok <= 90 AND n_chars >= 100
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "st21_stream_match_desc": st21_stream_match_desc,
     "st22_stream_match_skip_to_var": st22_stream_match_skip_to_var,
     "st23_stream_match_global": st23_stream_match_global,
     "st01_stream_tumble_window": st01_stream_tumble_window,
+    "st24_stream_quality_mix": st24_stream_quality_mix,
     "st19_stream_match_permute": st19_stream_match_permute,
     "st20_stream_match_within": st20_stream_match_within,
     "st11_stream_window_topn": st11_stream_window_topn,
@@ -1762,6 +1849,7 @@ ORACLES = {
     "st05_stream_hop_window": ORACLE_ST05,
     "st01_stream_tumble_window": ORACLE_ST01,
     "st02_stream_upsert_agg": ORACLE_ST02,
+    "st24_stream_quality_mix": _oracle_st24(),
     "st03_stream_session_window": ORACLE_ST03,
     "st04_stream_session_custom": ORACLE_ST03,
 }
