@@ -68,14 +68,15 @@ _MODULES = (
 #     q15, q24, q26, q27, q28, q29, q30, q31, q36, st09, st10,
 #     dc02, dd01, dd03, dd15.
 # (d) NEW round-11 entries — never driver-checked, outrank green
-#     re-checks: tx16 vocabulary-coverage quality score and st24
-#     streaming quality-gated mix accounting (2 slots).
-# (e) OLDEST r8-dated rows fill the rest (11 slots): pp01, pp02,
-#     pp07, mm02, mm04, mm05, mm06, q09, q13, q22, q23.
-#     Still r8-dated after this round -- front them in r12: q25,
-#     q33, q34, q35, q43, q44, q58, st08, tx01-tx07, tx10, tx13,
-#     tx14, tx15 (19 entries, all pytest-pinned and covered by the
-#     full local parity sweeps recorded in PROGRESS.jsonl).
+#     re-checks: tx16 vocabulary-coverage quality score, st24
+#     streaming quality-gated mix accounting, and mm08 perceptual-
+#     hash image near-dup (3 slots).
+# (e) OLDEST r8-dated rows fill the rest (10 slots): pp01, pp02,
+#     pp07, mm02, mm04, mm05, mm06, q09, q13, q22.
+#     Still r8-dated after this round -- front them in r12: q23,
+#     q25, q33, q34, q35, q43, q44, q58, st08, tx01-tx07, tx10,
+#     tx13, tx14, tx15 (20 entries, all pytest-pinned and covered by
+#     the full local parity sweeps recorded in PROGRESS.jsonl).
 # Exactly 50.
 _CHECK_FIRST = (
     # (a) changed: ann03 kernel, dc01/pp03 probe, dd14, q55 tier P,
@@ -122,6 +123,7 @@ _CHECK_FIRST = (
     # (d) new round-11 entries
     "tx16_vocab_coverage",
     "st24_stream_quality_mix",
+    "mm08_phash_neardup",
     # (e) oldest r8-dated rows
     "pp01_training_mix",
     "pp02_shard_packing",
@@ -133,7 +135,6 @@ _CHECK_FIRST = (
     "q09_scalar_datetime",
     "q13_window_over",
     "q22_tumble_window",
-    "q23_hop_window",
 )
 
 

@@ -644,6 +644,136 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------------
+# mm08 — perceptual-hash image near-dup (round 11): the multimodal ×
+# dedup bridge. Each decoded image reduces to a 60-bit average-hash
+# (aHash) over a 6×10 grayscale grid — bit i set iff cell i's mean
+# brightness exceeds the image mean, compared in exact integer
+# cross-multiplied form (tc·cs > cc·ts) so no division enters the
+# gate — then near-duplicate pairs come out of the SAME pigeonhole
+# banding + exact-Hamming verify the 60-bit SimHash text dedup uses
+# (dedup._banded_hamming_pairs: Hamming ≤ 3 ⇒ ≥ 1 of 4 15-bit bands
+# equal, candidates are band collisions only). At 100 TB: decode +
+# hash is a scan-speed Arrow kernel, signatures are 8-byte rows, and
+# the pair space exists only as band-bucket collisions. The oracle
+# replays the deterministic pixel-synthesis rule (mm05's) in SQL and
+# the identical banding, so the gate proves decode → grid → hash →
+# banding end to end on real bytes.
+# --------------------------------------------------------------------------
+
+PHASH_ROWS, PHASH_COLS = 6, 10  # 60 bits — SimHash60 banding applies
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("simhash", LongType()),
+    ]
+)
+
+
+def phash_signatures(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas decode → 60-bit aHash rows (doc_id, simhash)."""
+    import numpy as np
+
+    from flink_streaming_platform_web_spark.operators.imagecodec import (
+        decode_image,
+    )
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                w, h, _fmt, px = decode_image(bytes(payload))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                gray = arr.sum(axis=2, dtype=np.int64)  # (h, w)
+                rr = (np.arange(h) * PHASH_ROWS) // h
+                cc = (np.arange(w) * PHASH_COLS) // w
+                cell = (rr[:, None] * PHASH_COLS + cc[None, :]).ravel()
+                n_cells = PHASH_ROWS * PHASH_COLS
+                cs = np.bincount(
+                    cell, weights=gray.ravel(), minlength=n_cells
+                ).astype(np.int64)
+                cnt = np.bincount(cell, minlength=n_cells).astype(
+                    np.int64
+                )
+                ts, tc = int(cs.sum()), int(cnt.sum())
+                bits = tc * cs > cnt * ts  # integer cross-multiply
+                sig = int(
+                    np.sum(np.where(bits, 1 << np.arange(n_cells), 0))
+                )
+                ids.append(doc_id)
+                hashes.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+
+    return df.mapInPandas(sigs, PHASH_SCHEMA)
+
+
+def mm08_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_streaming_platform_web_spark.operators.dedup import (
+        SIMHASH60_BANDS,
+        SIMHASH60_BITS,
+        _banded_hamming_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = phash_signatures(with_image_payload(docs))
+    return _banded_hamming_pairs(
+        sigs, SIMHASH60_BANDS, SIMHASH60_BITS // SIMHASH60_BANDS
+    )
+
+
+def _oracle_mm08() -> str:
+    from flink_streaming_platform_web_spark.operators.dedup import (
+        SIMHASH60_BANDS,
+        SIMHASH60_BITS,
+        _oracle_banded_pairs,
+    )
+
+    sig_sql = f"""
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN t.tc * c.cs > c.cc * t.ts
+                  THEN (CAST(1 AS BIGINT) << CAST(c.cell AS INT))
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id, cell, SUM(gray) AS cs, COUNT(*) AS cc
+    FROM (
+      SELECT doc_id,
+             ((q // w) * {PHASH_ROWS} // h) * {PHASH_COLS}
+               + ((q % w) * {PHASH_COLS} // w) AS cell,
+             ord(substr(text, CAST((3 * q) % n AS INT) + 1, 1))
+           + ord(substr(text, CAST((3 * q + 1) % n AS INT) + 1, 1))
+           + ord(substr(text, CAST((3 * q + 2) % n AS INT) + 1, 1))
+               AS gray
+      FROM (
+        SELECT doc_id, text, octet_length(encode(text)) AS n,
+               octet_length(encode(text)) % 64 + 1 AS w,
+               octet_length(encode(text)) % 48 + 1 AS h
+        FROM documents
+      ), unnest(range(0, w * h)) AS u(q)
+    ) GROUP BY doc_id, cell
+  ) c JOIN (
+    SELECT doc_id, SUM(gray) AS ts, COUNT(*) AS tc
+    FROM (
+      SELECT doc_id,
+             ord(substr(text, CAST((3 * q) % n AS INT) + 1, 1))
+           + ord(substr(text, CAST((3 * q + 1) % n AS INT) + 1, 1))
+           + ord(substr(text, CAST((3 * q + 2) % n AS INT) + 1, 1))
+               AS gray
+      FROM (
+        SELECT doc_id, text, octet_length(encode(text)) AS n,
+               octet_length(encode(text)) % 64 + 1 AS w,
+               octet_length(encode(text)) % 48 + 1 AS h
+        FROM documents
+      ), unnest(range(0, w * h)) AS u(q)
+    ) GROUP BY doc_id
+  ) t USING (doc_id)
+  GROUP BY doc_id
+"""
+    return _oracle_banded_pairs(
+        sig_sql, SIMHASH60_BANDS, SIMHASH60_BITS // SIMHASH60_BANDS
+    )
+
+
 QUERIES = {
     "mm01_binary_meta": mm01_binary_meta,
     "mm02_decode_pipeline": mm02_decode_pipeline,
@@ -652,6 +782,7 @@ QUERIES = {
     "mm05_feature_extract": mm05_feature_extract,
     "mm06_audio_frame_energy": mm06_audio_frame_energy,
     "mm07_scene_keyframes": mm07_scene_keyframes,
+    "mm08_phash_neardup": mm08_phash_neardup,
 }
 
 ORACLES = {
@@ -662,4 +793,5 @@ ORACLES = {
     "mm05_feature_extract": ORACLE_MM05,
     "mm06_audio_frame_energy": ORACLE_MM06,
     "mm07_scene_keyframes": ORACLE_MM07,
+    "mm08_phash_neardup": _oracle_mm08(),
 }
