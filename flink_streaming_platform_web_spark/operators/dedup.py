@@ -766,14 +766,25 @@ HAMMING_MAX = 3
 
 
 def _banded_hamming_pairs(
-    sigs: DataFrame, n_bands: int, band_w: int
+    sigs: DataFrame, n_bands: int, band_w: int,
+    bucket_cap: "int | None" = None,
 ) -> DataFrame:
     """Pigeonhole banding + exact Hamming verify over (doc_id,
     simhash) rows — ONE definition serving dd08 (32-bit sigs, 8-bit
-    bands) and dd12 (60-bit sigs, 15-bit bands). Any pair within
-    HAMMING_MAX differing bits must agree exactly on ≥1 band
-    (pigeonhole: HAMMING_MAX < n_bands), so candidates are band-value
-    collisions only; the verify is a per-candidate bit_count."""
+    bands), dd12 (60-bit sigs, 15-bit bands) and mm08 (60-bit image
+    aHash). Any pair within HAMMING_MAX differing bits must agree
+    exactly on ≥1 band (pigeonhole: HAMMING_MAX < n_bands), so
+    candidates are band-value collisions only; the verify is a
+    per-candidate bit_count.
+
+    ``bucket_cap`` (round 11, mm08): band-buckets holding more than
+    this many members are DROPPED from candidate generation — the
+    stop-shingle rule (dd02's MAX_DF) applied to LSH buckets. On
+    hash distributions that cluster (mm08's low-contrast synthetic
+    images), over-full buckets generate quadratic chance candidates;
+    the cap bounds per-bucket work at the documented recall trade
+    (a pair must now collide in some NON-crowded band). dd08/dd12
+    keep the default None — their path is unchanged."""
     mask = (1 << band_w) - 1
     bands = sigs.select(
         "doc_id",
@@ -792,6 +803,14 @@ def _banded_hamming_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bandval")
+    if bucket_cap is not None:
+        ok_buckets = (
+            bands.groupBy("band", "bandval")
+            .count()
+            .filter(F.col("count") <= bucket_cap)
+            .select("band", "bandval")
+        )
+        bands = bands.join(ok_buckets, ["band", "bandval"])
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -818,16 +837,29 @@ def _banded_hamming_pairs(
     )
 
 
-def _oracle_banded_pairs(sig_sql: str, n_bands: int, band_w: int) -> str:
+def _oracle_banded_pairs(
+    sig_sql: str, n_bands: int, band_w: int,
+    bucket_cap: "int | None" = None,
+) -> str:
     """DuckDB twin of :func:`_banded_hamming_pairs`."""
+    cap_filter = (
+        f"""
+bands AS (
+  SELECT * FROM bands0
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bandval) <= {bucket_cap}
+),"""
+        if bucket_cap is not None
+        else ""
+    )
+    bands_name = "bands0" if bucket_cap is not None else "bands"
     return f"""
 WITH sigs AS ({sig_sql}),
-bands AS (
+{bands_name} AS (
   SELECT doc_id, simhash, band,
          (simhash >> ({band_w} * band)) & {(1 << band_w) - 1} AS bandval
   FROM sigs CROSS JOIN
        (SELECT unnest(range({n_bands}))::INT AS band) b
-),
+),{cap_filter}
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sig_a, b.simhash AS sig_b

@@ -663,6 +663,16 @@ FROM d
 
 PHASH_ROWS, PHASH_COLS = 6, 10  # 60 bits — SimHash60 banding applies
 
+#: band-buckets holding more members are dropped from candidate
+#: generation (the stop-shingle rule applied to LSH buckets). aHash
+#: distributions CLUSTER on low-contrast corpora — without the cap
+#: the sf0.1→sf5 ladder measured exponent 1.01 with output pairs
+#: growing quadratically (5268 → 12.9M), all chance collisions in a
+#: few crowded buckets. Bounded buckets ⇒ linear candidates; the
+#: recall trade (a pair must collide in some non-crowded band) is
+#: the standard LSH hygiene every production index applies.
+PHASH_BUCKET_CAP = 64
+
 PHASH_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -718,7 +728,10 @@ def mm08_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sigs = phash_signatures(with_image_payload(docs))
     return _banded_hamming_pairs(
-        sigs, SIMHASH60_BANDS, SIMHASH60_BITS // SIMHASH60_BANDS
+        sigs,
+        SIMHASH60_BANDS,
+        SIMHASH60_BITS // SIMHASH60_BANDS,
+        bucket_cap=PHASH_BUCKET_CAP,
     )
 
 
@@ -770,7 +783,10 @@ def _oracle_mm08() -> str:
   GROUP BY doc_id
 """
     return _oracle_banded_pairs(
-        sig_sql, SIMHASH60_BANDS, SIMHASH60_BITS // SIMHASH60_BANDS
+        sig_sql,
+        SIMHASH60_BANDS,
+        SIMHASH60_BITS // SIMHASH60_BANDS,
+        bucket_cap=PHASH_BUCKET_CAP,
     )
 
 
