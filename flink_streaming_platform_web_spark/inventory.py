@@ -62,7 +62,8 @@ _MODULES = (
 #     - st14, st19, st20, st21, st22, st23: the streaming fold gained
 #       the decided-attempt memo + PREV lookback retention (every
 #       streaming CEP entry rides _stream_fold).
-# (b) NEVER driver-checked: q62 (1 slot).
+# (b) NEVER driver-checked AND changed late this round (tier A-all
+#     takes it zero-Python): q62 (1 slot).
 # (c) ALL remaining r7-dated rows (25 slots; dc01/pp03 already in
 #     (a)): mm01, mm03, pp06, q01, q02, q03, q04, q11, q12, q14,
 #     q15, q24, q26, q27, q28, q29, q30, q31, q36, st09, st10,

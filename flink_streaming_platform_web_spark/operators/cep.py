@@ -2076,6 +2076,155 @@ def _fixed_len_sql(
     ).where(f"`{flag}`").drop(flag)
 
 
+def _fixed_len_all_rows_sql(
+    df: DataFrame, spec: MatchSpec, output_schema: str
+) -> "DataFrame | None":
+    """JVM fast tier A-all (round 11): FIXED-LENGTH single-variable
+    patterns under AFTER MATCH SKIP TO NEXT ROW with ALL ROWS PER
+    MATCH. SKIP TO NEXT ROW keeps matches independent per start row
+    (tier A's argument), and a fixed-length match binds each variable
+    to a STATICALLY KNOWN offset — so the k output rows of a match
+    are k structs of LEAD projections (every input column at offset
+    o, plus each measure evaluated with RUNNING semantics over the
+    static prefix 0..o, FINAL over 0..k−1), assembled with one
+    ``inline(array(...))``. A row belonging to several overlapping
+    matches emits once per match with different RUNNING measures —
+    the documented multiset semantics (Flink docs:
+    queries/match_recognize §Output mode / §RUNNING and FINAL).
+    Alternation elements are rejected: a data-dependent variable
+    assignment would make the prefix measure sets non-static."""
+    if (
+        not spec.all_rows
+        or spec.skip_mode != "to_next"
+        or isinstance(spec.pattern, PatternAST)
+    ):
+        return None
+    win, _part_sql, lead, cols, eq_safe, col_types = _tier_window(
+        df, spec
+    )
+    te = _tier_elements(
+        spec.pattern, spec.raw_define, lead, cols, eq_safe
+    )
+    if te is None:
+        return None
+    elem_info, conds = te
+    k = len(elem_info)
+    if k == 0 or any(e[0] != "single" for e in elem_info):
+        return None
+    var_at = [e[1] for e in elem_info]
+    conds = list(conds)
+    if k > 1:
+        conds.append(f"LEAD(1, {k - 1}) OVER {win} IS NOT NULL")
+    wb = _within_bound(df, spec, lead, k)
+    if wb is None:
+        return None
+    if wb:
+        conds.append(wb)
+    if "__mr_ok__" in cols or "__mr_arr__" in cols:
+        return None
+    order0 = spec.order_by[0]
+
+    def null_of(col: str) -> str:
+        return f"CAST(NULL AS {col_types[col]})"
+
+    def measure_at(raw: str, name: str, o: int) -> "str | None":
+        """RUNNING measure over the static prefix 0..o (FINAL names
+        evaluate at o = k−1 — the caller substitutes)."""
+        t = raw.strip()
+        m = re.fullmatch(
+            r"(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)", t, re.IGNORECASE
+        )
+        bare = re.fullmatch(r"(\w+)\.(\w+)", t)
+        if m or bare:
+            if m:
+                fn, v, col = (
+                    m.group(1).upper(), m.group(2), m.group(3),
+                )
+            else:
+                fn, v, col = "LAST", bare.group(1), bare.group(2)
+            if col not in cols:
+                return None
+            offs = [j for j in range(o + 1) if var_at[j] == v]
+            if not offs:
+                return null_of(col) if v in var_at else None
+            j = offs[0] if fn == "FIRST" else offs[-1]
+            return lead(col, j)
+        if re.fullmatch(r"COUNT\s*\(\s*\*\s*\)", t, re.IGNORECASE):
+            return f"CAST({o + 1} AS BIGINT)"
+        m = re.fullmatch(
+            r"COUNT\s*\(\s*(\w+)\.\*\s*\)", t, re.IGNORECASE
+        )
+        if m:
+            if m.group(1) not in var_at:
+                return None
+            n = sum(
+                1 for j in range(o + 1) if var_at[j] == m.group(1)
+            )
+            return f"CAST({n} AS BIGINT)"
+        m = re.fullmatch(
+            r"(SUM|MIN|MAX|AVG)\s*\(\s*(\w+)\.(\w+)\s*\)",
+            t,
+            re.IGNORECASE,
+        )
+        if m:
+            fn, v, col = m.group(1).upper(), m.group(2), m.group(3)
+            # single-occurrence variables only: a multi-row RUNNING
+            # aggregate would need NULL-skipping n-ary arithmetic
+            if col not in cols or var_at.count(v) != 1:
+                return None
+            offs = [j for j in range(o + 1) if var_at[j] == v]
+            ct = col_types.get(col)
+            if fn in ("SUM", "AVG") and ct not in (
+                "int", "smallint", "tinyint", "bigint", "double",
+                "float",
+            ):
+                return None
+            out_t = {
+                "SUM": "bigint"
+                if ct in ("int", "smallint", "tinyint")
+                else ct,
+                "AVG": "double",
+            }.get(fn, ct)
+            if not offs:
+                return f"CAST(NULL AS {out_t})"
+            val = lead(col, offs[0])
+            if fn == "SUM" and ct in ("int", "smallint", "tinyint"):
+                return f"CAST({val} AS BIGINT)"
+            if fn == "AVG":
+                return f"CAST({val} AS DOUBLE)"
+            return val
+        if re.fullmatch(r"CLASSIFIER\s*\(\s*\)", t, re.IGNORECASE):
+            return f"'{var_at[o]}'"
+        if re.fullmatch(
+            r"MATCH_ROWTIME\s*\(\s*\)", t, re.IGNORECASE
+        ):
+            return lead(order0, o)
+        return None
+
+    in_cols = list(df.columns)
+    structs: list[str] = []
+    for o in range(k):
+        fields: list[str] = []
+        for c in in_cols:
+            fields.append(f"'{c}', {lead(c, o)}")
+        for raw_m, name in spec.raw_measures:
+            eo = k - 1 if name in spec.final_measures else o
+            e = measure_at(raw_m, name, eo)
+            if e is None:
+                return None
+            fields.append(f"'{name}', {e}")
+        structs.append(f"named_struct({', '.join(fields)})")
+    cond = " AND ".join(conds) if conds else "TRUE"
+    return (
+        df.selectExpr(
+            f"({cond}) AS `__mr_ok__`",
+            f"array({', '.join(structs)}) AS `__mr_arr__`",
+        )
+        .where("`__mr_ok__`")
+        .selectExpr("inline(`__mr_arr__`)")
+    )
+
+
 class _Unbounded(Exception):
     """Pattern admits unboundedly many fixed-length expansions."""
 
@@ -3075,8 +3224,8 @@ def match_recognize(
         )
         return out.drop(gk)
     for tier in (
-        _fixed_len_sql, _multi_len_sql, _permute_bands_sql,
-        _fixed_len_past_sql, _trailing_plus_sql,
+        _fixed_len_sql, _fixed_len_all_rows_sql, _multi_len_sql,
+        _permute_bands_sql, _fixed_len_past_sql, _trailing_plus_sql,
     ):
         fast = tier(df, spec, output_schema)
         if fast is not None and _tier_schema_ok(fast, output_schema):

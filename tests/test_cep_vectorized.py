@@ -659,6 +659,7 @@ def test_fixed_len_tier_within_equals_nfa(spark):
 def _force_nfa(mp):
     """Disable every JVM tier so match_recognize runs the chunked NFA."""
     mp.setattr(cep, "_fixed_len_sql", lambda *a: None)
+    mp.setattr(cep, "_fixed_len_all_rows_sql", lambda *a: None)
     mp.setattr(cep, "_multi_len_sql", lambda *a: None)
     mp.setattr(cep, "_permute_bands_sql", lambda *a: None)
     mp.setattr(cep, "_fixed_len_past_sql", lambda *a: None)
@@ -1219,3 +1220,86 @@ def test_wide_permute_band_disjoint_works_nfa_rejects(spark):
         stream_match_recognize(
             df, spec, infer_output_schema(spec, df)
         )
+
+
+def test_tier_a_all_rows_equals_nfa(spark):
+    """Round-11 tier A-all (_fixed_len_all_rows_sql): fixed-length
+    single-variable patterns under SKIP TO NEXT ROW + ALL ROWS PER
+    MATCH vs the NFA over random data with NULLs — RUNNING measures
+    over the static prefix, FINAL at the last offset, overlapping
+    matches emitting shared rows once per match."""
+    rng = random.Random(7333)
+    clauses = [
+        # q62's verbatim shape: PREV define + RUNNING COUNT + FIRST
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES COUNT(*) AS n_sofar, FIRST(A.v) AS av"
+        " ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B)"
+        " DEFINE A AS A.v < 40, B AS B.v > PREV(B.v)",
+        # width 3, FINAL next to RUNNING, CLASSIFIER, MATCH_ROWTIME,
+        # single-occurrence aggregates
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES COUNT(*) AS n, FINAL COUNT(*) AS nf,"
+        " LAST(B.v) AS lb, FINAL LAST(C.v) AS fc,"
+        " SUM(A.v) AS sa, CLASSIFIER() AS cls,"
+        " MATCH_ROWTIME() AS mr"
+        " ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B C)"
+        " DEFINE A AS A.v < 30, B AS B.v >= 30 AND B.v < 70,"
+        " C AS C.v >= 70",
+        # repeated variable: FIRST/LAST/COUNT(V.*) over two offsets
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(A.v) AS fa, LAST(A.v) AS la,"
+        " COUNT(A.*) AS na"
+        " ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B A)"
+        " DEFINE A AS A.v < 50, B AS B.v >= 50",
+    ]
+    for clause in clauses:
+        _tier_vs_nfa(
+            spark, clause, _rand_rows(rng, n=300),
+            cep._fixed_len_all_rows_sql,
+        )
+
+
+def test_tier_a_all_rows_rejects_ineligible(spark):
+    """Negative controls for tier A-all: alternation elements (data-
+    dependent prefix sets), quantifiers, non-to_next skip, and
+    multi-occurrence aggregates stay on the NFA."""
+    import pandas as pd
+
+    from flink_streaming_platform_web_spark.operators.cep import (
+        infer_output_schema,
+        parse_match_recognize,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [{"k": 1, "ts": float(i), "v": float(i)} for i in range(8)]
+        )
+    )
+    bad = [
+        # alternation element
+        "PARTITION BY k ORDER BY ts MEASURES COUNT(*) AS n"
+        " ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A (B | C))"
+        " DEFINE A AS A.v < 50, B AS B.v >= 50, C AS C.v >= 70",
+        # quantifier
+        "PARTITION BY k ORDER BY ts MEASURES COUNT(*) AS n"
+        " ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B+) DEFINE B AS B.v > PREV(B.v)",
+        # consumption-coupled skip
+        "PARTITION BY k ORDER BY ts MEASURES COUNT(*) AS n"
+        " ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B) DEFINE A AS A.v < 50",
+        # SUM over a multi-occurrence variable
+        "PARTITION BY k ORDER BY ts MEASURES SUM(A.v) AS sa"
+        " ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A A) DEFINE A AS A.v < 50",
+    ]
+    for clause in bad:
+        spec = parse_match_recognize(clause)
+        schema = infer_output_schema(spec, df)
+        assert (
+            cep._fixed_len_all_rows_sql(df, spec, schema) is None
+        ), clause
