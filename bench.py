@@ -144,7 +144,13 @@ def main() -> None:
             if sql is None:
                 continue
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            try:
+                con.execute(sql).fetchall()
+            except Exception as e:  # one broken oracle must not cost
+                # the whole bench artifact; the pair just shrinks by
+                # that entry (n_paired records the actual overlap)
+                print(f"# oracle {name} failed: {e}", file=sys.stderr)
+                continue
             duck_timings[name] = round(time.perf_counter() - t0, 4)
         con.close()
         n_paired = len(duck_timings)
