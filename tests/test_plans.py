@@ -678,3 +678,20 @@ def test_tx16_bounded_vocab_broadcast_only(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "TakeOrderedAndProject" in plan  # bounded top-K, no sort-all
+
+
+def test_q62_all_rows_tier_shape(spark, sf_dir):
+    """q62 (ALL ROWS × SKIP TO NEXT ROW) routes through the round-11
+    tier A-all: zero Python, one keyed exchange, and the k output
+    rows per match come from a single inline() generate — no window
+    re-scan and no NFA."""
+    from flink_streaming_platform_web_spark.operators.cep import (
+        q62_match_all_rows_overlap,
+    )
+
+    plan = _physical(q62_match_all_rows_overlap(spark, sf_dir))
+    assert "MapInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Generate inline" in plan
+    assert plan.count("Exchange") == 1, plan
