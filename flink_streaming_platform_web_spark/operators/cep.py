@@ -500,10 +500,14 @@ def _reject_wide_permute(spec: "MatchSpec") -> None:
         raise ValueError(
             f"MATCH_RECOGNIZE: PERMUTE of {w} elements searches"
             f" {w}! orderings on the NFA engine; the supported NFA"
-            f" width is {_PERMUTE_MAX}. Width is unlimited when"
-            " every PERMUTE variable is a pairwise-disjoint numeric"
-            " band on one column under AFTER MATCH SKIP TO NEXT ROW"
-            " (compiled to window SQL)."
+            f" width is {_PERMUTE_MAX}. Width MAY be unlimited via"
+            " the window-SQL tier when the query fits its whole"
+            " subset: every PERMUTE variable a pairwise-disjoint"
+            " numeric band on one shared column, AFTER MATCH SKIP TO"
+            " NEXT ROW, ONE ROW PER MATCH, a supported WITHIN dtype,"
+            " and only tier-expressible measures (FIRST/LAST/bare"
+            " column, CLASSIFIER, MATCH_ROWTIME, COUNT,"
+            " SUM/MIN/MAX/AVG of one variable's column)."
         )
 
 
@@ -1787,7 +1791,18 @@ def _tier_window(df, spec):
     """(win, lead, cols, eq_safe, col_types) shared by every tier.
     ORDER BY renders NULLS LAST to mirror the pandas matcher's
     NaT/NaN-last placement (ADVICE r9 finding 5); negative lead
-    offsets render as LAG (PREV reaching before the match start)."""
+    offsets render as LAG (PREV reaching before the match start).
+
+    ``lead`` MEMOIZES: each distinct (column, offset) navigation gets
+    one generated alias and the call returns a reference to it; the
+    tier materializes the definitions once via :func:`_lead_prelude`
+    right before final assembly. Catalyst's ExtractWindowExpressions
+    does NOT common-subexpression duplicate window expressions (q52's
+    round-11 plan carried lead(ts) and lead(value) twice each), and
+    tier P referenced each class column k times per measure — the
+    memo makes every navigation ONE window column regardless of how
+    many conds/measures cite it (round 12). ``lead(None, off)``
+    renders the constant-1 partition-boundary probe."""
     cols = set(df.columns)
     eq_safe = {
         f.name
@@ -1804,15 +1819,43 @@ def _tier_window(df, spec):
     )
     part_sql = ", ".join(f"`{c}`" for c in spec.partition_by)
     win = f"(PARTITION BY {part_sql} ORDER BY {order_sql})"
+    memo: dict[tuple, str] = {}  # (col|None, off) -> alias
+    exprs: dict[str, str] = {}  # alias -> defining window expr
 
-    def lead(col: str, off: int) -> str:
-        if off == 0:
+    def lead(col: "str | None", off: int) -> str:
+        if off == 0 and col is not None:
             return f"`{col}`"
-        if off > 0:
-            return f"LEAD(`{col}`, {off}) OVER {win}"
-        return f"LAG(`{col}`, {-off}) OVER {win}"
+        a = memo.get((col, off))
+        if a is None:
+            a = f"__mr_w{len(memo)}__"
+            memo[(col, off)] = a
+            tgt = "1" if col is None else f"`{col}`"
+            exprs[a] = (
+                f"LEAD({tgt}, {off}) OVER {win}"
+                if off >= 0
+                else f"LAG({tgt}, {-off}) OVER {win}"
+            )
+        return f"`{a}`"
 
+    lead.exprs = exprs
     return win, part_sql, lead, cols, eq_safe, col_types
+
+
+def _lead_prelude(df, lead, cols) -> "DataFrame | None":
+    """Materialize the memoized navigations of :func:`_tier_window`'s
+    ``lead`` as ONE projection (one Window operator — every alias
+    shares the win spec); conds/measures built from the alias
+    references evaluate as plain column reads above it. None on an
+    (input column named ``__mr_wN__``) alias collision — the caller
+    falls back to the NFA path."""
+    exprs = lead.exprs
+    if not exprs:
+        return df
+    if any(a in cols for a in exprs):
+        return None
+    return df.selectExpr(
+        "*", *(f"{e} AS `{a}`" for a, e in exprs.items())
+    )
 
 
 def _tier_elements(pattern, raw_define, lead, cols, eq_safe):
@@ -2051,7 +2094,7 @@ def _fixed_len_sql(
         # the partition end" from "ORDER BY value is NULL" — rows
         # with NULL order keys sort last but still exist and must
         # stay matchable (ADVICE r9 finding 3)
-        conds.append(f"LEAD(1, {k - 1}) OVER {win} IS NOT NULL")
+        conds.append(f"{lead(None, k - 1)} IS NOT NULL")
     wb = _within_bound(df, spec, lead, k)
     if wb is None:
         return None
@@ -2071,7 +2114,10 @@ def _fixed_len_sql(
     flag = "__match_9f3a__"  # fixed + unlikely; input collision guarded
     if flag in cols:
         return None
-    return df.selectExpr(
+    base = _lead_prelude(df, lead, cols)
+    if base is None:
+        return None
+    return base.selectExpr(
         *sels, f"({pred}) AS `{flag}`"
     ).where(f"`{flag}`").drop(flag)
 
@@ -2114,7 +2160,7 @@ def _fixed_len_all_rows_sql(
     var_at = [e[1] for e in elem_info]
     conds = list(conds)
     if k > 1:
-        conds.append(f"LEAD(1, {k - 1}) OVER {win} IS NOT NULL")
+        conds.append(f"{lead(None, k - 1)} IS NOT NULL")
     wb = _within_bound(df, spec, lead, k)
     if wb is None:
         return None
@@ -2215,8 +2261,11 @@ def _fixed_len_all_rows_sql(
             fields.append(f"'{name}', {e}")
         structs.append(f"named_struct({', '.join(fields)})")
     cond = " AND ".join(conds) if conds else "TRUE"
+    base = _lead_prelude(df, lead, cols)
+    if base is None:
+        return None
     return (
-        df.selectExpr(
+        base.selectExpr(
             f"({cond}) AS `__mr_ok__`",
             f"array({', '.join(structs)}) AS `__mr_arr__`",
         )
@@ -2406,7 +2455,7 @@ def _multi_len_sql(
         k = len(elem_info)
         conds = list(conds)
         if k > 1:
-            conds.append(f"LEAD(1, {k - 1}) OVER {win} IS NOT NULL")
+            conds.append(f"{lead(None, k - 1)} IS NOT NULL")
         wb = _within_bound(df, spec, lead, k)
         if wb is None:
             return None
@@ -2441,14 +2490,18 @@ def _multi_len_sql(
     if flag in cols:
         return None
     any_cond = "(" + " OR ".join(f"({c})" for _, _, c in per) + ")"
-    return df.selectExpr(
+    base = _lead_prelude(df, lead, cols)
+    if base is None:
+        return None
+    return base.selectExpr(
         *sels, f"{any_cond} AS `{flag}`"
     ).where(f"`{flag}`").drop(flag)
 
 
 #: auxiliary column names used by tiers B/C; input collision → NFA
 _TIER_AUX = ("__mr_rn__", "__mr_grp__", "__mr_pos__", "__mr_ok__",
-             "__mr_head__", "__mr_n__", "__mr_exp__", "__mr_cls__")
+             "__mr_head__", "__mr_n__", "__mr_exp__", "__mr_cls__",
+             "__mr_prev__")
 
 
 _BAND_TERM = re.compile(
@@ -2494,13 +2547,20 @@ def _disjoint_bands(raw_define, vars_, col_types):
                 col = c
             elif c != col:
                 return None
+            # one consistent tightness key per side (ADVICE r11):
+            # upper bounds order by (value, inclusive) — smaller is
+            # tighter, exclusive beats inclusive at equal value;
+            # lower bounds order by (value, EXCLUSIVE) — larger is
+            # tighter, so 'x >= 5 AND x > 5' keeps the exclusive
+            # bound (the old encoding compared candidates and the
+            # incumbent under different keys and kept the looser one)
             if op == "<" and (lit, False) < (hi, hi_in):
                 hi, hi_in = lit, False
             elif op == "<=" and (lit, True) < (hi, hi_in):
                 hi, hi_in = lit, True
-            elif op == ">" and (lit, False) > (lo, not lo_in):
+            elif op == ">" and (lit, True) > (lo, not lo_in):
                 lo, lo_in = lit, False
-            elif op == ">=" and (lit, True) > (lo, not lo_in):
+            elif op == ">=" and (lit, False) > (lo, not lo_in):
                 lo, lo_in = lit, True
         ivals.append((v, (lo, lo_in, hi, hi_in)))
     if col is None:
@@ -2509,9 +2569,13 @@ def _disjoint_bands(raw_define, vars_, col_types):
         for j in range(i + 1, len(ivals)):
             la, lai, ha, hai = ivals[i][1]
             lb, lbi, hb, hbi = ivals[j][1]
-            lo, lo_in = max((la, lai), (lb, lbi))
+            # intersection under the same keys: lower side compares
+            # (value, exclusive) so the EXCLUSIVE bound wins a value
+            # tie (the old inclusive-wins tie-break only made the
+            # proof more conservative, but encode it consistently)
+            lo, lo_ex = max((la, not lai), (lb, not lbi))
             hi, hi_in = min((ha, hai), (hb, hbi))
-            if lo < hi or (lo == hi and lo_in and hi_in):
+            if lo < hi or (lo == hi and not lo_ex and hi_in):
                 return None  # overlapping bands → NFA path
     return col, ivals
 
@@ -2617,7 +2681,10 @@ def _permute_bands_sql(
             return None
         sels.append(f"{e} AS `{name}`")
     flag = "__mr_ok__"
-    out = base.selectExpr(
+    base2 = _lead_prelude(base, lead2, set(base.columns))
+    if base2 is None:
+        return None
+    out = base2.selectExpr(
         *sels, f"({' AND '.join(conds)}) AS `{flag}`"
     ).where(f"`{flag}`").drop(flag)
     return out
@@ -2813,7 +2880,7 @@ def _fixed_len_past_sql(
             return None
     conds = list(conds)
     if k > 1:
-        conds.append(f"LEAD(1, {k - 1}) OVER {win} IS NOT NULL")
+        conds.append(f"{lead(None, k - 1)} IS NOT NULL")
     wb = _within_bound(df, spec, lead, k)
     if wb is None:
         return None
@@ -2839,29 +2906,47 @@ def _fixed_len_past_sql(
         f"`{n}`" for n in names
     ]
     pred = " AND ".join(conds)
-    s1 = df.selectExpr(
+    # __mr_rn__ joins the prelude so the plan keeps ONE Window op
+    lead.exprs["__mr_rn__"] = f"ROW_NUMBER() OVER {win}"
+    base = _lead_prelude(df, lead, cols)
+    if base is None:
+        return None
+    s1 = base.selectExpr(
         *sels,
         f"({pred}) AS `__mr_ok__`",
-        f"ROW_NUMBER() OVER {win} AS `__mr_rn__`",
+        "`__mr_rn__`",
     ).where("`__mr_ok__`")
     if stride == 1:
         # the scan re-arms on the very next row: every
         # predicate-true row emits (k == 1, or SKIP TO a var at
         # offset 1 — the boundary guard for k > 1 is in the pred)
         return s1.selectExpr(*out_cols)
+    # islands + parity via head-detection + running max: a candidate
+    # row heads its island iff the previous candidate (full-ordering
+    # rn) is not rn-1; position-within-island is rn - head_rn. The
+    # classic (grp = rn - seq, pos = ROW_NUMBER over (part, grp))
+    # formulation is equivalent but its second window re-sorts by
+    # (part, grp, rn) — an ordering the data already HAS (grp is
+    # non-decreasing in rn within a partition) yet Catalyst cannot
+    # prove. Both windows below share the (part, rn) sort, so the
+    # post-filter cost is ONE sort of the candidate set + two chained
+    # Window ops with no Exchange (round 12: q52 was the only CEP
+    # entry >2x the oracle at sf5; the avoidable sort was the gap).
+    over = f"(PARTITION BY {part_sql} ORDER BY `__mr_rn__`)"
     s2 = s1.selectExpr(
-        "*",
-        f"`__mr_rn__` - ROW_NUMBER() OVER (PARTITION BY {part_sql}"
-        f" ORDER BY `__mr_rn__`) AS `__mr_grp__`",
+        "*", f"LAG(`__mr_rn__`) OVER {over} AS `__mr_prev__`"
     )
     s3 = s2.selectExpr(
         "*",
-        f"ROW_NUMBER() OVER (PARTITION BY {part_sql}, `__mr_grp__`"
-        f" ORDER BY `__mr_rn__`) AS `__mr_pos__`",
+        "MAX(CASE WHEN `__mr_prev__` IS NULL OR"
+        " `__mr_prev__` <> `__mr_rn__` - 1 THEN `__mr_rn__` END)"
+        f" OVER (PARTITION BY {part_sql} ORDER BY `__mr_rn__`"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS `__mr_head__`",
     )
-    return s3.where(f"(`__mr_pos__` - 1) % {stride} = 0").selectExpr(
-        *out_cols
-    )
+    return s3.where(
+        f"(`__mr_rn__` - `__mr_head__`) % {stride} = 0"
+    ).selectExpr(*out_cols)
 
 
 def _trailing_agg_measure(
@@ -3122,9 +3207,13 @@ def _trailing_plus_sql(
         return None
     from pyspark.sql import functions as F
 
-    s1 = df.selectExpr(
-        "*", f"ROW_NUMBER() OVER {win} AS `__mr_rn__`"
-    )
+    # rn joins the prelude's Window op; a PREV-navigating define
+    # (q45's rising streak) becomes a plain prelude column instead of
+    # a LAG nested inside s2's running MAX
+    lead.exprs["__mr_rn__"] = f"ROW_NUMBER() OVER {win}"
+    s1 = _lead_prelude(df, lead, cols)
+    if s1 is None:
+        return None
     # running island head: the latest row whose define is NOT true
     # (CASE falls through on both FALSE and NULL — LAG at the
     # partition head, NULL operands — exactly the scalar evaluator's

@@ -68,17 +68,21 @@ def dc01_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         arrs = _shingle_arrs_cached(spark, sf_dir)
         is_eval = F.col("doc_id") % 20 == 7
-        # one single-stage job: the eval docs' shingle ARRAYS come back
-        # whole (bounded by the eval-set contract above) and the union
-        # is one np.unique — an exploded distinct would add an exchange
-        # stage to save driver bytes the contract already bounds
-        ev_rows = arrs.filter(is_eval).select("arr").collect()
-        ev = (
-            np.unique(np.concatenate([r[0] for r in ev_rows]))
-            .astype(np.int64)
-            if ev_rows
-            else np.array([], dtype=np.int64)
+        # reduce DISTRIBUTIVELY first, collect only the deduped union
+        # (ADVICE r11): collecting whole eval arrays made driver bytes
+        # scale with the eval slice INCLUDING cross-doc duplicate
+        # shingles; explode+distinct dedups executor-side so the
+        # driver holds exactly the union the probe broadcasts anyway.
+        # The extra exchange belongs to this build-side job only — the
+        # returned probe plan stays zero-join / zero-hash-exchange
+        # (plan-gated in test_plans.py)
+        ev_pdf = (
+            arrs.filter(is_eval)
+            .select(F.explode("arr").alias("s"))
+            .distinct()
+            .toPandas()
         )
+        ev = np.sort(ev_pdf["s"].to_numpy(np.int64))
         bc = spark.sparkContext.broadcast(ev)
 
         def probe(batches):

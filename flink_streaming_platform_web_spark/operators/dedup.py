@@ -51,28 +51,24 @@ JACCARD_THRESHOLD = 0.5
 MAX_DF = 64
 
 
-def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → exploded DISTINCT word n-gram shingles with the doc's
-    TRUE shingle-set size attached, all computed array-side per row —
-    no shuffle. Shingles are carried as 60-bit portable hashes so the
+def _shingle_arrs(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → DISTINCT word n-gram shingle ARRAY, computed
+    array-side per row — no shuffle. THE single definition of the
+    shingle-set expression (ADVICE r11: `_shingles` and the doc-array
+    product duplicated it verbatim, and the two copies plus
+    `_ORACLE_SHINGLES` had to stay bit-identical by hand); `_shingles`
+    is its explode. Shingles are carried as 60-bit portable hashes so
     downstream joins shuffle 8-byte keys, not multi-word strings (the
     dominant cost at scale). Hash collisions are deterministic and
     mirrored by the oracle, so parity is unaffected. Declarative
     throughout — split/sequence/transform stay in codegen, no Python
     row path.
 
-    Two plan traps are deliberately dodged here (both observed as ~10×
-    slowdowns at sf0.1):
-
-    - the repartition after split() spreads the one-file input across
-      all cores AND acts as a materialization barrier, so the shingle
-      lambda doesn't get `split(text)` re-inlined per element access;
-    - `explode_outer` instead of `explode`: InferFiltersFromGenerate
-      adds `size(arr) > 0` for plain explode, and pushdown substitutes
-      the ENTIRE shingle expression into that filter below the
-      exchange — recomputing it single-threaded at the scan.
-      explode_outer infers nothing; the post-explode null filter is
-      equivalent (shingle hashes are never null)."""
+    One plan trap is dodged here (observed as a ~10× slowdown at
+    sf0.1): the repartition after split() spreads the one-file input
+    across all cores AND acts as a materialization barrier, so the
+    shingle lambda doesn't get `split(text)` re-inlined per element
+    access."""
     par = df.sparkSession.sparkContext.defaultParallelism
     words = df.select(
         "doc_id", F.split(F.col("text"), r"\s+").alias("w")
@@ -85,7 +81,7 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
         F.size("w") >= n,
         F.sequence(F.lit(0), F.size("w") - n),
     ).otherwise(F.array().cast("array<int>"))
-    arrs = words.select(
+    return words.select(
         "doc_id",
         F.array_distinct(
             F.transform(
@@ -102,7 +98,20 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
             )
         ).alias("arr"),
     )
-    return arrs.select(
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → exploded DISTINCT shingles (from :func:`_shingle_arrs`)
+    with the doc's TRUE shingle-set size attached.
+
+    Second plan trap dodged here (also a ~10× slowdown at sf0.1):
+    `explode_outer` instead of `explode` — InferFiltersFromGenerate
+    adds `size(arr) > 0` for plain explode, and pushdown substitutes
+    the ENTIRE shingle expression into that filter below the
+    exchange — recomputing it single-threaded at the scan.
+    explode_outer infers nothing; the post-explode null filter is
+    equivalent (shingle hashes are never null)."""
+    return _shingle_arrs(df, n).select(
         "doc_id",
         F.size("arr").alias("n_sh"),
         F.explode_outer("arr").alias("shingle"),
@@ -128,38 +137,12 @@ def _shingle_arrs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets without ever needing shingle ROWS (dc01's membership count).
     One row per document, so the persist is corpus-cardinality, not
     shingle-cardinality."""
-    n = 3
-
-    def build() -> DataFrame:
-        df = load(spark, sf_dir, "documents")
-        par = spark.sparkContext.defaultParallelism
-        words = df.select(
-            "doc_id", F.split(F.col("text"), r"\s+").alias("w")
-        ).repartition(par)
-        idxs = F.when(
-            F.size("w") >= n,
-            F.sequence(F.lit(0), F.size("w") - n),
-        ).otherwise(F.array().cast("array<int>"))
-        return words.select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    F.filter(
-                        F.transform(
-                            idxs,
-                            lambda i: F.concat_ws(
-                                " ",
-                                *[F.col("w")[i + j] for j in range(n)],
-                            ),
-                        ),
-                        lambda s: F.length(s) > 0,
-                    ),
-                    lambda s: portable_hash(s),
-                )
-            ).alias("arr"),
-        )
-
-    return memo_df(spark, sf_dir, "shingle_arrs", build)
+    return memo_df(
+        spark,
+        sf_dir,
+        "shingle_arrs",
+        lambda: _shingle_arrs(load(spark, sf_dir, "documents")),
+    )
 
 
 _ORACLE_SHINGLES = rf"""
@@ -1409,15 +1392,24 @@ def dd14_exact_substr_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # satisfied by HashPartitioning(win) (subset rule) — the r10 plan
     # paid a second full-width exchange for agg1 and a third for
     # per_win (round 11, VERDICT item 4).
+    # two CHAINED aggregates instead of count + countDistinct in one:
+    # the distinct aggregate planned an Expand (2 rows per occurrence
+    # feeding the aggregate — the r11 verdict's "fold the
+    # distinct-expand into the first exchange's partial aggregate",
+    # round 12). Both groupBys ride HashPartitioning(win) (subset
+    # rule), so the exchange count stays at ONE; nd = the number of
+    # (win, source, doc_id) groups = COUNT(DISTINCT doc_id) exactly.
     agg1 = memo_df(
         spark,
         sf_dir,
         "dd14_agg1",
         lambda: wins.repartition(par, "win")
+        .groupBy("win", "source", "doc_id")
+        .agg(F.count("*").alias("c"))
         .groupBy("win", "source")
         .agg(
-            F.count("*").alias("occ"),
-            F.countDistinct("doc_id").alias("nd"),
+            F.sum("c").alias("occ"),
+            F.count("*").alias("nd"),
         ),
     )
     # per_win rides agg1's persisted win-partitioning (no exchange);

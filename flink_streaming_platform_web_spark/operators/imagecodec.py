@@ -28,6 +28,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -51,24 +53,22 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
             f"need {width * height * 3} RGB bytes, got {len(rgb)}"
         )
     row_size = _bmp_row_size(width)
-    pad = b"\x00" * (row_size - width * 3)
-    # BMP stores rows bottom-up and pixels as BGR; the channel swap is
-    # three strided slice copies, not a per-pixel Python loop
-    body = bytearray()
-    for y in range(height - 1, -1, -1):
-        row = rgb[y * width * 3 : (y + 1) * width * 3]
-        bgr = bytearray(row)
-        bgr[0::3] = row[2::3]
-        bgr[2::3] = row[0::3]
-        body += bgr
-        body += pad
+    # BMP stores rows bottom-up and pixels as BGR; one numpy reshape +
+    # two reversed views + one padded copy — zero per-row Python
+    # (round 12: the row loop was the constant in every mm* entry)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    padded = np.zeros((height, row_size), dtype=np.uint8)
+    padded[:, : width * 3] = arr[::-1, :, ::-1].reshape(
+        height, width * 3
+    )
+    body = padded.tobytes()
     size = 54 + len(body)
     header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
     info = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
         2835, 2835, 0, 0,
     )
-    return header + info + bytes(body)
+    return header + info + body
 
 
 def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
@@ -86,19 +86,25 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
         )
     bottom_up = height > 0
     height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad BMP geometry {width}x{height}")
     row_size = _bmp_row_size(width)
-    out = bytearray()
-    for y in range(height):
-        src_y = (height - 1 - y) if bottom_up else y
-        base = offset + src_y * row_size
-        if base + width * 3 > len(data):
-            raise ValueError("truncated BMP pixel data")
-        bgr = data[base : base + width * 3]
-        rgb = bytearray(bgr)
-        rgb[0::3] = bgr[2::3]
-        rgb[2::3] = bgr[0::3]
-        out += rgb
-    return width, height, bytes(out)
+    # the LAST row's trailing pad bytes may legally be absent; every
+    # pixel byte itself must be present
+    if offset + (height - 1) * row_size + width * 3 > len(data):
+        raise ValueError("truncated BMP pixel data")
+    buf = np.frombuffer(data, dtype=np.uint8, offset=offset)
+    if buf.size < height * row_size:
+        buf = np.concatenate(
+            [buf, np.zeros(height * row_size - buf.size, np.uint8)]
+        )
+    rows = buf[: height * row_size].reshape(height, row_size)[
+        :, : width * 3
+    ]
+    if bottom_up:
+        rows = rows[::-1]
+    rgb = rows.reshape(height, width, 3)[:, :, ::-1]
+    return width, height, rgb.tobytes()
 
 
 # --------------------------------------------------------------------------
@@ -123,27 +129,43 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _filter_row(
-    ftype: int, row: bytes, prev: bytes, bpp: int
-) -> bytes:
+def _filter_all_rows(
+    ftype: int, mat: "np.ndarray", bpp: int
+) -> "np.ndarray":
+    """Filter EVERY scanline at once: a PNG filter reads only
+    ORIGINAL pixel values (own row + the row above), so encoding is
+    row-parallel for all five types — pure numpy, no per-byte Python
+    (round 12). uint8 subtraction wraps, matching (x - pred) & 0xFF;
+    Average's (a+b)//2 needs uint16, Paeth's p = a+b-c needs int16."""
     if ftype == 0:
-        return row
-    out = bytearray(len(row))
-    for i, x in enumerate(row):
-        a = row[i - bpp] if i >= bpp else 0
-        b = prev[i]
-        c = prev[i - bpp] if i >= bpp else 0
-        if ftype == 1:
-            out[i] = (x - a) & 0xFF
-        elif ftype == 2:
-            out[i] = (x - b) & 0xFF
-        elif ftype == 3:
-            out[i] = (x - (a + b) // 2) & 0xFF
-        elif ftype == 4:
-            out[i] = (x - _paeth(a, b, c)) & 0xFF
-        else:
-            raise ValueError(f"bad filter type {ftype}")
-    return bytes(out)
+        return mat
+    prev = np.zeros_like(mat)
+    prev[1:] = mat[:-1]
+    a = np.zeros_like(mat)
+    a[:, bpp:] = mat[:, :-bpp]
+    if ftype == 1:
+        return mat - a
+    if ftype == 2:
+        return mat - prev
+    if ftype == 3:
+        return mat - (
+            (a.astype(np.uint16) + prev) // 2
+        ).astype(np.uint8)
+    if ftype == 4:
+        c = np.zeros_like(prev)
+        c[:, bpp:] = prev[:, :-bpp]
+        a16 = a.astype(np.int16)
+        b16 = prev.astype(np.int16)
+        c16 = c.astype(np.int16)
+        p = a16 + b16 - c16
+        pa = np.abs(p - a16)
+        pb = np.abs(p - b16)
+        pc = np.abs(p - c16)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c)
+        )
+        return mat - pred
+    raise ValueError(f"bad filter type {ftype}")
 
 
 def _unfilter_row(
@@ -186,15 +208,12 @@ def encode_png(
             f"need {width * height * 3} RGB bytes, got {len(rgb)}"
         )
     stride = width * 3
-    prev = bytes(stride)
-    raw = bytearray()
-    for y in range(height):
-        row = rgb[y * stride : (y + 1) * stride]
-        raw.append(filter_type)
-        raw += _filter_row(filter_type, row, prev, 3)
-        prev = row
+    mat = np.frombuffer(rgb, dtype=np.uint8).reshape(height, stride)
+    raw = np.empty((height, 1 + stride), dtype=np.uint8)
+    raw[:, 0] = filter_type
+    raw[:, 1:] = _filter_all_rows(filter_type, mat, 3)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    idat = zlib.compress(bytes(raw), compress_level)
+    idat = zlib.compress(raw.tobytes(), compress_level)
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -242,15 +261,43 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     stride = width * 3
     if len(raw) != height * (1 + stride):
         raise ValueError("PNG pixel data length mismatch")
-    out = bytearray()
-    prev = bytes(stride)
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(
+        height, 1 + stride
+    )
+    ftypes = mat[:, 0]
+    rows = mat[:, 1:]
+    if ftypes.size and int(ftypes.max()) > 4:
+        raise ValueError(
+            f"unsupported PNG filter type {int(ftypes.max())}"
+        )
+    if not ftypes.any():
+        # filter 0 throughout (our own encoder's default and the mm*
+        # corpus path): the pixel matrix IS the payload — zero loops
+        return width, height, rows.tobytes()
+    # general path: None/Up are whole-row vector ops, Sub is a
+    # per-lane running sum (mod 256 survives any accumulator wrap
+    # since 256 divides 2^32); Average/Paeth keep the scalar
+    # fallback — their recurrences read DECODED left neighbors
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        base = y * (1 + stride)
-        row = bytearray(raw[base + 1 : base + 1 + stride])
-        _unfilter_row(raw[base], row, prev, 3)
-        out += row
-        prev = bytes(row)
-    return width, height, bytes(out)
+        ft = int(ftypes[y])
+        row = rows[y]
+        if ft == 0:
+            out[y] = row
+        elif ft == 1:
+            lanes = np.cumsum(
+                row.reshape(-1, 3), axis=0, dtype=np.uint32
+            )
+            out[y] = (lanes & 0xFF).astype(np.uint8).reshape(-1)
+        elif ft == 2:
+            out[y] = row + prev
+        else:
+            r = bytearray(row.tobytes())
+            _unfilter_row(ft, r, prev.tobytes(), 3)
+            out[y] = np.frombuffer(bytes(r), dtype=np.uint8)
+        prev = out[y]
+    return width, height, out.tobytes()
 
 
 # --------------------------------------------------------------------------

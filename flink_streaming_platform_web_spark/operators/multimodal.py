@@ -101,6 +101,16 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a payload relation across all cores BEFORE a
+    compute-heavy Python kernel: the corpus arrives as a handful of
+    parquet splits (4 at sf1) and a mapInPandas stage inherits them,
+    idling 28 of 32 cores. JVM-only consumers (mm01's octet/md5 pass)
+    skip this — the exchange is only worth paying when per-row Python
+    follows (round 12)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # --------------------------------------------------------------------------
 # mm01 — binary column metadata, pure JVM path (octet length + digest).
 # --------------------------------------------------------------------------
@@ -178,7 +188,19 @@ def with_image_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(render, schema)
+    # spread the synthesis (and every downstream decode stage, which
+    # inherits this partitioning) across ALL cores: the corpus arrives
+    # as a handful of parquet splits (4 at sf1), and a compute-heavy
+    # Python stage on 4 of 32 cores is an 8× idle tax — the same
+    # repartition-before-the-kernel shape _shingles uses (round 12;
+    # at 100 TB the file count makes this a no-op, locally it is the
+    # difference between 4-way and 32-way decode)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(par)
+        .mapInPandas(render, schema)
+    )
 
 
 def mm02_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,7 +480,7 @@ def frame_energy(
 
 def mm06_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return frame_energy(with_binary_payload(docs))
+    return frame_energy(_spread(with_binary_payload(docs)))
 
 
 ORACLE_MM06 = f"""
@@ -531,7 +553,7 @@ def sample_frames(
 
 def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return sample_frames(with_binary_payload(docs))
+    return sample_frames(_spread(with_binary_payload(docs)))
 
 
 # ORACLE SCOPE: DuckDB has no byte-level blob substring/md5, so the
@@ -618,7 +640,7 @@ def scene_keyframes(
 
 def mm07_scene_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return scene_keyframes(with_binary_payload(docs))
+    return scene_keyframes(_spread(with_binary_payload(docs)))
 
 
 ORACLE_MM07 = f"""

@@ -1165,6 +1165,36 @@ def test_tier_p_rejects_ineligible_shapes(spark):
     ) is not None
 
 
+def test_disjoint_bands_redundant_conjunct_keeps_tighter():
+    """ADVICE r11: under one consistent tightness key per side,
+    'B.v >= 5 AND B.v > 5' keeps the EXCLUSIVE lower bound — so
+    A = (-inf, 5] and B = (5, inf) prove disjoint; the inclusive
+    control pair overlaps at the point 5 and stays NFA."""
+    from flink_streaming_platform_web_spark.operators import cep
+
+    col_types = {"v": "double"}
+    bands = cep._disjoint_bands(
+        {"A": "A.v <= 5", "B": "B.v >= 5 AND B.v > 5"},
+        ["A", "B"],
+        col_types,
+    )
+    assert bands is not None
+    col, ivals = bands
+    assert col == "v"
+    lo, lo_in, hi, hi_in = dict(ivals)["B"]
+    assert (lo, lo_in) == (5.0, False)  # exclusive bound won the tie
+    assert cep._disjoint_bands(
+        {"A": "A.v <= 5", "B": "B.v >= 5"}, ["A", "B"], col_types
+    ) is None
+    # mirrored redundancy on the upper side: 'A.v <= 5 AND A.v < 5'
+    # keeps the exclusive upper bound, disjoint from B = [5, inf)
+    assert cep._disjoint_bands(
+        {"A": "A.v <= 5 AND A.v < 5", "B": "B.v >= 5"},
+        ["A", "B"],
+        col_types,
+    ) is not None
+
+
 def test_wide_permute_band_disjoint_works_nfa_rejects(spark):
     """Round 11: the factorial width cap moved from parse time to the
     NFA route. A width-12 PERMUTE of disjoint bands compiles to tier
