@@ -500,3 +500,102 @@ def test_live_broker_route_lights_up_with_jar(spark):
     df = kafka_stream(spark, t)
     assert df.isStreaming
     assert {"id", "day_time", "amnount"} <= set(df.columns)
+
+
+def test_demo1_live_broker_end_to_end(spark):
+    """demo_1 (docs/sql_demo/demo_1.md — the reference's #1 connector
+    demo) against a REAL kafka broker through the real
+    ``format("kafka")`` reader, guarded twice (VERDICT r11 item 8):
+
+    - ``spark-sql-kafka`` must be on the JVM classpath
+      (``kafka_jar_available``); exact coordinates in
+      examples/README.md — one jar drop activates this test;
+    - ``SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port`` must point at a
+      reachable broker (any ``docker run apache/kafka`` will do; the
+      sandbox ships neither a broker nor the jar).
+
+    When both light up: demo_1's JSON messages are produced through
+    Spark's OWN kafka sink (batch ``write.format("kafka")`` — same
+    jar, no extra client library), then the reference's DDL + INSERT
+    runs verbatim through JobRunner (mysql sink → the jdbc upsert
+    store, as st02 models it) and the converged per-day totals are
+    asserted."""
+    import json as _json
+    import os
+    import uuid
+
+    import pytest
+
+    from flink_streaming_platform_web_spark.sources.registry import (
+        kafka_jar_available,
+    )
+    from flink_streaming_platform_web_spark.streaming.runner import (
+        JobRunner,
+    )
+
+    if not kafka_jar_available(spark):
+        pytest.skip(
+            "spark-sql-kafka jar absent — activate with"
+            " spark.jars.packages="
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2"
+            " (match the running Spark version) or drop the jar +"
+            " its kafka-clients dependency into $SPARK_HOME/jars;"
+            " see examples/README.md"
+        )
+    boot = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    if not boot:
+        pytest.skip(
+            "no live broker: set SPARK_GRAFT_KAFKA_BOOTSTRAP="
+            "host:port (e.g. docker run -p 9092:9092 apache/kafka)"
+        )
+    topic = f"flink_test_{uuid.uuid4().hex[:8]}"
+    msgs = [
+        {"day_time": "20201009", "id": 7, "amnount": 20},
+        {"day_time": "20201009", "id": 8, "amnount": 30},
+        {"day_time": "20201010", "id": 9, "amnount": 5},
+    ]
+    (
+        spark.createDataFrame(
+            [(_json.dumps(m),) for m in msgs], "value string"
+        )
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", boot)
+        .option("topic", topic)
+        .save()
+    )
+    runner = JobRunner(spark, mode="streaming")
+    result = runner.execute_script(f"""
+    create table flink_test_1 (
+      id BIGINT,
+      day_time VARCHAR,
+      amnount BIGINT,
+      proctime AS PROCTIME ()
+    ) with (
+      'connector' = 'kafka',
+      'topic' = '{topic}',
+      'properties.bootstrap.servers' = '{boot}',
+      'properties.group.id' = 'flink_gp_test1',
+      'scan.startup.mode' = 'earliest-offset',
+      'format' = 'json',
+      'json.fail-on-missing-field' = 'false',
+      'json.ignore-parse-errors' = 'true'
+    );
+    CREATE TABLE sync_test_1 (
+      day_time STRING, total_gmv BIGINT,
+      PRIMARY KEY (day_time) NOT ENFORCED
+    ) WITH ('connector' = 'jdbc');
+    INSERT INTO sync_test_1
+    SELECT day_time, SUM(amnount) AS total_gmv
+    FROM flink_test_1 GROUP BY day_time;
+    """)
+    for q in result.streaming_queries:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(120)
+    got = {
+        r["day_time"]: r["total_gmv"]
+        for r in runner.upsert_stores["sync_test_1"]
+        .to_df(spark)
+        .collect()
+    }
+    assert got == {"20201009": 50, "20201010": 5}
