@@ -71,11 +71,15 @@ _MODULES = (
 #       re-enter; dc02/pp04/dd03/dd05/dd06/dd10/dd13's coverage this
 #       round is the full local parity sweep recorded in
 #       PROGRESS.jsonl — bit-identical expression, 0 failures).
-# (c) two slots spare -> oldest remaining (r9-dated) rows: st15,
-#     st16.
+# (c) NEW round-12 entries — never driver-checked, outrank green
+#     re-checks: dd16 ExactSubstr removal accounting, pp08
+#     temperature-smoothed source sampling, st25 streaming
+#     decontamination gate (3 slots; they displace st15/st16 — both
+#     r9-dated greens covered by the full sweep — and dd02, whose
+#     refactor is bit-identical and sweep-covered).
 # Exactly 50. Entries NOT re-entering despite transitive-helper
-# changes are all r10/r11-dated AND green in this round's full local
-# sweeps (see PROGRESS.jsonl round-12 records).
+# changes are all r9/r10/r11-dated AND green in this round's full
+# local sweeps (see PROGRESS.jsonl round-12 records).
 _CHECK_FIRST = (
     # (a) the 20 r8-dated rows — retire the tail of the cycle
     "q23_hop_window",
@@ -128,11 +132,11 @@ _CHECK_FIRST = (
     # (b) dc01 probe + shingle single-definition riders
     "dc01_contamination",
     "pp03_prep_pipeline",
-    "dd02_ngram_jaccard_pairs",
     "dd04_minhash_lsh_pairs",
-    # (c) oldest remaining rows
-    "st15_stream_window_join",
-    "st16_stream_over_agg",
+    # (c) new round-12 entries
+    "dd16_exact_substr_removal",
+    "pp08_temperature_sample",
+    "st25_stream_contamination_gate",
 )
 
 

@@ -1344,62 +1344,59 @@ ORACLES = {
 DD14_W = 10  # window width in tokens (ExactSubstr-style granularity)
 
 
-def dd14_exact_substr_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source exact-substring duplication profile: slide a
-    10-token window over every document (every OCCURRENCE counts, not
-    distinct — this measures how much of the corpus text is verbatim
-    repetition, the measure behind suffix-array ExactSubstr dedup in
-    "Deduplicating Training Data Makes Language Models Better", Lee et
-    al. 2022, arXiv:2107.06499); a window is *duplicated* when it
-    occurs in more than one distinct document.
-
-    Plan: the corpus is scanned ONCE — the (window, source)
-    occurrence table (agg1) is the session-memoized shared product
-    (at 100 TB: a materialized intermediate), built with ONE
-    corpus-sized wide shuffle (map-side combined; windows travel as
-    60-bit portable hashes, 8-byte keys, never strings). Both
-    downstream branches read the persisted agg1: the per-window
-    roll-up (per-(win,source) distinct-doc counts SUM to the global
-    per-window doc count because a document has exactly one source —
-    no join back to the corpus), and the |sources|-sized finals.
-    There is no pair-space and no driver state."""
+def _dd14_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, w) token arrays, spread across cores — the
+    shared scan head of the ExactSubstr family (dd14's profile and
+    dd16's removal accounting)."""
     par = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents")
-    words = docs.select(
+    return docs.select(
         "doc_id", "source", F.split(F.col("text"), r"\s+").alias("w")
     ).repartition(par)
-    idxs = F.when(
-        F.size("w") >= DD14_W,
-        F.sequence(F.lit(0), F.size("w") - DD14_W),
+
+
+def _dd14_win_idxs(w) -> Column:
+    """Window-start index array for a token array (empty when the doc
+    is shorter than one window — sequence(0, -1) would descend)."""
+    return F.when(
+        F.size(w) >= DD14_W,
+        F.sequence(F.lit(0), F.size(w) - DD14_W),
     ).otherwise(F.array().cast("array<int>"))
+
+
+def _dd14_win_hash(w, i) -> Column:
+    """60-bit portable hash of the 10-token window starting at i."""
+    return portable_hash(
+        F.concat_ws(" ", *[w[i + j] for j in range(DD14_W)])
+    )
+
+
+def _dd14_agg1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (win, source, occ, nd) occurrence table — the
+    session-memoized shared product of the ExactSubstr family (at
+    100 TB: a materialized intermediate), built with ONE corpus-sized
+    wide shuffle (windows travel as 60-bit portable hashes, 8-byte
+    keys, never strings). Two CHAINED aggregates instead of count +
+    countDistinct in one: the distinct aggregate planned an Expand
+    (2 rows per occurrence feeding the aggregate — the r11 verdict's
+    "fold the distinct-expand into the first exchange's partial
+    aggregate", round 12). Both groupBys AND every downstream
+    win-keyed roll-up ride HashPartitioning(win) (subset rule), so
+    the exchange count stays at ONE; nd = the number of
+    (win, source, doc_id) groups = COUNT(DISTINCT doc_id) exactly."""
+    par = spark.sparkContext.defaultParallelism
+    words = _dd14_words(spark, sf_dir)
+    w = F.col("w")
     wins = words.select(
         "doc_id",
         "source",
         F.explode_outer(
             F.transform(
-                idxs,
-                lambda i: portable_hash(
-                    F.concat_ws(
-                        " ", *[F.col("w")[i + j] for j in range(DD14_W)]
-                    )
-                ),
+                _dd14_win_idxs(w), lambda i: _dd14_win_hash(w, i)
             )
         ).alias("win"),
     ).where(F.col("win").isNotNull())
-    # ONE corpus-scale exchange serves every aggregation below: hash
-    # the occurrence rows by win, then groupBy(win, source), the
-    # distinct-doc expand, AND per_win's groupBy(win) are all
-    # satisfied by HashPartitioning(win) (subset rule) — the r10 plan
-    # paid a second full-width exchange for agg1 and a third for
-    # per_win (round 11, VERDICT item 4).
-    # two CHAINED aggregates instead of count + countDistinct in one:
-    # the distinct aggregate planned an Expand (2 rows per occurrence
-    # feeding the aggregate — the r11 verdict's "fold the
-    # distinct-expand into the first exchange's partial aggregate",
-    # round 12). Both groupBys ride HashPartitioning(win) (subset
-    # rule), so the exchange count stays at ONE; nd = the number of
-    # (win, source, doc_id) groups = COUNT(DISTINCT doc_id) exactly.
-    agg1 = memo_df(
+    return memo_df(
         spark,
         sf_dir,
         "dd14_agg1",
@@ -1412,6 +1409,26 @@ def dd14_exact_substr_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("nd"),
         ),
     )
+
+
+def dd14_exact_substr_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-substring duplication profile: slide a
+    10-token window over every document (every OCCURRENCE counts, not
+    distinct — this measures how much of the corpus text is verbatim
+    repetition, the measure behind suffix-array ExactSubstr dedup in
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, arXiv:2107.06499); a window is *duplicated* when it
+    occurs in more than one distinct document.
+
+    Plan: the corpus is scanned ONCE — the (window, source)
+    occurrence table (:func:`_dd14_agg1`) is the session-memoized
+    shared product. Both downstream branches read the persisted agg1:
+    the per-window roll-up (per-(win,source) distinct-doc counts SUM
+    to the global per-window doc count because a document has exactly
+    one source — no join back to the corpus), and the
+    |sources|-sized finals. There is no pair-space and no driver
+    state."""
+    agg1 = _dd14_agg1(spark, sf_dir)
     # per_win rides agg1's persisted win-partitioning (no exchange);
     # the four per-source measures then come out of ONE conditional
     # aggregation over the re-exploded rows — the r10 plan computed
@@ -1471,3 +1488,114 @@ FROM tot t LEFT JOIN dup d USING (source)
 
 QUERIES["dd14_exact_substr_dup"] = dd14_exact_substr_dup
 ORACLES["dd14_exact_substr_dup"] = _oracle_dd14()
+
+
+# --------------------------------------------------------------------------
+# dd16 — exact-substring REMOVAL accounting (the acting half of the
+# Lee et al. 2022 ExactSubstr pass: dd14 measures duplication, dd16
+# reports what removal would delete per document).
+# --------------------------------------------------------------------------
+
+
+def dd16_exact_substr_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document removal report for ExactSubstr dedup: a token is
+    removable when it is covered by at least one duplicated 10-token
+    window (a window occurring in >1 distinct document — dd14's
+    definition). Emits docs with >=1 duplicated window: total tokens,
+    duplicated-window count, and the EXACT size of the union of their
+    [start, start+10) spans.
+
+    Plan (100 TB shape): the duplicated-window set comes from the
+    session-memoized :func:`_dd14_agg1` product (one roll-up on its
+    existing win partitioning — no new corpus exchange); the corpus
+    re-explodes to (doc, start, win) occurrence rows ONCE and joins
+    the dup set on the 8-byte win key (shuffle join — the dup set is
+    corpus-scaled, so no broadcast). The span-union size needs NO
+    position explode: with per-doc window starts sorted, the union of
+    fixed-width intervals is sum(min(W, next_start - start)) with W
+    for each run's last window — one LAG/LEAD window pass over the
+    HIT rows only (gaps-and-islands arithmetic, the q47-family
+    shape), never 10x position rows."""
+    from pyspark.sql.window import Window
+
+    W = DD14_W
+    words = _dd14_words(spark, sf_dir)
+    w = F.col("w")
+    wins = (
+        words.select(
+            "doc_id",
+            F.size("w").alias("n_tokens"),
+            F.explode_outer(
+                F.transform(
+                    _dd14_win_idxs(w),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        _dd14_win_hash(w, i).alias("win"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .where(F.col("e").isNotNull())
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("e.start").alias("start"),
+            F.col("e.win").alias("win"),
+        )
+    )
+    agg1 = _dd14_agg1(spark, sf_dir)
+    dup = (
+        agg1.groupBy("win")
+        .agg(F.sum("nd").alias("ndocs"))
+        .where(F.col("ndocs") > 1)
+        .select("win")
+    )
+    hits = wins.join(dup, "win")
+    nxt = F.lead("start").over(
+        Window.partitionBy("doc_id").orderBy("start")
+    )
+    contrib = F.when(
+        nxt.isNotNull(), F.least(F.lit(W), nxt - F.col("start"))
+    ).otherwise(F.lit(W))
+    return (
+        hits.select(
+            "doc_id", "n_tokens", contrib.alias("contrib")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+            F.count("*").alias("n_dup_windows"),
+            F.sum("contrib").cast("bigint").alias("n_removed_tokens"),
+        )
+    )
+
+
+def _oracle_dd16() -> str:
+    cat = " || ' ' || ".join(f"w[i+{j}]" for j in range(DD14_W))
+    return f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+           FROM documents),
+wins AS (
+  SELECT doc_id, len(w) AS n_tokens, i AS start,
+         {oracle_portable_hash(f"({cat})")} AS win
+  FROM t, UNNEST(generate_series(1, greatest(len(w) - {DD14_W - 1}, 0)))
+       AS u(i)),
+dup AS (
+  SELECT win FROM (
+    SELECT win, COUNT(DISTINCT doc_id) AS ndocs FROM wins GROUP BY 1
+  ) WHERE ndocs > 1),
+hits AS (SELECT doc_id, n_tokens, start FROM wins JOIN dup USING (win)),
+merged AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(LEAST({DD14_W}, LEAD(start) OVER w2 - start),
+                  {DD14_W}) AS contrib
+  FROM hits WINDOW w2 AS (PARTITION BY doc_id ORDER BY start))
+SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_dup_windows,
+       CAST(SUM(contrib) AS BIGINT) AS n_removed_tokens
+FROM merged GROUP BY doc_id
+"""
+
+
+QUERIES["dd16_exact_substr_removal"] = dd16_exact_substr_removal
+ORACLES["dd16_exact_substr_removal"] = _oracle_dd16()

@@ -579,3 +579,129 @@ GROUP BY d.lang, g.format
 
 QUERIES["pp07_multimodal_prep"] = pp07_multimodal_prep
 ORACLES["pp07_multimodal_prep"] = _oracle_pp07()
+
+
+# --------------------------------------------------------------------------
+# pp08 — temperature-smoothed source sampling (round 12): the EXECUTING
+# half of mixture design. pp05 computes per-language weights; pp08
+# applies a temperature policy to SOURCES (p_i ∝ n_i^α, α = 0.5 — the
+# standard multilingual-corpus smoothing: upsample rare sources,
+# damp dominant ones) and performs the actual deterministic selection.
+# --------------------------------------------------------------------------
+
+PP08_BUDGET_DEN = 2  # sample half the corpus
+PP08_PPM = 1_000_000
+
+
+def pp08_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling report under a sqrt-temperature mix: the
+    per-source target is budget * sqrt(n_i)/Σ sqrt(n_j) (fixed-point:
+    floor(sqrt(n)*1e6) as BIGINT, so the only IEEE op is the sqrt both
+    engines compute bit-identically and every division is integer);
+    selection is a DETERMINISTIC hash gate — a doc is kept iff
+    portable_hash(doc_id || ':pp08') mod 1e6 < target_ppm — so the
+    sample is reproducible, engine-portable, and requires NO
+    per-source ordering.
+
+    Scale shape (100 TB): one map-side-combined count per source, a
+    |sources|-sized threshold table broadcast back onto the corpus,
+    one scan-speed filter + final per-source roll-up. Zero wide
+    shuffles, zero ranking — hash-gate sampling is how production
+    mixers avoid the per-group sort that ROW_NUMBER-based sampling
+    pays."""
+    from flink_streaming_platform_web_spark.operators._portable import (
+        portable_hash,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    sc_ = counts.withColumn(
+        "s_i",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1e6).cast(
+            "bigint"
+        ),
+    )
+    tot = sc_.agg(
+        F.sum("s_i").alias("s_sum"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    thr = (
+        sc_.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_docs",
+            F.expr(
+                f"n_total DIV {PP08_BUDGET_DEN} * s_i DIV s_sum"
+            ),
+        )
+        .withColumn(
+            "thr_ppm",
+            F.expr(f"target_docs * {PP08_PPM} DIV n_docs"),
+        )
+        .select("source", "n_docs", "target_docs", "thr_ppm")
+    )
+    gate = portable_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":pp08"))
+    ) % PP08_PPM
+    picked = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(thr), "source")
+        .where(gate < F.col("thr_ppm"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_selected"))
+    )
+    return (
+        thr.join(picked, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "target_docs",
+            "thr_ppm",
+            F.coalesce(F.col("n_selected"), F.lit(0))
+            .cast("bigint")
+            .alias("n_selected"),
+        )
+    )
+
+
+def _oracle_pp08() -> str:
+    from flink_streaming_platform_web_spark.operators._portable import (
+        oracle_portable_hash,
+    )
+
+    gate = oracle_portable_hash(
+        "(CAST(doc_id AS VARCHAR) || ':pp08')"
+    )
+    return f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+sc AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+           AS s_i
+  FROM counts
+),
+tot AS (SELECT SUM(s_i) AS s_sum, SUM(n_docs) AS n_total FROM sc),
+thr AS (
+  SELECT source, n_docs,
+         n_total // {PP08_BUDGET_DEN} * s_i // s_sum AS target_docs,
+         (n_total // {PP08_BUDGET_DEN} * s_i // s_sum)
+           * {PP08_PPM} // n_docs AS thr_ppm
+  FROM sc CROSS JOIN tot
+),
+picked AS (
+  SELECT d.source, COUNT(*) AS n_selected
+  FROM documents d JOIN thr USING (source)
+  WHERE {gate} % {PP08_PPM} < thr_ppm
+  GROUP BY d.source
+)
+SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(t.target_docs AS BIGINT) AS target_docs,
+       CAST(t.thr_ppm AS BIGINT) AS thr_ppm,
+       CAST(COALESCE(p.n_selected, 0) AS BIGINT) AS n_selected
+FROM thr t LEFT JOIN picked p USING (source)
+"""
+
+
+QUERIES["pp08_temperature_sample"] = pp08_temperature_sample
+ORACLES["pp08_temperature_sample"] = _oracle_pp08()

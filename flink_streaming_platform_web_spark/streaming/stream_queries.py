@@ -1771,8 +1771,117 @@ GROUP BY 1, 2
 """
 
 
+def st25_stream_contamination_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING decontamination gate — the streaming half of dc01:
+    train documents arrive as a multi-file stream; each is shingled
+    scan-side (the suite-wide 3-gram portable-hash expression, inline
+    Spark SQL) and probed against the STATIC eval-shingle union via a
+    stream-static join on a one-row array dim; the (source,
+    contaminated) mix is maintained in a PRIMARY-KEY upsert store
+    across micro-batches. Converged store == the batch gate.
+
+    Scale shape (100 TB): the eval union is benchmark-sized by
+    contract (dc01's argument), so the dim is ONE row carrying a
+    sorted array — the join broadcasts it and the probe
+    (array_intersect of two distinct arrays) runs at scan speed in
+    codegen; the only state is |source|x2 upsert rows. A doc is
+    contaminated when >= half its distinct shingles appear in the
+    eval union AND it has shingles at all (dc01's rule, made total:
+    dc01 emits only hit docs, the gate classifies every train doc)."""
+    path = _docs_as_stream_source(spark, sf_dir, "st25")
+    # the eval union as a ONE-ROW array dim, registered as a memory
+    # (batch-view) table — the runner reads memory connectors as
+    # static snapshots even in streaming jobs
+    from flink_streaming_platform_web_spark.operators.dedup import (
+        _shingle_arrs,
+    )
+    from flink_streaming_platform_web_spark.tables import load
+
+    (
+        _shingle_arrs(load(spark, sf_dir, "documents"))
+        .where(F.col("doc_id") % 20 == 7)
+        .select(F.explode("arr").alias("s"))
+        .distinct()
+        .agg(
+            F.lit(1).alias("k"),
+            F.sort_array(F.collect_list("s")).alias("eval_arr"),
+        )
+        .createOrReplaceTempView("st25_eval_view")
+    )
+    shingle_sql = (
+        "array_distinct(transform(filter(transform("
+        "  CASE WHEN size(w) >= 3 THEN sequence(0, size(w) - 3)"
+        "       ELSE array() END,"
+        "  i -> concat_ws(' ', w[i], w[i+1], w[i+2])),"
+        "  s -> length(s) > 0),"
+        "  s -> CAST(conv(substring(md5(s), 1, 15), 16, 10)"
+        "       AS BIGINT)))"
+    )
+    runner = JobRunner(spark, mode="streaming")
+    _run_and_wait(
+        runner,
+        _DOCS_DDL.format(path=path)
+        + f""";
+        CREATE TABLE st25_eval (k INT, eval_arr ARRAY<BIGINT>)
+          WITH ('connector' = 'memory', 'view' = 'st25_eval_view');
+        CREATE TABLE st25_sink (
+          source STRING, contaminated BOOLEAN, n_docs BIGINT,
+          PRIMARY KEY (source, contaminated) NOT ENFORCED
+        ) WITH ('connector' = 'jdbc');
+        INSERT INTO st25_sink
+        SELECT source, contaminated, COUNT(*) AS n_docs
+        FROM (
+          SELECT source,
+                 (n_sh > 0 AND n_shared * 2 >= n_sh) AS contaminated
+          FROM (
+            SELECT d.source, size(d.arr) AS n_sh,
+                   size(array_intersect(d.arr, e.eval_arr)) AS n_shared
+            FROM (
+              SELECT source, 1 AS kk, {shingle_sql} AS arr
+              FROM (SELECT doc_id, source, split(text, '\\\\s+') AS w
+                    FROM stream_docs)
+              WHERE doc_id % 20 <> 7
+            ) d JOIN st25_eval e ON d.kk = e.k
+          )
+        ) GROUP BY source, contaminated;
+        """,
+    )
+    return (
+        runner.upsert_stores["st25_sink"]
+        .to_df(spark)
+        .select("source", "contaminated", "n_docs")
+    )
+
+
+def _oracle_st25() -> str:
+    from flink_streaming_platform_web_spark.operators.dedup import (
+        _ORACLE_SHINGLES,
+    )
+
+    return f"""
+WITH sh AS ({_ORACLE_SHINGLES}),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 7),
+train AS (SELECT doc_id, source FROM documents WHERE doc_id % 20 <> 7),
+hits AS (
+  SELECT s.doc_id, MAX(s.n_sh) AS n_sh, COUNT(e.shingle) AS n_shared
+  FROM sh s LEFT JOIN eval_sh e USING (shingle)
+  WHERE s.doc_id % 20 <> 7
+  GROUP BY s.doc_id
+)
+SELECT t.source,
+       COALESCE(h.n_sh > 0 AND h.n_shared * 2 >= h.n_sh, FALSE)
+         AS contaminated,
+       COUNT(*) AS n_docs
+FROM train t LEFT JOIN hits h USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "st21_stream_match_desc": st21_stream_match_desc,
+    "st25_stream_contamination_gate": st25_stream_contamination_gate,
     "st22_stream_match_skip_to_var": st22_stream_match_skip_to_var,
     "st23_stream_match_global": st23_stream_match_global,
     "st01_stream_tumble_window": st01_stream_tumble_window,
@@ -1799,6 +1908,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "st25_stream_contamination_gate": _oracle_st25(),
     "st10_stream_ttl_incremental_agg": ORACLE_ST10,
     "st11_stream_window_topn": ORACLE_ST11,
     "st12_stream_dedup_sql": ORACLE_ST12,
