@@ -35,6 +35,35 @@ CREATE TABLE stream_events (
 """
 
 
+#: staged stream-source row counts (dir path -> rows), written by the
+#: staging helpers so the stateful partition count can be sized to the
+#: INPUT (see _stateful_partitions)
+_STAGED_ROWS: dict[str, int] = {}
+
+#: below this staged row count the per-micro-batch state-store commit
+#: overhead dominates and 4 partitions wins (the round-1 finding);
+#: above it, per-key Python call time dominates and the stores must
+#: shard across ALL cores (round 12: st04 at sf1 ran 150k keys on 4
+#: of 32 cores — 899 s, exponent 1.72; the key space scales with SF,
+#: so a fixed tiny store count turns linear work superlinear)
+_STATEFUL_SMALL_ROWS = 200_000
+
+
+def _stateful_partitions(spark: SparkSession, script_or_path: str) -> str:
+    """Shuffle-partition (= state-store) count for a stateful
+    streaming run: 4 for gate-sized inputs, every core for scaled
+    ones — the sized-once-to-the-cluster choice Flink calls
+    max-parallelism, derived from the staged source actually
+    referenced by the script."""
+    n = max(
+        (v for k, v in _STAGED_ROWS.items() if k in script_or_path),
+        default=0,
+    )
+    if n < _STATEFUL_SMALL_ROWS:
+        return "4"
+    return str(spark.sparkContext.defaultParallelism)
+
+
 def _events_as_stream_source(
     spark: SparkSession, sf_dir: str, tag: str, files: int = 2
 ) -> str:
@@ -47,17 +76,21 @@ def _events_as_stream_source(
 
     path = f"{tempfile.gettempdir()}/spark_graft_stream_{tag}_{int(time.time()*1e6)}"
     load(spark, sf_dir, "events").repartition(files).write.parquet(path)
+    # parquet-footer count (no data scan): sizes the state stores
+    _STAGED_ROWS[path] = spark.read.parquet(path).count()
     return path
 
 
 def _run_and_wait(runner: JobRunner, script: str) -> None:
     # stateful-operator state-store count == shuffle partitions at the
-    # first checkpoint; 4 fits the test key space and cuts the
-    # per-micro-batch store-commit overhead (at scale this is sized
-    # once to the executor count, like Flink max-parallelism)
+    # first checkpoint; sized to the staged input (4 for gate-sized
+    # corpora, all cores for scaled ones — _stateful_partitions)
     spark = runner.spark
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _stateful_partitions(spark, script),
+    )
     try:
         result = runner.execute_script(script)
         for q in result.streaming_queries:
@@ -258,10 +291,14 @@ def st04_stream_session_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessionize(stream, "user_id", "ts", gap_minutes=30)
     store = GroupReplaceStore(["user_id"], ["session_start"])
     # stateful shuffle partitions == state-store count is fixed at the
-    # first checkpoint; 4 is plenty for the test key space (at scale
-    # this is sized to executor count once, like any Flink max-parallelism)
+    # first checkpoint; sized to the staged input (round 12 — the
+    # sf0.1→sf1 ladder caught this entry running 150k keys on 4 of 32
+    # cores: 899 s, exponent 1.72)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _stateful_partitions(spark, path),
+    )
     try:
         query = (
             sessions.writeStream.outputMode("update")
@@ -1082,6 +1119,7 @@ def _events_ordered_stream(
 
     for i, chunk in enumerate(chunks):
         _write(chunk, i)
+    _STAGED_ROWS[path] = n
     return path
 
 
@@ -1537,6 +1575,7 @@ def _events_daybucket_stream(
         f = f"{path}/c{i}.parquet"
         pq.write_table(tbl, f)
         os.utime(f, (now + i, now + i))
+    _STAGED_ROWS[path] = n
     return path
 
 
@@ -1710,6 +1749,7 @@ def _docs_as_stream_source(
     load(spark, sf_dir, "documents").repartition(files).write.parquet(
         path
     )
+    _STAGED_ROWS[path] = spark.read.parquet(path).count()
     return path
 
 

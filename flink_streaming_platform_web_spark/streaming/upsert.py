@@ -43,8 +43,13 @@ class KeyedStore:
             self.rows.pop(self._key(row), None)
 
     def merge_batch(self, batch: DataFrame) -> None:
+        # collect(): ONE job for the whole micro-batch.
+        # toLocalIterator ran one sequential job PER PARTITION of the
+        # foreachBatch frame — with the state stores now sized to all
+        # cores (round 12) that multiplied scheduling by 32 and
+        # serialized the sink; the driver-side volume is identical
         self.schema = batch.schema
-        for row in batch.toLocalIterator():
+        for row in batch.collect():
             self.upsert(row.asDict())
 
     def replace_batch(self, batch: DataFrame) -> None:
@@ -57,7 +62,7 @@ class KeyedStore:
         self.schema = batch.schema
         rows = {
             self._key(r.asDict()): r.asDict()
-            for r in batch.toLocalIterator()
+            for r in batch.collect()
         }
         with self._lock:
             self.rows = rows
@@ -84,7 +89,7 @@ class GroupReplaceStore(KeyedStore):
 
     def merge_batch(self, batch: DataFrame) -> None:
         self.schema = batch.schema
-        rows = [r.asDict() for r in batch.toLocalIterator()]
+        rows = [r.asDict() for r in batch.collect()]
         touched = {tuple(r[c] for c in self.group_cols) for r in rows}
         with self._lock:
             self.rows = {
@@ -144,7 +149,7 @@ class CombiningStore(KeyedStore):
         # not idempotent, so a mid-iteration failure must leave the
         # store untouched or the foreachBatch retry double-counts the
         # rows that had already folded
-        deltas = [row.asDict() for row in batch.toLocalIterator()]
+        deltas = [row.asDict() for row in batch.collect()]
         self.applied.append(len(deltas))
         with self._lock:
             for delta in deltas:
