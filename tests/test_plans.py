@@ -701,3 +701,27 @@ def test_q62_all_rows_tier_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "Generate inline" in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_q52_window_navigations_deduped(spark, sf_dir):
+    """Round 12: the tier memo materializes each distinct (column,
+    offset) navigation ONCE — Catalyst does not CSE window
+    expressions, and the r11 plan computed lead(value) and lead(ts)
+    twice each. Pin one lead per navigated column, one post-filter
+    Sort (head-detection islands reuse the (part, rn) order the
+    second window already has), and zero Python."""
+    from flink_streaming_platform_web_spark.operators.cep import (
+        QUERIES as CEP_QUERIES,
+    )
+
+    plan = _physical(CEP_QUERIES["q52_match_within"](spark, sf_dir))
+    for col in ("value#", "ts#", "event_id#"):
+        assert plan.count(f"lead({col}") == 1, (col, plan)
+    # exchange once (PARTITION BY), sort twice: the big pre-window
+    # sort + ONE candidate re-sort; the old grp/pos islands walk paid
+    # a third
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("+- Sort") == 2, plan
+    for tok in ("BatchEvalPython", "ArrowEvalPython", "mapInPandas",
+                "FlatMapGroupsInPandas"):
+        assert tok not in plan, tok
