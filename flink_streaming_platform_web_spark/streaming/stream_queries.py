@@ -1273,6 +1273,7 @@ def st17_stream_temporal_join(
         )
         for i, chunk in enumerate(chunks):
             _write(chunk, i)
+        _STAGED_ROWS[path] = len(pdf)
         return path
 
     p_path = _stage(probes, "ts", "probes")

@@ -58,6 +58,10 @@ def _sf_of(d: str) -> float:
 
 
 def main() -> None:
+    # stderr to a FILE is block-buffered; the per-entry progress lines
+    # must land as they happen (a stalled entry is diagnosable only if
+    # the last completed one is visible)
+    sys.stderr.reconfigure(line_buffering=True)
     ap = argparse.ArgumentParser()
     ap.add_argument("dirs", nargs="+")
     ap.add_argument("--queries", default="st")
