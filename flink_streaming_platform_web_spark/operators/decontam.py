@@ -76,9 +76,14 @@ def dc01_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The extra exchange belongs to this build-side job only — the
         # returned probe plan stays zero-join / zero-hash-exchange
         # (plan-gated in test_plans.py)
+        # explode_outer + null filter: plain explode's inferred
+        # size(arr) > 0 filter can re-inline the shingle expression
+        # below the exchange when the upstream is not yet cached
+        # (dedup._shingles' documented trap; st25 re-hit it round 12)
         ev_pdf = (
             arrs.filter(is_eval)
-            .select(F.explode("arr").alias("s"))
+            .select(F.explode_outer("arr").alias("s"))
+            .where(F.col("s").isNotNull())
             .distinct()
             .toPandas()
         )

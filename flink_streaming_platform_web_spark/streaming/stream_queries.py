@@ -1812,6 +1812,17 @@ GROUP BY 1, 2
 """
 
 
+#: the eval stand-in for the STREAMING gate is a FIXED-SIZE slice
+#: (doc_id % 20 = 7 among the first 10k ids): real benchmarks are a
+#: fixed corpus at any training-data scale, and the one-row array dim
+#: must stay broadcast-sized by CONTRACT, not by luck — without the
+#: bound the sf0.1→sf1 ladder measured the per-row array_intersect
+#: probe growing with the eval union (round 12). At the driver's gate
+#: SFs (doc ids < 10k) the bound is inactive and results are
+#: identical to the unbounded rule.
+ST25_EVAL_MAX_ID = 10_000
+
+
 def st25_stream_contamination_gate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1824,14 +1835,22 @@ def st25_stream_contamination_gate(
     across micro-batches. Converged store == the batch gate.
 
     Scale shape (100 TB): the eval union is benchmark-sized by
-    contract (dc01's argument), so the dim is ONE row carrying a
-    sorted array — the join broadcasts it and the probe
-    (array_intersect of two distinct arrays) runs at scan speed in
-    codegen; the only state is |source|x2 upsert rows. A doc is
-    contaminated when >= half its distinct shingles appear in the
-    eval union AND it has shingles at all (dc01's rule, made total:
-    dc01 emits only hit docs, the gate classifies every train doc)."""
-    path = _docs_as_stream_source(spark, sf_dir, "st25")
+    contract (dc01's argument, enforced by ST25_EVAL_MAX_ID), so the
+    dim is ONE row carrying a sorted array — the join broadcasts it
+    and the probe (array_intersect of two distinct arrays) runs at
+    scan speed in codegen; the only state is |source|x2 upsert rows.
+    The corpus stages as MANY files with a multi-file trigger so the
+    shingle+probe projection runs on every core per micro-batch
+    (round 12: one file per trigger put the whole scan-side kernel on
+    a single partition — 2 batches is all cross-batch convergence
+    needs). A doc is contaminated when >= half its distinct shingles
+    appear in the eval union AND it has shingles at all (dc01's rule,
+    made total: dc01 emits only hit docs, the gate classifies every
+    train doc)."""
+    par = spark.sparkContext.defaultParallelism
+    path = _docs_as_stream_source(
+        spark, sf_dir, "st25", files=2 * par
+    )
     # the eval union as a ONE-ROW array dim, registered as a memory
     # (batch-view) table — the runner reads memory connectors as
     # static snapshots even in streaming jobs
@@ -1840,10 +1859,19 @@ def st25_stream_contamination_gate(
     )
     from flink_streaming_platform_web_spark.tables import load
 
+    # filter BEFORE shingling (only the eval slice pays the shingle
+    # transform) and explode_outer (plain explode's inferred
+    # size(arr)>0 filter re-inlines the whole shingle expression
+    # below the exchange — dedup._shingles' documented trap, re-hit
+    # here in round 12: 77.6 s -> 3.1 s at sf1)
+    eval_docs = load(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 20 == 7)
+        & (F.col("doc_id") <= ST25_EVAL_MAX_ID)
+    )
     (
-        _shingle_arrs(load(spark, sf_dir, "documents"))
-        .where(F.col("doc_id") % 20 == 7)
-        .select(F.explode("arr").alias("s"))
+        _shingle_arrs(eval_docs)
+        .select(F.explode_outer("arr").alias("s"))
+        .where(F.col("s").isNotNull())
         .distinct()
         .agg(
             F.lit(1).alias("k"),
@@ -1861,9 +1889,17 @@ def st25_stream_contamination_gate(
         "       AS BIGINT)))"
     )
     runner = JobRunner(spark, mode="streaming")
+    docs_ddl = f"""
+CREATE TABLE stream_docs (
+  doc_id BIGINT, text STRING, lang STRING, source STRING,
+  n_chars BIGINT
+) WITH ('connector' = 'filesystem', 'path' = '{path}',
+        'format' = 'parquet',
+        'source.max-files-per-trigger' = '{par}')
+"""
     _run_and_wait(
         runner,
-        _DOCS_DDL.format(path=path)
+        docs_ddl
         + f""";
         CREATE TABLE st25_eval (k INT, eval_arr ARRAY<BIGINT>)
           WITH ('connector' = 'memory', 'view' = 'st25_eval_view');
@@ -1903,7 +1939,8 @@ def _oracle_st25() -> str:
 
     return f"""
 WITH sh AS ({_ORACLE_SHINGLES}),
-eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 7),
+eval_sh AS (SELECT DISTINCT shingle FROM sh
+            WHERE doc_id % 20 = 7 AND doc_id <= {ST25_EVAL_MAX_ID}),
 train AS (SELECT doc_id, source FROM documents WHERE doc_id % 20 <> 7),
 hits AS (
   SELECT s.doc_id, MAX(s.n_sh) AS n_sh, COUNT(e.shingle) AS n_shared
