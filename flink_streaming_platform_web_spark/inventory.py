@@ -67,16 +67,17 @@ _MODULES = (
 #       repartition ahead of every Python decode kernel;
 #     - dc01 (+ pp03 composes it): executor-side eval-union distinct
 #       before the driver collect; dd02/dd04 + dc02/pp04 ride the
-#       refactored single-definition shingle expression (dd02, dd04
-#       re-enter; dc02/pp04/dd03/dd05/dd06/dd10/dd13's coverage this
+#       refactored single-definition shingle expression (dd02
+#       re-enters; dd04/dc02/pp04/dd03/dd05/dd06/dd10/dd13's coverage this
 #       round is the full local parity sweep recorded in
 #       PROGRESS.jsonl — bit-identical expression, 0 failures).
 # (c) NEW round-12 entries — never driver-checked, outrank green
 #     re-checks: dd16 ExactSubstr removal accounting, pp08
 #     temperature-smoothed source sampling, st25 streaming
-#     decontamination gate (3 slots; they displace st15/st16 — both
-#     r9-dated greens covered by the full sweep — and dd02, whose
-#     refactor is bit-identical and sweep-covered).
+#     decontamination gate, and q63 band-disjoint PERMUTE + WITHIN
+#     (tier P's time bound gets its first gate entry). The 4 slots
+#     displace st15/st16 (r9-dated greens covered by the full sweep)
+#     and dd02/dd04 (bit-identical shingle refactor, sweep-covered).
 # Exactly 50. Entries NOT re-entering despite transitive-helper
 # changes are all r9/r10/r11-dated AND green in this round's full
 # local sweeps (see PROGRESS.jsonl round-12 records).
@@ -132,11 +133,11 @@ _CHECK_FIRST = (
     # (b) dc01 probe + shingle single-definition riders
     "dc01_contamination",
     "pp03_prep_pipeline",
-    "dd04_minhash_lsh_pairs",
     # (c) new round-12 entries
     "dd16_exact_substr_removal",
     "pp08_temperature_sample",
     "st25_stream_contamination_gate",
+    "q63_match_permute_within",
 )
 
 

@@ -4469,6 +4469,94 @@ WHERE pv < 40.0 AND value > pv
 """
 
 
+# --------------------------------------------------------------------------
+# q63 — band-disjoint PERMUTE under a WITHIN time bound (round 12):
+# width 5 (120 orderings — past tier A′'s 24-expansion cap, so the
+# query MUST route through tier P) with the match's elapsed time
+# bounded. Exercises tier P's WITHIN conjunct through the driver
+# gate (q55 covers the unbounded tier-P shape, q52 the WITHIN of the
+# islands tier; their combination had no gate entry). The 48-hour
+# bound splits the permutation population meaningfully at sf0.01
+# (197 of 325 windows qualify).
+# --------------------------------------------------------------------------
+
+Q63_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES
+    FIRST(V0.event_id) AS lo_id,
+    FIRST(V4.event_id) AS hi_id,
+    CLASSIFIER() AS last_var
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (PERMUTE(V0, V1, V2, V3, V4)) WITHIN INTERVAL '48' HOUR
+  DEFINE V0 AS V0.value < 9.0,
+         V1 AS V1.value >= 9.0 AND V1.value < 30.0,
+         V2 AS V2.value >= 30.0 AND V2.value < 55.0,
+         V3 AS V3.value >= 55.0 AND V3.value < 82.0,
+         V4 AS V4.value >= 82.0
+"""
+
+
+def q63_match_permute_within(spark, sf_dir: str) -> DataFrame:
+    """PERMUTE(5 disjoint quintile bands) WITHIN 48 hours (Flink docs
+    queries/match_recognize §PERMUTE + §Time constraint): a window of
+    five consecutive events matches when every quintile band appears
+    exactly once AND the fifth event lands within 48 hours of the
+    first. Width 5 = 120 orderings — only the band-disjoint tier-P
+    compilation (classification + mask + the WITHIN conjunct on the
+    (first, last) LEAD pair) runs it without the NFA's factorial
+    search; the DuckDB oracle replays classification + the
+    distinctness mask + the epoch-difference bound."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    spec = parse_match_recognize(Q63_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q63 = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         (CASE WHEN value >= 9.0 THEN 1 ELSE 0 END
+        + CASE WHEN value >= 30.0 THEN 1 ELSE 0 END
+        + CASE WHEN value >= 55.0 THEN 1 ELSE 0 END
+        + CASE WHEN value >= 82.0 THEN 1 ELSE 0 END) AS cls,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+win AS (
+  SELECT user_id, ts AS t0,
+         event_id AS id0, cls AS c0,
+         LEAD(event_id, 1) OVER w2 AS id1, LEAD(cls, 1) OVER w2 AS c1,
+         LEAD(event_id, 2) OVER w2 AS id2, LEAD(cls, 2) OVER w2 AS c2,
+         LEAD(event_id, 3) OVER w2 AS id3, LEAD(cls, 3) OVER w2 AS c3,
+         LEAD(event_id, 4) OVER w2 AS id4, LEAD(cls, 4) OVER w2 AS c4,
+         LEAD(ts, 4) OVER w2 AS t4
+  FROM ordered
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+)
+SELECT user_id,
+       CASE WHEN c0 = 0 THEN id0 WHEN c1 = 0 THEN id1
+            WHEN c2 = 0 THEN id2 WHEN c3 = 0 THEN id3
+            ELSE id4 END AS lo_id,
+       CASE WHEN c0 = 4 THEN id0 WHEN c1 = 4 THEN id1
+            WHEN c2 = 4 THEN id2 WHEN c3 = 4 THEN id3
+            ELSE id4 END AS hi_id,
+       'V' || CAST(c4 AS VARCHAR) AS last_var
+FROM win
+WHERE c4 IS NOT NULL
+  AND c0 + c1 + c2 + c3 + c4 = 10
+  AND c0 <> c1 AND c0 <> c2 AND c0 <> c3 AND c0 <> c4
+  AND c1 <> c2 AND c1 <> c3 AND c1 <> c4
+  AND c2 <> c3 AND c2 <> c4 AND c3 <> c4
+  AND EXTRACT(EPOCH FROM t4 - t0) <= 172800
+"""
+
+
 QUERIES = {
     "q45_match_recognize": q45_match_recognize,
     "q47_match_alternation": q47_match_alternation,
@@ -4485,6 +4573,7 @@ QUERIES = {
     "q60_match_global": q60_match_global,
     "q61_match_skip_to_var": q61_match_skip_to_var,
     "q62_match_all_rows_overlap": q62_match_all_rows_overlap,
+    "q63_match_permute_within": q63_match_permute_within,
 }
 ORACLES = {
     "q45_match_recognize": ORACLE_Q45,
@@ -4502,6 +4591,7 @@ ORACLES = {
     "q60_match_global": ORACLE_Q60,
     "q61_match_skip_to_var": ORACLE_Q61,
     "q62_match_all_rows_overlap": ORACLE_Q62,
+    "q63_match_permute_within": ORACLE_Q63,
 }
 
 

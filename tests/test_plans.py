@@ -717,6 +717,16 @@ def test_q52_window_navigations_deduped(spark, sf_dir):
     plan = _physical(CEP_QUERIES["q52_match_within"](spark, sf_dir))
     for col in ("value#", "ts#", "event_id#"):
         assert plan.count(f"lead({col}") == 1, (col, plan)
+    # q63 (width-5 band-disjoint PERMUTE + WITHIN) must route through
+    # tier P — zero Python despite 120 orderings, with the time bound
+    # folded into the window predicate
+    p63 = _physical(
+        CEP_QUERIES["q63_match_permute_within"](spark, sf_dir)
+    )
+    for tok in ("BatchEvalPython", "ArrowEvalPython", "mapInPandas",
+                "FlatMapGroupsInPandas"):
+        assert tok not in p63, tok
+    assert p63.count("Exchange") == 1, p63
     # exchange once (PARTITION BY), sort twice: the big pre-window
     # sort + ONE candidate re-sort; the old grp/pos islands walk paid
     # a third
