@@ -124,34 +124,64 @@ def retained_topn(
     )
     data_cols = [c for c in out_cols if c != rn_alias]
 
+    def sort_key(r: dict):
+        return (r[ord_col], *[r[c] for c in tie_cols])
+
     def update(
         key: tuple,
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        held: list[dict] = (
-            pickle.loads(state.get[0]) if state.exists else []
+        # key-GROUPED state (round 12, same move as sessionize): one
+        # state key per hash bucket, per-logical-key top-N lists in a
+        # pickled dict — the framework's per-state-key cost amortizes
+        # over the bucket's keys, pandas sub-groups rows at C speed
+        buckets: dict[tuple, list] = (
+            pickle.loads(state.get[0]) if state.exists else {}
         )
+        touched: list[tuple] = []
         for pdf in batches:
-            held.extend(pdf[data_cols].to_dict("records"))
+            if len(pdf) == 0:
+                continue
+            for kt, grp in pdf.groupby(part_cols, sort=False):
+                if not isinstance(kt, tuple):
+                    kt = (kt,)
+                kt = tuple(
+                    v.item() if hasattr(v, "item") else v for v in kt
+                )
+                held = buckets.get(kt, [])
+                held.extend(grp[data_cols].to_dict("records"))
+                held.sort(key=sort_key, reverse=ord_desc)
+                buckets[kt] = held[:topn]
+                touched.append(kt)
+        # dedupe while keeping first-seen order (a key can appear in
+        # several Arrow chunks of the same micro-batch)
+        touched = list(dict.fromkeys(touched))
+        state.update((pickle.dumps(buckets),))
+        frames = []
+        for kt in touched:
+            top = buckets[kt]
+            out = pd.DataFrame(top, columns=data_cols)
+            if rn_alias is not None:
+                out[rn_alias] = range(1, len(top) + 1)
+            frames.append(out[list(out_cols)])
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
-        def sort_key(r: dict):
-            return (r[ord_col], *[r[c] for c in tie_cols])
-
-        held.sort(key=sort_key, reverse=ord_desc)
-        top = held[:topn]
-        state.update((pickle.dumps(top),))
-        out = pd.DataFrame(top, columns=data_cols)
-        if rn_alias is not None:
-            out[rn_alias] = range(1, len(top) + 1)
-        yield out[list(out_cols)]
-
-    return df.groupBy(*part_cols).applyInPandasWithState(
-        update,
-        out_schema,
-        _RANK_STATE_SCHEMA,
-        "update",
-        GroupStateTimeout.NoTimeout,
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in part_cols]),
+        F.lit(SESSION_KEY_GROUPS),
+    )
+    return (
+        df.withColumn("__kg__", bucket)
+        .groupBy("__kg__")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            _RANK_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
     )
 
 
