@@ -628,9 +628,18 @@ def pp08_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = (
         sc_.crossJoin(F.broadcast(tot))
         .withColumn(
+            # budget * s_i runs through a DECIMAL(38,0) intermediate:
+            # with s_i = floor(sqrt(n)*1e6) the BIGINT product
+            # overflows int64 once the corpus reaches ~1e9 docs —
+            # inside the 100 TB posture (ADVICE r12). DIV on the
+            # decimal product returns BIGINT integral division,
+            # bit-identical to the oracle's HUGEINT // (verified
+            # cross-engine at 1e10 docs). target_docs itself and
+            # target_docs * 1e6 stay in int64 up to ~9e12 docs.
             "target_docs",
             F.expr(
-                f"n_total DIV {PP08_BUDGET_DEN} * s_i DIV s_sum"
+                f"CAST(CAST(n_total DIV {PP08_BUDGET_DEN} AS"
+                " DECIMAL(38,0)) * s_i DIV s_sum AS BIGINT)"
             ),
         )
         .withColumn(
@@ -684,9 +693,10 @@ sc AS (
 tot AS (SELECT SUM(s_i) AS s_sum, SUM(n_docs) AS n_total FROM sc),
 thr AS (
   SELECT source, n_docs,
-         n_total // {PP08_BUDGET_DEN} * s_i // s_sum AS target_docs,
-         (n_total // {PP08_BUDGET_DEN} * s_i // s_sum)
-           * {PP08_PPM} // n_docs AS thr_ppm
+         CAST(n_total::HUGEINT // {PP08_BUDGET_DEN} * s_i // s_sum
+              AS BIGINT) AS target_docs,
+         CAST((n_total::HUGEINT // {PP08_BUDGET_DEN} * s_i // s_sum)
+           * {PP08_PPM} // n_docs AS BIGINT) AS thr_ppm
   FROM sc CROSS JOIN tot
 ),
 picked AS (

@@ -143,11 +143,21 @@ def retained_topn(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            for kt, grp in pdf.groupby(part_cols, sort=False):
+            # dropna=False: Spark's groupBy keeps null partition keys
+            # as their own group, so the pandas sub-grouping must too
+            # (ADVICE r12); NaN/NaT normalize to None so the same null
+            # key hits the same bucket entry across micro-batches
+            # (distinct NaN floats are != each other as dict keys)
+            for kt, grp in pdf.groupby(
+                part_cols, sort=False, dropna=False
+            ):
                 if not isinstance(kt, tuple):
                     kt = (kt,)
                 kt = tuple(
-                    v.item() if hasattr(v, "item") else v for v in kt
+                    None
+                    if pd.isna(v)
+                    else (v.item() if hasattr(v, "item") else v)
+                    for v in kt
                 )
                 held = buckets.get(kt, [])
                 held.extend(grp[data_cols].to_dict("records"))
@@ -619,6 +629,17 @@ def sessionize(
                 .astype("int64")
             )
             uids = pdf[key_col].to_numpy()
+            # bigint-key contract (the CSR state arrays are
+            # array<bigint>): a null key arrives as NaN after
+            # to_numpy and int(NaN) would raise deep in the CSR
+            # rebuild — fail loudly at the seam instead (ADVICE r12)
+            if uids.dtype.kind == "f" and np.isnan(uids).any():
+                raise ValueError(
+                    f"sessionize: null {key_col} in the stream —"
+                    " the session state's bigint-key contract"
+                    " requires non-null keys; filter or COALESCE"
+                    " the key upstream"
+                )
             order = np.argsort(uids, kind="stable")
             u_s, t_s = uids[order], ts_us[order]
             bounds = np.flatnonzero(

@@ -54,9 +54,18 @@ def _stateful_partitions(spark: SparkSession, script_or_path: str) -> str:
     streaming run: 4 for gate-sized inputs, every core for scaled
     ones — the sized-once-to-the-cluster choice Flink calls
     max-parallelism, derived from the staged source actually
-    referenced by the script."""
+    referenced by the script. Sources are matched by the EXACT paths
+    in the script's ``'path' = '…'`` clauses (or the whole argument
+    when it is itself a staged path) — substring matching could pick
+    up a stale same-session staging whose path happens to nest inside
+    another (ADVICE r12)."""
+    import re as _re
+
+    refs = _re.findall(r"'path'\s*=\s*'([^']+)'", script_or_path)
+    if not refs:
+        refs = [script_or_path]
     n = max(
-        (v for k, v in _STAGED_ROWS.items() if k in script_or_path),
+        (_STAGED_ROWS[p] for p in refs if p in _STAGED_ROWS),
         default=0,
     )
     if n < _STATEFUL_SMALL_ROWS:

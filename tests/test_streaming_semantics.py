@@ -433,3 +433,35 @@ def test_match_recognize_word_in_literal_not_routed(spark, tmp_path):
     JobRunner(spark, mode="batch").execute_script(script)
     got = sorted(r["note"] for r in spark.table("lit_out").collect())
     assert got == ["also", "keep"]
+
+
+def test_stateful_partitions_exact_path_match(spark):
+    """_stateful_partitions sizes state stores from the EXACT paths in
+    the script's 'path' = '...' clauses — a stale same-session staging
+    whose path is a substring of another must not leak its row count
+    in (ADVICE r12)."""
+    from flink_streaming_platform_web_spark.streaming import (
+        stream_queries as sq,
+    )
+
+    saved = dict(sq._STAGED_ROWS)
+    try:
+        sq._STAGED_ROWS.clear()
+        sq._STAGED_ROWS["/tmp/sg_a"] = 1_000_000  # prefix of _a_big
+        sq._STAGED_ROWS["/tmp/sg_a_big"] = 10
+        script = (
+            "CREATE TABLE t (x BIGINT) WITH ("
+            "'connector'='filesystem','path'='/tmp/sg_a_big',"
+            "'format'='parquet')"
+        )
+        # only the exact referenced path counts: small input -> "4"
+        assert sq._stateful_partitions(spark, script) == "4"
+        # a bare path argument still matches exactly
+        assert sq._stateful_partitions(spark, "/tmp/sg_a") == str(
+            spark.sparkContext.defaultParallelism
+        )
+        # and an unknown path defaults small
+        assert sq._stateful_partitions(spark, "/tmp/other") == "4"
+    finally:
+        sq._STAGED_ROWS.clear()
+        sq._STAGED_ROWS.update(saved)
