@@ -47,98 +47,100 @@ _MODULES = (
 # The driver's correctness gate walks queries() in dict insertion order
 # and checks the first 50 entries per round. Rotate per round so the
 # union of rounds gives every entry a green row dated after its last
-# operator rewrite. Round-12 rotation (rule: any entry whose code OR
+# operator rewrite. Round-13 rotation (rule: any entry whose code OR
 # transitive helpers changed this round MUST re-enter, then the
-# oldest stale rows fill the rest). This round the ledger reaches
-# steady state (VERDICT r11 item 2): after r12 no entry's latest
-# driver row predates r10.
-# (a) ALL 20 remaining r8-dated rows go FIRST (the r11 verdict's
-#     explicit ask): q23, q25, q33, q34, q35, q43, q44, q58, st08,
-#     tx01-tx07, tx10, tx13, tx14, tx15.
-# (b) CHANGED this round (29 slots):
-#     - every batch MATCH_RECOGNIZE entry (15): the fast tiers now
-#       memoize window navigations (_tier_window lead memo +
-#       _lead_prelude) and the islands tier replaced its second
-#       post-filter sort with head-detection + running max — q45,
-#       q47-q57, q60-q62;
-#     - dd14: the countDistinct Expand folded into two chained
-#       aggregates on the one win-hashed exchange;
-#     - mm02-mm08 + pp07 (8): numpy codec rows + the _spread
-#       repartition ahead of every Python decode kernel;
-#     - dc01 (+ pp03 composes it): executor-side eval-union distinct
-#       before the driver collect; dd02/dd04 + dc02/pp04 ride the
-#       refactored single-definition shingle expression (dd02
-#       re-enters; dd04/dc02/pp04/dd03/dd05/dd06/dd10/dd13's coverage this
-#       round is the full local parity sweep recorded in
-#       PROGRESS.jsonl — bit-identical expression, 0 failures).
-# (c) NEW round-12 entries — never driver-checked, outrank green
-#     re-checks: dd16 ExactSubstr removal accounting, pp08
-#     temperature-smoothed source sampling, st25 streaming
-#     decontamination gate, and q63 band-disjoint PERMUTE + WITHIN
-#     (tier P's time bound gets its first gate entry). The 4 slots
-#     displace st15/st16 (r9-dated greens covered by the full sweep)
-#     and dd02/dd04 (bit-identical shingle refactor, sweep-covered).
-# Exactly 50. Entries NOT re-entering despite transitive-helper
-# changes are all r9/r10/r11-dated AND green in this round's full
-# local sweeps (see PROGRESS.jsonl round-12 records).
+# oldest stale rows fill the rest). tests/test_inventory.py now
+# machine-checks the two ledger invariants that drifted in r12
+# (VERDICT r12 item 6): stale coverage and the steady-state claim.
+# (a) ALL 26 remaining r9-dated rows go FIRST (the r12 verdict's
+#     explicit ask, item 3): ann01/ann02, dd06/dd08/dd09, pp04/pp05,
+#     q05/q06, q32, q46, q59, st01-st07, st15-st18, vec02-vec04.
+#     Eight of these (st03/st04, st16/st17/st18 + st01/st02/st05)
+#     double as CHANGED re-entries: the watermark-buffered front end
+#     is key-grouped this round and sessionize gained the null-key
+#     guard.
+# (b) CHANGED this round (beyond the r9 overlaps):
+#     - st14, st19-st23: streaming MATCH_RECOGNIZE rides the
+#       key-grouped watermark_buffered state (ooo.py KEY_GROUPS);
+#     - st11-st13: retained_topn's pandas sub-grouping keeps null
+#       partition keys (dropna=False + NaN normalization);
+#     - pp08: the budget*s_i product moved to a DECIMAL(38,0)/
+#       HUGEINT intermediate on both engines;
+#     - q52/q55: tier-SQL shaves from the sf5 decomposition work
+#       (VERDICT r12 item 2);
+#     - st08-st10, st24, st25: _stateful_partitions now matches
+#       staged sources by exact path (transitive helper of every
+#       runner-routed st* entry).
+# (c) no new entries this round yet.
+# Exactly 50: 26 (a) + 24 (b). Entries NOT re-entering despite the
+# _stateful_partitions helper change are r10+-dated AND green in
+# this round's full local parity sweeps (PROGRESS.jsonl r13).
 _CHECK_FIRST = (
-    # (a) the 20 r8-dated rows — retire the tail of the cycle
-    "q23_hop_window",
-    "q25_cdc_latest_state",
-    "q33_flink_datetime_compat",
-    "q34_udf_json_bucket",
-    "q35_pivot_api",
-    "q43_cumulate_tvf",
-    "q44_window_topn",
-    "q58_listagg",
-    "st08_stream_cdc_latest",
-    "tx01_langid",
-    "tx02_quality_score",
-    "tx03_token_count",
-    "tx04_fingerprint",
-    "tx05_corpus_stats_by_lang",
-    "tx06_topk_vocab",
-    "tx07_bigram_repetition",
-    "tx10_quality_filter",
-    "tx13_bigram_novelty",
-    "tx14_source_diversity",
-    "tx15_top_trigram_chars",
-    # (b) changed this round: CEP tier memoization + islands walk
-    "q45_match_recognize",
-    "q47_match_alternation",
-    "q48_match_all_rows",
-    "q49_match_bounded_quant",
-    "q50_match_permute",
-    "q51_match_nested_group",
-    "q52_match_within",
-    "q53_match_alternated_sequences",
-    "q54_match_desc_tie_order",
-    "q55_match_permute_wide",
-    "q56_match_running_final",
-    "q57_match_rowtime",
-    "q60_match_global",
-    "q61_match_skip_to_var",
-    "q62_match_all_rows_overlap",
-    # (b) dd14 restructure
-    "dd14_exact_substr_dup",
-    # (b) multimodal: numpy codec + spread kernels
-    "mm02_decode_pipeline",
-    "mm03_frame_sample",
-    "mm04_resize_pipeline",
-    "mm05_feature_extract",
-    "mm06_audio_frame_energy",
-    "mm07_scene_keyframes",
-    "mm08_phash_neardup",
-    "pp07_multimodal_prep",
-    # (b) dc01 probe + shingle single-definition riders
-    "dc01_contamination",
-    "pp03_prep_pipeline",
-    # (c) new round-12 entries
-    "dd16_exact_substr_removal",
+    # (a) the 26 r9-dated rows — retire the tail of the cycle
+    "ann01_brute_topk",
+    "ann02_embed_neardup_pairs",
+    "dd06_dup_clusters",
+    "dd08_simhash_neardup_pairs",
+    "dd09_chunk_dedup",
+    "pp04_neardup_prep",
+    "pp05_mixture_weights",
+    "q05_gmv_join_coupon",
+    "q06_lookup_join",
+    "q32_embedding_centroids",
+    "q46_window_join",
+    "q59_timestamp_ltz",
+    "st01_stream_tumble_window",
+    "st02_stream_upsert_agg",
+    "st03_stream_session_window",
+    "st04_stream_session_custom",
+    "st05_stream_hop_window",
+    "st06_stream_dedup",
+    "st07_stream_interval_join",
+    "st15_stream_window_join",
+    "st16_stream_over_agg",
+    "st17_stream_temporal_join",
+    "st18_stream_over_rows",
+    "vec02_quantize_int8",
+    "vec03_dim_stats",
+    "vec04_gram_matrix",
+    # (b) key-grouped watermark buffer: streaming CEP
+    "st14_stream_match_recognize",
+    "st19_stream_match_permute",
+    "st20_stream_match_within",
+    "st21_stream_match_desc",
+    "st22_stream_match_skip_to_var",
+    "st23_stream_match_global",
+    # (b) retained_topn null-key sub-grouping
+    "st11_stream_window_topn",
+    "st12_stream_dedup_sql",
+    "st13_stream_topn_continuous",
+    # (b) pp08 decimal intermediate
     "pp08_temperature_sample",
+    # (b) q52/q55 tier work (r12 perf-weak decomposition)
+    "q52_match_within",
+    "q55_match_permute_wide",
+    # (b) _stateful_partitions exact-path riders (runner-routed st*)
+    "st08_stream_cdc_latest",
+    "st09_stream_window_tvf",
+    "st10_stream_ttl_incremental_agg",
+    "st24_stream_quality_mix",
     "st25_stream_contamination_gate",
-    "q63_match_permute_within",
+    # oldest r10 rows fill the rest
+    "ann04_ivf_search",
+    "ann05_ivf_multiprobe",
+    "dd02_ngram_jaccard_pairs",
+    "dd04_minhash_lsh_pairs",
+    "dd05_simhash_signatures",
+    "dd07_embed_neardup_docs",
+    "dd10_minhash_est_jaccard",
 )
+
+#: the steady-state ledger claim, machine-checked by
+#: tests/test_inventory.py::test_ledger_claim_matches_computed_histogram:
+#: no inventory entry's latest driver row predates this round. r12's
+#: prose claim drifted (said r10; the data said r9) — keep this in
+#: sync with the CORRECTNESS_r*.json union, not with intentions.
+_LEDGER_MIN_ROUND = 9
 
 
 def _check_first_is_exact() -> None:

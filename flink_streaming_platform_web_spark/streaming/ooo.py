@@ -17,7 +17,10 @@ is the watermark front end that replaces the assertion.
 out_pdf | None)`` where ``released_rows`` is a pandas DataFrame sorted
 by the operator's ORDER BY — in an ``applyInPandasWithState`` stage:
 
-- per-key state holds ``(pending_rows, release_frontier, inner)``;
+- state is key-GROUPED (``hash(key) % KEY_GROUPS`` state keys —
+  Flink's key-group layout; see KEY_GROUPS): each bucket holds ONE
+  pending frame plus per-logical-key ``(release_frontier, inner)``
+  dicts, and folds run per logical key inside the bucket;
 - each invocation appends the batch's rows to pending, drops LATE rows
   (event time ≤ the frontier already released — Flink's late-element
   drop; Spark's stateful operator pre-filters rows older than the
@@ -66,6 +69,35 @@ from pyspark.sql.types import StructType
 Fold = Callable[
     ["bytes | None", pd.DataFrame], "tuple[bytes, pd.DataFrame | None]"
 ]
+
+#: state keys per buffered operator — Flink's key-group count, the
+#: same constant (and rationale) as stateful.SESSION_KEY_GROUPS: the
+#: framework pays a Python call + state round-trip PER STATE KEY per
+#: micro-batch (~5-9 ms measured), so keying the state store by
+#: hash(key) % N instead of the logical key amortizes that over
+#: ~|keys|/N logical keys per call (st16's 150k users at sf1 paid
+#: ~500k state-key visits ≈ 140 s before grouping; r12's sessionize
+#: journey was 899 → 30.7 s on the same move). Correctness is
+#: untouched: every row of a logical key still lands in exactly one
+#: bucket, and folds stay per-logical-key inside the bucket.
+KEY_GROUPS = 1024
+
+#: bucket column the front ends inject; collides loudly
+_KG = "__wb_kg__"
+
+
+def _norm_key(kt) -> tuple:
+    """pandas groupby key → canonical tuple (numpy scalars unboxed,
+    NaN/NaT → None) so the same logical key indexes the same state
+    entry across micro-batches."""
+    if not isinstance(kt, tuple):
+        kt = (kt,)
+    return tuple(
+        None
+        if pd.isna(v)
+        else (v.item() if hasattr(v, "item") else v)
+        for v in kt
+    )
 
 
 @dataclass
@@ -120,7 +152,15 @@ def watermark_buffered(
     column feeding ``ts_col``; without one the watermark never
     advances and nothing is ever released (until stop-with-drain).
     ``drain_out``, when given, receives the operator's ``DrainSpec``
-    so the runner can flush pending state at stop."""
+    so the runner can flush pending state at stop.
+
+    State is key-GROUPED (round 13): the state key is
+    ``hash(key_cols) % KEY_GROUPS``, one pickled
+    ``(pending_frame, frontiers, inners)`` per bucket — pending rows
+    for the whole bucket in ONE frame, per-logical-key release
+    frontier and fold state in dicts. Folds still run strictly
+    per logical key in released order, so every fold's semantics
+    (CEP NFA, OVER buffer, temporal versions) are untouched."""
     if drain_out is not None:
         drain_out.append(
             DrainSpec(
@@ -128,6 +168,13 @@ def watermark_buffered(
                 in_cols=list(df.columns), sort_asc=sort_asc,
             )
         )
+    if _KG in df.columns:
+        raise ValueError(
+            f"watermark_buffered: input column {_KG!r} collides with"
+            " the key-group bucket column"
+        )
+    key_list = list(key_cols)
+    asc = sort_asc if sort_asc is not None else True
 
     def update(
         key: tuple,
@@ -135,50 +182,77 @@ def watermark_buffered(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            pending, frontier_us, inner = pickle.loads(state.get[0])
+            pending, frontiers, inners = pickle.loads(state.get[0])
         else:
-            pending, frontier_us, inner = None, None, None
+            pending, frontiers, inners = None, {}, {}
         wm_ms = state.getCurrentWatermarkMs()
         wm_us = wm_ms * 1000
         if not state.hasTimedOut:
             new = pd.concat(list(batches))
             if len(new):
+                new = new.drop(columns=[_KG])
                 # late: at or before the current watermark OR the
-                # frontier already folded — dropped, Flink's
+                # key's frontier already folded — dropped, Flink's
                 # late-element contract (ts <= watermark). Spark's
                 # stateful-operator pre-filter uses the PREVIOUS
                 # batch's watermark, so the explicit wm_us cut here
                 # closes the one-batch gap (ADVICE r7); wm_ms == 0
-                # means no watermark established yet — no cut.
-                cut = frontier_us
+                # means no watermark established yet — no global cut.
                 if wm_ms > 0:
-                    cut = wm_us if cut is None else max(cut, wm_us)
-                if cut is not None:
-                    new = new[to_epoch_us(new[ts_col]) > cut]
+                    new = new[to_epoch_us(new[ts_col]) > wm_us]
+                # per-key frontier cut: the watermark is monotone
+                # within a run, so a frontier above the current wm
+                # only exists defensively (wm regression across a
+                # restart) — apply it per row only when one does
+                stale = {
+                    k: f
+                    for k, f in frontiers.items()
+                    if f > wm_us or wm_ms == 0
+                }
+                if stale and len(new):
+                    cuts = pd.Series(
+                        [
+                            stale.get(t, -1)
+                            for t in map(
+                                _norm_key,
+                                new[key_list].itertuples(
+                                    index=False, name=None
+                                ),
+                            )
+                        ],
+                        index=new.index,
+                    )
+                    new = new[to_epoch_us(new[ts_col]) > cuts]
                 pending = (
                     new
                     if pending is None
                     else pd.concat([pending, new], ignore_index=True)
                 )
-        out = None
+        outs = []
         if pending is not None and len(pending):
             mask = to_epoch_us(pending[ts_col]) <= wm_us
             if mask.any():
                 released = pending[mask].sort_values(
-                    sort_cols,
-                    ascending=(
-                        sort_asc if sort_asc is not None else True
-                    ),
-                    kind="mergesort",
+                    sort_cols, ascending=asc, kind="mergesort"
                 )
                 pending = pending[~mask].reset_index(drop=True)
-                inner, out = fold(inner, released)
-                frontier_us = (
-                    wm_us
-                    if frontier_us is None
-                    else max(frontier_us, wm_us)
-                )
-        state.update((pickle.dumps((pending, frontier_us, inner)),))
+                # sub-group at C speed; within a key the rows keep
+                # the sorted order (groupby preserves row order)
+                for kt, grp in released.groupby(
+                    key_list, sort=False, dropna=False
+                ):
+                    kt = _norm_key(kt)
+                    inner, out = fold(
+                        inners.get(kt), grp.reset_index(drop=True)
+                    )
+                    inners[kt] = inner
+                    f = frontiers.get(kt)
+                    frontiers[kt] = (
+                        wm_us if f is None else max(f, wm_us)
+                    )
+                    if out is not None and len(out):
+                        outs.append(out)
+        state.update((pickle.dumps((pending, frontiers, inners)),))
         if pending is not None and len(pending):
             # wake when the watermark passes the earliest pending row
             # (fires at wm > t, so arm one ms below); CEIL the µs→ms
@@ -190,15 +264,24 @@ def watermark_buffered(
             min_us = int(to_epoch_us(pending[ts_col]).min())
             min_ms = -(-min_us // 1000)
             state.setTimeoutTimestamp(max(wm_ms + 1, min_ms - 1))
-        if out is not None and len(out):
-            yield out
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
 
-    return df.groupBy(*key_cols).applyInPandasWithState(
-        update,
-        out_schema,
-        "s binary",
-        "append",
-        GroupStateTimeout.EventTimeTimeout,
+    from pyspark.sql import functions as F
+
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(KEY_GROUPS)
+    )
+    return (
+        df.withColumn(_KG, bucket)
+        .groupBy(_KG)
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            "s binary",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 
@@ -304,30 +387,53 @@ def drain_pending(
     # released rows, so empty-pending keys are skipped outright
     final_aware = len(inspect.signature(fold).parameters) >= 3
 
+    key_list = list(spec.key_cols)
+
     def release(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         outs = []
+
+        def run_key(pending_grp, inner) -> None:
+            has_pending = pending_grp is not None and len(pending_grp)
+            if not has_pending and not final_aware:
+                return
+            released = (
+                pending_grp.sort_values(
+                    sort_cols, ascending=sort_asc, kind="mergesort"
+                )
+                if has_pending
+                else pd.DataFrame(columns=in_cols or [])
+            )
+            if final_aware:
+                _, out = fold(inner, released, True)
+            else:
+                _, out = fold(inner, released)
+            if out is not None and len(out):
+                outs.append(out.reindex(columns=names))
+
         for pdf in batches:
             for blob in pdf["s"]:
                 if blob is None:
                     continue
-                pending, _frontier, inner = pickle.loads(bytes(blob))
-                has_pending = pending is not None and len(pending)
-                if not has_pending and not final_aware:
-                    continue
-                released = (
-                    pending.sort_values(
-                        sort_cols, ascending=sort_asc,
-                        kind="mergesort",
-                    )
-                    if has_pending
-                    else pd.DataFrame(columns=in_cols or [])
-                )
-                if final_aware:
-                    _, out = fold(inner, released, True)
-                else:
-                    _, out = fold(inner, released)
-                if out is not None and len(out):
-                    outs.append(out.reindex(columns=names))
+                pending, frontiers, inners = pickle.loads(bytes(blob))
+                # key-grouped layout (round 13): one bucket blob holds
+                # the bucket's pending frame + per-logical-key inner
+                # states — drain each logical key like a final
+                # infinite watermark would, in deterministic order
+                groups: dict = {}
+                if pending is not None and len(pending):
+                    for kt, grp in pending.groupby(
+                        key_list, sort=False, dropna=False
+                    ):
+                        groups[_norm_key(kt)] = grp
+                for kt in dict.fromkeys(
+                    list(groups)
+                    + [k for k in inners if k not in groups]
+                ):
+                    inner = inners.get(kt)
+                    grp = groups.get(kt)
+                    if inner is None and grp is None:
+                        continue
+                    run_key(grp, inner)
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
