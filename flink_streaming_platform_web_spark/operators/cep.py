@@ -2023,18 +2023,23 @@ def _within_bound(df, spec, lead, k):
     dt = df.schema[o0].dataType.typeName()
     f_, l_ = lead(o0, 0), lead(o0, k - 1)
     if dt in ("timestamp", "timestamp_ntz"):
-        el = (
-            f"(unix_micros(CAST({l_} AS TIMESTAMP))"
-            f" - unix_micros(CAST({f_} AS TIMESTAMP)))"
-        )
-        bound = repr(spec.within_seconds * 1e6)
+        # native int64 timestamp compare: l > f + INTERVAL is one
+        # interval-add (constant-folded µs) + compare, where the
+        # previous unix_micros(CAST(...)) form paid two ntz→ltz
+        # casts + two epoch extractions per row — ~0.24 s per 5M-row
+        # pass, the difference between q52's sf5 marginal sitting
+        # just above vs just below the oracle's (round 13). Exact:
+        # µs-precision timestamps add/compare as int64, and the
+        # interval literal is the same exact µs bound the scalar
+        # evaluator derives from its ns/1e9 difference.
+        over = f"({l_} > {f_} + INTERVAL '{spec.within_seconds}' SECOND)"
     elif dt in ("long", "integer", "short", "byte", "double", "float"):
         el = f"(CAST({l_} AS DOUBLE) - CAST({f_} AS DOUBLE))"
-        bound = repr(spec.within_seconds)
+        over = f"({el} > {spec.within_seconds!r})"
     else:
         return None  # dates/strings keep the NFA path
     return (
-        f"(({f_} IS NULL) OR ({l_} IS NULL) OR NOT({el} > {bound}))"
+        f"(({f_} IS NULL) OR ({l_} IS NULL) OR NOT{over})"
     )
 
 
