@@ -72,9 +72,10 @@ _MODULES = (
 #       staged sources by exact path (transitive helper of every
 #       runner-routed st* entry).
 # (c) no new entries this round yet.
-# Exactly 50: 26 (a) + 24 (b). Entries NOT re-entering despite the
-# _stateful_partitions helper change are r10+-dated AND green in
-# this round's full local parity sweeps (PROGRESS.jsonl r13).
+# Exactly 50: 26 (a) + 18 changed (b) + 6 oldest-r10 fills.
+# Entries NOT re-entering despite the _stateful_partitions helper
+# change are r10+-dated AND green in this round's full local parity
+# sweeps (PROGRESS.jsonl r13).
 _CHECK_FIRST = (
     # (a) the 26 r9-dated rows — retire the tail of the cycle
     "ann01_brute_topk",
@@ -116,9 +117,11 @@ _CHECK_FIRST = (
     "st13_stream_topn_continuous",
     # (b) pp08 decimal intermediate
     "pp08_temperature_sample",
-    # (b) q52/q55 tier work (r12 perf-weak decomposition)
+    # (b) q52/q55 tier work (r12 perf-weak decomposition) + q63
+    # (the WITHIN conjunct's native-compare rewrite changes its plan)
     "q52_match_within",
     "q55_match_permute_wide",
+    "q63_match_permute_within",
     # (b) _stateful_partitions exact-path riders (runner-routed st*)
     "st08_stream_cdc_latest",
     "st09_stream_window_tvf",
@@ -132,7 +135,6 @@ _CHECK_FIRST = (
     "dd04_minhash_lsh_pairs",
     "dd05_simhash_signatures",
     "dd07_embed_neardup_docs",
-    "dd10_minhash_est_jaccard",
 )
 
 #: the steady-state ledger claim, machine-checked by

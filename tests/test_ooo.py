@@ -717,3 +717,30 @@ def test_drain_resolves_buffered_operator_behind_second_stateful_op(
         )
         if out is not None:  # the guard may also surface at collect
             out.collect()
+
+
+def test_null_partition_key_groups_like_spark(spark, tmp_path):
+    """A null partition key is a GROUP, not a dropped row (Spark's
+    groupBy semantics — and the key-grouped bucket layout of round 13
+    must normalize NaN to one stable state entry across micro-batches
+    rather than minting a fresh NaN key per batch). Differential
+    against Spark's own batch window over the same rows, null key
+    included."""
+    rows = [
+        {"k": None, "ts": "2024-01-01 00:00:10", "v": 1.0},
+        {"k": 1, "ts": "2024-01-01 00:00:20", "v": 5.0},
+        {"k": None, "ts": "2024-01-01 00:01:00", "v": 2.0},
+        {"k": 1, "ts": "2024-01-01 00:01:30", "v": 6.0},
+        # second batch touches the SAME null key again: the state
+        # entry must be the one batch 1 created
+        {"k": None, "ts": "2024-01-01 00:01:40", "v": 3.0},
+        {"k": None, "ts": "2024-01-01 00:30:00", "v": 4.0},
+        {"k": 1, "ts": "2024-01-01 00:30:00", "v": 7.0},
+    ]
+    p = str(tmp_path / "nullkey")
+    _write_files(p, [rows[:4], rows[4:]])
+    got = _run_over(spark, p, "nullkey")
+    expected = _batch_over(spark, rows)
+    assert got == expected
+    # the null-key group really is present in the converged output
+    assert any(k is None for k, _ in got), got

@@ -26,19 +26,111 @@ from pyspark.sql import functions as F
 from flink_streaming_platform_web_spark.session import get_spark
 
 
+def _load_1min() -> float:
+    """Host 1-minute load average — the gate for the paired runs
+    (VERDICT r12 item 5: two rounds of quiet-box memo pairs came back
+    inconclusive because host load swung mid-minute; gating + A-B-A-B
+    interleave in one session is the third-attempt protocol)."""
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = "agg"
     if args and args[0] in (
         "rank", "over", "over_buffered", "temporal", "cep",
-        "cep_coarse", "cep_permute", "cep_overlap",
+        "cep_coarse", "cep_permute", "cep_overlap", "pairs",
     ):
         mode = args[0]
         args = args[1:]
     duration = float(args[0]) if args else 20.0
     rps = int(args[1]) if len(args) > 1 else 500_000
+    if mode == "pairs":
+        return _pairs(duration, rps)
     spark = get_spark("stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    agg = _plan(spark, mode, rps)
+    rows = _drain(agg, mode, duration)
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": {
+                    "rank": "rate_rank_topn_throughput",
+                    "over": "rate_over_agg_throughput",
+                    "over_buffered": "rate_over_buffered_throughput",
+                    "temporal": "rate_temporal_join_throughput",
+                    "cep": "rate_cep_buffered_throughput",
+                    "cep_coarse": "rate_cep_coarse_tie_throughput",
+                    "cep_permute": "rate_cep_permute_throughput",
+                    "cep_overlap": "rate_cep_overlap_throughput",
+                    "agg": "rate_window_agg_throughput",
+                }[mode],
+                "rows_processed": rows,
+                "wall_s": duration,
+                "rows_per_sec": round(rows / duration, 1),
+                "unit": "rows/sec",
+            }
+        )
+    )
+
+
+def _pairs(duration: float, rps: int) -> None:
+    """Load-gated A-B-A-B cep_coarse/cep_overlap pairs in ONE session
+    (VERDICT r12 item 5's protocol): probe host load first — above 8,
+    skip and RECORD the skip; otherwise alternate the two modes twice
+    with the load sampled before every leg, so a mid-run load swing is
+    visible in the artifact instead of silently poisoning a ratio."""
+    gate = _load_1min()
+    if gate > 8.0:
+        print(
+            json.dumps(
+                {
+                    "metric": "cep_coarse_overlap_pairs",
+                    "skipped": f"host load {gate} > 8 at gate",
+                }
+            )
+        )
+        return
+    spark = get_spark("stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    legs = []
+    for leg_mode in ("cep_coarse", "cep_overlap") * 2:
+        legs.append(
+            {
+                "mode": leg_mode,
+                "load_before": _load_1min(),
+                "rows_per_sec": round(
+                    _drain(_plan(spark, leg_mode, rps), leg_mode,
+                           duration) / duration,
+                    1,
+                ),
+            }
+        )
+        print(f"# {legs[-1]}", file=sys.stderr)
+    spark.stop()
+    ratios = [
+        round(legs[i + 1]["rows_per_sec"] / legs[i]["rows_per_sec"], 3)
+        for i in (0, 2)
+        if legs[i]["rows_per_sec"]
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": "cep_coarse_overlap_pairs",
+                "gate_load": gate,
+                "legs": legs,
+                "overlap_over_coarse_ratios": ratios,
+                "load_after": _load_1min(),
+                "wall_s_per_leg": duration,
+            }
+        )
+    )
+
+
+def _plan(spark, mode: str, rps: int):
+    """Build one mode's streaming plan over a fresh rate source."""
     src = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", str(rps))
@@ -258,6 +350,15 @@ def main() -> None:
             )
             .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
         )
+    return agg
+
+
+def _drain(agg, mode: str, duration: float) -> int:
+    """Start the noop sink, drain progress for ``duration`` seconds,
+    stop, and return rows processed. Progress is read DURING the run,
+    deduped by batchId: q.recentProgress is capped
+    (spark.sql.streaming.numRecentProgressUpdates = 100), so a single
+    read at the end undercounts any run longer than ~100 triggers."""
     q = (
         agg.writeStream.format("noop")
         # over/temporal are append-mode stateful operators; rank and
@@ -271,10 +372,6 @@ def main() -> None:
         .trigger(processingTime="1 second")
         .start()
     )
-    # drain progress DURING the run, deduped by batchId:
-    # q.recentProgress is capped (spark.sql.streaming.
-    # numRecentProgressUpdates = 100), so a single read at the end
-    # undercounts any run longer than ~100 triggers
     rows = 0
     seen: set[int] = set()
     deadline = time.time() + duration
@@ -289,28 +386,7 @@ def main() -> None:
             seen.add(p["batchId"])
             rows += p["numInputRows"]
     q.stop()
-    spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": {
-                    "rank": "rate_rank_topn_throughput",
-                    "over": "rate_over_agg_throughput",
-                    "over_buffered": "rate_over_buffered_throughput",
-                    "temporal": "rate_temporal_join_throughput",
-                    "cep": "rate_cep_buffered_throughput",
-                    "cep_coarse": "rate_cep_coarse_tie_throughput",
-                    "cep_permute": "rate_cep_permute_throughput",
-                    "cep_overlap": "rate_cep_overlap_throughput",
-                    "agg": "rate_window_agg_throughput",
-                }[mode],
-                "rows_processed": rows,
-                "wall_s": duration,
-                "rows_per_sec": round(rows / duration, 1),
-                "unit": "rows/sec",
-            }
-        )
-    )
+    return rows
 
 
 if __name__ == "__main__":
