@@ -744,3 +744,29 @@ def test_null_partition_key_groups_like_spark(spark, tmp_path):
     assert got == expected
     # the null-key group really is present in the converged output
     assert any(k is None for k, _ in got), got
+
+
+def test_randomized_bucket_sharing_differential(spark, tmp_path, monkeypatch):
+    """Randomized differential on the key-grouped buffer's NEW path:
+    many logical keys sharing ONE state bucket. With the production
+    1024 buckets a handful of test keys never collide, so this test
+    pins KEY_GROUPS=2 (read at plan-build time) and runs 12 keys ×
+    random within-delay disorder through the runner's OVER route —
+    per-key release order, per-key frontiers, and per-key inner
+    state must all survive bucket cohabitation, converging to
+    Spark's own batch window answer. Tail rows stay pending at stop,
+    so stop-with-drain's bucket iteration is in the differential
+    too."""
+    from flink_streaming_platform_web_spark.streaming import ooo
+
+    monkeypatch.setattr(ooo, "KEY_GROUPS", 2)
+    rows = _mk_rows(n_per_key=12, keys=tuple(range(1, 13)), step_s=15)
+    expected = _batch_over(spark, rows)
+    for seed in (7, 8):
+        chunks = _random_disorder(rows, seed, files=3)
+        p = str(tmp_path / f"share{seed}")
+        _write_files(p, chunks)
+        got = _run_over(spark, p, f"share{seed}")
+        assert got == expected, (
+            f"seed {seed}: {len(got)} rows vs {len(expected)}"
+        )
