@@ -874,6 +874,17 @@ class _VecXform(ast.NodeTransformer):
         return super().generic_visit(node)
 
 
+@functools.lru_cache(maxsize=1024)
+def _compiled(src: str, tag: str):
+    """Compiled-eval cache for DEFINE/MEASURE sources. The batch
+    matcher amortizes compile() over a whole partition, but the
+    streaming fold runs once per logical key per micro-batch — with
+    the round-13 key-grouped front end that is ~keys × batches
+    compile() calls of the SAME handful of sources (the profile
+    showed compile as the fold's single largest line)."""
+    return compile(src, tag, "eval")
+
+
 @functools.lru_cache(maxsize=256)
 def _vector_define(src: str, var: str):
     """Compile one xlated DEFINE source to its elementwise form:
@@ -952,7 +963,7 @@ def _define_bitmaps(rows, spec: MatchSpec, frame=None) -> dict:
                 # (None == None True vs NaN == NaN False). Replay the
                 # scalar evaluator on those rows so the bitmap stays
                 # bit-for-bit exact.
-                scode = compile(spec.define[var], "<define>", "eval")
+                scode = _compiled(spec.define[var], "<define>")
                 for i in range(min(max_shift, n)):
                     try:
                         bm[i] = bool(
@@ -1116,10 +1127,10 @@ def _run_matcher(
     # compiled code object is ~3× faster than re-parsing source text
     # per candidate row, and the matcher is the hot loop here
     define_code = {
-        v: compile(e, "<define>", "eval") for v, e in spec.define.items()
+        v: _compiled(e, "<define>") for v, e in spec.define.items()
     }
     measure_code = [
-        (compile(e, "<measure>", "eval"), name)
+        (_compiled(e, "<measure>"), name)
         for e, name in spec.measures
     ]
     # row-local defines collapse to precomputed bitmaps — ok() then
@@ -1154,10 +1165,22 @@ def _run_matcher(
                 else:
                     a = rows[start_idx][spec.order_by[0]]
                     b = rows[idx][spec.order_by[0]]
+                    d = b - a
                     try:
-                        elapsed = (b - a).total_seconds()
+                        elapsed = d.total_seconds()
                     except AttributeError:
-                        elapsed = float(b - a)
+                        import numpy as _np
+
+                        # np.datetime64 order values (the streaming
+                        # fold's arrays path, round 13): float(d)
+                        # would yield the RAW unit count (µs/ns), not
+                        # seconds — unit-safe division matches
+                        # total_seconds bit-for-bit (exact int /
+                        # exact power of 10, correctly rounded)
+                        if isinstance(d, _np.timedelta64):
+                            elapsed = d / _np.timedelta64(1, "s")
+                        else:
+                            elapsed = float(d)
                     if elapsed > spec.within_seconds:
                         return False
             code = define_code.get(var)
@@ -1597,7 +1620,7 @@ def _chunk_bitmaps(frame, spec: MatchSpec) -> dict:
             out[var] = (
                 bm,
                 max_shift,
-                compile(spec.define[var], "<define>", "eval"),
+                _compiled(spec.define[var], "<define>"),
             )
         except Exception:
             continue  # build failure → scalar path, same answers
@@ -4737,7 +4760,26 @@ def _stream_fold(spec: MatchSpec):
             tail, cache, scan_from = state
         else:
             tail, cache, scan_from = state, {}, 0
-        rows = new.to_dict("records")
+        # row dicts via raw column arrays: pandas to_dict("records")
+        # pays ~1 ms of per-call machinery regardless of size, and
+        # the key-grouped front end calls this fold once per logical
+        # key per batch on ~10-row frames — the arrays path is ~20×
+        # cheaper there (round 13). datetime64 boxes to pd.Timestamp,
+        # the same move _ColRows makes, so the scalar evals (WITHIN's
+        # total_seconds, measure outputs, pickled tails) see exactly
+        # the types to_dict("records") produced
+        import numpy as _np
+
+        cols_ = list(new.columns)
+        arrs_ = [
+            # astype(object) boxes to Timestamp and keeps NaT as NaT
+            # (to_dict's exact output for datetime nulls)
+            new[c].astype(object).to_numpy()
+            if _np.issubdtype(new[c].dtype, _np.datetime64)
+            else new[c].to_numpy()
+            for c in cols_
+        ]
+        rows = [dict(zip(cols_, vals)) for vals in zip(*arrs_)]
         if tail and rows and rows[0][ord0] < tail[-1][ord0]:
             raise RuntimeError(
                 "stream_match_recognize: out-of-order ingest —"

@@ -288,8 +288,14 @@ def streaming_over(
     def prep(fn, col, scale, v):
         if v is None:
             return None
-        if fn == "sum" and scale is not None:
-            return _dec_units(v, scale)
+        if fn == "sum":
+            if scale is not None:
+                return _dec_units(v, scale)
+            # integer SUM stays a python int: the buffer rows carry
+            # numpy scalars since round 13's arrays path, and an
+            # np.int64 accumulator would wrap where python ints
+            # stay exact
+            return int(v)
         return v
 
     def fold(
@@ -301,13 +307,16 @@ def streaming_over(
             .values.astype("datetime64[us]")
             .astype("int64")
         )
-        # buffer rows carry only the agg inputs + timestamp
+        # buffer rows carry only the agg inputs + timestamp; raw
+        # column arrays instead of to_dict("records") — pandas pays
+        # ~1 ms of per-call machinery regardless of frame size, and
+        # the key-grouped front end calls this fold once per logical
+        # key per batch on ~10-row frames (round 13)
         if agg_cols:
+            a_arrs = [new[c].to_numpy() for c in agg_cols]
             new_buf = [
-                {"__ts": int(t), **{c: r[c] for c in agg_cols}}
-                for t, r in zip(
-                    ts_us, new[agg_cols].to_dict("records")
-                )
+                {"__ts": int(t), **dict(zip(agg_cols, vals))}
+                for t, vals in zip(ts_us, zip(*a_arrs))
             ]
         else:
             new_buf = [{"__ts": int(t)} for t in ts_us]
@@ -512,7 +521,7 @@ def streaming_over(
                 c: (
                     out_vals[c]
                     if c in out_vals
-                    else list(new[c])
+                    else new[c].to_numpy()
                 )
                 for c in out_cols
             }

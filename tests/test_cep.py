@@ -1920,3 +1920,60 @@ def test_stream_fold_attempt_cache_round_trips():
         for d in cep._match_partition(rows1 + rows2, spec)
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_stream_fold_within_datetime_randomized():
+    """Streaming WITHIN over a DATETIME order column, randomized
+    batch cuts vs the batch matcher. Pins the round-13 arrays path:
+    the fold's row values must keep to_dict-compatible types (boxed
+    Timestamps), and the scalar WITHIN check must compute SECONDS
+    whatever scalar type the order values carry — the parity gate
+    caught a version where np.datetime64 values made float(b - a)
+    return raw MICROSECONDS, silently failing every within-bound
+    match (st20 went to 0 rows)."""
+    import random
+
+    import pandas as pd
+
+    clause = (
+        "PARTITION BY k ORDER BY ts"
+        " MEASURES FIRST(S.ts) AS st, LAST(U.v) AS uv"
+        " ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (S U) WITHIN INTERVAL '10' MINUTE"
+        " DEFINE U AS U.v > PREV(U.v)"
+    )
+    spec = cep.parse_match_recognize(clause)
+    rng = random.Random(4242)
+    for trial in range(6):
+        n = rng.randint(30, 70)
+        base = pd.Timestamp("2024-03-01")
+        ts, cur = [], base
+        for _ in range(n):
+            # gaps straddle the 10-minute bound in both directions
+            cur = cur + pd.Timedelta(minutes=rng.choice([1, 4, 9, 12]))
+            ts.append(cur)
+        rows = [
+            {"k": 1, "ts": t, "v": float(rng.randint(0, 99))}
+            for t in ts
+        ]
+        want = sorted(
+            tuple(sorted(d.items()))
+            for d in cep._match_partition(rows, spec)
+        )
+        assert want, "fixture degenerated: no batch matches"
+        fold = cep._stream_fold(spec)
+        cuts = sorted(rng.sample(range(1, n), rng.randint(1, 4)))
+        state, got = None, []
+        prev = 0
+        for c in cuts + [n]:
+            state, out = fold(state, pd.DataFrame(rows[prev:c]))
+            prev = c
+            if out is not None:
+                got.extend(out.to_dict("records"))
+        _, out = fold(
+            state, pd.DataFrame([], columns=["k", "ts", "v"]), True
+        )
+        if out is not None:
+            got.extend(out.to_dict("records"))
+        got_s = sorted(tuple(sorted(d.items())) for d in got)
+        assert got_s == want, f"trial {trial}: {len(got_s)} vs {len(want)}"
