@@ -969,6 +969,7 @@ def st15_stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", "user_id", "event_type"
     )
     ev.repartition(2).write.parquet(path)
+    _STAGED_ROWS[path] = spark.read.parquet(path).count()
     mx = ev.agg(F.max("ts")).collect()[0][0]
     spark.createDataFrame(
         [
@@ -997,17 +998,34 @@ def st15_stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         side("purchase", "n_purchases"), ["window", "user_id"]
     )
     qname = f"st15_out_{int(time.time() * 1e6)}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .start()
+    # five stateful operators (two window aggs + both join sides +
+    # the join) each commit state-store files per micro-batch, so the
+    # per-batch fixed cost is 5 × shuffle-partitions × stores — size
+    # the stores to the input like the runner-routed entries do
+    # (st15 built its plan outside the runner and was paying the
+    # 32-store count on a gate-sized corpus: ~40 s of pure state
+    # commit overhead at sf0.1, exponent 0.03)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _stateful_partitions(spark, path)
+        if path in _STAGED_ROWS
+        else prev,
     )
     try:
-        q.processAllAvailable()
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(120)
     finally:
-        q.stop()
-        q.awaitTermination(120)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname).select(
         F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
