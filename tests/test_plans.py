@@ -735,3 +735,18 @@ def test_q52_window_navigations_deduped(spark, sf_dir):
     for tok in ("BatchEvalPython", "ArrowEvalPython", "mapInPandas",
                 "FlatMapGroupsInPandas"):
         assert tok not in plan, tok
+
+
+def test_within_tier_native_timestamp_compare(spark, sf_dir):
+    """Round 13: the tiers' WITHIN conjunct compares timestamps
+    natively (l > f + INTERVAL — one constant-folded interval add per
+    row) instead of the unix_micros(CAST(...)) pair that cost ~0.24 s
+    per 5M-row pass. Pin the expensive forms out of the plan for both
+    WITHIN tier routes (islands: q52; tier-P PERMUTE: q63)."""
+    from flink_streaming_platform_web_spark.operators.cep import (
+        QUERIES as CEP_QUERIES,
+    )
+
+    for name in ("q52_match_within", "q63_match_permute_within"):
+        plan = _physical(CEP_QUERIES[name](spark, sf_dir))
+        assert "unix_micros" not in plan, (name, plan)
