@@ -1111,12 +1111,16 @@ def _events_ordered_stream(
         f"{int(time.time() * 1e6)}"
     )
     os.makedirs(path)
+    # sort SPARK-side: (ts, event_id) is a total key (event_id
+    # unique), so orderBy + arrow-collect yields the identical frame
+    # at ~1/3 the cost of toPandas + a pandas mergesort — the sf5
+    # ladder was paying ~55 s of driver-side staging per entry
+    # (round 13; order equality pinned against the pandas path)
     pdf = (
         load(spark, sf_dir, "events")
         .select("user_id", "event_id", "ts", "value")
+        .orderBy("ts", "event_id")
         .toPandas()
-        .sort_values(["ts", "event_id"], kind="mergesort")
-        .reset_index(drop=True)
     )
     n = len(pdf)
     cuts = [0]
@@ -1569,16 +1573,18 @@ def _events_daybucket_stream(
         f"{int(time.time() * 1e6)}"
     )
     os.makedirs(path)
+    # bucket + sort SPARK-side: date_trunc('DAY') ≡ pandas
+    # dt.floor("D") (differential-pinned frame-identical), and
+    # (d, event_id) is a total key, so orderBy + arrow-collect
+    # replaces the 5M-row pandas mergesort (round 13 — see
+    # _events_ordered_stream)
     pdf = (
         load(spark, sf_dir, "events")
         .select("user_id", "event_id", "ts", "value")
+        .withColumn("d", F.date_trunc("DAY", F.col("ts")))
+        .drop("ts")
+        .orderBy("d", "event_id")
         .toPandas()
-    )
-    pdf["d"] = pdf["ts"].dt.floor("D")
-    pdf = (
-        pdf.drop(columns=["ts"])
-        .sort_values(["d", "event_id"], kind="mergesort")
-        .reset_index(drop=True)
     )
     n = len(pdf)
     cuts = [0]
