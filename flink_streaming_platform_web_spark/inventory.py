@@ -71,8 +71,11 @@ _MODULES = (
 #     - st08-st10, st24, st25: _stateful_partitions now matches
 #       staged sources by exact path (transitive helper of every
 #       runner-routed st* entry).
-# (c) no new entries this round yet.
-# Exactly 50: 26 (a) + 18 changed (b) + 6 oldest-r10 fills.
+# (c) NEW round-13 entry — never driver-checked, outranks green
+#     re-checks: q64 (WITHIN under SKIP TO NEXT ROW — the tier-A
+#     time bound's first oracle gate).
+# Exactly 50: 26 (a) + 18 changed (b) + 1 new (c) + 5 oldest-r10
+# fills.
 # Entries NOT re-entering despite the _stateful_partitions helper
 # change are r10+-dated AND green in this round's full local parity
 # sweeps (PROGRESS.jsonl r13).
@@ -122,6 +125,8 @@ _CHECK_FIRST = (
     "q52_match_within",
     "q55_match_permute_wide",
     "q63_match_permute_within",
+    # (c) new round-13 entry
+    "q64_match_within_next",
     # (b) _stateful_partitions exact-path riders (runner-routed st*)
     "st08_stream_cdc_latest",
     "st09_stream_window_tvf",
@@ -134,7 +139,6 @@ _CHECK_FIRST = (
     "dd02_ngram_jaccard_pairs",
     "dd04_minhash_lsh_pairs",
     "dd05_simhash_signatures",
-    "dd07_embed_neardup_docs",
 )
 
 #: the steady-state ledger claim, machine-checked by

@@ -4585,6 +4585,73 @@ WHERE c4 IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# q64 — WITHIN under AFTER MATCH SKIP TO NEXT ROW (round 13): the
+# fixed-length tier-A route's time bound had no oracle gate (q52
+# covers WITHIN on the islands/PAST-LAST tier, q63 on tier P; the
+# tier-A conjunct — including r13's native timestamp compare — was
+# pinned only by unit tests). A 3-row rising run bounded to 24 hours:
+# skip-to-next makes matches independent per start row, so the
+# DuckDB oracle is the plain LEAD window with the epoch bound.
+# --------------------------------------------------------------------------
+
+Q64_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES
+    FIRST(A.event_id) AS a_id,
+    LAST(C.event_id) AS c_id,
+    LAST(C.value) AS c_val
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B C) WITHIN INTERVAL '24' HOUR
+  DEFINE B AS B.value > PREV(B.value),
+         C AS C.value > PREV(C.value)
+"""
+
+
+def q64_match_within_next(spark, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE WITHIN under SKIP TO NEXT ROW (Flink docs:
+    queries/match_recognize §Time constraint + §After Match
+    Strategy): every row anchors an independent 3-row strictly-rising
+    attempt that counts only when the third row lands within 24 hours
+    of the first (1085 of 1605 rising runs qualify at sf0.01, so the
+    gate exercises the constraint, not just the pattern). Compiles to JVM tier A — one keyed exchange, the
+    memoized LEAD prelude, and the native-timestamp WITHIN conjunct
+    (l > f + INTERVAL) in a codegen filter; the oracle replays the
+    same navigation with EXTRACT(EPOCH ...)."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    spec = parse_match_recognize(Q64_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q64 = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+nav AS (
+  SELECT user_id, event_id, ts, value,
+         LEAD(value, 1) OVER w2 AS v1,
+         LEAD(value, 2) OVER w2 AS v2,
+         LEAD(event_id, 2) OVER w2 AS id2,
+         LEAD(ts, 2) OVER w2 AS ts2
+  FROM ordered
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+)
+SELECT user_id, event_id AS a_id, id2 AS c_id, v2 AS c_val
+FROM nav
+WHERE v1 > value AND v2 > v1 AND id2 IS NOT NULL
+  AND EXTRACT(EPOCH FROM ts2 - ts) <= 86400
+"""
+
+
 QUERIES = {
     "q45_match_recognize": q45_match_recognize,
     "q47_match_alternation": q47_match_alternation,
@@ -4602,6 +4669,7 @@ QUERIES = {
     "q61_match_skip_to_var": q61_match_skip_to_var,
     "q62_match_all_rows_overlap": q62_match_all_rows_overlap,
     "q63_match_permute_within": q63_match_permute_within,
+    "q64_match_within_next": q64_match_within_next,
 }
 ORACLES = {
     "q45_match_recognize": ORACLE_Q45,
@@ -4620,6 +4688,7 @@ ORACLES = {
     "q61_match_skip_to_var": ORACLE_Q61,
     "q62_match_all_rows_overlap": ORACLE_Q62,
     "q63_match_permute_within": ORACLE_Q63,
+    "q64_match_within_next": ORACLE_Q64,
 }
 
 

@@ -8,7 +8,7 @@ from flink_streaming_platform_web_spark import inventory
 def test_inventory_complete_and_ordered():
     qs = inventory.queries()
     oracles = inventory.oracle_sql()
-    assert len(qs) == 147
+    assert len(qs) == 148
     # every entry is oracle-gated (none fall back to rows-only)
     assert not (qs.keys() - oracles.keys())
     # the driver walks insertion order and has a finite budget: the

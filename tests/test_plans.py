@@ -747,6 +747,7 @@ def test_within_tier_native_timestamp_compare(spark, sf_dir):
         QUERIES as CEP_QUERIES,
     )
 
-    for name in ("q52_match_within", "q63_match_permute_within"):
+    for name in ("q52_match_within", "q63_match_permute_within",
+                 "q64_match_within_next"):
         plan = _physical(CEP_QUERIES[name](spark, sf_dir))
         assert "unix_micros" not in plan, (name, plan)
