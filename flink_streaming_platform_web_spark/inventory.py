@@ -47,106 +47,105 @@ _MODULES = (
 # The driver's correctness gate walks queries() in dict insertion order
 # and checks the first 50 entries per round. Rotate per round so the
 # union of rounds gives every entry a green row dated after its last
-# operator rewrite. Round-13 rotation (rule: any entry whose code OR
+# operator rewrite. Round-14 rotation (rule: any entry whose code OR
 # transitive helpers changed this round MUST re-enter, then the
-# oldest stale rows fill the rest). tests/test_inventory.py now
-# machine-checks the two ledger invariants that drifted in r12
-# (VERDICT r12 item 6): stale coverage and the steady-state claim.
-# (a) ALL 26 remaining r9-dated rows go FIRST (the r12 verdict's
-#     explicit ask, item 3): ann01/ann02, dd06/dd08/dd09, pp04/pp05,
-#     q05/q06, q32, q46, q59, st01-st07, st15-st18, vec02-vec04.
-#     Eight of these (st03/st04, st16/st17/st18 + st01/st02/st05)
-#     double as CHANGED re-entries: the watermark-buffered front end
-#     is key-grouped this round and sessionize gained the null-key
-#     guard.
-# (b) CHANGED this round (beyond the r9 overlaps):
-#     - st14, st19-st23: streaming MATCH_RECOGNIZE rides the
-#       key-grouped watermark_buffered state (ooo.py KEY_GROUPS);
-#     - st11-st13: retained_topn's pandas sub-grouping keeps null
-#       partition keys (dropna=False + NaN normalization);
-#     - pp08: the budget*s_i product moved to a DECIMAL(38,0)/
-#       HUGEINT intermediate on both engines;
-#     - q52/q55: tier-SQL shaves from the sf5 decomposition work
-#       (VERDICT r12 item 2);
-#     - st08-st10, st24, st25: _stateful_partitions now matches
-#       staged sources by exact path (transitive helper of every
-#       runner-routed st* entry).
-# (c) NEW round-13 entry — never driver-checked, outranks green
-#     re-checks: q64 (WITHIN under SKIP TO NEXT ROW — the tier-A
-#     time bound's first oracle gate).
-# Exactly 50: 26 (a) + 18 changed (b) + 1 new (c) + 5 oldest-r10
-# fills.
-# Entries NOT re-entering despite the _stateful_partitions helper
-# change are r10+-dated AND green in this round's full local parity
-# sweeps (PROGRESS.jsonl r13).
+# oldest stale rows fill the rest; machine-checked by
+# tests/test_inventory.py against the ledger as of round
+# _LEDGER_ROTATION_ROUND - 1, so a mid-round driver deposit can
+# never flip the gates red — ADVICE r13 item 1).
+# (a) ALL 25 r10-dated rows go FIRST (VERDICT r13 item 1's explicit
+#     ask): dd07, dd10-dd13, q07/q08/q10, q16-q21, q37-q42,
+#     tx08/tx09/tx11/tx12, vec01.
+# (b) CHANGED this round:
+#     - st16/st18 (+ st04, st10-st13 via the shared stateful.py
+#       machinery): prep() NaN-normalization for nullable integer
+#       agg columns (ADVICE r13 item 2);
+#     - st14, st19-st23: ooo.py stale-frontier sentinel fix (ADVICE
+#       r13 item 3), cep.py arrays-path numeric boxing (ADVICE r13
+#       item 4), and the tier-SQL-over-buffered-frames work
+#       (VERDICT r13 item 4);
+#     - q63/q64: sf5 marginal decomposition + any resulting shave
+#       (VERDICT r13 item 2).
+# (c) NEW round-14 entry — never driver-checked, outranks green
+#     re-checks: q65 (WITHIN through tier A' bounded alternation,
+#     VERDICT r13 item 8).
+# Exactly 50: 25 (a) + 15 changed (b) + 1 new (c) + 9 oldest-r11
+# fills (ann03, dc02, dd01, dd03, dd15, mm01, pp01, pp02, pp06).
 _CHECK_FIRST = (
-    # (a) the 26 r9-dated rows — retire the tail of the cycle
-    "ann01_brute_topk",
-    "ann02_embed_neardup_pairs",
-    "dd06_dup_clusters",
-    "dd08_simhash_neardup_pairs",
-    "dd09_chunk_dedup",
-    "pp04_neardup_prep",
-    "pp05_mixture_weights",
-    "q05_gmv_join_coupon",
-    "q06_lookup_join",
-    "q32_embedding_centroids",
-    "q46_window_join",
-    "q59_timestamp_ltz",
-    "st01_stream_tumble_window",
-    "st02_stream_upsert_agg",
-    "st03_stream_session_window",
+    # (a) the 25 r10-dated rows — retire the tail of the cycle
+    "dd07_embed_neardup_docs",
+    "dd10_minhash_est_jaccard",
+    "dd11_embed_neardup_kmeans",
+    "dd12_simhash64_neardup_pairs",
+    "dd13_jaccard_prefix_filter",
+    "q07_enriched_orders",
+    "q08_cte_topk",
+    "q10_string_functions",
+    "q16_values_inline",
+    "q17_distinct_agg",
+    "q18_conditional_pivot",
+    "q19_minmax",
+    "q20_json_extract",
+    "q21_local_supplier_volume",
+    "q37_flink_builtin_suite",
+    "q38_approx_distinct_hll",
+    "q39_dedup_latest",
+    "q40_salted_join_agg",
+    "q41_correlated_subquery",
+    "q42_exists_semijoin",
+    "tx08_stratified_sample",
+    "tx09_redact_denylist",
+    "tx11_idf_table",
+    "tx12_doc_top_terms",
+    "vec01_kmeans",
+    # (b) stateful.py prep() NaN normalization riders
     "st04_stream_session_custom",
-    "st05_stream_hop_window",
-    "st06_stream_dedup",
-    "st07_stream_interval_join",
-    "st15_stream_window_join",
+    "st10_stream_ttl_incremental_agg",
+    "st11_stream_window_topn",
+    "st12_stream_dedup_sql",
+    "st13_stream_topn_continuous",
     "st16_stream_over_agg",
-    "st17_stream_temporal_join",
     "st18_stream_over_rows",
-    "vec02_quantize_int8",
-    "vec03_dim_stats",
-    "vec04_gram_matrix",
-    # (b) key-grouped watermark buffer: streaming CEP
+    # (b) ooo.py sentinel + cep.py boxing + tier-SQL-over-buffer
     "st14_stream_match_recognize",
     "st19_stream_match_permute",
     "st20_stream_match_within",
     "st21_stream_match_desc",
     "st22_stream_match_skip_to_var",
     "st23_stream_match_global",
-    # (b) retained_topn null-key sub-grouping
-    "st11_stream_window_topn",
-    "st12_stream_dedup_sql",
-    "st13_stream_topn_continuous",
-    # (b) pp08 decimal intermediate
-    "pp08_temperature_sample",
-    # (b) q52/q55 tier work (r12 perf-weak decomposition) + q63
-    # (the WITHIN conjunct's native-compare rewrite changes its plan)
-    "q52_match_within",
-    "q55_match_permute_wide",
+    # (b) q63/q64 decomposition + shave work
     "q63_match_permute_within",
-    # (c) new round-13 entry
     "q64_match_within_next",
-    # (b) _stateful_partitions exact-path riders (runner-routed st*)
-    "st08_stream_cdc_latest",
-    "st09_stream_window_tvf",
-    "st10_stream_ttl_incremental_agg",
-    "st24_stream_quality_mix",
-    "st25_stream_contamination_gate",
-    # oldest r10 rows fill the rest
-    "ann04_ivf_search",
-    "ann05_ivf_multiprobe",
-    "dd02_ngram_jaccard_pairs",
-    "dd04_minhash_lsh_pairs",
-    "dd05_simhash_signatures",
+    # (c) new round-14 entry
+    "q65_match_within_alternation",
+    # oldest r11 rows fill the rest
+    "ann03_lsh_bucketed_neardup",
+    "dc02_fuzzy_contamination",
+    "dd01_dedup_exact",
+    "dd03_minhash_signatures",
+    "dd15_cluster_representatives",
+    "mm01_binary_meta",
+    "pp01_training_mix",
+    "pp02_shard_packing",
+    "pp06_representative_prep",
 )
+
+#: the round this _CHECK_FIRST rotation was computed for. The ledger
+#: gates in tests/test_inventory.py evaluate the rotation against the
+#: CORRECTNESS_r*.json union as of round _LEDGER_ROTATION_ROUND - 1
+#: (the artifacts the builder could actually see at rotation time) so
+#: the driver depositing the in-progress round's artifact mid-round
+#: can never flip the suite red (ADVICE r13 item 1).
+_LEDGER_ROTATION_ROUND = 14
 
 #: the steady-state ledger claim, machine-checked by
 #: tests/test_inventory.py::test_ledger_claim_matches_computed_histogram:
-#: no inventory entry's latest driver row predates this round. r12's
-#: prose claim drifted (said r10; the data said r9) — keep this in
-#: sync with the CORRECTNESS_r*.json union, not with intentions.
-_LEDGER_MIN_ROUND = 9
+#: no inventory entry's latest driver row predates this round (the
+#: assert is >=, so a driver deposit that IMPROVES the ledger keeps
+#: the suite green — VERDICT r13 What's-wrong 1). r12's prose claim
+#: drifted (said r10; the data said r9) — keep this in sync with the
+#: CORRECTNESS_r*.json union, not with intentions.
+_LEDGER_MIN_ROUND = 10
 
 
 def _check_first_is_exact() -> None:

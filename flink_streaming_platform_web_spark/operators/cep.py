@@ -4652,6 +4652,95 @@ WHERE v1 > value AND v2 > v1 AND id2 IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# q65 — WITHIN through tier A′ (round 14): the bounded-alternation
+# tier folds the time bound PER EXPANSION on each length's
+# (first, last) offset pair (match_recognize_tier_bounded,
+# `wb = _within_bound(df, spec, lead, k)` inside the expansion
+# loop) — q52/q63/q64 gate WITHIN on the islands/P/A tiers, but no
+# entry exercised the per-expansion fold where DIFFERENT branch
+# lengths carry DIFFERENT last-row offsets (VERDICT r13 item 8). A
+# 3-row low→mid→high sweep OR a 2-row extreme-high→crash pair, both
+# bounded to 12 hours: at sf0.01 the bound rejects 217 of 329
+# 3-row candidates and 104 of 295 2-row candidates, so BOTH
+# branches' time conjuncts are load-bearing. Start conditions are
+# disjoint (A < 20, D >= 90), so the LEAD-window oracle is
+# branch-exact; SKIP TO NEXT ROW keeps matches consumption-free.
+# --------------------------------------------------------------------------
+
+Q65_CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES
+    COUNT(*) AS n,
+    CLASSIFIER() AS last_var,
+    FIRST(A.event_id) AS a_id,
+    FIRST(D.event_id) AS d_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B C | D E) WITHIN INTERVAL '12' HOUR
+  DEFINE A AS A.value < 20.0,
+         B AS B.value >= 20.0 AND B.value < 55.0,
+         C AS C.value >= 55.0,
+         D AS D.value >= 90.0,
+         E AS E.value < 10.0
+"""
+
+
+def q65_match_within_alternation(spark, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE WITHIN over a top-level alternation of
+    sequences of DIFFERENT lengths (Flink docs:
+    queries/match_recognize §Time constraint + §Patterns): compiles
+    to JVM tier A′, whose ordered CASE folds the native-timestamp
+    WITHIN conjunct per expansion — the 3-row branch bounds
+    LEAD(ts, 2) against ts, the 2-row branch LEAD(ts, 1) — in one
+    keyed exchange with zero Python. COUNT(*)/CLASSIFIER() pin which
+    branch matched; the off-branch FIRST ids cross the hash gate as
+    typed NULLs."""
+    from flink_streaming_platform_web_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    spec = parse_match_recognize(Q65_CLAUSE)
+    return match_recognize(ev, spec, infer_output_schema(spec, ev))
+
+
+ORACLE_Q65 = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+nav AS (
+  SELECT user_id, event_id, ts, value,
+         LEAD(value, 1) OVER w2 AS v1, LEAD(value, 2) OVER w2 AS v2,
+         LEAD(ts, 1) OVER w2 AS t1, LEAD(ts, 2) OVER w2 AS t2,
+         LEAD(event_id, 1) OVER w2 AS id1,
+         LEAD(event_id, 2) OVER w2 AS id2
+  FROM ordered
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+),
+b AS (
+  SELECT *,
+         (value < 20.0 AND v1 >= 20.0 AND v1 < 55.0 AND v2 >= 55.0
+          AND id2 IS NOT NULL
+          AND EXTRACT(EPOCH FROM t2 - ts) <= 43200) AS is_b1,
+         (value >= 90.0 AND v1 < 10.0 AND id1 IS NOT NULL
+          AND EXTRACT(EPOCH FROM t1 - ts) <= 43200) AS is_b2
+  FROM nav
+)
+SELECT user_id,
+       CAST(CASE WHEN is_b1 THEN 3 ELSE 2 END AS BIGINT) AS n,
+       CASE WHEN is_b1 THEN 'C' ELSE 'E' END AS last_var,
+       CASE WHEN is_b1 THEN event_id END AS a_id,
+       CASE WHEN NOT is_b1 THEN event_id END AS d_id
+FROM b
+WHERE is_b1 OR is_b2
+"""
+
+
 QUERIES = {
     "q45_match_recognize": q45_match_recognize,
     "q47_match_alternation": q47_match_alternation,
@@ -4670,6 +4759,7 @@ QUERIES = {
     "q62_match_all_rows_overlap": q62_match_all_rows_overlap,
     "q63_match_permute_within": q63_match_permute_within,
     "q64_match_within_next": q64_match_within_next,
+    "q65_match_within_alternation": q65_match_within_alternation,
 }
 ORACLES = {
     "q45_match_recognize": ORACLE_Q45,
@@ -4689,6 +4779,7 @@ ORACLES = {
     "q62_match_all_rows_overlap": ORACLE_Q62,
     "q63_match_permute_within": ORACLE_Q63,
     "q64_match_within_next": ORACLE_Q64,
+    "q65_match_within_alternation": ORACLE_Q65,
 }
 
 

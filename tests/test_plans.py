@@ -748,6 +748,30 @@ def test_within_tier_native_timestamp_compare(spark, sf_dir):
     )
 
     for name in ("q52_match_within", "q63_match_permute_within",
-                 "q64_match_within_next"):
+                 "q64_match_within_next",
+                 "q65_match_within_alternation"):
         plan = _physical(CEP_QUERIES[name](spark, sf_dir))
         assert "unix_micros" not in plan, (name, plan)
+
+
+def test_q65_within_alternation_tier_a_prime(spark, sf_dir):
+    """Round 14 (VERDICT r13 item 8): WITHIN over an
+    alternation-of-sequences must ride tier A′ — the per-expansion
+    CASE folds a DIFFERENT (first, last) timestamp bound for each
+    branch length (LEAD(ts,2) for the 3-row branch, LEAD(ts,1) for
+    the 2-row one) in ONE keyed exchange with zero Python. An NFA
+    fallback here would show FlatMapGroupsInPandas."""
+    from flink_streaming_platform_web_spark.operators.cep import (
+        QUERIES as CEP_QUERIES,
+    )
+
+    plan = _physical(
+        CEP_QUERIES["q65_match_within_alternation"](spark, sf_dir)
+    )
+    for tok in ("BatchEvalPython", "ArrowEvalPython", "mapInPandas",
+                "FlatMapGroupsInPandas"):
+        assert tok not in plan, tok
+    assert plan.count("Exchange") == 1, plan
+    # both branch lengths' time bounds are present: the shared memo
+    # materializes lead(ts, 1) and lead(ts, 2) exactly once each
+    assert plan.count("lead(ts#") == 2, plan
