@@ -1001,11 +1001,18 @@ class _ColRows:
         self._box = {}
         for c in self._names:
             s = frame[c]
-            self._arrays[c] = s.to_numpy()
+            arr = s.to_numpy()
+            self._arrays[c] = arr
             if np.issubdtype(s.dtype, np.datetime64):
                 import pandas as pd
 
                 self._box[c] = pd.Timestamp
+            elif arr.dtype != object:
+                # numeric/bool → Python natives at access time: a raw
+                # np.int64 in a measure eval can wrap silently where
+                # to_dict('records')'s maybe_box_native produced
+                # exact Python ints (ADVICE r13)
+                self._box[c] = lambda v: v.item()
         self._base = start
         self._n = (stop if stop is not None else len(frame)) - start
 
@@ -4783,6 +4790,31 @@ ORACLES = {
 }
 
 
+def _row_dicts(new: "pd.DataFrame") -> list[dict]:
+    """Row dicts via raw column arrays: pandas ``to_dict("records")``
+    pays ~1 ms of per-call machinery regardless of size, and the
+    key-grouped front end calls the streaming fold once per logical
+    key per batch on ~10-row frames — the arrays path is ~20×
+    cheaper there (round 13). datetime64 boxes to pd.Timestamp via
+    astype(object) (NaT stays NaT — to_dict's exact output for
+    datetime nulls); every OTHER dtype boxes to Python natives via
+    ndarray.tolist() (C-level) — leaving np.int64 in the row values
+    let measure arithmetic wrap silently where to_dict's
+    maybe_box_native produced exact Python ints (ADVICE r13;
+    streaming_over's prep() had an int() guard for this same hazard,
+    the CEP measures did not)."""
+    import numpy as _np
+
+    cols_ = list(new.columns)
+    arrs_ = [
+        new[c].astype(object).to_numpy()
+        if _np.issubdtype(new[c].dtype, _np.datetime64)
+        else new[c].to_numpy().tolist()
+        for c in cols_
+    ]
+    return [dict(zip(cols_, vals)) for vals in zip(*arrs_)]
+
+
 def stream_match_recognize(
     df: DataFrame,
     spec: MatchSpec,
@@ -4920,26 +4952,7 @@ def _stream_fold(spec: MatchSpec):
             tail, cache, scan_from = state
         else:
             tail, cache, scan_from = state, {}, 0
-        # row dicts via raw column arrays: pandas to_dict("records")
-        # pays ~1 ms of per-call machinery regardless of size, and
-        # the key-grouped front end calls this fold once per logical
-        # key per batch on ~10-row frames — the arrays path is ~20×
-        # cheaper there (round 13). datetime64 boxes to pd.Timestamp,
-        # the same move _ColRows makes, so the scalar evals (WITHIN's
-        # total_seconds, measure outputs, pickled tails) see exactly
-        # the types to_dict("records") produced
-        import numpy as _np
-
-        cols_ = list(new.columns)
-        arrs_ = [
-            # astype(object) boxes to Timestamp and keeps NaT as NaT
-            # (to_dict's exact output for datetime nulls)
-            new[c].astype(object).to_numpy()
-            if _np.issubdtype(new[c].dtype, _np.datetime64)
-            else new[c].to_numpy()
-            for c in cols_
-        ]
-        rows = [dict(zip(cols_, vals)) for vals in zip(*arrs_)]
+        rows = _row_dicts(new)
         if tail and rows and rows[0][ord0] < tail[-1][ord0]:
             raise RuntimeError(
                 "stream_match_recognize: out-of-order ingest —"

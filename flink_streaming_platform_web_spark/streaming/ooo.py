@@ -100,6 +100,30 @@ def _norm_key(kt) -> tuple:
     )
 
 
+def _frontier_cut(
+    new: pd.DataFrame, stale: dict, key_list: list, ts_col: str
+) -> pd.DataFrame:
+    """Drop rows at or before their key's stale frontier. The
+    sentinel for keys WITHOUT a stale frontier must sit below every
+    representable timestamp: the old -1 µs silently dropped
+    pre-1970 rows for frontier-less keys whenever ANY stale frontier
+    existed (ADVICE r13) — int64 min is strictly below any epoch
+    value ``to_epoch_us`` can emit, so the ``>`` compare keeps those
+    rows unconditionally."""
+    no_frontier = -(2**63)
+    cuts = pd.Series(
+        [
+            stale.get(t, no_frontier)
+            for t in map(
+                _norm_key,
+                new[key_list].itertuples(index=False, name=None),
+            )
+        ],
+        index=new.index,
+    )
+    return new[to_epoch_us(new[ts_col]) > cuts]
+
+
 @dataclass
 class DrainSpec:
     """Everything ``drain_pending`` needs to flush one
@@ -210,19 +234,7 @@ def watermark_buffered(
                     if f > wm_us or wm_ms == 0
                 }
                 if stale and len(new):
-                    cuts = pd.Series(
-                        [
-                            stale.get(t, -1)
-                            for t in map(
-                                _norm_key,
-                                new[key_list].itertuples(
-                                    index=False, name=None
-                                ),
-                            )
-                        ],
-                        index=new.index,
-                    )
-                    new = new[to_epoch_us(new[ts_col]) > cuts]
+                    new = _frontier_cut(new, stale, key_list, ts_col)
                 pending = (
                     new
                     if pending is None

@@ -313,9 +313,20 @@ def streaming_over(
         # the key-grouped front end calls this fold once per logical
         # key per batch on ~10-row frames (round 13)
         if agg_cols:
+            # NaN → None (mirroring ooo._norm_key): a null in a
+            # nullable integer agg column arrives as float NaN after
+            # pandas' promotion, passes the `is None` guards, and
+            # int(nan) in prep() would crash the fold — SQL semantics
+            # skip nulls, so normalize them back to None here
             a_arrs = [new[c].to_numpy() for c in agg_cols]
             new_buf = [
-                {"__ts": int(t), **dict(zip(agg_cols, vals))}
+                {
+                    "__ts": int(t),
+                    **{
+                        c: (None if pd.isna(v) else v)
+                        for c, v in zip(agg_cols, vals)
+                    },
+                }
                 for t, vals in zip(ts_us, zip(*a_arrs))
             ]
         else:

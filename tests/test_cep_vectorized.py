@@ -1333,3 +1333,36 @@ def test_tier_a_all_rows_rejects_ineligible(spark):
         assert (
             cep._fixed_len_all_rows_sql(df, spec, schema) is None
         ), clause
+
+
+def test_row_value_types_are_python_natives():
+    """ADVICE r13: both row-materialization paths (the batch
+    _ColRows lazy view and the streaming fold's _row_dicts) must
+    produce exactly to_dict('records') types — np.int64 leaking into
+    measure arithmetic wraps silently at 2**63 where Python ints
+    stay exact. Pin natives for int/float/bool, pd.Timestamp (not
+    np.datetime64) for datetimes, NaT preserved for datetime nulls,
+    and exact big-int arithmetic end to end."""
+    frame = pd.DataFrame(
+        {
+            "i": pd.array([2**62, 5], dtype="int64"),
+            "f": [1.5, float("nan")],
+            "b": [True, False],
+            "t": pd.to_datetime(["2024-01-01", None]),
+            "s": ["x", None],
+        }
+    )
+
+    rows = cep._row_dicts(frame)
+    cr = cep._ColRows(frame)
+    for r in (rows[0], cr[0]):
+        assert type(r["i"]) is int
+        assert type(r["f"]) is float
+        assert type(r["b"]) is bool
+        assert isinstance(r["t"], pd.Timestamp)
+        assert r["s"] == "x"
+        # the wrap itself: 3 * 2**62 overflows int64 but not int
+        assert r["i"] * 3 == 3 * 2**62
+    for r in (rows[1], cr[1]):
+        assert r["t"] is pd.NaT
+        assert r["f"] != r["f"]  # nan, as a Python float

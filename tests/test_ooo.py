@@ -345,6 +345,42 @@ def test_displace_helper_moves_inside_window():
     assert sum(len(c) for c in out) == 4
 
 
+def test_frontier_cut_keeps_pre_epoch_rows_for_frontierless_keys():
+    """ADVICE r13: the per-key stale-frontier cut used sentinel
+    -1 µs for keys WITHOUT a frontier, so negative-epoch (pre-1970)
+    rows of those keys were silently dropped whenever any stale
+    frontier existed (wm_ms == 0 or a watermark regression). The
+    sentinel must sit below every representable timestamp."""
+    from flink_streaming_platform_web_spark.streaming.ooo import (
+        _frontier_cut,
+    )
+
+    new = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                [
+                    "1969-12-31 23:59:59",  # negative epoch, no frontier
+                    "1970-01-01 00:00:05",
+                    "2024-01-01 00:00:01",  # at key-2 frontier → cut
+                    "2024-01-01 00:00:02",  # above it → kept
+                ]
+            ),
+        }
+    )
+    frontier_us = int(
+        pd.Timestamp("2024-01-01 00:00:01").value // 1000
+    )
+    out = _frontier_cut(new, {(2,): frontier_us}, ["k"], "ts")
+    # key 1 has no frontier: BOTH rows survive, including the
+    # pre-1970 one the -1 sentinel used to drop
+    assert out["ts"].tolist() == [
+        pd.Timestamp("1969-12-31 23:59:59"),
+        pd.Timestamp("1970-01-01 00:00:05"),
+        pd.Timestamp("2024-01-01 00:00:02"),
+    ]
+
+
 def test_crash_before_drain_then_restart_drains_once(spark, tmp_path):
     """Crash-consistency of stop-with-drain: the process dies AFTER
     the wrapped query stopped but BEFORE the drain ran (simulated by

@@ -123,6 +123,61 @@ def test_rows_mode_end_to_end(spark, tmp_path):
     }
 
 
+def test_rows_mode_null_in_integer_sum(spark, tmp_path):
+    """ADVICE r13: a null in a nullable BIGINT SUM column arrives in
+    the fold as float NaN (pandas promotion), slipped past the
+    `is None` guards, and int(nan) crashed prep(). SQL skips nulls:
+    the sum over (10, NULL, 30) with a 1-PRECEDING frame must be
+    10 / 10 / 30 and the count must not count the null."""
+    src = str(tmp_path / "src")
+    _write(src, "f1.json", [
+        {"k": 1, "ts": "2024-01-01 00:00:01", "v": 1.0, "n": 10},
+        {"k": 1, "ts": "2024-01-01 00:00:02", "v": 2.0, "n": None},
+    ])
+    _write(src, "f2.json", [
+        {"k": 1, "ts": "2024-01-01 00:00:03", "v": 4.0, "n": 30},
+    ])
+    runner = JobRunner(spark, mode="streaming")
+    _run(runner, _DDL.format(path=src) + """
+        CREATE TABLE over_sink (k BIGINT, v DOUBLE, s BIGINT)
+          WITH ('connector' = 'memory');
+        INSERT INTO over_sink
+        SELECT k, v, SUM(n) OVER w AS s
+        FROM ev
+        WINDOW w AS (PARTITION BY k ORDER BY ts
+                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW);
+        """)
+    got = {
+        r["v"]: r["s"] for r in spark.table("over_sink").collect()
+    }
+    assert got == {1.0: 10, 2.0: 10, 4.0: 30}
+
+
+def test_unbounded_null_in_integer_sum(spark, tmp_path):
+    """Same hazard on the unbounded accumulator's prep() call site."""
+    src = str(tmp_path / "src")
+    _write(src, "f1.json", [
+        {"k": 1, "ts": "2024-01-01 00:00:01", "v": 1.0, "n": None},
+        {"k": 1, "ts": "2024-01-01 00:00:02", "v": 2.0, "n": 7},
+    ])
+    runner = JobRunner(spark, mode="streaming")
+    _run(runner, _DDL.format(path=src) + """
+        CREATE TABLE over_sink (k BIGINT, v DOUBLE, s BIGINT,
+          cnt BIGINT) WITH ('connector' = 'memory');
+        INSERT INTO over_sink
+        SELECT k, v, SUM(n) OVER w AS s, COUNT(n) OVER w AS cnt
+        FROM ev
+        WINDOW w AS (PARTITION BY k ORDER BY ts
+                     RANGE BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW);
+        """)
+    got = {
+        r["v"]: (r["s"], r["cnt"])
+        for r in spark.table("over_sink").collect()
+    }
+    assert got == {1.0: (None, 0), 2.0: (7, 1)}
+
+
 def test_unbounded_mode_end_to_end(spark, tmp_path):
     src = str(tmp_path / "src")
     _write(src, "f1.json", [
