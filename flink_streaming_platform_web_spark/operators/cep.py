@@ -1763,6 +1763,20 @@ _EQ_SAFE_TYPES = frozenset((
 ))
 
 
+class _TierCond(str):
+    """Compiled tier condition; ``pins_row`` is True when the
+    condition is FALSE/NULL whenever the variable's own row does not
+    exist (every column at its offset NULL) — an OR-free conjunction
+    with at least one own-offset ``V.col`` comparison atom has this
+    property (a SQL comparison against NULL is NULL, and AND over a
+    NULL conjunct can never be TRUE). Tier assembly uses it to elide
+    the ``LEAD(1, k-1) IS NOT NULL`` partition-boundary probe — one
+    whole window expression per 5M-row pass (~8% of q64's sf5 leg,
+    VERDICT r13 item 2's named shave)."""
+
+    pins_row = False
+
+
 def _tier_condition(src, var, off, cols, eq_safe, lead):
     """Compile one ROW-LOCAL raw DEFINE to a SQL boolean where the
     variable's own row sits at offset ``off`` from the anchor row
@@ -1814,7 +1828,11 @@ def _tier_condition(src, var, off, cols, eq_safe, lead):
     cond = _DOTTED_REF.sub(lambda m: lead(m.group(2), off), masked)
     for i, (c, n) in enumerate(prevs):
         cond = cond.replace(f"__prevref{i}x", lead(c, off - n))
-    return f"({cond})"
+    out = _TierCond(f"({cond})")
+    out.pins_row = bool(refs) and not re.search(
+        r"\bOR\b", masked, re.IGNORECASE
+    )
+    return out
 
 
 def _tier_window(df, spec):
@@ -1936,6 +1954,24 @@ def _tier_elements(pattern, raw_define, lead, cols, eq_safe):
                     "(" + " OR ".join(c for _, c in branches) + ")"
                 )
     return elem_info, conds
+
+
+def _last_elem_pins_row(elem_info) -> bool:
+    """True when the LAST pattern element's condition already
+    null-rejects a missing row (see :class:`_TierCond`), so the
+    ``LEAD(1, k-1) IS NOT NULL`` boundary probe is redundant: past
+    the partition end every lead at offset k-1 is NULL, the
+    comparison atom goes NULL, and the AND can never be TRUE. For an
+    alternation element EVERY branch must pin (a define-free TRUE
+    branch, or any branch that could hold without its own row,
+    keeps the probe)."""
+    last = elem_info[-1]
+    if last[0] == "single":
+        return getattr(last[2], "pins_row", False)
+    _, branches, _cls = last
+    return all(
+        getattr(c, "pins_row", False) for _a, c in branches
+    )
 
 
 def _var_occurrences(elem_info):
@@ -2124,11 +2160,13 @@ def _fixed_len_sql(
     if k == 0:
         return None
     conds = list(conds)
-    if k > 1:
+    if k > 1 and not _last_elem_pins_row(elem_info):
         # boundary guard: a LEAD over a CONSTANT distinguishes "past
         # the partition end" from "ORDER BY value is NULL" — rows
         # with NULL order keys sort last but still exist and must
-        # stay matchable (ADVICE r9 finding 3)
+        # stay matchable (ADVICE r9 finding 3). Elided when the last
+        # element's own condition null-rejects a missing row
+        # (_last_elem_pins_row) — one fewer window expression
         conds.append(f"{lead(None, k - 1)} IS NOT NULL")
     wb = _within_bound(df, spec, lead, k)
     if wb is None:
@@ -2194,7 +2232,7 @@ def _fixed_len_all_rows_sql(
         return None
     var_at = [e[1] for e in elem_info]
     conds = list(conds)
-    if k > 1:
+    if k > 1 and not _last_elem_pins_row(elem_info):
         conds.append(f"{lead(None, k - 1)} IS NOT NULL")
     wb = _within_bound(df, spec, lead, k)
     if wb is None:
@@ -2489,7 +2527,7 @@ def _multi_len_sql(
         elem_info, conds = te
         k = len(elem_info)
         conds = list(conds)
-        if k > 1:
+        if k > 1 and not _last_elem_pins_row(elem_info):
             conds.append(f"{lead(None, k - 1)} IS NOT NULL")
         wb = _within_bound(df, spec, lead, k)
         if wb is None:
