@@ -4829,28 +4829,17 @@ ORACLES = {
 
 
 def _row_dicts(new: "pd.DataFrame") -> list[dict]:
-    """Row dicts via raw column arrays: pandas ``to_dict("records")``
-    pays ~1 ms of per-call machinery regardless of size, and the
-    key-grouped front end calls the streaming fold once per logical
-    key per batch on ~10-row frames — the arrays path is ~20×
-    cheaper there (round 13). datetime64 boxes to pd.Timestamp via
-    astype(object) (NaT stays NaT — to_dict's exact output for
-    datetime nulls); every OTHER dtype boxes to Python natives via
-    ndarray.tolist() (C-level) — leaving np.int64 in the row values
-    let measure arithmetic wrap silently where to_dict's
-    maybe_box_native produced exact Python ints (ADVICE r13;
-    streaming_over's prep() had an int() guard for this same hazard,
-    the CEP measures did not)."""
-    import numpy as _np
+    """Row dicts via raw column arrays — delegates to the canonical
+    :func:`streaming.ooo.rows_of_frame` (the rows-protocol front end
+    and this fold's DataFrame path must box identically: datetime64 →
+    pd.Timestamp, everything else → Python natives; raw np.int64 in
+    row values lets measure arithmetic wrap silently at 2**63,
+    ADVICE r13)."""
+    from flink_streaming_platform_web_spark.streaming.ooo import (
+        rows_of_frame,
+    )
 
-    cols_ = list(new.columns)
-    arrs_ = [
-        new[c].astype(object).to_numpy()
-        if _np.issubdtype(new[c].dtype, _np.datetime64)
-        else new[c].to_numpy().tolist()
-        for c in cols_
-    ]
-    return [dict(zip(cols_, vals)) for vals in zip(*arrs_)]
+    return rows_of_frame(new)
 
 
 def stream_match_recognize(
@@ -4980,8 +4969,10 @@ def _stream_fold(spec: MatchSpec):
     lookback = _prev_lookback(spec)
 
     def fold(
-        inner: bytes | None, new: pd.DataFrame, final: bool = False
-    ) -> "tuple[bytes, pd.DataFrame | None]":
+        inner: bytes | None,
+        new: "pd.DataFrame | list",
+        final: bool = False,
+    ) -> "tuple[bytes, pd.DataFrame | list | None]":
         state = pickle.loads(inner) if inner is not None else []
         # state: (tail, decided-attempt cache, scan_from) since round
         # 11; a bare list is a pre-r11 checkpoint — empty cache, no
@@ -4990,7 +4981,13 @@ def _stream_fold(spec: MatchSpec):
             tail, cache, scan_from = state
         else:
             tail, cache, scan_from = state, {}, 0
-        rows = _row_dicts(new)
+        # rows protocol (round 14): the buffered front end already
+        # materialized row dicts bucket-wide and passes this key's
+        # slice as a plain list; output returns as raw rows too and
+        # the bucket assembles ONE DataFrame per micro-batch. The
+        # DataFrame path stays for drain and the ordered-assert route
+        as_rows = isinstance(new, list)
+        rows = new if as_rows else _row_dicts(new)
         if tail and rows and rows[0][ord0] < tail[-1][ord0]:
             raise RuntimeError(
                 "stream_match_recognize: out-of-order ingest —"
@@ -5043,10 +5040,19 @@ def _stream_fold(spec: MatchSpec):
         }
         out = None
         if emit:
-            out_names = (
-                base_names if base_names is not None else list(new.columns)
-            ) + [n for _, n in spec.measures]
-            out = pd.DataFrame(emit, columns=out_names)
+            if as_rows:
+                out = emit
+            else:
+                out_names = (
+                    base_names
+                    if base_names is not None
+                    else list(new.columns)
+                ) + [n for _, n in spec.measures]
+                out = pd.DataFrame(emit, columns=out_names)
         return pickle.dumps((keep, kept_cache, frontier - trim_at)), out
 
+    fold.rows_protocol = True
+    fold.out_cols = lambda in_cols: (
+        list(base_names) if base_names is not None else list(in_cols)
+    ) + [n for _, n in spec.measures]
     return fold

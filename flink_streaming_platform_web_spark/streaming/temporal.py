@@ -112,8 +112,8 @@ def event_time_temporal_join(
     unioned = tagged_build.unionByName(tagged_probe)
 
     def fold(
-        inner: bytes | None, new: pd.DataFrame
-    ) -> tuple[bytes, pd.DataFrame | None]:
+        inner: bytes | None, new: "pd.DataFrame | list"
+    ) -> "tuple[bytes, pd.DataFrame | list | None]":
         import bisect
 
         versions: list[tuple[int, tuple]]
@@ -121,12 +121,23 @@ def event_time_temporal_join(
             versions, max_ts = pickle.loads(inner)
         else:
             versions, max_ts = [], None
-        ts_us = (
-            pd.to_datetime(new["__ts"])
-            .values.astype("datetime64[us]")
-            .astype("int64")
-        )
-        rows = new.to_dict("records")
+        # rows protocol (round 14): the buffered front end passes row
+        # dicts directly; the per-key to_dict("records") +
+        # to_datetime machinery dominated the fold at scale
+        as_rows = isinstance(new, list)
+        if as_rows:
+            rows = new
+            ts_us = [
+                (-(2**63)) if pd.isna(v) else v.value // 1000
+                for v in (r["__ts"] for r in rows)
+            ]
+        else:
+            ts_us = (
+                pd.to_datetime(new["__ts"])
+                .values.astype("datetime64[us]")
+                .astype("int64")
+            )
+            rows = new.to_dict("records")
         if max_ts is not None and len(rows) and int(ts_us[0]) < max_ts:
             raise RuntimeError(
                 "temporal join: out-of-order ingest — batch starts at"
@@ -134,7 +145,7 @@ def event_time_temporal_join(
                 " sides event-time-ordered on shared boundaries"
             )
         vts = [t for t, _ in versions]
-        out: list[dict] = []
+        out: list[list] = []  # probe outputs in p_names + b_names order
         for t, row in zip(ts_us, rows):
             t = int(t)
             if row["__side"] == 0:
@@ -148,9 +159,10 @@ def event_time_temporal_join(
                 i = bisect.bisect_right(vts, t)
                 if i:
                     _, payload = versions[i - 1]
-                    o = {n: row[f"__p_{n}"] for n in p_names}
-                    o.update(dict(zip(b_names, payload)))
-                    out.append(o)
+                    out.append(
+                        [row[f"__p_{n}"] for n in p_names]
+                        + list(payload)
+                    )
             max_ts = t if max_ts is None else max(max_ts, t)
         # evict versions superseded before the high-water mark: keep
         # the active version at max_ts plus any future-dated ones
@@ -158,12 +170,17 @@ def event_time_temporal_join(
             i = bisect.bisect_right(vts, max_ts)
             if i > 1:
                 versions = versions[i - 1:]
+        if as_rows:
+            return pickle.dumps((versions, max_ts)), out or None
         return (
             pickle.dumps((versions, max_ts)),
             pd.DataFrame(out, columns=p_names + b_names)
             if out
             else None,
         )
+
+    fold.rows_protocol = True
+    fold.out_cols = lambda in_cols: p_names + b_names
 
     from flink_streaming_platform_web_spark.streaming.ooo import (
         ordered_assert_apply,
