@@ -277,13 +277,15 @@ def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         sh = _shingles_cached(spark, sf_dir)
+        # expression built as ONE SQL string per permutation (round 14:
+        # the Column-by-Column form cost ~130 py4j round-trips per cold
+        # build); semantics identical to
+        # min(portable_hash(concat_ws(':', str(p), shingle)))
         aggs = [
-            F.min(
-                portable_hash(
-                    F.concat_ws(
-                        ":", F.lit(str(p)), F.col("shingle").cast("string")
-                    )
-                )
+            F.expr(
+                "min(CAST(conv(substring(md5(concat_ws("
+                f"':', '{p}', CAST(shingle AS STRING))), 1, 15),"
+                " 16, 10) AS BIGINT))"
             ).alias(f"h{p}")
             for p in range(N_PERMS)
         ]
@@ -374,6 +376,14 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 14 note: session-persisting this verified pair product
+    # (dc02/pp04 re-derive it) was A/B-tested and REJECTED — a cached
+    # plan runs with AQE's runtime join conversion restricted
+    # (canChangeCachedPlanOutputPartitioning=false, see session.py),
+    # so the candidate-verify joins inside the cached build degraded
+    # to un-coalesced sort-merge joins (41.5 s vs 2.1 s at sf0.1).
+    # The upstream signature/shingle memos make each re-derivation a
+    # cheap join over cached inputs.
     candidates = _lsh_candidates(spark, sf_dir)
     # verify candidates with exact Jaccard over the FULL shingle sets,
     # restricted to the candidate set — the set sizes ride along on
@@ -460,23 +470,27 @@ def _simhash_sigs_build(
     hashed = tokens.select(
         "doc_id", portable_hash(F.col("tok")).alias("h")
     )
+    # round 14 (optimization): expressions built as SQL strings — the
+    # previous Column-by-Column construction (bits× sum/when chains
+    # plus a bits-deep addition tree) cost ~600 py4j round-trips of
+    # pure driver latency per cold build (~0.8 s for 32 bits, ~1.5 s
+    # for 60 — the ann03 r11 lesson). Identical expressions, one
+    # parser call each / one for the signature assembly.
     tallies = hashed.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN ((h >> {b}) & 1) = 1"
+                " THEN 1 ELSE -1 END)"
             ).alias(f"t{b}")
             for b in range(bits)
         ]
     )
-    bit_terms = [
-        F.when(F.col(f"t{b}") > 0, F.lit(1 << b).cast("bigint"))
-        .otherwise(F.lit(0).cast("bigint"))
+    sig_sql = " + ".join(
+        f"(CASE WHEN t{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
         for b in range(bits)
-    ]
-    sig = bit_terms[0]
-    for term in bit_terms[1:]:
-        sig = sig + term
-    return tallies.select("doc_id", sig.alias("simhash"))
+    )
+    return tallies.select("doc_id", F.expr(sig_sql).alias("simhash"))
 
 
 def _oracle_simhash_sigs(bits: int) -> str:
@@ -886,18 +900,22 @@ ORACLE_DD08 = _oracle_banded_pairs(ORACLE_DD05, SIMHASH_BANDS, 8)
 
 
 def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → (n_sh, sorted distinct shingle-hash array) — the exact
-    verification side; built once per session from the cached shingle
-    rows."""
-
-    def build() -> DataFrame:
-        sh = _shingles_cached(spark, sf_dir)
-        return sh.groupBy("doc_id").agg(
-            F.first("n_sh").alias("n_sh"),
-            F.array_sort(F.collect_list("shingle")).alias("arr"),
-        )
-
-    return memo_df(spark, sf_dir, "doc_shingle_arrays", build)
+    """doc_id → (n_sh, distinct shingle-hash array) — the exact
+    verification side. Round 14 (optimization): a pure projection of
+    the session-cached DOC-ARRAY product. The previous build re-grouped
+    the EXPLODED shingle rows (groupBy doc_id + collect_list — a full
+    corpus-sized exchange plus its own persist) to reassemble arrays
+    that `_shingle_arrs_cached` already holds per document; the
+    array_sort it applied was also dead weight — the only consumer
+    feeds `array_intersect(...)` into `size(...)`, which is
+    order-insensitive. Zero-shingle docs now appear with an empty arr
+    (the exploded form dropped them); dd13's candidates inner-join
+    this side, and a candidate doc always has ≥1 prefix shingle, so
+    the joined result is unchanged."""
+    arrs = _shingle_arrs_cached(spark, sf_dir)
+    return arrs.select(
+        "doc_id", F.size("arr").alias("n_sh"), "arr"
+    )
 
 
 def dd13_jaccard_prefix_filter(

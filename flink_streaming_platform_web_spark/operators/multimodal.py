@@ -747,8 +747,26 @@ def mm08_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _banded_hamming_pairs,
     )
 
-    docs = load(spark, sf_dir, "documents")
-    sigs = phash_signatures(with_image_payload(docs))
+    from flink_streaming_platform_web_spark.operators._cache import (
+        memo_df,
+    )
+
+    # round 14 (optimization): persist the decoded signatures. The
+    # banding helper consumes its sigs input from FOUR unshared
+    # subtrees (the bucket-cap census, both sides of the band
+    # self-join, and the verify projection), so the un-persisted form
+    # ran the Python image decode over the whole corpus four times
+    # (16 Python nodes in the before-plan). dd05/dd12 already persist
+    # their signature tables for exactly this reason; one decode pass
+    # is also the only sane shape at 100 TB.
+    sigs = memo_df(
+        spark,
+        sf_dir,
+        "phash_sigs",
+        lambda: phash_signatures(
+            with_image_payload(load(spark, sf_dir, "documents"))
+        ),
+    )
     return _banded_hamming_pairs(
         sigs,
         SIMHASH60_BANDS,

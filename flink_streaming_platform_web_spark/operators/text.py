@@ -750,12 +750,31 @@ def tx13_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable shuffle; the (1-row) corpus stats broadcast. Same
     annotate-with-corpus-stats discipline as tx11's IDF table. The
     only double is the final single IEEE division (_portable rule)."""
+    from flink_streaming_platform_web_spark.operators._cache import (
+        memo_df,
+    )
+
     docs = load(spark, sf_dir, "documents")
     toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
     b = toked.filter(F.size("toks") >= 2).select(
         "doc_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bigram")
     )
-    corpus = b.groupBy("bigram").agg(F.count("*").alias("cn"))
+    # round 14 (optimization): the corpus bigram-count table is
+    # session-persisted (the tx11 IDF-table pattern — a vocabulary-
+    # sized product, NOT corpus-sized). The previous plan consumed it
+    # from three unshared subtrees (corpus side of the annotate join,
+    # and both inputs of the 1-row stats roll-up), so the executed
+    # sf1 plan tokenized + exploded the whole corpus three times
+    # (verified: 3 identical Generate chains, ReusedExchange only
+    # covering one pair). With the count table materialized once, the
+    # stats roll-up and the join's build side are cache reads, and
+    # the probe side's explode is the only corpus-sized pass left.
+    corpus = memo_df(
+        spark,
+        sf_dir,
+        "bigram_counts",
+        lambda: b.groupBy("bigram").agg(F.count("*").alias("cn")),
+    )
     stats = corpus.agg(
         F.count("*").alias("nd"),
         F.sum("cn").cast("bigint").alias("tot"),

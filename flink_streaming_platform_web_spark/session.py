@@ -49,6 +49,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Round 14 note: spark.sql.optimizer.
+        # canChangeCachedPlanOutputPartitioning was A/B-tested here
+        # (true lets AQE coalesce/convert joins INSIDE cached plans;
+        # an isolated query improved 41.5 s → 2.1 s) and REJECTED:
+        # family-wide it also re-partitions the session-persisted
+        # shingle/signature products that downstream CPU-heavy stages
+        # fan out from, serializing them (full-bench A/B: dd13 4.5 →
+        # 36.6 s, dd02 2.0 → 15.5 s, total 110 → 224 s). Keep joins
+        # out of cached builds instead.
         # Arrow for all pandas UDF / toPandas paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic event-time semantics; matches DuckDB's UTC-naive
@@ -70,6 +79,14 @@ def get_spark(
         # memory sizing instead)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # environment-supplied conf overrides (semicolon-separated k=v
+    # pairs): the deployment knob for cluster profiles and for A/B
+    # measurement without code edits — applied before `extra_conf` so
+    # an explicit caller still wins
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     # hive catalog support (reference: catalog.md demo3 / demo_batch.md)
