@@ -124,12 +124,12 @@ def rows_of_frame(frame: pd.DataFrame) -> list[dict]:
     return [dict(zip(cols_, vals)) for vals in zip(*arrs_)]
 
 
-def _frontier_cut(
-    new: pd.DataFrame, stale: dict, key_list: list, ts_col: str
-) -> pd.DataFrame:
-    """Drop rows at or before their key's stale frontier. The
-    sentinel for keys WITHOUT a stale frontier must sit below every
-    representable timestamp: the old -1 µs silently dropped
+def _frontier_mask(
+    new: pd.DataFrame, stale: dict, key_list: list, ts_us
+) -> "pd.Series":
+    """Keep-mask for rows strictly after their key's stale frontier.
+    The sentinel for keys WITHOUT a stale frontier must sit below
+    every representable timestamp: the old -1 µs silently dropped
     pre-1970 rows for frontier-less keys whenever ANY stale frontier
     existed (ADVICE r13) — int64 min is strictly below any epoch
     value ``to_epoch_us`` can emit, so the ``>`` compare keeps those
@@ -145,7 +145,18 @@ def _frontier_cut(
         ],
         index=new.index,
     )
-    return new[to_epoch_us(new[ts_col]) > cuts]
+    return ts_us > cuts
+
+
+def _frontier_cut(
+    new: pd.DataFrame, stale: dict, key_list: list, ts_col: str
+) -> pd.DataFrame:
+    """Drop rows at or before their key's stale frontier (the
+    mask form above, applied; kept as the sentinel-semantics test
+    surface)."""
+    return new[
+        _frontier_mask(new, stale, key_list, to_epoch_us(new[ts_col]))
+    ]
 
 
 @dataclass
@@ -176,7 +187,16 @@ class DrainSpec:
 
 def to_epoch_us(col: pd.Series):
     """Event-time column → int64 epoch-µs ndarray, regardless of the
-    Arrow batch's datetime64 unit (ns locally, µs from parquet)."""
+    Arrow batch's datetime64 unit (ns locally, µs from parquet).
+    Round 14: datetime64 columns (every row the buffered front end
+    ever sees) convert straight off the ndarray — the pd.to_datetime
+    round-trip cost ~0.5 ms of machinery per call, which at one call
+    per bucket per micro-batch was a measurable slice of the st14
+    profile; the fallback keeps the general path for object/string
+    input (tests construct those)."""
+    vals = col.values
+    if vals.dtype.kind == "M":
+        return vals.astype("datetime64[us]").astype("int64")
     return (
         pd.to_datetime(col)
         .values.astype("datetime64[us]")
@@ -233,16 +253,38 @@ def watermark_buffered(
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        # state layout (round 14): the pending frame's event-time
+        # epoch-µs array rides ALONG in the state tuple — the release
+        # mask and the timer minimum previously re-converted the WHOLE
+        # pending frame's timestamp column on every bucket invocation
+        # (two to_epoch_us calls per call, ~14% of the st14 sf1 update
+        # profile together with the sort). A 3-tuple from an
+        # older-code checkpoint is accepted (pts rebuilt once).
         if state.exists:
-            pending, frontiers, inners = pickle.loads(state.get[0])
+            blob = pickle.loads(state.get[0])
+            if len(blob) == 4:
+                pending, pts, frontiers, inners = blob
+            else:  # pre-round-14 checkpoint
+                pending, frontiers, inners = blob
+                pts = (
+                    to_epoch_us(pending[ts_col])
+                    if pending is not None
+                    else None
+                )
         else:
-            pending, frontiers, inners = None, {}, {}
+            pending, pts, frontiers, inners = None, None, {}, {}
         wm_ms = state.getCurrentWatermarkMs()
         wm_us = wm_ms * 1000
         if not state.hasTimedOut:
-            new = pd.concat(list(batches))
+            dfs = list(batches)
+            # single-chunk fast path: pd.concat pays ~2 ms of
+            # machinery per bucket call, and one Arrow chunk per
+            # bucket is the common case (round 14 profile: concat was
+            # 17% of update time at st14 sf1)
+            new = dfs[0] if len(dfs) == 1 else pd.concat(dfs)
             if len(new):
                 new = new.drop(columns=[_KG])
+                nts = to_epoch_us(new[ts_col])
                 # late: at or before the current watermark OR the
                 # key's frontier already folded — dropped, Flink's
                 # late-element contract (ts <= watermark). Spark's
@@ -251,7 +293,9 @@ def watermark_buffered(
                 # closes the one-batch gap (ADVICE r7); wm_ms == 0
                 # means no watermark established yet — no global cut.
                 if wm_ms > 0:
-                    new = new[to_epoch_us(new[ts_col]) > wm_us]
+                    keep = nts > wm_us
+                    if not keep.all():
+                        new, nts = new[keep], nts[keep]
                 # per-key frontier cut: the watermark is monotone
                 # within a run, so a frontier above the current wm
                 # only exists defensively (wm regression across a
@@ -262,20 +306,29 @@ def watermark_buffered(
                     if f > wm_us or wm_ms == 0
                 }
                 if stale and len(new):
-                    new = _frontier_cut(new, stale, key_list, ts_col)
-                pending = (
-                    new
-                    if pending is None
-                    else pd.concat([pending, new], ignore_index=True)
-                )
+                    keep = _frontier_mask(
+                        new, stale, key_list, nts
+                    ).to_numpy()
+                    if not keep.all():
+                        new, nts = new[keep], nts[keep]
+                if pending is None:
+                    pending, pts = new, nts
+                else:
+                    import numpy as _np
+
+                    pending = pd.concat(
+                        [pending, new], ignore_index=True
+                    )
+                    pts = _np.concatenate([pts, nts])
         outs = []
         if pending is not None and len(pending):
-            mask = to_epoch_us(pending[ts_col]) <= wm_us
+            mask = pts <= wm_us
             if mask.any():
                 released = pending[mask].sort_values(
                     sort_cols, ascending=asc, kind="mergesort"
                 )
                 pending = pending[~mask].reset_index(drop=True)
+                pts = pts[~mask]
                 if rows_proto:
                     # rows protocol (round 14): materialize row dicts
                     # ONCE for the whole bucket's released frame and
@@ -331,7 +384,9 @@ def watermark_buffered(
                         )
                         if out is not None and len(out):
                             outs.append(out)
-        state.update((pickle.dumps((pending, frontiers, inners)),))
+        state.update(
+            (pickle.dumps((pending, pts, frontiers, inners)),)
+        )
         if pending is not None and len(pending):
             # wake when the watermark passes the earliest pending row
             # (fires at wm > t, so arm one ms below); CEIL the µs→ms
@@ -340,7 +395,7 @@ def watermark_buffered(
             # wm+1 and strand the row if the watermark never advances
             # again); must stay above the current watermark per the
             # GroupState contract
-            min_us = int(to_epoch_us(pending[ts_col]).min())
+            min_us = int(pts.min())
             min_ms = -(-min_us // 1000)
             state.setTimeoutTimestamp(max(wm_ms + 1, min_ms - 1))
         if outs:
@@ -493,7 +548,11 @@ def drain_pending(
             for blob in pdf["s"]:
                 if blob is None:
                     continue
-                pending, frontiers, inners = pickle.loads(bytes(blob))
+                blob_t = pickle.loads(bytes(blob))
+                if len(blob_t) == 4:  # round-14 layout carries the
+                    pending, _pts, frontiers, inners = blob_t  # epoch
+                else:  # array alongside; pre-r14 checkpoints don't
+                    pending, frontiers, inners = blob_t
                 # key-grouped layout (round 13): one bucket blob holds
                 # the bucket's pending frame + per-logical-key inner
                 # states — drain each logical key like a final
