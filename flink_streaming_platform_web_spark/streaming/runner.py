@@ -2245,7 +2245,35 @@ class JobRunner:
             writer = writer.trigger(**self._trigger)
         elif self.checkpoint.checkpoint_interval_ms != 60_000:
             writer = writer.trigger(**trigger_kwargs(self.checkpoint))
-        q = writer.start()
+        if drain is not None:
+            # Round 14 (optimization): raise the Arrow batch size for
+            # the buffered-operator stream's lifetime (the started
+            # query clones the session, so restoring right after
+            # start() leaves batch queries untouched). The
+            # applyInPandasWithState channel re-buffers a group's
+            # STATE alongside every maxRecordsPerBatch-row data chunk,
+            # so a large-state group chunked at the 10k default goes
+            # quadratic in state size — st23's global-pattern
+            # singleton key (1.67M-row first-batch buffer at sf5)
+            # never finished (>45 min, jstack pinned in
+            # ApplyInPandasWithStateWriter/DirectByteBufferOutputStream);
+            # at 200k rows per chunk it runs in 102 s. Buffered-route
+            # rows are narrow (event keys + measures), so 200k rows
+            # stays a few MB of data per chunk at any scale.
+            _arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+            _arrow_prev = self.spark.conf.get(_arrow_key, None)
+            _arrow_target = int(
+                os.environ.get("SPARK_GRAFT_WB_ARROW_BATCH", "200000")
+            )
+            if int(_arrow_prev or 10000) < _arrow_target:
+                self.spark.conf.set(_arrow_key, str(_arrow_target))
+            else:
+                _arrow_prev = None  # nothing to restore
+        try:
+            q = writer.start()
+        finally:
+            if drain is not None and _arrow_prev is not None:
+                self.spark.conf.set(_arrow_key, _arrow_prev)
         if drain is not None:
             spec, post = drain
             q = DrainingQuery(
