@@ -85,7 +85,14 @@ def get_spark(
     # an explicit caller still wins
     env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
     for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
-        k, _, v = pair.partition("=")
+        k, sep, v = pair.partition("=")
+        if not sep:
+            # a pair without '=' would silently set the key to ""
+            # and misconfigure Spark with no signal (ADVICE r14)
+            raise ValueError(
+                f"malformed SPARK_GRAFT_CONF pair: {pair!r}"
+                " (expected key=value, ';'-separated)"
+            )
         builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

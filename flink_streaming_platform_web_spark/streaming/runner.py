@@ -2265,15 +2265,23 @@ class JobRunner:
             _arrow_target = int(
                 os.environ.get("SPARK_GRAFT_WB_ARROW_BATCH", "200000")
             )
+            # track the set with its own flag (ADVICE r14): conf.get
+            # returns the SQL built-in default today, but if it ever
+            # returned None for an unset key, keying the restore on
+            # `_arrow_prev is not None` would leak the raise into the
+            # session for every subsequent batch query
+            _arrow_did_set = False
             if int(_arrow_prev or 10000) < _arrow_target:
                 self.spark.conf.set(_arrow_key, str(_arrow_target))
-            else:
-                _arrow_prev = None  # nothing to restore
+                _arrow_did_set = True
         try:
             q = writer.start()
         finally:
-            if drain is not None and _arrow_prev is not None:
-                self.spark.conf.set(_arrow_key, _arrow_prev)
+            if drain is not None and _arrow_did_set:
+                if _arrow_prev is not None:
+                    self.spark.conf.set(_arrow_key, _arrow_prev)
+                else:
+                    self.spark.conf.unset(_arrow_key)
         if drain is not None:
             spec, post = drain
             q = DrainingQuery(
