@@ -698,7 +698,23 @@ def tx12_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", r"\s+")).alias("token")
     ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # round 15 (guide §2.2/§2.4): ONE corpus exchange instead of two.
+    # The tf pre-reduce used to shuffle on (doc_id, token) and the
+    # row_number window re-shuffled the joined rows on doc_id. An
+    # explicit doc_id repartition of the exploded rows satisfies the
+    # clustered distribution of BOTH the (doc_id, token) aggregate
+    # (hash(doc_id) clusters every (doc_id, token) group) and the
+    # per-doc window, so neither plans its own exchange; the explode
+    # stays BELOW the exchange, so the corpus is tokenized once and
+    # both tf consumers (the join probe and the df_tbl build) reuse
+    # the one exchange. Numbered repartition: exempt from AQE
+    # coalescing (the cep.py lesson), sized by defaultParallelism.
+    par = spark.sparkContext.defaultParallelism
+    tf = (
+        toks.repartition(par, "doc_id")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
     df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("token")

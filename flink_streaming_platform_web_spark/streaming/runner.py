@@ -1620,6 +1620,23 @@ class JobRunner:
                     " (Flink CepOperator semantics); declare one or"
                     " run the job in batch mode"
                 )
+            # foreachBatch tier route (round 15): tier-eligible shapes
+            # run the BATCH tier SQL over the watermark-released
+            # frames per micro-batch — zero Python in the per-batch
+            # plan, parquet-bounded pending state. Ineligible shapes
+            # (consuming skips, ALL ROWS, context-dependent defines,
+            # non-memory sinks, non-row-local outer selects) fall
+            # through to the watermark-buffered NFA route below.
+            from flink_streaming_platform_web_spark.streaming import (
+                fb_cep,
+            )
+
+            fb_q = fb_cep.try_start(
+                self, src, spec, sink, outer, view, wm, idx
+            )
+            if fb_q is not None:
+                result.streaming_queries.append(fb_q)
+                return
             drains: list = []
             matched = cep.stream_match_recognize(
                 src,
